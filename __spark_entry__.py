@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship word-count query on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2.3 plus
+the training-data-pipeline extensions (dedup / similarity / text
+analysis / multimodal metadata), each as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each query.
+
+Column-name + type parity rules used throughout: every computed
+column is aliased identically on both sides; integer outputs are cast
+to BIGINT on both sides (DuckDB promotes integer SUMs to HUGEINT and
+list lengths to BIGINT, Spark's size() is INT — casting both avoids
+spurious schema mismatches); float divisions are rounded to 6 dp *in
+the query* on both sides so threshold filters agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_faultolerrant_localityaware_spark.operators import dedup, multimodal, relational, similarity, textstats
+from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
+from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's end-to-end query (tokenize → count →
+    sort desc, SURVEY §3.1) over the sf0.001 documents corpus."""
+    docs = scan(spark, "/root/testdata/sf0.001", "documents")
+    return wordcount_from_text(docs, "text").withColumnRenamed("count", "cnt")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_wordcount(spark, sf):
+    docs = scan(spark, sf, "documents")
+    wc = wordcount_from_text(docs, "text", sort=False)
+    return wc.select("word", F.col("count").cast("long").alias("cnt"))
+
+
+def _q_filter_project(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    filtered = relational.filter_(
+        li,
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_quantity") > 10),
+    )
+    return relational.project(
+        filtered,
+        {
+            "l_orderkey": "l_orderkey",
+            "l_linenumber": F.col("l_linenumber").cast("long"),
+            "revenue": F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6),
+            "l_returnflag": "l_returnflag",
+        },
+    )
+
+
+def _q_group_agg(spark, sf):
+    li = scan(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return relational.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "avg_qty": ("avg", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+            "count_order": ("count_star", None),
+        },
+    )
+
+
+def _q_group_agg_distinct(spark, sf):
+    orders = scan(spark, sf, "orders")
+    return relational.group_agg(
+        orders,
+        ["o_orderpriority"],
+        {"n_cust": ("count_distinct", "o_custkey"), "n_orders": ("count_star", None)},
+    )
+
+
+def _q_sort_limit(spark, sf):
+    orders = scan(spark, sf, "orders")
+    top = relational.top_k(orders, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.select("o_orderkey", "o_totalprice")
+
+
+def _q_distinct(spark, sf):
+    return relational.distinct(scan(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+def _q_union(spark, sf):
+    cust = relational.project(
+        scan(spark, sf, "customer"),
+        {"src": F.lit("customer"), "name": "c_name", "acctbal": "c_acctbal", "nationkey": F.col("c_nationkey").cast("long")},
+    )
+    supp = relational.project(
+        scan(spark, sf, "supplier"),
+        {"src": F.lit("supplier"), "name": "s_name", "acctbal": "s_acctbal", "nationkey": F.col("s_nationkey").cast("long")},
+    )
+    return relational.union(cust, supp)
+
+
+def _q_join_broadcast(spark, sf):
+    cust = scan(spark, sf, "customer")
+    nation = scan(spark, sf, "nation")
+    region = scan(spark, sf, "region")
+    j = relational.join(
+        cust, nation, cust.c_nationkey == nation.n_nationkey, broadcast_right=True
+    )
+    j = relational.join(j, region, j.n_regionkey == region.r_regionkey, broadcast_right=True)
+    return relational.group_agg(
+        j, ["r_name"], {"n_cust": ("count_star", None), "avg_bal": ("avg", "c_acctbal")}
+    )
+
+
+def _q_join_large(spark, sf):
+    orders = scan(spark, sf, "orders")
+    li = scan(spark, sf, "lineitem")
+    j = relational.join(li, orders, li.l_orderkey == orders.o_orderkey)
+    return relational.group_agg(
+        j,
+        ["o_orderpriority"],
+        {
+            "revenue": ("sum", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "n_items": ("count_star", None),
+        },
+    )
+
+
+def _q_join_semi(spark, sf):
+    cust = scan(spark, sf, "customer")
+    orders = scan(spark, sf, "orders")
+    j = relational.join(cust, orders, cust.c_custkey == orders.o_custkey, how="left_semi")
+    return relational.group_agg(j, ["c_mktsegment"], {"n_cust": ("count_star", None)})
+
+
+def _q_join_anti(spark, sf):
+    cust = scan(spark, sf, "customer")
+    orders = scan(spark, sf, "orders")
+    j = relational.join(cust, orders, cust.c_custkey == orders.o_custkey, how="left_anti")
+    return j.select("c_custkey", "c_name")
+
+
+def _q_window_rank(spark, sf):
+    from pyspark.sql import Window
+
+    orders = scan(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def _q_window_running(spark, sf):
+    from pyspark.sql import Window
+
+    ev = scan(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("run_sum")
+    )
+
+
+def _q_rollup(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def _q_events_tumbling(spark, sf):
+    ev = scan(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def _q_repartition_agg(spark, sf):
+    li = relational.repartition(scan(spark, sf, "lineitem"), 8, "l_returnflag")
+    return relational.group_agg(li, ["l_returnflag"], {"sum_qty": ("sum", "l_quantity")})
+
+
+# ---- text analysis ----
+
+def _q_text_tokens(spark, sf):
+    out = textstats.token_stats(scan(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_chars_m").cast("long").alias("n_chars_m"),
+    )
+
+
+def _q_text_quality(spark, sf):
+    out = textstats.quality_score(scan(spark, sf, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _q_lang_id(spark, sf):
+    out = textstats.lang_id(scan(spark, sf, "documents"))
+    return out.withColumn("marker_hits", F.col("marker_hits").cast("long"))
+
+
+def _q_fingerprint(spark, sf):
+    return textstats.fingerprint(scan(spark, sf, "documents"))
+
+
+# ---- dedup ----
+
+def _q_dedup_exact(spark, sf):
+    out = dedup.dedup_exact(scan(spark, sf, "documents"))
+    return out.withColumn("n_dups", F.col("n_dups").cast("long"))
+
+
+def _q_dedup_minhash(spark, sf):
+    return dedup.dedup_minhash_candidates(scan(spark, sf, "documents"))
+
+
+def _q_dedup_simhash(spark, sf):
+    return dedup.simhash(scan(spark, sf, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
+
+
+def _q_dedup_embedding(spark, sf):
+    return dedup.dedup_embedding_cosine(scan(spark, sf, "embeddings"), threshold=0.3)
+
+
+# ---- similarity search ----
+
+def _q_ann_bruteforce(spark, sf):
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_bruteforce(emb, queries_df, k=5)
+
+
+def _q_ann_ivf(spark, sf):
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_ivf(emb, queries_df, k=5)
+
+
+# ---- multimodal (binary-column plumbing; blob = utf8 bytes of text) ----
+
+def _q_multimodal_meta(spark, sf):
+    docs = scan(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return multimodal.attach_media_meta(docs).select("media_id", "byte_len", "sha256")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "wordcount": _q_wordcount,
+        "filter_project": _q_filter_project,
+        "group_agg": _q_group_agg,
+        "group_agg_distinct": _q_group_agg_distinct,
+        "sort_limit": _q_sort_limit,
+        "distinct": _q_distinct,
+        "union": _q_union,
+        "join_broadcast": _q_join_broadcast,
+        "join_large": _q_join_large,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "window_rank": _q_window_rank,
+        "window_running": _q_window_running,
+        "rollup": _q_rollup,
+        "events_tumbling": _q_events_tumbling,
+        "repartition_agg": _q_repartition_agg,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+# Shared DuckDB fragments.  Tokenizer parity with SURVEY Q2:
+# regexp_split_to_array on the same RE2/Java-compatible class.
+_TOK = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> t <> '')"
+_TOK_LOWER = r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), t -> t <> '')"
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_SHINGLES_LOWER = f"""
+  WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM toks)
+  )
+"""
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5('s{i}:' || shingle)) AS mh{i}" for i in range(dedup.NUM_HASHES)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS band_sig FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dedup.BANDS)
+)
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_LANGS = list(textstats.LANG_MARKERS)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+    return f"len(list_filter(tk, t -> list_contains([{words}], t)))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hit_cols = ", ".join(f"{_lang_hits_sql(lg)} AS hits_{lg}" for lg in _LANGS)
+    lang_best = "greatest(" + ", ".join(f"hits_{lg}" for lg in _LANGS) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}'" for lg in _LANGS)
+        + " ELSE 'und' END"
+    )
+    return {
+        "wordcount": f"""
+            SELECT w AS word, count(*) AS cnt
+            FROM (SELECT unnest({_TOK}) AS w FROM documents)
+            GROUP BY w
+        """,
+        "filter_project": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 6) AS revenue, l_returnflag
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 10
+        """,
+        "group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_agg_distinct": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "union": """
+            SELECT 'customer' AS src, c_name AS name, c_acctbal AS acctbal,
+                   CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier' AS src, s_name AS name, s_acctbal AS acctbal,
+                   CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        """,
+        "join_broadcast": """
+            SELECT r_name, count(*) AS n_cust, avg(c_acctbal) AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "join_large": """
+            SELECT o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "join_semi": """
+            SELECT c_mktsegment, count(*) AS n_cust FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "window_running": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
+            FROM events
+        """,
+        "rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "repartition_agg": """
+            SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag
+        """,
+        "text_tokens": f"""
+            SELECT doc_id,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_m
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOK_LOWER} AS tk,
+                     length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
+                     length(text) AS chars
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                   round(letters * 1.0 / len(tk), 6) AS mean_token_len,
+                   round(len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk), 6) AS stopword_ratio,
+                   round((chars - letters) * 1.0 / chars, 6) AS nonletter_ratio,
+                   round(least(1.0,
+                         len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
+                         + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
+            FROM base WHERE len(tk) > 0
+        """,
+        "lang_id": f"""
+            WITH base AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            hits AS (SELECT doc_id, {lang_hit_cols} FROM base),
+            best AS (SELECT doc_id, *, {lang_best} AS best FROM hits)
+            SELECT doc_id, {lang_case} AS lang_pred, CAST(best AS BIGINT) AS marker_hits
+            FROM best
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS content_md5,
+                   list_aggregate(list_transform({_TOK_LOWER}, t -> md5(t)), 'min') AS min_token_hash,
+                   list_aggregate(list_transform({_TOK_LOWER}, t -> md5(t)), 'max') AS max_token_hash
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS content_hash, min(doc_id) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash": f"""
+            {_SHINGLES_LOWER},
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH tc AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
+              GROUP BY doc_id, t
+            ),
+            v AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
+              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+              GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            {_SHINGLES_LOWER},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.8
+        """,
+        "dedup_embedding": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_COS.format(a='a.v', b='b.v')} AS cos_sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_COS.format(a='a.v', b='b.v')} >= 0.3
+        """,
+        "ann_bruteforce": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     {_COS.format(a='qv', b='e.v')} AS cos_sim
+              FROM e CROSS JOIN q WHERE e.vec_id <> query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+        """,
+        "ann_ivf": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     {_COS.format(a='qv', b='e.v')} AS cos_sim
+              FROM e JOIN q USING (label) WHERE e.vec_id <> query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+    }

@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Timing is end-to-end per query: plan + execute + count-style
+materialization (``count`` over the result, not collect — the driver
+never materializes rows, matching the 100 TB posture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from mapreduce_faultolerrant_localityaware_spark.session import get_spark
+
+HEADLINE = [
+    "wordcount",
+    "group_agg",
+    "join_large",
+    "window_rank",
+    "sort_limit",
+    "text_quality",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_bruteforce",
+    "events_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    # warm the JVM + parquet footers once with the cheapest query
+    qs["sort_limit"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Text column expressions — tokenizer, shingles, quality signals.
+
+Tokenizer parity (SURVEY Q2, the canonical query semantic of the
+reference): the reference splits chunk text on runs of any non-letter
+rune, Unicode letter class, case-SENSITIVE, empty tokens dropped
+(core/map_reduce.go:543-546 ``unicode.IsLetter`` FieldsFunc).  So
+``don't`` → ``don``, ``t``; digits are separators (``2nd`` → ``nd``);
+``He`` ≠ ``he``; accented letters (``è``, ``più``) are kept.  The JVM
+regex ``[^\\p{L}]+`` reproduces Go's ``unicode.IsLetter`` class for
+the practical character inventory (both implement Unicode L*).
+
+All expressions here are built-in pyspark.sql.functions compositions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: split rule — runs of non-letters (Unicode letter class), SURVEY Q2.
+TOKEN_SPLIT_RE = r"[^\p{L}]+"
+
+# Tiny deterministic stopword lists for the language-ID / quality
+# heuristics.  Chosen to be unambiguous between English and Italian on
+# the synthetic corpus; heuristic quality, not linguistic completeness.
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "with", "for", "was")
+IT_STOPWORDS = ("il", "la", "di", "che", "e", "un", "per", "con", "del", "una")
+
+
+def tokens(col: Column | str, lowercase: bool = False) -> Column:
+    """Array of word tokens of ``col`` under reference semantics (Q2):
+    split on non-letter runs, drop empties, preserve case by default.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    arr = F.split(c, TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form used for exact-dedup / fingerprinting: lowercase,
+    collapse whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (join with single space).
+
+    Built on higher-order array functions — stays JVM-side.  Returns
+    an empty array for docs shorter than ``n`` tokens.
+    """
+    # NB: F.sequence(0, -1) yields a DESCENDING sequence, not empty —
+    # guard short docs explicitly.
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - n + 1)
+    arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)))
+    return F.when(F.size(tokens_col) >= n, arr).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(tokens_col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Count of tokens (lowercased) that are in ``stopwords``."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens_col, lambda t: F.array_contains(sw, F.lower(t))))

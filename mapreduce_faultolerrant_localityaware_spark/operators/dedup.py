@@ -1,0 +1,203 @@
+"""Deduplication operators over a document corpus — the core
+large-scale-training-pipeline extension beyond the reference surface
+(the reference's only "dedup" is the exactly-once guard on shuffle
+replay, core/map_reduce.go:167-182 — an execution mechanism, not a
+data operator).
+
+Every operator here is a composition of built-in DataFrame ops
+(tokenize → shingle → hash → group/join) so it scales the Spark way:
+group-bys are partial-agged before the exchange, self-joins are
+equi-joins on hash keys (shuffle-hash/sort-merge, AQE-skew-handled),
+and nothing touches Python row-at-a-time.
+
+Design notes for 100 TB:
+  * exact dedup shuffles one md5 per doc, not the text — group key is
+    the 32-byte digest.
+  * MinHash-LSH never materializes the O(n²) pair space: candidate
+    pairs come from equi-joins on band signatures, so the shuffle is
+    O(n·bands) and the join fans out only within a bucket.
+  * SimHash reduces each doc to one 32-bit int; near-dup search then
+    bands the fingerprint (not implemented here — pairs via LSH above).
+  * all hashes are md5-derived → deterministic, engine-portable
+    (hash-matchable against a DuckDB oracle), seedable per permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, shingles, tokens
+
+# MinHash-LSH shape: NUM_HASHES = BANDS * ROWS_PER_BAND.  12 hashes /
+# 3 bands of 4 ⇒ P(candidate | jaccard=j) = 1-(1-j^4)^3: ~.05 at j=.5,
+# ~.79 at j=.9 — tuned to surface near-dups without flooding.
+NUM_HASHES = 12
+BANDS = 3
+ROWS_PER_BAND = 4
+
+
+def _minhash_agg_cols():
+    """min(md5(seed_i || shingle)) per permutation i.
+
+    Lexicographic min over the hex digest is a valid min-wise hash
+    (uniform over the digest space) and is portable to any SQL oracle.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """doc → NUM_HASHES-column MinHash signature over word n-gram shingles."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle")
+    ).distinct()
+    return sh.groupBy(id_col).agg(*_minhash_agg_cols())
+
+
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """signature → (id, band, band_sig): one md5 per band of ROWS_PER_BAND minhashes."""
+    band_structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_sig")))
+    return sig.select(id_col, F.explode(F.array(*band_structs)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def dedup_minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Equi-join on (band, band_sig) → shuffle is keyed on the signature,
+    never a cross product.  Output: (doc_a, doc_b) distinct, a < b.
+    """
+    bands = minhash_bands(minhash_signatures(docs, text_col, id_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: one representative (min id) +
+    duplicate count per distinct content hash.  Shuffles digests, not text.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash fingerprint per doc (token-frequency-weighted bit vote).
+
+    Bit b's direction for a token is the high bit of hex digit b of
+    md5(token) — engine-portable.  Plan: tokenize → (doc, token) count
+    [partial-agged] → explode 32 bit positions → sum votes per (doc,
+    bit) → pack.  Token-count agg happens BEFORE the ×32 explode so
+    the exploded relation is over distinct tokens, not raw ones.
+    """
+    tok_counts = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    votes = (
+        tok_counts.select(
+            id_col,
+            "cnt",
+            F.md5(F.col("token")).alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        )
+        .withColumn(
+            "vote",
+            F.when(F.substring(F.col("h"), 1, SIMHASH_BITS).substr(F.col("b") + 1, F.lit(1)).isin(*hexhi), F.col("cnt")).otherwise(-F.col("cnt")),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn("bit", F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long")))
+        .groupBy(id_col)
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Pair generation is an equi-join on the shingle (inverted-index
+    join), so only docs sharing ≥1 shingle ever meet — never a cross
+    product.  At 100 TB you'd run dedup_minhash_candidates first and
+    feed ONLY candidate pairs here (verify step); this operator is
+    that verify step expressed standalone.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, blocked by
+    ``block_col`` (cluster/partition id) so the self-join is an
+    equi-join per block, not n².  The blocking column is the IVF-style
+    coarse quantizer cell; with no precomputed cells, substitute an
+    LSH sign-bucket.  See similarity.ann_ivf for the search analog.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    e = emb.select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

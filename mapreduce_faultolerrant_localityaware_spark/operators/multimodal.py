@@ -1,0 +1,120 @@
+"""Multimodal column handling — image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched Pandas UDFs
+(``mapInPandas``).
+
+The container has no image/audio codecs, so the DECODE step is
+stubbed: ``decode_image_stub`` produces a deterministic fake feature
+vector from the bytes (sha256-seeded) and the real-codec path raises
+NotImplementedError behind ``use_real_codecs=True``.  Everything
+around the stub — schema, batch iteration, partition-parallel
+execution, output typing — is the real Spark plumbing a production
+decode would use unchanged.
+
+Scale shape: mapInPandas streams Arrow record batches through the
+Python worker, so peak memory is one batch (bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch), not one partition, and
+each partition decodes independently — embarrassing parallelism, no
+shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata schema carried alongside every media blob
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = T.StructType(
+    list(MEDIA_META_SCHEMA.fields)
+    + [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "media_id") -> DataFrame:
+    """Typed metadata for a binary column — pure built-ins (codegen'd):
+    length + sha256 stay JVM-side; no Python touches the bytes."""
+    return df.select(
+        F.col(id_col),
+        F.col(blob_col),
+        F.length(F.col(blob_col)).cast("long").alias("byte_len"),
+        F.lower(F.sha2(F.col(blob_col), 256)).alias("sha256"),
+    )
+
+
+def decode_image_stub(data: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: sha256-derived (width, height,
+    FEATURE_DIM floats in [0,1)).  Stands in for PIL/libjpeg — the
+    real implementation swaps ONLY this function.
+    """
+    digest = hashlib.sha256(data).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feats = [round(int.from_bytes(digest[2 + 2 * i : 4 + 2 * i], "big") / 65536.0, 6) for i in range(FEATURE_DIM)]
+    return width, height, feats
+
+
+def decode_media(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    media_type: str = "image",
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """binary column → decoded features via mapInPandas (Arrow batches).
+
+    ``use_real_codecs=True`` is the production path — unavailable in
+    this container (no PIL/ffmpeg), so it raises.
+    """
+    if use_real_codecs:
+        raise NotImplementedError("real image/audio codecs not available in this environment; use the stub path")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                w, h, feats = decode_image_stub(data)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": media_type,
+                        "byte_len": len(data),
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, blob_col: str = "blob", id_col: str = "media_id", every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plumbing*: emits one row per sampled frame
+    index (codec-free — frame count faked from byte_len).  Shows the
+    explode-shaped output schema a real sampler would produce."""
+    n_frames = (F.length(F.col(blob_col)) / 1024 + 1).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )

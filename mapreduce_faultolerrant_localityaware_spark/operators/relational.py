@@ -1,0 +1,115 @@
+"""Relational operator layer — the generalized operator surface of
+SURVEY §2.3 (filter / project / group_agg / sort / limit / union /
+distinct / repartition / top-k) plus joins and windows, each a thin
+typed wrapper over the DataFrame API so Catalyst owns the physical
+strategy (pushdown, pruning, broadcast vs sort-merge, AQE).
+
+These wrappers deliberately add *nothing* on top of Spark's operators
+except a stable, testable API: the reference's versions of these
+mechanics (map-side combine core/map_reduce.go:548-550 +
+core/workerStruct.go:254-293, hash partition core/utils.go:353-363,
+shuffle core/map_reduce.go:442-520, final sum core/map_reduce.go:150-216,
+sort core/utils.go:367-381) are subsumed by HashAggregate/Exchange/Sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: agg name → builder. group_agg(keys, {"out": ("sum", "col")})
+_AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "count_star": lambda _: F.count(F.lit(1)),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+    "count_distinct": lambda c: F.countDistinct(c),
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+}
+
+
+def project(df: DataFrame, exprs: Mapping[str, Column | str]) -> DataFrame:
+    """Named projection; values may be columns/expressions or column names."""
+    cols = [(F.col(v) if isinstance(v, str) else v).alias(k) for k, v in exprs.items()]
+    return df.select(*cols)
+
+
+def filter_(df: DataFrame, predicate: Column | str) -> DataFrame:
+    return df.filter(predicate)
+
+
+def group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, Column | str | None]],
+) -> DataFrame:
+    """Grouped aggregation: ``aggs`` maps output name → (fn, input).
+
+    Partial (map-side) + final aggregation is automatic — this is the
+    generalization of the reference's two combiner levels and its
+    Reduce sum (SURVEY O5/O8/O10).
+    """
+    agg_cols = []
+    for out, (fn, inp) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise KeyError(f"unknown agg {fn!r}; have {sorted(_AGG_FNS)}")
+        col = F.col(inp) if isinstance(inp, str) else inp
+        agg_cols.append(_AGG_FNS[fn](col).alias(out))
+    return df.groupBy(*keys).agg(*agg_cols) if keys else df.agg(*agg_cols)
+
+
+def sort(df: DataFrame, *order: Column) -> DataFrame:
+    """Total sort. Callers should supply a full tiebreak (SURVEY Q4)."""
+    return df.orderBy(*order)
+
+
+def limit(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, n: int, *order: Column) -> DataFrame:
+    """orderBy+limit → Spark plans TakeOrderedAndProject: per-partition
+    top-n then a driver merge of n·partitions rows — no total sort, no
+    full shuffle. This is the scale-safe top-k."""
+    return df.orderBy(*order).limit(n)
+
+
+def union(*dfs: DataFrame) -> DataFrame:
+    """Union by column name (reference analog: input-file concatenation,
+    core/utils.go:331)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def distinct(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def repartition(df: DataFrame, n: int, *cols: str) -> DataFrame:
+    """Explicit hash repartition (reference O2/O6 — with a *correct*
+    key hash, unlike the length-only HashKeyReducerSum, SURVEY Q1)."""
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
+def join(
+    df: DataFrame,
+    other: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Join with optional explicit broadcast of the right side.
+
+    Catalyst auto-broadcasts below autoBroadcastJoinThreshold; the
+    explicit hint is for dimension tables whose smallness Catalyst
+    can't prove (e.g. after filters). The reference has no joins at
+    all (SURVEY §2.2) — this is part of the generalized surface.
+    """
+    right = F.broadcast(other) if broadcast_right else other
+    return df.join(right, on, how)

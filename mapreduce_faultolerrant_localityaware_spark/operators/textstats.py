@@ -1,0 +1,88 @@
+"""Text analysis operators — language-ID, quality scoring, token
+counting, document fingerprinting.  Training-data-pipeline extensions
+of the reference's tokenizer (core/map_reduce.go:543-546); every
+signal is a built-in-functions composition (codegen'd, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import EN_STOPWORDS, IT_STOPWORDS, normalized_text, stopword_hits, tokens
+
+# Per-language marker stopword sets for the n-gram/stopword-ratio
+# language-ID heuristic.  Deterministic and tiny on purpose.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "it": IT_STOPWORDS,
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "por", "con", "para"),
+    "de": ("der", "die", "und", "das", "den", "von", "mit", "ist", "nicht", "ein"),
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counting: reference-semantics word tokens (Q2),
+    whitespace tokens (the usual LLM-data proxy), and char length."""
+    tk = tokens(text_col)
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.size(tk).alias("n_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.length(text_col).alias("n_chars_m"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: mean token length, stopword ratio,
+    non-letter (punct/digit/space) char ratio, and a composite score.
+    The composite mirrors the usual pretraining-filter shape (bounded
+    0..1, higher = more prose-like).
+    """
+    tk = tokens(text_col, lowercase=True)
+    n_tok = F.size(tk)
+    letters = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}]", ""))
+    sw = stopword_hits(tk, EN_STOPWORDS)
+    mean_len = letters / n_tok
+    stop_ratio = sw / n_tok
+    nonletter_ratio = (F.length(text_col) - letters) / F.length(text_col)
+    score = F.least(F.lit(1.0), stop_ratio * 2 + (F.lit(1.0) - nonletter_ratio) * 0.5)
+    return docs.filter(n_tok > 0).select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(nonletter_ratio, 6).alias("nonletter_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID over LANG_MARKERS; 'und' when no
+    marker fires or on ties (deterministic: langs checked in fixed
+    order, strict-max wins)."""
+    tk = tokens(text_col, lowercase=True)
+    hit_cols = [stopword_hits(tk, ws).alias(f"hits_{lang}") for lang, ws in LANG_MARKERS.items()]
+    langs = list(LANG_MARKERS)
+    scored = docs.select(F.col(id_col), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties via later override
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity)
+    plus a coarse structural sketch (min/max token hash — a 2-hash
+    min-wise sketch usable for cheap similarity pre-grouping)."""
+    tk = tokens(text_col, lowercase=True)
+    hashed = F.transform(tk, lambda t: F.md5(t))
+    return docs.select(
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("content_md5"),
+        F.array_min(hashed).alias("min_token_hash"),
+        F.array_max(hashed).alias("max_token_hash"),
+    )

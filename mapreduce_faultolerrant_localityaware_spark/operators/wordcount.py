@@ -1,0 +1,56 @@
+"""Word count — the reference's one end-to-end query (its entire O1→O13
+pipeline, SURVEY §3.1), expressed as a single declarative plan.
+
+Reference pipeline → Spark physical plan:
+  InitChunks / S3 chunk pull (core/utils.go:283-343,
+    core/map_reduce.go:23-77)                → FileScan (split planning)
+  Map_parse_builtin_quick_route tokenize
+    (core/map_reduce.go:523-561)             → explode(split(...)) [codegen]
+  per-chunk combiner (core/map_reduce.go:548-550)
+  + worker-level combiner
+    (core/workerStruct.go:254-293)           → partial HashAggregate (automatic)
+  HashKeyReducerSum partition + RPC shuffle
+    (core/utils.go:353-363,
+     core/map_reduce.go:442-520)             → shuffle exchange (proper hash —
+                                               the reference's hash is
+                                               length-only, SURVEY Q1; not
+                                               replicated on purpose)
+  Reduce final sum (core/map_reduce.go:150-216) → final HashAggregate
+  master collect + sort desc
+    (core/map_reduce.go:619-635,
+     master/main.go:285-302)                 → Sort [+ optional limit/sink]
+
+The two-level combining the reference implements by hand is Spark's
+partial aggregation — visible in .explain() as HashAggregate(partial)
+before the Exchange.  Ties in the sort are broken by word ASC for
+determinism (SURVEY Q4: the reference's tie order is Go-map random).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def wordcount_from_text(text_df: DataFrame, text_col: str = "value", sort: bool = True) -> DataFrame:
+    """``DataFrame[..., text_col]`` → ``DataFrame[word, count]``.
+
+    ``sort=True`` mirrors SORT_FINAL (configurations/config.json:3).
+    """
+    out = (
+        text_df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if sort:
+        out = out.orderBy(F.desc("count"), F.asc("word"))
+    return out
+
+
+def wordcount(spark, paths: str | list[str], sort: bool = True) -> DataFrame:
+    """End-to-end reference query: text files → sorted word counts."""
+    from ..sources.scans import scan_text
+
+    return wordcount_from_text(scan_text(spark, paths), "value", sort=sort)

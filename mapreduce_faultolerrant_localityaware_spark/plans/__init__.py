@@ -1,0 +1,13 @@
+from .introspect import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+__all__ = [
+    "assert_broadcast_join",
+    "assert_no_python_udf",
+    "assert_pushed_filters",
+    "formatted_plan",
+]

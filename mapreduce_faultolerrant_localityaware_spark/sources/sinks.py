@@ -1,0 +1,38 @@
+"""Sinks.
+
+Reference parity: the reference serializes final tokens as ``K->V``
+lines joined by CRLF to ``outTokens.list``
+(core/utils.go:710-731 SerializeToFile, core/map_reduce.go:17), after
+an optional master-side collect (core/map_reduce.go:619-635).  At
+100 TB a driver collect is forbidden — the distributed text write is
+the default; ``format_tokens`` exists for small/test outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_tokens(df: DataFrame, path: str, key: str = "word", value: str = "count") -> None:
+    """Distributed write of ``K->V`` lines (reference sink format, SURVEY Q5).
+
+    One part-file per partition — no driver materialization.
+    """
+    out = df.select(F.concat_ws("->", F.col(key).cast("string"), F.col(value).cast("string")).alias("value"))
+    out.write.mode("overwrite").text(path)
+
+
+def format_tokens(rows, sep: str = "\r\n") -> str:
+    """Driver-side serialization of collected (key, value) rows to the
+    reference's exact on-disk format: ``K->V`` joined by CRLF
+    (core/utils.go:720).  Test/small-output use only.
+    """
+    return sep.join(f"{k}->{v}" for k, v in rows)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,57 @@
+"""Structured Streaming variants of the engine's query class.
+
+The reference is single-shot batch (SURVEY §1.4 — no streaming
+constructs); these operators are the natural streaming extension of
+its pipeline: the same tokenize → group-aggregate plan run
+incrementally with watermarked state.  The reducer's incremental
+accumulation across Reduce() RPCs (core/map_reduce.go:187-189) is the
+moral ancestor: Structured Streaming's stateful aggregation does the
+same accumulate-per-key, but with checkpointed, fault-tolerant state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def streaming_wordcount(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """Streaming DataFrame of text lines → running word counts.
+
+    Complete/update-mode aggregation; pair with a sink via::
+
+        q = streaming_wordcount(stream).writeStream.outputMode("update")...
+    """
+    return (
+        lines.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window event counts with a watermark for late data.
+
+    State for windows older than the watermark is dropped — bounded
+    memory under unbounded input (the scale-critical property).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

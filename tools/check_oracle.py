@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet tables; compare row count, column names, and
+order-insensitive values (floats rounded to 6 dp).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from mapreduce_faultolerrant_localityaware_spark.session import get_spark
+from mapreduce_faultolerrant_localityaware_spark.sources.scans import TABLES
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = 0.0 if (not math.isnan(v) and round(v, 6) == 0) else round(v, 6)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(srows)} != {len(orows)}")
+            continue
+        cs, co = canon(srows, scols), canon(orows, ocols)
+        if cs != co:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(cs, co) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs: {diff}")
+            continue
+        print(f"OK   {name}: {len(srows)} rows, {dt:.1f}s")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
