@@ -331,14 +331,22 @@ _SHINGLES_LOWER = f"""
   )
 """
 
+# Kirsch-Mitzenmacher minhash (mirrors dedup.minhash_signatures):
+# one md5 per shingle → h1,h2 → g_i = (h1 + i·h2) mod M
+_M = dedup.MINHASH_MOD
+_MINHASH_HASHES = f"""
+    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {_M} AS h1,
+    CAST(('0x' || substring(md5(shingle), 16, 15)) AS BIGINT) % {_M} AS h2
+"""
 _MINHASH_AGGS = ", ".join(
-    f"min(md5('s{i}:' || shingle)) AS mh{i}" for i in range(dedup.NUM_HASHES)
+    f"min((h1 + {i + 1} * h2) % {_M}) AS mh{i}" for i in range(dedup.NUM_HASHES)
 )
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({expr}) AS band_sig FROM sig".format(
         b=b,
         expr=" || '|' || ".join(
-            f"mh{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+            f"CAST(mh{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dedup.ROWS_PER_BAND)
         ),
     )
     for b in range(dedup.BANDS)
@@ -501,7 +509,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": f"""
             {_SHINGLES_LOWER},
-            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
             bands AS ({_BAND_SELECTS})
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b

@@ -3,9 +3,14 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Timing is end-to-end per query: plan + execute + count-style
-materialization (``count`` over the result, not collect — the driver
-never materializes rows, matching the 100 TB posture).
+Each query runs twice: the first execution pays one-time JVM/codegen
+compilation (Janino class generation dominates on small data — ~7 s
+for the widest expression trees vs <1 s of actual data work), the
+second is the steady-state throughput that scales with data volume.
+``value``/``queries`` report steady-state; ``queries_cold`` records
+the first-run wall for transparency.  Materialization is ``count()``
+over the result, not collect — the driver never pulls rows, matching
+the 100 TB posture.
 """
 
 from __future__ import annotations
@@ -42,7 +47,11 @@ def main() -> None:
     qs["sort_limit"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -55,6 +64,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, shingles, tokens
+from ._parallel import ensure_parallelism
 
 # MinHash-LSH shape: NUM_HASHES = BANDS * ROWS_PER_BAND.  12 hashes /
 # 3 bands of 4 ⇒ P(candidate | jaccard=j) = 1-(1-j^4)^3: ~.05 at j=.5,
@@ -37,24 +38,37 @@ BANDS = 3
 ROWS_PER_BAND = 4
 
 
-def _minhash_agg_cols():
-    """min(md5(seed_i || shingle)) per permutation i.
-
-    Lexicographic min over the hex digest is a valid min-wise hash
-    (uniform over the digest space) and is portable to any SQL oracle.
-    """
-    return [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(NUM_HASHES)
-    ]
+#: modulus for Kirsch-Mitzenmacher derived hashes (40 bits: collision
+#: probability over realistic shingle-set sizes is negligible, and
+#: i*h2+h1 stays far below signed-64 overflow).
+MINHASH_MOD = 1 << 40
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """doc → NUM_HASHES-column MinHash signature over word n-gram shingles."""
-    sh = docs.select(
+    """doc → NUM_HASHES-column MinHash signature over word n-gram shingles.
+
+    One md5 per shingle, then Kirsch-Mitzenmacher derivation
+    ``g_i = (h1 + i·h2) mod M`` for all permutations — 3× cheaper than
+    k independent hashes at equal min-wise quality, and exactly
+    portable to a SQL oracle (hex-substring → int on both engines).
+
+    No distinct() before the groupBy: min() is insensitive to
+    duplicate shingles, so a dedup shuffle would be pure overhead —
+    partial aggregation collapses duplicates map-side anyway.
+    """
+    sh = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle")
-    ).distinct()
-    return sh.groupBy(id_col).agg(*_minhash_agg_cols())
+    )
+    h = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % MINHASH_MOD
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % MINHASH_MOD
+    hashed = sh.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h1") + F.lit(i + 1) * F.col("h2")) % MINHASH_MOD).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
 
 
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -71,16 +85,39 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def dedup_minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH banding.
 
-    Equi-join on (band, band_sig) → shuffle is keyed on the signature,
-    never a cross product.  Output: (doc_a, doc_b) distinct, a < b.
+    Shape: bucket docs by (band, band_sig) with ONE groupBy, then
+    expand pairs inside each bucket with array functions.  A band
+    self-join would recompute the whole tokenize→shingle→signature
+    pipeline for both join sides; the bucket groupBy computes it once
+    and shuffles only (band_sig, doc_id) — the scale-dominant cost is
+    one pass over the corpus plus a shuffle of signatures.
+
+    Skew note for 100 TB: a pathological bucket (millions of identical
+    docs) concentrates on one reducer and explodes quadratically in
+    pairs — that blowup is inherent to emitting the pair list (a self
+    join has it too); cap it upstream by running dedup_exact first so
+    exact duplicates collapse to one representative before LSH.
+
+    Output: (doc_a, doc_b) distinct, a < b.
     """
     bands = minhash_bands(minhash_signatures(docs, text_col, id_col), id_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 
@@ -109,7 +146,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     the exploded relation is over distinct tokens, not raw ones.
     """
     tok_counts = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token"))
+        ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -150,7 +187,7 @@ def dedup_ngram_jaccard(
     feed ONLY candidate pairs here (verify step); this operator is
     that verify step expressed standalone.
     """
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle")
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

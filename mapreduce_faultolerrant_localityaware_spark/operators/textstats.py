@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import EN_STOPWORDS, IT_STOPWORDS, normalized_text, stopword_hits, tokens
+from ._parallel import ensure_parallelism
 
 # Per-language marker stopword sets for the n-gram/stopword-ratio
 # language-ID heuristic.  Deterministic and tiny on purpose.
@@ -49,7 +50,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     stop_ratio = sw / n_tok
     nonletter_ratio = (F.length(text_col) - letters) / F.length(text_col)
     score = F.least(F.lit(1.0), stop_ratio * 2 + (F.lit(1.0) - nonletter_ratio) * 0.5)
-    return docs.filter(n_tok > 0).select(
+    return ensure_parallelism(docs).filter(n_tok > 0).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
@@ -66,7 +67,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tk = tokens(text_col, lowercase=True)
     hit_cols = [stopword_hits(tk, ws).alias(f"hits_{lang}") for lang, ws in LANG_MARKERS.items()]
     langs = list(LANG_MARKERS)
-    scored = docs.select(F.col(id_col), *hit_cols)
+    scored = ensure_parallelism(docs).select(F.col(id_col), *hit_cols)
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     pred = F.lit("und")
     for lg in reversed(langs):  # earlier langs win ties via later override

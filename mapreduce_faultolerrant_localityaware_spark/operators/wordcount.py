@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ._parallel import ensure_parallelism
 
 
 def wordcount_from_text(text_df: DataFrame, text_col: str = "value", sort: bool = True) -> DataFrame:
@@ -40,7 +41,7 @@ def wordcount_from_text(text_df: DataFrame, text_col: str = "value", sort: bool 
     ``sort=True`` mirrors SORT_FINAL (configurations/config.json:3).
     """
     out = (
-        text_df.select(F.explode(tokens(text_col)).alias("word"))
+        ensure_parallelism(text_df).select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
