@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduce_faultolerrant_localityaware_spark.operators import dedup, multimodal, relational, similarity, textstats
+from mapreduce_faultolerrant_localityaware_spark.operators import (
+    dedup,
+    events as events_ops,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
 from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
 from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
 
@@ -210,6 +217,82 @@ def _q_repartition_agg(spark, sf):
     return relational.group_agg(li, ["l_returnflag"], {"sum_qty": ("sum", "l_quantity")})
 
 
+def _q_pivot(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    out = relational.pivot(li, "l_returnflag", "l_linestatus", ["F", "O"], "sum_qty", "sum", "l_quantity")
+    # single-agg pivot names columns by pivot value alone ("F", "O")
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("f_sum_qty"),
+        F.col("O").alias("o_sum_qty"),
+    )
+
+
+def _q_cube(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    out = relational.cube_agg(
+        li, ["l_returnflag", "l_linestatus"], {"sum_qty": ("sum", "l_quantity"), "n_rows": ("count_star", None)}
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+        "n_rows",
+    )
+
+
+def _q_intersect(spark, sf):
+    orders = scan(spark, sf, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return relational.intersect(f, o)
+
+
+def _q_except(spark, sf):
+    cust = scan(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    with_orders = scan(spark, sf, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    return relational.except_(cust, with_orders)
+
+
+def _q_join_part(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    part = scan(spark, sf, "part").filter(F.col("p_size") < 20)
+    j = relational.join(li, part, li.l_partkey == part.p_partkey, broadcast_right=True)
+    return relational.group_agg(
+        j,
+        ["p_brand"],
+        {"revenue": ("sum", F.col("l_extendedprice") * (1 - F.col("l_discount"))), "n_items": ("count_star", None)},
+    )
+
+
+def _q_subquery_above_avg(spark, sf):
+    orders = scan(spark, sf, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    j = orders.join(cust_avg, "o_custkey").filter(F.col("o_totalprice") > F.col("cust_avg"))
+    return relational.group_agg(j, ["o_orderpriority"], {"n_above": ("count_star", None)})
+
+
+def _q_events_json(spark, sf):
+    ev = events_ops.extract_json_prop(scan(spark, sf, "events"))
+    return relational.group_agg(
+        ev, ["event_type"], {"sum_k": ("sum", "k"), "n_k": ("count", "k")}
+    )
+
+
+def _q_window_lag(spark, sf):
+    ev = events_ops.with_lag(scan(spark, sf, "events"))
+    return ev.select("event_id", "user_id", F.round(F.col("prev_value"), 6).alias("prev_value"))
+
+
+def _q_sessionize(spark, sf):
+    ev = events_ops.sessionize(scan(spark, sf, "events"), gap_minutes=30)
+    return ev.select("event_id", "user_id", "session_id")
+
+
+def _q_minhash_signatures(spark, sf):
+    return dedup.minhash_signatures(scan(spark, sf, "documents"))
+
+
 # ---- text analysis ----
 
 def _q_text_tokens(spark, sf):
@@ -300,6 +383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": _q_rollup,
         "events_tumbling": _q_events_tumbling,
         "repartition_agg": _q_repartition_agg,
+        "pivot": _q_pivot,
+        "cube": _q_cube,
+        "intersect": _q_intersect,
+        "except": _q_except,
+        "join_part": _q_join_part,
+        "subquery_above_avg": _q_subquery_above_avg,
+        "events_json": _q_events_json,
+        "window_lag": _q_window_lag,
+        "sessionize": _q_sessionize,
+        "minhash_signatures": _q_minhash_signatures,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -465,6 +558,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repartition_agg": """
             SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_sum_qty,
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_sum_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "except": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+        """,
+        "join_part": """
+            SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 20 GROUP BY p_brand
+        """,
+        "subquery_above_avg": """
+            SELECT o_orderpriority, count(*) AS n_above
+            FROM orders o
+            JOIN (SELECT o_custkey, avg(o_totalprice) AS cust_avg
+                  FROM orders GROUP BY o_custkey) c USING (o_custkey)
+            WHERE o.o_totalprice > c.cust_avg
+            GROUP BY o_orderpriority
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "window_lag": """
+            SELECT event_id, user_id,
+                   round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value
+            FROM events
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM gaps
+        """,
+        "minhash_signatures": f"""
+            {_SHINGLES_LOWER},
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh)
+            SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id
         """,
         "text_tokens": f"""
             SELECT doc_id,

@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce",
     "events_tumbling",
+    "sessionize",
+    "join_part",
 ]
 
 

@@ -1,3 +1,3 @@
-from . import dedup, multimodal, relational, similarity, textstats, wordcount
+from . import dedup, events, multimodal, relational, similarity, textstats, wordcount
 
-__all__ = ["dedup", "multimodal", "relational", "similarity", "textstats", "wordcount"]
+__all__ = ["dedup", "events", "multimodal", "relational", "similarity", "textstats", "wordcount"]

@@ -97,6 +97,41 @@ def repartition(df: DataFrame, n: int, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
+def intersect(df: DataFrame, other: DataFrame) -> DataFrame:
+    return df.intersect(other)
+
+
+def except_(df: DataFrame, other: DataFrame) -> DataFrame:
+    return df.exceptAll(other)
+
+
+def pivot(
+    df: DataFrame,
+    group_key: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg_name: str,
+    agg_fn: str,
+    agg_input: str,
+) -> DataFrame:
+    """Pivot with EXPLICIT values — never let Spark scan for distinct
+    pivot values (that's an extra job over the full input at scale)."""
+    agg = _AGG_FNS[agg_fn](F.col(agg_input)).alias(agg_name)
+    return df.groupBy(group_key).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def cube_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, Column | str | None]],
+) -> DataFrame:
+    agg_cols = []
+    for out, (fn, inp) in aggs.items():
+        col = F.col(inp) if isinstance(inp, str) else inp
+        agg_cols.append(_AGG_FNS[fn](col).alias(out))
+    return df.cube(*keys).agg(*agg_cols)
+
+
 def join(
     df: DataFrame,
     other: DataFrame,
