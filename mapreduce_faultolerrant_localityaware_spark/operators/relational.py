@@ -97,6 +97,38 @@ def repartition(df: DataFrame, n: int, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
+#: aggs that decompose as agg(agg(parts)) — safe for salted two-phase
+_DECOMPOSABLE = {"sum": "sum", "count": "sum", "count_star": "sum", "min": "min", "max": "max"}
+
+
+def group_agg_salted(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, Column | str | None]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for SKEWED group keys: pre-aggregate on
+    (keys, random salt) — spreading one hot key over ``salt_buckets``
+    reducers — then re-aggregate on keys alone.
+
+    The second shuffle carries only keys × salt_buckets rows, so the
+    hot key's cost is split ~evenly.  Only decomposable aggs (sum,
+    count, min, max) qualify; avg/count_distinct need rewriting as
+    sum/count pairs by the caller.  For garden-variety skew prefer AQE
+    skew handling (on by default in session.py); this operator is for
+    the pathological key that dominates a partition by itself — the
+    situation the reference *creates* by hashing only on key length
+    (SURVEY Q1).
+    """
+    for out, (fn, _) in aggs.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(f"agg {fn!r} ({out}) is not decomposable for salting")
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    phase1 = group_agg(salted, [*keys, "__salt"], aggs)
+    refold = {out: (_DECOMPOSABLE[fn], out) for out, (fn, _) in aggs.items()}
+    return group_agg(phase1, list(keys), refold)
+
+
 def intersect(df: DataFrame, other: DataFrame) -> DataFrame:
     return df.intersect(other)
 

@@ -55,3 +55,43 @@ def wordcount(spark, paths: str | list[str], sort: bool = True) -> DataFrame:
     from ..sources.scans import scan_text
 
     return wordcount_from_text(scan_text(spark, paths), "value", sort=sort)
+
+
+def wordcount_rdd(text_df: DataFrame, text_col: str = "value") -> DataFrame:
+    """RDD formulation mirroring the reference's explicit two-level
+    combine, for parity demonstration (the DataFrame plan above is the
+    production path — Catalyst plans the identical shape automatically):
+
+      per-chunk hashmap combiner (core/map_reduce.go:548-550)
+          → mapPartitions(Counter)
+      worker-level re-aggregation + hash-partitioned RPC shuffle
+        (core/workerStruct.go:254-293, core/utils.go:353-363)
+          → reduceByKey (map-side combine + hash-partitioned exchange)
+      reducer accumulation (core/map_reduce.go:187-189)
+          → reduceByKey merge side
+    """
+    import re
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    split = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def combine_partition(rows):
+        # level-1 combiner: one hashmap per input partition ("chunk")
+        counts = Counter()
+        for row in rows:
+            text = row[0]
+            if text:
+                counts.update(split.findall(text))
+        return iter(counts.items())
+
+    counted = (
+        text_df.select(text_col)
+        .rdd.mapPartitions(combine_partition)
+        .reduceByKey(lambda a, b: a + b)  # level-2 combine + final sum
+    )
+    schema = T.StructType(
+        [T.StructField("word", T.StringType()), T.StructField("count", T.LongType())]
+    )
+    return text_df.sparkSession.createDataFrame(counted, schema)

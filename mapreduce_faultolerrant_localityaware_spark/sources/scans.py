@@ -54,6 +54,39 @@ def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def scan_csv(spark: SparkSession, paths: str | list[str], schema=None, header: bool = True) -> DataFrame:
+    """CSV source.  Always pass an explicit schema in production —
+    inference is an extra full read of the input."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(paths)
+
+
+def scan_json(spark: SparkSession, paths: str | list[str], schema=None) -> DataFrame:
+    """JSON-lines source; same explicit-schema guidance as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def scan_tokens(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference's ``K->V`` token format back into
+    DataFrame[word, count] — the inverse of sinks.write_tokens
+    (reference parser: test/genSequentiallyTokens.go:93-106)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    parsed = lines.filter(F.col("value") != "").select(
+        F.substring_index(F.col("value"), "->", 1).alias("word"),
+        F.substring_index(F.col("value"), "->", -1).cast("long").alias("count"),
+    )
+    return parsed
+
+
 def scan_text(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """Read a text corpus as one row per line, column ``value``.
 
