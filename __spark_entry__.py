@@ -31,6 +31,7 @@ from mapreduce_faultolerrant_localityaware_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
@@ -365,6 +366,181 @@ def _q_multimodal_meta(spark, sf):
     return multimodal.attach_media_meta(docs).select("media_id", "byte_len", "sha256")
 
 
+# ---- temporal joins ----
+
+def _q_asof_join(spark, sf):
+    ev = scan(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("prev_purchase_id"),
+        F.col("value").alias("prev_value"),
+    )
+    j = temporal.asof_join(
+        clicks, purchases, on=["user_id"], payload=["prev_purchase_id", "prev_value"]
+    )
+    return j.select(
+        "event_id", "user_id", "prev_purchase_id", F.round("prev_value", 6).alias("prev_value")
+    )
+
+
+def _q_range_join(spark, sf):
+    orders = scan(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1000000.0)],
+        ["band", "lo", "hi"],
+    )
+    j = temporal.range_join(orders, bands, "o_totalprice", "lo", "hi")
+    return relational.group_agg(
+        j,
+        ["band"],
+        {"n_orders": ("count_star", None), "sum_price": ("sum", "o_totalprice")},
+    ).withColumn("sum_price", F.round("sum_price", 2))
+
+
+# ---- grouping sets / percentiles / arg-extremes / analytic windows ----
+
+def _q_grouping_sets(spark, sf):
+    scan(spark, sf, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        FROM li_gsets GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def _q_percentiles(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", 0.75), 6).alias("p75"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("price_p90"),
+    )
+
+
+def _q_minmax_by(spark, sf):
+    orders = scan(spark, sf, "orders")
+    tiebreak = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", tiebreak).alias("top_orderkey"),
+        F.min_by("o_orderkey", tiebreak).alias("bottom_orderkey"),
+    )
+
+
+def _q_window_ntile(spark, sf):
+    from pyspark.sql import Window
+
+    orders = scan(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# ---- scalar function packs (string / date / math / array) ----
+
+def _q_string_funcs(spark, sf):
+    cust = scan(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 5).alias("prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+def _q_date_funcs(spark, sf):
+    orders = scan(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).cast("long").alias("days_to_2002"),
+    )
+
+
+def _q_math_funcs(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+    )
+
+
+def _q_array_funcs(spark, sf):
+    from mapreduce_faultolerrant_localityaware_spark.functions import vectors
+
+    emb = scan(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dims"),
+        F.round(vectors.l2_norm(F.col("embedding")), 6).alias("norm"),
+        F.round(F.aggregate(F.slice(v, 1, 3), F.lit(0.0), lambda a, x: a + x), 6).alias("head3_sum"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(F.array_min(v), 6).alias("min_elem"),
+    )
+
+
+def _q_posexplode_tokens(spark, sf):
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as tok_expr
+
+    docs = scan(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tok_expr(F.col("text"))).alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def _q_conditional_agg(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_highqty"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("disc_rev"),
+        F.round(F.avg(F.when(F.col("l_quantity") > 25, 1.0).otherwise(0.0)), 6).alias("highqty_frac"),
+    )
+
+
+def _q_corr_subquery(spark, sf):
+    li = scan(spark, sf, "lineitem")
+    part = scan(spark, sf, "part").filter(F.col("p_size") < 10)
+    lim = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_lim"))
+    j = li.join(part, li.l_partkey == part.p_partkey).join(lim, "l_partkey")
+    out = j.filter(F.col("l_quantity") < F.col("qty_lim"))
+    return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -405,6 +581,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal_meta,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "grouping_sets": _q_grouping_sets,
+        "percentiles": _q_percentiles,
+        "minmax_by": _q_minmax_by,
+        "window_ntile": _q_window_ntile,
+        "string_funcs": _q_string_funcs,
+        "date_funcs": _q_date_funcs,
+        "math_funcs": _q_math_funcs,
+        "array_funcs": _q_array_funcs,
+        "posexplode_tokens": _q_posexplode_tokens,
+        "conditional_agg": _q_conditional_agg,
+        "corr_subquery": _q_corr_subquery,
     }
 
 
@@ -742,5 +931,119 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, event_id AS prev_purchase_id, value AS prev_value
+                  FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, r.prev_purchase_id,
+                   round(r.prev_value, 6) AS prev_value
+            FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0), ('high', 300000.0, 1000000.0))
+            SELECT band, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "minmax_by": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+              FROM orders)
+            SELECT o_orderpriority,
+                   max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+                   max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey
+            FROM ranked GROUP BY o_orderpriority
+        """,
+        "window_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "string_funcs": """
+            SELECT c_custkey, upper(c_name) AS uname,
+                   CAST(length(c_name) AS BIGINT) AS name_len,
+                   substring(c_name, 1, 5) AS prefix,
+                   concat_ws('|', c_mktsegment, c_name) AS seg_name,
+                   replace(c_name, 'Customer', 'C') AS short_name,
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+            FROM customer
+        """,
+        "date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   last_day(o_orderdate) AS month_end,
+                   CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002
+            FROM orders
+        """,
+        "math_funcs": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round(abs(l_discount - 0.05), 6) AS disc_dev,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+                   round(sqrt(l_extendedprice), 6) AS price_sqrt,
+                   round(ln(l_extendedprice), 6) AS price_ln,
+                   round(pow(l_quantity, 2.0), 6) AS qty_sq
+            FROM lineitem
+        """,
+        "array_funcs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT vec_id, CAST(len(v) AS BIGINT) AS dims,
+                   round(sqrt(list_dot_product(v, v)), 6) AS norm,
+                   round(list_sum(v[1:3]), 6) AS head3_sum,
+                   round(list_aggregate(v, 'max'), 6) AS max_elem,
+                   round(list_aggregate(v, 'min'), 6) AS min_elem
+            FROM e
+        """,
+        "posexplode_tokens": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS tk FROM documents)
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS word
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)
+        """,
+        "conditional_agg": """
+            SELECT l_returnflag,
+                   count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_highqty,
+                   round(sum(CASE WHEN l_discount > 0.05
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 6) AS disc_rev,
+                   round(avg(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END), 6) AS highqty_frac
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "corr_subquery": """
+            SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+                  FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
+            WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
         """,
     }

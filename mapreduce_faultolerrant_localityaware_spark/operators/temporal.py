@@ -1,0 +1,95 @@
+"""Temporal join operators — as-of join and banded range join.
+
+The reference has no joins at all (SURVEY §2.2: "no second keyed
+dataset exists anywhere"); these extend the generalized surface with
+the two time-series joins Spark lacks as built-ins, implemented the
+way that survives 100 TB:
+
+- ``asof_join``: NOT an inequality join (a theta join on
+  ``l.ts >= r.ts`` degenerates into a per-key cartesian product that
+  AQE cannot save). Instead: tag both sides, union, ONE hash shuffle
+  on the key, one window pass carrying the last-seen right payload
+  forward. Cost is O((|L|+|R|) log) per key group — the same shape
+  Flink/KDB use for temporal joins.
+- ``range_join``: fact-to-bands interval join. The bands side is tiny
+  by construction (a dimension of intervals), so broadcast it and let
+  the BETWEEN predicate evaluate map-side — a BroadcastNestedLoopJoin
+  over a handful of bands, zero shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the payload of the single
+    right row with the greatest ``right_ts <= left_ts`` (``<`` when
+    ``strict``) in the same key group; left rows with no prior right row
+    are dropped (inner semantics, matching DuckDB ``ASOF JOIN``).
+
+    Right-side ties on (key, ts) are broken deterministically by taking
+    the lexicographically greatest payload struct.
+    """
+    keys = list(on)
+    payload = list(payload) if payload is not None else [c for c in right.columns if c not in keys and c != right_ts]
+
+    pay_struct = F.struct(*[F.col(c) for c in payload])
+    right_u = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        pay_struct.alias("__pay"),
+    )
+    left_u = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(right_u.schema["__pay"].dataType).alias("__pay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    right_u = right_u.withColumn("__left", F.lit(None).cast(left_u.schema["__left"].dataType))
+
+    # right rows sort before left rows at equal ts for inclusive (<=)
+    # semantics, after for strict (<); the trailing __pay orders ties
+    # among right rows so `last` picks the greatest payload struct.
+    tie = F.col("__is_right").desc() if not strict else F.col("__is_right").asc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), tie, F.col("__pay").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = left_u.unionByName(right_u)
+    filled = unioned.withColumn("__match", F.last("__pay", ignorenulls=True).over(w))
+    out = filled.filter((F.col("__is_right") == 0) & F.col("__match").isNotNull())
+    return out.select(
+        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in payload],
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: Column | str,
+    lo: str,
+    hi: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a fact table to a (small) interval dimension on
+    ``lo <= value < hi``. The bands side is broadcast — the fact table
+    never shuffles and the predicate runs map-side."""
+    v = F.col(value) if isinstance(value, str) else value
+    cond = (v >= bands[lo]) & (v < bands[hi])
+    return fact.join(F.broadcast(bands), cond, how)

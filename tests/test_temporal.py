@@ -1,0 +1,116 @@
+"""Edge-case tests for the temporal join operators (asof_join,
+range_join) — tie handling, strict vs inclusive, unmatched rows, and
+the no-shuffle plan shape of the banded join."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mapreduce_faultolerrant_localityaware_spark.operators.temporal import asof_join, range_join
+from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01T10:00:00")),
+            (2, "k1", _ts("2024-01-01T12:00:00")),
+            (3, "k2", _ts("2024-01-01T09:00:00")),  # before any right row
+            (4, "k3", _ts("2024-01-01T10:00:00")),  # no right rows at all
+        ],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T10:00:00"), 100),  # equal-ts with left id=1
+            ("k1", _ts("2024-01-01T11:00:00"), 200),
+            ("k2", _ts("2024-01-01T11:30:00"), 300),
+        ],
+        ["key", "ts", "payload"],
+    )
+    return left, right
+
+
+def test_asof_inclusive(spark):
+    left, right = _mk(spark)
+    out = asof_join(left, right, on=["key"], payload=["payload"])
+    got = {r["id"]: r["payload"] for r in out.collect()}
+    # id=1 matches the equal-ts right row; id=2 the latest prior; 3 and 4 drop
+    assert got == {1: 100, 2: 200}
+
+
+def test_asof_strict(spark):
+    left, right = _mk(spark)
+    out = asof_join(left, right, on=["key"], payload=["payload"], strict=True)
+    got = {r["id"]: r["payload"] for r in out.collect()}
+    assert got == {2: 200}  # id=1's equal-ts row excluded under <
+
+
+def test_asof_right_tie_deterministic(spark):
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-01T12:00:00"))], ["id", "key", "ts"])
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01T10:00:00"), p) for p in (5, 9, 1)], ["key", "ts", "payload"]
+    )
+    out = asof_join(left, right, on=["key"], payload=["payload"])
+    # ties on (key, ts) resolve to the greatest payload struct
+    assert out.collect()[0]["payload"] == 9
+
+
+def test_asof_matches_duckdb_oracle(spark, sf_dir):
+    """Cross-check the union+window implementation against DuckDB's
+    native ASOF JOIN on the events table."""
+    import duckdb
+
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    ev = scan(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    got = {
+        (r["event_id"], r["pid"])
+        for r in asof_join(clicks, purch, on=["user_id"], payload=["pid"]).collect()
+    }
+    con = duckdb.connect()
+    want = set(
+        con.execute(
+            f"""
+            WITH e AS (SELECT * FROM '{sf_dir}/events.parquet'),
+            l AS (SELECT event_id, user_id, ts FROM e WHERE event_type='click'),
+            r AS (SELECT user_id, ts, event_id AS pid FROM e WHERE event_type='purchase')
+            SELECT l.event_id, r.pid FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_join_broadcast_no_shuffle(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    orders = scan(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("hi", 100000.0, 1000000.0)], ["band", "lo", "hi"]
+    )
+    j = range_join(orders, bands, "o_totalprice", "lo", "hi")
+    plan = formatted_plan(j)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
+    # every order falls in exactly one band
+    assert j.count() == orders.count()
+
+
+def test_range_join_semantics(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 99.0)], ["id", "v"])
+    bands = spark.createDataFrame([("a", 0.0, 10.0), ("b", 10.0, 50.0)], ["band", "lo", "hi"])
+    got = {(r["id"], r["band"]) for r in range_join(fact, bands, "v", "lo", "hi").collect()}
+    # half-open [lo, hi): v=10 lands in band b; v=99 matches nothing
+    assert got == {(1, "a"), (2, "b")}
