@@ -541,6 +541,52 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape (shipping priority): 3-way join + agg + top-k."""
+    cust = scan(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = scan(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = scan(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue")
+    )
+    return relational.top_k(agg, 10, F.desc("revenue"), F.asc("l_orderkey"))
+
+
+def _q_join_skew_salted(spark, sf):
+    """Salted skew join — results provably identical to the plain join
+    (the oracle IS the plain join)."""
+    li = scan(spark, sf, "lineitem")
+    supp = scan(spark, sf, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    j = relational.join_salted(li, supp, "l_suppkey", salt_buckets=4)
+    return relational.group_agg(
+        j, ["s_name"], {"n_items": ("count_star", None), "sum_qty": ("sum", "l_quantity")}
+    )
+
+
+def _q_dedup_clusters(spark, sf):
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import connected_components
+
+    pairs = dedup.dedup_minhash_candidates(scan(spark, sf, "documents"))
+    return connected_components(pairs)
+
+
+def _q_approx_distinct(spark, sf):
+    """HyperLogLog++ distinct estimation — approximate by design, so no
+    value-exact SQL oracle (driver records the weaker rows-only check);
+    tests/test_operators.py asserts the estimate within rsd of exact."""
+    orders = scan(spark, sf, "orders")
+    return relational.group_agg(
+        orders,
+        ["o_orderpriority"],
+        {"n_cust_approx": ("approx_count_distinct", "o_custkey"), "n_orders": ("count_star", None)},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -594,6 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "tpch_q3": _q_tpch_q3,
+        "join_skew_salted": _q_join_skew_salted,
+        "dedup_clusters": _q_dedup_clusters,
+        "approx_distinct": _q_approx_distinct,
     }
 
 
@@ -1045,5 +1095,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "join_skew_salted": """
+            SELECT s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+        """,
+        "dedup_clusters": "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
     }

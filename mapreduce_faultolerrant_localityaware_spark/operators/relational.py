@@ -164,6 +164,28 @@ def cube_agg(
     return df.cube(*keys).agg(*agg_cols)
 
 
+def join_salted(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big side's key with a random
+    bucket and replicate the small side once per bucket, so one hot key
+    spreads over ``salt_buckets`` reducers instead of melting one.
+
+    Cost: the small side shuffles ``salt_buckets``× its size — only pay
+    it when one key dominates (AQE's skew-join split handles moderate
+    skew for free; this is for the key that exceeds a single executor).
+    Results are identical to ``big.join(skewed_small, key, how)``.
+    """
+    salted_big = big.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salts = big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+    replicated = skewed_small.crossJoin(F.broadcast(salts))
+    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
 def join(
     df: DataFrame,
     other: DataFrame,

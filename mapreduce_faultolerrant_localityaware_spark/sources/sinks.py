@@ -36,3 +36,29 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).option("sep", sep).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per row, one file per partition)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, path: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Bucketed + sorted external table: pre-shuffles ONCE at write time
+    so every later equi-join/agg on ``bucket_col`` skips its exchange
+    (see tests/test_scale_layout.py::test_bucketed_join_no_shuffle).
+    The 100 TB pattern for a fact table joined repeatedly on one key.
+    """
+    (
+        df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
