@@ -1,0 +1,67 @@
+"""Streaming enrichment operators: stream-static join, sliding-window
+aggregation, and watermarked streaming deduplication.
+
+All are incremental variants of the batch surface (the reference is
+batch-only, SURVEY §1.4); each keeps bounded state under unbounded
+input — the property that matters when the stream is a firehose:
+
+- stream-static join: the static dimension is broadcast per
+  micro-batch (re-resolved each batch, so slowly-changing dims pick up
+  updates); the stream side never shuffles for the join.
+- sliding windows: state is windows-per-slide within the watermark
+  horizon — memory is O(keys × windows_in_horizon).
+- streaming dedup: `dropDuplicatesWithinWatermark` keeps one state
+  entry per key seen inside the watermark, then expires it — exact
+  dedup under unbounded input with bounded memory, the streaming
+  analog of the reference's replay guard (core/map_reduce.go:167-182,
+  which dedups re-sent chunk shares by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static equi-join; the static side is broadcast so the
+    streaming side's micro-batches never shuffle."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window_len/slide
+    overlapping windows; watermark bounds retained window state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len, slide).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key emission within the watermark horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
