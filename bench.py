@@ -38,6 +38,8 @@ HEADLINE = [
     "events_tumbling",
     "sessionize",
     "join_part",
+    "tpch_q3",
+    "asof_join",
 ]
 
 
