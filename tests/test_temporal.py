@@ -108,6 +108,24 @@ def test_range_join_broadcast_no_shuffle(spark, sf_dir):
     assert j.count() == orders.count()
 
 
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window design must plan exactly ONE hash exchange (on
+    the key) — the scale property that justifies it over a theta join."""
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    ev = scan(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    import re
+
+    plan = formatted_plan(asof_join(clicks, purch, on=["user_id"], payload=["pid"]))
+    # formatted mode lists each physical node once as "(N) Exchange"
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Join" not in plan  # no join operator at all — union + window
+
+
 def test_range_join_semantics(spark):
     fact = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 99.0)], ["id", "v"])
     bands = spark.createDataFrame([("a", 0.0, 10.0), ("b", 10.0, 50.0)], ["band", "lo", "hi"])
