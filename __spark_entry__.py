@@ -541,6 +541,47 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_multimodal_decode(spark, sf):
+    """Arrow-batched decode over binary media columns (mapInPandas).
+    The stub decode is sha256-derived, hence exactly reproducible by
+    the SQL oracle — full value parity for the Python-UDF path."""
+    docs = scan(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    out = multimodal.decode_media(docs)
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[1], 6).alias("f1"),
+    )
+
+
+def _q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape (local supplier volume): 6-table join with an
+    extra non-key equality (customer and supplier in the same nation)."""
+    cust = scan(spark, sf, "customer")
+    orders = scan(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = scan(spark, sf, "lineitem")
+    supp = scan(spark, sf, "supplier")
+    nation = scan(spark, sf, "nation")
+    region = scan(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def _q_tpch_q3(spark, sf):
     """TPC-H Q3 shape (shipping priority): 3-way join + agg + top-k."""
     cust = scan(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -640,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "multimodal_decode": _q_multimodal_decode,
+        "tpch_q5": _q_tpch_q5,
         "tpch_q3": _q_tpch_q3,
         "join_skew_salted": _q_join_skew_salted,
         "dedup_clusters": _q_dedup_clusters,
@@ -1095,6 +1138,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "multimodal_decode": """
+            WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+            SELECT media_id,
+                   CAST(64 + CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) % 192 AS BIGINT) AS width,
+                   CAST(64 + CAST(('0x' || substring(hx, 3, 2)) AS BIGINT) % 192 AS BIGINT) AS height,
+                   round(round(CAST(('0x' || substring(hx, 5, 4)) AS BIGINT) / 65536.0, 6), 6) AS f0,
+                   round(round(CAST(('0x' || substring(hx, 9, 4)) AS BIGINT) / 65536.0, 6), 6) AS f1
+            FROM h
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   count(*) AS n_items
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -8,6 +8,11 @@ rune, Unicode letter class, case-SENSITIVE, empty tokens dropped
 ``He`` ≠ ``he``; accented letters (``è``, ``più``) are kept.  The JVM
 regex ``[^\\p{L}]+`` reproduces Go's ``unicode.IsLetter`` class for
 the practical character inventory (both implement Unicode L*).
+Nuance (found by the hypothesis property test): Python's ``[^\\W\\d_]``
+is NOT an exact oracle — it over-matches Nl/No number-letters
+(``²``, ``Ⅻ``, U+10CFA) that both Go IsLetter and ``\\p{L}`` reject;
+the exact oracle walks ``unicodedata.category(c)[0] == 'L'``
+(tests/test_property.py::_py_tokens).
 
 All expressions here are built-in pyspark.sql.functions compositions —
 JVM-side, whole-stage-codegen'd, no Python in the hot path.
