@@ -541,6 +541,58 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_window_first_last(spark, sf):
+    from pyspark.sql import Window
+
+    ev = scan(spark, sf, "events")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("user_id").orderBy(*order)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w_full), 6).alias("first_val"),
+        F.round(F.last("value").over(w_full), 6).alias("last_val"),
+        F.round(F.lead("value").over(w_seq), 6).alias("next_val"),
+    )
+
+
+def _q_window_range_frame(spark, sf):
+    """Rolling 10-minute sum per user — a RANGE frame over event-time
+    epoch seconds (value-based frame, deterministic under ts ties)."""
+    from pyspark.sql import Window
+
+    ev = scan(spark, sf, "events").withColumn(
+        "epoch_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_us").rangeBetween(-600_000_000, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("rolling_10m")
+    )
+
+
+def _q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): agg + HAVING + join
+    back + top-k."""
+    li = scan(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = scan(spark, sf, "orders")
+    cust = scan(spark, sf, "customer")
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    out = j.select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
 def _q_multimodal_decode(spark, sf):
     """Arrow-batched decode over binary media columns (mapInPandas).
     The stub decode is sha256-derived, hence exactly reproducible by
@@ -681,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "window_first_last": _q_window_first_last,
+        "window_range_frame": _q_window_range_frame,
+        "tpch_q18": _q_tpch_q18,
         "multimodal_decode": _q_multimodal_decode,
         "tpch_q5": _q_tpch_q5,
         "tpch_q3": _q_tpch_q3,
@@ -1138,6 +1193,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "window_first_last": """
+            SELECT event_id, user_id,
+                   round(first_value(value) OVER w_full, 6) AS first_val,
+                   round(last_value(value) OVER w_full, 6) AS last_val,
+                   round(lead(value) OVER w_seq, 6) AS next_val
+            FROM events
+            WINDOW w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                   w_seq AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "window_range_frame": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS rolling_10m
+            FROM events
+        """,
+        "tpch_q18": """
+            SELECT c_name, o_orderkey, o_totalprice, sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
         """,
         "multimodal_decode": """
             WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
