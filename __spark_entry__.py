@@ -541,6 +541,27 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_unpivot(spark, sf):
+    """Wide → long melt (DataFrame.unpivot / SQL stack)."""
+    li = scan(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    out = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return out.select("l_orderkey", "metric", F.round("val", 6).alias("val"))
+
+
+def _q_sample_hash(spark, sf):
+    """Deterministic ~10% sample: md5-bucket filter on the key — the
+    scale-safe sampling pattern (engine-portable, reproducible, no RNG
+    state; plain .sample() is neither cross-engine nor stable)."""
+    orders = scan(spark, sf, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10) % 100
+    return orders.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def _q_window_first_last(spark, sf):
     from pyspark.sql import Window
 
@@ -733,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "unpivot": _q_unpivot,
+        "sample_hash": _q_sample_hash,
         "window_first_last": _q_window_first_last,
         "window_range_frame": _q_window_range_frame,
         "tpch_q18": _q_tpch_q18,
@@ -1193,6 +1216,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "unpivot": """
+            SELECT l_orderkey, 'l_quantity' AS metric, round(l_quantity, 6) AS val
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey, 'l_extendedprice', round(l_extendedprice, 6)
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey, 'l_discount', round(l_discount, 6)
+            FROM lineitem WHERE l_linenumber = 1
+        """,
+        "sample_hash": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
         """,
         "window_first_last": """
             SELECT event_id, user_id,
