@@ -1,0 +1,40 @@
+"""Plan hygiene across the ENTIRE declared query surface: every
+`queries()` entry is explained and scanned for scale anti-patterns.
+
+- `BatchEvalPython` / `ArrowEvalPython` (row/scalar Python UDFs) must
+  never appear — Python is allowed only via mapInPandas
+  (`MapInPandas` nodes, multimodal decode) by design.
+- `CartesianProduct` must never appear; unbounded `BroadcastNestedLoopJoin`
+  is allowed only where a broadcast theta-join is the intended design
+  (banded range join, brute-force ANN scoring).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
+
+#: queries whose plans intentionally contain a broadcast nested-loop
+#: join (tiny broadcast side × theta predicate)
+#: (join_skew_salted: the salt-replication crossJoin of the small side
+#: against the broadcast salt range is the operator's mechanism)
+BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted"}
+
+#: iterative driver-loop queries — plan is per-round, explain of the
+#: final labels frame is a checkpoint scan, nothing to audit
+SKIP = {"dedup_clusters"}
+
+_QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", [q for q in _QUERIES if q not in SKIP])
+def test_plan_hygiene(spark, sf_dir, name):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert "ArrowEvalPython" not in plan, f"{name}: scalar Python UDF in plan"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected nested-loop join"
