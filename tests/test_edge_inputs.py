@@ -1,0 +1,66 @@
+"""Edge-input robustness: nulls, empties, and degenerate groups must
+flow through the operator surface without errors or row corruption."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_faultolerrant_localityaware_spark.operators import dedup, relational, textstats
+from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
+
+_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_wordcount_null_and_empty_text(spark):
+    df = _docs(spark, [(1, None), (2, ""), (3, "  \t "), (4, "one two two")])
+    got = {r["word"]: r["count"] for r in wordcount_from_text(df, "text").collect()}
+    assert got == {"two": 2, "one": 1}
+
+
+def test_dedup_exact_null_text(spark):
+    df = _docs(spark, [(1, None), (2, None), (3, "x")])
+    out = dedup.dedup_exact(df).collect()
+    # null text: md5(null) = null hash → its own group, not an error
+    assert sum(r["n_dups"] for r in out) == 3
+
+
+def test_minhash_short_docs_empty_signatures(spark):
+    # docs shorter than the shingle width produce no shingles — they
+    # simply have no signature row (nothing to LSH), not a crash
+    df = _docs(spark, [(1, "one two"), (2, "a b c d e")])
+    sigs = dedup.minhash_signatures(df).collect()
+    assert {r["doc_id"] for r in sigs} == {2}
+
+
+def test_group_agg_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0)],
+        T.StructType(
+            [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+        ),
+    )
+    got = {
+        r["k"]: r["s"]
+        for r in relational.group_agg(df, ["k"], {"s": ("sum", "v")}).collect()
+    }
+    assert got == {None: 3.0, "a": 3.0}  # null is one group (SQL semantics)
+
+
+def test_quality_score_skips_tokenless_docs(spark):
+    df = _docs(spark, [(1, "1234 ... !!"), (2, "real words here")])
+    out = textstats.quality_score(df)
+    assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_empty_input_frames(spark):
+    empty = _docs(spark, [])
+    assert wordcount_from_text(empty, "text").count() == 0
+    assert dedup.dedup_exact(empty).count() == 0
+    assert relational.group_agg(empty, ["doc_id"], {"n": ("count_star", None)}).count() == 0
