@@ -541,6 +541,17 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_array_agg(spark, sf):
+    """Deterministic array aggregation: sort_array(collect_set(...)) —
+    collect_list/collect_set alone are order-nondeterministic across
+    partitions; the sort makes the result engine-portable."""
+    orders = scan(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def _q_unpivot(spark, sf):
     """Wide → long melt (DataFrame.unpivot / SQL stack)."""
     li = scan(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
@@ -754,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "array_agg": _q_array_agg,
         "unpivot": _q_unpivot,
         "sample_hash": _q_sample_hash,
         "window_first_last": _q_window_first_last,
@@ -1216,6 +1228,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "array_agg": """
+            SELECT o_orderpriority,
+                   list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
         "unpivot": """
             SELECT l_orderkey, 'l_quantity' AS metric, round(l_quantity, 6) AS val

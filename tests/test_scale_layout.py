@@ -100,6 +100,30 @@ def test_rdd_combiner_parity(spark, sf_dir):
     assert df_counts == rdd_counts
 
 
+def test_repartition_by_range_layout(spark, sf_dir, tmpdir):
+    """Range-partitioned, sorted-within-partition write — the layout
+    for time-ordered 100 TB tables: downstream range scans prune files,
+    and within-file ordering gives parquet min/max page skipping."""
+    ev = scan(spark, sf_dir, "events")
+    out = ev.repartitionByRange(8, F.col("ts")).sortWithinPartitions("ts")
+    path = f"{tmpdir}/events_ranged"
+    out.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    # each output file covers a disjoint ts range (ranges don't overlap)
+    import pyspark.sql.functions as SF
+
+    stats = (
+        back.withColumn("f", SF.input_file_name())
+        .groupBy("f")
+        .agg(SF.min("ts").alias("lo"), SF.max("ts").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
 def test_token_roundtrip(spark, tmpdir):
     from mapreduce_faultolerrant_localityaware_spark.sources import scan_tokens, write_tokens
 
