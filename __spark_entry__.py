@@ -459,6 +459,8 @@ def _q_string_funcs(spark, sf):
         F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.col("c_name").like("%1%").alias("has_one"),
     )
 
 
@@ -1173,7 +1175,9 @@ def oracle_sql() -> dict[str, str]:
                    substring(c_name, 1, 5) AS prefix,
                    concat_ws('|', c_mktsegment, c_name) AS seg_name,
                    replace(c_name, 'Customer', 'C') AS short_name,
-                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+                   regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                   c_name LIKE '%1%' AS has_one
             FROM customer
         """,
         "date_funcs": """
