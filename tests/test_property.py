@@ -37,12 +37,25 @@ def _py_tokens(text: str) -> list[str]:
     return out
 
 
-# bounded to the BMP's stable early blocks: Python (Unicode 14) and
-# Java 17 (Unicode 13) category tables agree there; newer-plane chars
-# would test table-version skew, not tokenizer logic
+# Alphabet bounded to Unicode-version-STABLE ranges.  Python 3.11
+# carries Unicode 14 tables, Java 17 carries Unicode 13: any letter
+# assigned between the two (e.g. U+0870 Arabic Ext-B, added in 14)
+# is a letter to the oracle but unassigned (non-letter) to the JVM —
+# table-version skew, not tokenizer logic.  These blocks have had
+# stable Letter assignments for 20+ years.
+_char_ranges = [
+    (0x0020, 0x02FF),  # ASCII, Latin-1, Latin Ext-A/B, IPA
+    (0x0370, 0x03FF),  # Greek
+    (0x0400, 0x04FF),  # Cyrillic
+    (0x0590, 0x05EA),  # Hebrew
+    (0x0620, 0x064A),  # Arabic core letters
+    (0x1E00, 0x1EFF),  # Latin Extended Additional
+    (0x2000, 0x206F),  # general punctuation
+    (0x4E00, 0x4FFF),  # CJK unified (subset)
+]
 _texts = st.lists(
     st.text(
-        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        alphabet=st.one_of(*[st.characters(min_codepoint=lo, max_codepoint=hi) for lo, hi in _char_ranges]),
         max_size=60,
     ),
     min_size=1,
