@@ -543,6 +543,22 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_null_funcs(spark, sf):
+    """Null-handling scalar pack: nullif / coalesce / nvl2-style CASE,
+    and null-aware aggregation (count skips nulls, count(*) doesn't)."""
+    li = scan(spark, sf, "lineitem")
+    with_nulls = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+    )
+    return with_nulls.groupBy("l_orderkey").agg(
+        F.count("disc_or_null").alias("n_discounted"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.coalesce(F.col("disc_or_null"), F.lit(0.0))), 6).alias("sum_disc"),
+    )
+
+
 def _q_array_agg(spark, sf):
     """Deterministic array aggregation: sort_array(collect_set(...)) —
     collect_list/collect_set alone are order-nondeterministic across
@@ -767,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "null_funcs": _q_null_funcs,
         "array_agg": _q_array_agg,
         "unpivot": _q_unpivot,
         "sample_hash": _q_sample_hash,
@@ -1232,6 +1249,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "null_funcs": """
+            SELECT l_orderkey,
+                   count(nullif(l_discount, 0.0)) AS n_discounted,
+                   count(*) AS n_lines,
+                   round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 6) AS sum_disc
+            FROM lineitem GROUP BY l_orderkey
         """,
         "array_agg": """
             SELECT o_orderpriority,
