@@ -543,6 +543,19 @@ def _q_corr_subquery(spark, sf):
     return out.agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
 
 
+def _q_scalar_subquery(spark, sf):
+    """Scalar subquery in a projection — planned as a one-row broadcast
+    (Subquery scalar-subquery node), not a join or a driver collect."""
+    scan(spark, sf, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT max(o_totalprice) FROM orders_ssq), 6) AS price_frac
+        FROM orders_ssq
+        """
+    )
+
+
 def _q_null_funcs(spark, sf):
     """Null-handling scalar pack: nullif / coalesce / nvl2-style CASE,
     and null-aware aggregation (count skips nulls, count(*) doesn't)."""
@@ -783,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
         "corr_subquery": _q_corr_subquery,
+        "scalar_subquery": _q_scalar_subquery,
         "null_funcs": _q_null_funcs,
         "array_agg": _q_array_agg,
         "unpivot": _q_unpivot,
@@ -1249,6 +1263,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
                   FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
             WHERE p.p_size < 10 AND l.l_quantity < a.qty_lim
+        """,
+        "scalar_subquery": """
+            SELECT o_orderkey,
+                   round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS price_frac
+            FROM orders
         """,
         "null_funcs": """
             SELECT l_orderkey,
