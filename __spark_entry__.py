@@ -343,6 +343,17 @@ def _q_dedup_embedding(spark, sf):
     return dedup.dedup_embedding_cosine(scan(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _q_lsh_bucket_stats(spark, sf):
+    out = dedup.lsh_bucket_stats(scan(spark, sf, "documents"))
+    return out.select(
+        "band",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.col("docs_in_buckets").cast("long").alias("docs_in_buckets"),
+        F.col("n_overflow").cast("long").alias("n_overflow"),
+    )
+
+
 # ---- similarity search ----
 
 def _q_ann_bruteforce(spark, sf):
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "multimodal_meta": _q_multimodal_meta,
@@ -1078,6 +1090,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        """,
+        "lsh_bucket_stats": f"""
+            {_SHINGLES_LOWER},
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            sizes AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY band, band_sig)
+            SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(max(n) AS BIGINT) AS max_bucket,
+                   CAST(sum(n) AS BIGINT) AS docs_in_buckets,
+                   CAST(sum(CASE WHEN n > {dedup.MAX_BUCKET_ALLPAIRS} THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+            FROM sizes WHERE n > 1 GROUP BY band ORDER BY band
         """,
         "dedup_simhash": f"""
             WITH tc AS (

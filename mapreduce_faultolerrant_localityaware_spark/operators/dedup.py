@@ -82,7 +82,19 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def dedup_minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+#: Buckets above this size switch from all-pairs to star expansion.
+#: 256 docs in one (band, band_sig) bucket is already pathological
+#: (mass-duplicated boilerplate); all-pairs there would emit 32k+
+#: pairs from one aggregation row.
+MAX_BUCKET_ALLPAIRS = 256
+
+
+def dedup_minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_allpairs: int = MAX_BUCKET_ALLPAIRS,
+) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH banding.
 
     Shape: bucket docs by (band, band_sig) with ONE groupBy, then
@@ -92,11 +104,18 @@ def dedup_minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: st
     and shuffles only (band_sig, doc_id) — the scale-dominant cost is
     one pass over the corpus plus a shuffle of signatures.
 
-    Skew note for 100 TB: a pathological bucket (millions of identical
-    docs) concentrates on one reducer and explodes quadratically in
-    pairs — that blowup is inherent to emitting the pair list (a self
-    join has it too); cap it upstream by running dedup_exact first so
-    exact duplicates collapse to one representative before LSH.
+    Skew guard for 100 TB: a pathological bucket (millions of
+    identical boilerplate docs) would explode ~|bucket|²/2 pairs from
+    ONE task under all-pairs expansion.  Buckets larger than
+    ``max_bucket_allpairs`` therefore degrade to STAR expansion — every
+    id pairs with the bucket's minimum id — bounding output to
+    O(|bucket|) while preserving exactly what downstream consumers
+    need: the bucket stays one connected component for
+    graph.connected_components, and each emitted pair is still a
+    verifiable candidate for dedup_ngram_jaccard.  (Running dedup_exact
+    first remains the cheapest way to shrink such buckets: exact
+    duplicates collapse to one representative before LSH.)  Use
+    lsh_bucket_stats to observe bucket-size skew and overflow counts.
 
     Output: (doc_a, doc_b) distinct, a < b.
     """
@@ -115,10 +134,48 @@ def dedup_minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: st
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
+    small_pairs = (
+        buckets.filter(F.size("ids") <= max_bucket_allpairs)
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
+    )
+    # star expansion: (min_id, other) for every other id — linear, not
+    # quadratic, in bucket size; one output row per member.
+    star_pairs = (
+        buckets.filter(F.size("ids") > max_bucket_allpairs)
+        .select(
+            F.element_at("ids", 1).alias("doc_a"),
+            F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("doc_b"),
+        )
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_allpairs: int = MAX_BUCKET_ALLPAIRS,
+) -> DataFrame:
+    """Per-band LSH bucket-size diagnostics — the observability half of
+    the skew guard in dedup_minhash_candidates.  Returns, per band:
+    collision buckets (size>1), max bucket size, docs in collision
+    buckets, and how many buckets overflowed the all-pairs cap (those
+    degrade to star expansion).  Pure aggregate: never materializes id
+    arrays, so it is safe to run on adversarial corpora first.
+    """
+    bands = minhash_bands(minhash_signatures(docs, text_col, id_col), id_col)
+    sizes = bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.filter(F.col("n") > 1)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum("n").alias("docs_in_buckets"),
+            F.sum((F.col("n") > max_bucket_allpairs).cast("long")).alias("n_overflow"),
+        )
+        .orderBy("band")
     )
 
 

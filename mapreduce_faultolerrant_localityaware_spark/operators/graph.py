@@ -1,4 +1,4 @@
-"""Iterative graph operator: connected components over a pair list —
+"""Iterative graph operators: connected components over a pair list —
 the endgame of near-dup detection (candidate pairs → duplicate
 CLUSTERS, one representative per cluster).
 
@@ -8,13 +8,19 @@ of DataFrame joins with ``localCheckpoint`` truncating the lineage
 each round so the plan doesn't grow unboundedly (the classic iterative
 -algorithm failure mode).
 
-Scale shape: min-label propagation converges in O(graph diameter)
-rounds, each round one shuffle of the edge list + one of the label
-table.  Near-dup graphs are overwhelmingly tiny cliques and chains
-(diameter ≤ ~3), so 5–10 rounds close ~all real corpora; ``max_iter``
-bounds the pathological chain.  For billion-edge general graphs you'd
-switch to alternating small-star/large-star (O(log n) rounds, same
-join primitives).
+Two algorithms:
+  * ``connected_components`` — min-label propagation, O(diameter)
+    rounds.  Near-dup graphs are overwhelmingly tiny cliques and
+    chains (diameter ≤ ~3), so 5–10 rounds close ~all real corpora.
+  * ``connected_components_two_phase`` — alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): O(log²  n) rounds independent of diameter — the
+    scale path for billion-edge general graphs with long chains.
+
+Both converge with ONE materializing job per round: the convergence
+signal is computed inside the same pass that produces the round's
+output (a ``chg`` flag / edge-set digest aggregated from the
+checkpointed blocks, never a second join against the previous state).
 """
 
 from __future__ import annotations
@@ -28,12 +34,20 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edge list → (id, cluster_id) where
     cluster_id is the minimum node id reachable from ``id``.
 
     Only nodes that appear in at least one edge are returned
     (singletons have no duplicates to cluster).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence (a silently-truncated propagation would return WRONG
+    cluster labels for any component whose diameter exceeds the
+    budget); pass ``allow_partial=True`` to get the partial labels
+    instead, or use ``connected_components_two_phase`` for
+    high-diameter graphs.
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -41,6 +55,7 @@ def connected_components(
 
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
 
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -49,22 +64,120 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_label").alias("min_nbr"))
         )
+        # the chg flag rides along in the SAME join pass that produces
+        # the new labels; the checkpoint materializes both at once and
+        # the count below reads cached blocks (no second join job).
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.a, "left")
             .select(
                 labels.id,
                 F.least(labels.label, F.coalesce(F.col("min_nbr"), labels.label)).alias("label"),
+                (F.coalesce(F.col("min_nbr"), labels.label) < labels.label).alias("chg"),
             )
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
+    if changed != 0 and not allow_partial:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph's diameter exceeds "
+            "the budget — raise max_iter, use connected_components_two_phase, "
+            "or pass allow_partial=True."
+        )
 
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_two_phase(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al. SoCC'14) — O(log² n) rounds regardless of graph
+    diameter, the scale path for long-chain / billion-edge graphs.
+
+    Each round:
+      large-star: every node points its LARGER neighbors at the
+        minimum of its closed neighborhood;
+      small-star: every node points its smaller-or-equal neighbors at
+        that minimum.
+    The edge set monotonically contracts toward star graphs
+    (node → component-min); convergence is detected when the edge-set
+    digest (count + xor of row hashes, computed from the same
+    checkpointed blocks) is stable across a round.
+
+    Output schema matches ``connected_components``: (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"), F.greatest(F.col(src), F.col(dst)).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _digest(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of row hashes: order-insensitive, can't overflow
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # symmetric neighbor view: (x, nbr)
+        sym = e.select(F.col("u").alias("x"), F.col("v").alias("nbr")).unionByName(
+            e.select(F.col("v").alias("x"), F.col("u").alias("nbr"))
+        )
+        mins = sym.groupBy("x").agg(F.min("nbr").alias("mn"))
+        m = F.least(F.col("mn"), F.col("x")).alias("m")
+        joined = sym.join(mins, "x").select("x", "nbr", m)
+        if large:
+            out = joined.filter(F.col("nbr") > F.col("x")).select(
+                F.col("nbr").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.filter(F.col("nbr") <= F.col("x")).select(
+                F.col("nbr").alias("a"), F.col("m").alias("b")
+            ).unionByName(joined.select(F.col("x").alias("a"), F.col("m").alias("b")))
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+        )
+
+    prev = _digest(edges)
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        cur = _digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iter} rounds"
+        )
+
+    # converged: edges form stars (component-min, member).  Singleton
+    # roots appear only on the u side; members map to their root, roots
+    # and isolated-after-contraction nodes map to themselves.
+    membership = edges.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
+    roots = all_nodes.join(membership, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return (
+        membership.unionByName(roots)
+        .select(F.col("id").alias("doc_id"), F.col("cluster_id"))
+    )

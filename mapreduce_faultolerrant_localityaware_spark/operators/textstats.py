@@ -62,8 +62,8 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language ID over LANG_MARKERS; 'und' when no
-    marker fires or on ties (deterministic: langs checked in fixed
-    order, strict-max wins)."""
+    marker fires.  Ties resolve deterministically to the EARLIEST
+    language in LANG_MARKERS order (matching the DuckDB oracle)."""
     tk = tokens(text_col, lowercase=True)
     hit_cols = [stopword_hits(tk, ws).alias(f"hits_{lang}") for lang, ws in LANG_MARKERS.items()]
     langs = list(LANG_MARKERS)

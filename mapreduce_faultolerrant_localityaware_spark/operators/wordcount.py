@@ -69,13 +69,28 @@ def wordcount_rdd(text_df: DataFrame, text_col: str = "value") -> DataFrame:
           → reduceByKey (map-side combine + hash-partitioned exchange)
       reducer accumulation (core/map_reduce.go:187-189)
           → reduceByKey merge side
+
+    Tokenization is runs of Unicode category-L characters (exactly Go
+    unicode.IsLetter / the DataFrame path's \\p{L}) — NOT the Python
+    regex ``[^\\W\\d_]``, which over-matches Nl/No number-letters
+    ('²', 'Ⅻ'); see functions/text.py.
     """
-    import re
+    import unicodedata
     from collections import Counter
 
     from pyspark.sql import types as T
 
-    split = re.compile(r"[^\W\d_]+", re.UNICODE)
+    def _tokens(text):
+        out, cur = [], []
+        for ch in text:
+            if unicodedata.category(ch).startswith("L"):
+                cur.append(ch)
+            elif cur:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+        return out
 
     def combine_partition(rows):
         # level-1 combiner: one hashmap per input partition ("chunk")
@@ -83,7 +98,7 @@ def wordcount_rdd(text_df: DataFrame, text_col: str = "value") -> DataFrame:
         for row in rows:
             text = row[0]
             if text:
-                counts.update(split.findall(text))
+                counts.update(_tokens(text))
         return iter(counts.items())
 
     counted = (

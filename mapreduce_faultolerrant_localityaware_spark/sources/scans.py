@@ -44,9 +44,13 @@ def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         raise KeyError(f"unknown table {table!r}; have {TABLES}")
     if table == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read nanos as long and truncate to micros (matching
-        # what DuckDB's microsecond TIMESTAMP does on the same file).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # default; nanosAsLong reads the nanos as long, truncated here
+        # to micros (matching what DuckDB's microsecond TIMESTAMP does
+        # on the same file).  session.get_spark sets the flag at build
+        # time; the guard below only fires for externally-built
+        # sessions (e.g. the driver harness) and is idempotent.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 

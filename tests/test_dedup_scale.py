@@ -1,0 +1,101 @@
+"""Scale-guard tests for the dedup stack: LSH bucket cap (mass-dup
+corpus must NOT explode quadratically), bucket-stats observability,
+and the two-phase connected-components variant vs label propagation
+and a pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+    connected_components,
+    connected_components_two_phase,
+)
+
+
+def _mass_dup_corpus(spark, n_dups=40, n_unique=5):
+    """n_dups identical boilerplate docs + n_unique distinct docs."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, boiler) for i in range(n_dups)]
+    rows += [
+        (1000 + i, f"entirely different document number {i} about topic{i} "
+                   f"with unique{i} vocabulary{i} content{i} words{i} here{i}")
+        for i in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_bucket_cap_star_expansion(spark):
+    docs = _mass_dup_corpus(spark, n_dups=40)
+    # capped: the 40-doc bucket exceeds cap=8 → star expansion, 39 pairs
+    capped = dedup.dedup_minhash_candidates(docs, max_bucket_allpairs=8).collect()
+    dup_pairs = [r for r in capped if r["doc_a"] < 1000 and r["doc_b"] < 1000]
+    assert len(dup_pairs) == 39  # linear, not 40*39/2 = 780
+    assert all(r["doc_a"] == 0 for r in dup_pairs)  # star anchored at min id
+    # uncapped (default 256): all-pairs inside the bucket
+    full = dedup.dedup_minhash_candidates(docs).collect()
+    full_dup = [r for r in full if r["doc_a"] < 1000 and r["doc_b"] < 1000]
+    assert len(full_dup) == 40 * 39 // 2
+
+
+def test_lsh_bucket_cap_preserves_clusters(spark):
+    docs = _mass_dup_corpus(spark, n_dups=40)
+    pairs = dedup.dedup_minhash_candidates(docs, max_bucket_allpairs=8)
+    clusters = connected_components(pairs).collect()
+    dup_cluster = {r["cluster_id"] for r in clusters if r["doc_id"] < 1000}
+    assert dup_cluster == {0}  # star pairs keep the bucket one component
+    assert sum(1 for r in clusters if r["doc_id"] < 1000) == 40
+
+
+def test_lsh_bucket_stats(spark):
+    docs = _mass_dup_corpus(spark, n_dups=40)
+    stats = {r["band"]: r for r in dedup.lsh_bucket_stats(docs, max_bucket_allpairs=8).collect()}
+    assert set(stats) == {0, 1, 2}  # identical docs collide in every band
+    for r in stats.values():
+        assert r["max_bucket"] == 40
+        assert r["n_overflow"] == 1
+        assert r["docs_in_buckets"] >= 40
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_two_phase_matches_label_prop_and_oracle(spark):
+    edges = (
+        [(i, i + 1) for i in range(15)]          # 16-node chain (diameter 15)
+        + [(100, 101), (101, 102), (100, 102)]   # triangle
+        + [(200, 201)]                           # pair
+        + [(300, 301), (302, 301), (303, 300)]   # star-ish
+    )
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    want = _uf_components(edges)
+    two = {r["doc_id"]: r["cluster_id"] for r in connected_components_two_phase(df).collect()}
+    assert two == want
+    lp = {r["doc_id"]: r["cluster_id"] for r in connected_components(df, max_iter=30).collect()}
+    assert lp == want
+
+
+def test_label_prop_nonconvergence_raises(spark):
+    # diameter 12 chain cannot converge in 2 rounds
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    # allow_partial returns (possibly wrong) labels without raising
+    got = connected_components(df, max_iter=2, allow_partial=True).collect()
+    assert len(got) == 13
