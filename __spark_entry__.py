@@ -36,6 +36,7 @@ from mapreduce_faultolerrant_localityaware_spark.operators import (
 )
 from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
 from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+from mapreduce_faultolerrant_localityaware_spark import streaming as streaming_ops
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -368,6 +369,16 @@ def _q_ann_ivf(spark, sf):
     return similarity.ann_ivf(emb, queries_df, k=5)
 
 
+def _q_ann_ivf_kmeans(spark, sf):
+    # real fitted quantizer — no precomputed label column used.  No
+    # SQL oracle (iterative k-means isn't SQL-expressible); the driver
+    # records a rows-only check and tests/test_ann_kmeans.py holds the
+    # recall>=0.9-vs-bruteforce bar.
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_ivf_kmeans(emb, queries_df, k=5, n_cells=10, nprobe=2)
+
+
 # ---- multimodal (binary-column plumbing; blob = utf8 bytes of text) ----
 
 def _q_multimodal_meta(spark, sf):
@@ -375,6 +386,30 @@ def _q_multimodal_meta(spark, sf):
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
     )
     return multimodal.attach_media_meta(docs).select("media_id", "byte_len", "sha256")
+
+
+# ---- streaming (bounded replay under the batch correctness gate) ----
+
+def _q_streaming_wordcount(spark, sf):
+    # full Structured Streaming run (file source → stateful agg →
+    # foreachBatch sink), then the materialized final state is what
+    # the batch oracle must equal.
+    stream = streaming_ops.stream_table(spark, sf, "documents")
+    counts = streaming_ops.streaming_wordcount(stream, text_col="text")
+    return streaming_ops.run_to_batch(counts, spark)
+
+
+def _q_streaming_tumbling(spark, sf):
+    stream = streaming_ops.stream_table(spark, sf, "events")
+    win = streaming_ops.windowed_event_counts(stream)  # 1h tumbling + watermark
+    out = streaming_ops.run_to_batch(win, spark)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
 
 
 # ---- temporal joins ----
@@ -794,7 +829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "multimodal_meta": _q_multimodal_meta,
+        "streaming_wordcount": _q_streaming_wordcount,
+        "streaming_tumbling": _q_streaming_tumbling,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
@@ -1035,6 +1073,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM gaps
+        """,
+        "streaming_wordcount": f"""
+            SELECT t AS word, count(*) AS count
+            FROM (SELECT unnest({_TOK}) AS t FROM documents)
+            GROUP BY t
+        """,
+        "streaming_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2, 3
         """,
         "minhash_signatures": f"""
             {_SHINGLES_LOWER},

@@ -8,9 +8,10 @@ compilation (Janino class generation dominates on small data — ~7 s
 for the widest expression trees vs <1 s of actual data work), the
 second is the steady-state throughput that scales with data volume.
 ``value``/``queries`` report steady-state; ``queries_cold`` records
-the first-run wall for transparency.  Materialization is ``count()``
-over the result, not collect — the driver never pulls rows, matching
-the 100 TB posture.
+the first-run wall for transparency.  Materialization is a ``noop``
+sink write — every output column is fully evaluated (a ``count()``
+would let Catalyst prune projection-only work), and the driver never
+pulls rows, matching the 100 TB posture.
 """
 
 from __future__ import annotations
@@ -40,7 +41,17 @@ HEADLINE = [
     "join_part",
     "tpch_q3",
     "asof_join",
+    "tpch_q5",
+    "tpch_q18",
+    "dedup_clusters",
+    "multimodal_decode",
 ]
+
+
+def materialize(df) -> None:
+    """Force full evaluation of every output column without pulling
+    rows to the driver: write to the no-op sink."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -48,16 +59,16 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
     # warm the JVM + parquet footers once with the cheapest query
-    qs["sort_limit"](spark, sf_dir).count()
+    materialize(qs["sort_limit"](spark, sf_dir))
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        materialize(qs[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        materialize(qs[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

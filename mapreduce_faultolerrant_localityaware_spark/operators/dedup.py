@@ -197,36 +197,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """32-bit SimHash fingerprint per doc (token-frequency-weighted bit vote).
 
     Bit b's direction for a token is the high bit of hex digit b of
-    md5(token) — engine-portable.  Plan: tokenize → (doc, token) count
-    [partial-agged] → explode 32 bit positions → sum votes per (doc,
-    bit) → pack.  Token-count agg happens BEFORE the ×32 explode so
-    the exploded relation is over distinct tokens, not raw ones.
+    md5(token) — engine-portable.
+
+    ZERO-shuffle plan: the frequency-weighted vote Σ cnt(token)·dir_b
+    equals a plain sum of dir_b over raw token INSTANCES, so each
+    doc's fingerprint is a pure per-row expression — md5 the token
+    array once, then 32 array-aggregate votes, all inside whole-stage
+    codegen with no exchange at all.  (Earlier formulations: ×32 bit
+    explode = 4.4 s at sf0.1; groupBy(doc,token) conditional sums =
+    2.7 s but shuffles a corpus-scale distinct-token relation; this
+    one = 2.5 s and shuffles NOTHING.)
     """
-    tok_counts = (
-        ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
-    votes = (
-        tok_counts.select(
-            id_col,
-            "cnt",
-            F.md5(F.col("token")).alias("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        )
-        .withColumn(
-            "vote",
-            F.when(F.substring(F.col("h"), 1, SIMHASH_BITS).substr(F.col("b") + 1, F.lit(1)).isin(*hexhi), F.col("cnt")).otherwise(-F.col("cnt")),
-        )
-        .groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("v"))
+
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, b + 1, 1).isin(*hexhi), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), F.transform(tokens(text_col, lowercase=True), lambda t: F.md5(t)).alias("hs")
     )
-    return (
-        votes.withColumn("bit", F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long")))
-        .groupBy(id_col)
-        .agg(F.sum("bit").alias("simhash"))
-    )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        v = F.aggregate("hs", F.lit(0).cast("long"), vote(b))
+        bit = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return base.select(F.col(id_col), packed.alias("simhash"))
 
 
 def dedup_ngram_jaccard(

@@ -7,10 +7,13 @@ Two tiers, per the standard ANN playbook:
     corpus, per-partition top-k via window, so the shuffle carries
     only |Q|·k·partitions candidate rows (TakeOrderedAndProject-like).
   * ann_ivf — IVF-style pruned search: score only corpus vectors in
-    the query's coarse cell (here the ``label`` column stands in for a
-    nearest-centroid assignment; in a real pipeline the cell id comes
-    from a k-means fit).  Cost drops by the cell fan-out factor; the
-    join is an equi-join on the cell id.
+    the query's coarse cell (the ``label`` column stands in for a
+    nearest-centroid assignment).  Cost drops by the cell fan-out
+    factor; the join is an equi-join on the cell id.
+  * ann_ivf_kmeans — same search shape but with a REAL coarse
+    quantizer: kmeans_fit (deterministic DataFrame-native Lloyd's)
+    assigns cells from raw embeddings, and nprobe>1 trades cost for
+    recall.
 
 Vector math is built-in higher-order functions (functions.vectors) —
 JVM-side, no Python in the scoring loop.
@@ -48,6 +51,143 @@ def ann_bruteforce(
     )
     scored = (
         corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 8,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    coarse quantizer for IVF.  Returns k centroids (python lists; the
+    model is k×d scalars — driver-sized by definition, like any ML
+    model parameters).
+
+    Distributed shape: each iteration is ONE pass over the corpus —
+    assignment is a JVM-side expression (k squared-distance aggregates
+    against literal centroids, no Python in the loop), and the centroid
+    update is posexplode → groupBy(cell, dim) → avg, partial-agged
+    before the exchange.  Only k×d means are collected per iteration.
+
+    Determinism: init picks k evenly-spaced vectors in id order (no
+    RNG), and all arithmetic is double-precision index-order sums, so
+    repeated fits are bit-identical.
+    """
+    v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
+    if k <= 0:
+        raise ValueError("kmeans_fit needs k > 0")
+    # deterministic pseudo-random seeds: k smallest id-hashes.  orderBy
+    # + limit plans as TakeOrderedAndProject — per-partition top-k then
+    # a k-row merge on the driver, no global sort / single-partition
+    # window even at 100 TB.
+    init = v.orderBy(F.xxhash64("_id"), "_id").limit(k).select("v").collect()
+    if not init:
+        raise ValueError("kmeans_fit needs a non-empty corpus")
+    centroids = [list(r["v"]) for r in init]
+    k = len(centroids)
+
+    for _ in range(max_iter):
+        assigned = v.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cells keep old
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mean"]
+        for cell, dims in by_cell.items():
+            new_centroids[cell] = [dims[i] for i in range(len(dims))]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def _sqdist_to(vec, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _cell_dists(vec, centroids: list[list[float]]):
+    """array<struct<d,cell>> of squared distances, one per centroid."""
+    return F.array(
+        *[
+            F.struct(_sqdist_to(vec, c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _nearest_cell(vec, centroids: list[list[float]]):
+    # array_sort on struct orders by (d, cell): deterministic ties.
+    return F.element_at(F.array_sort(_cell_dists(vec, centroids)), 1)["cell"]
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id: (id, v, cell)."""
+    return _prep(emb, id_col, vec_col).withColumn(
+        "cell", _nearest_cell(F.col("v"), centroids)
+    )
+
+
+def ann_ivf_kmeans(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVF with a REAL fitted coarse quantizer: k-means cells replace
+    the precomputed ``label`` column of :func:`ann_ivf`, so raw
+    embeddings work directly.
+
+    Search probes the query's ``nprobe`` nearest cells (recall knob),
+    then exact-re-ranks inside them: candidates come from an equi-join
+    on cell id — |corpus|·nprobe/n_cells pairs instead of brute force's
+    |corpus|, and the query side is broadcast.  At 100 TB the corpus
+    assignment is precomputed once (write cell as a partition column)
+    and only the probe join runs per query batch.
+    """
+    centroids = kmeans_fit(emb, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    corpus = assign_cells(emb, centroids, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_dists(F.col("v"), centroids)), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),

@@ -1,12 +1,15 @@
 from .enrich_stream import dedup_stream, enrich_stream, sliding_event_counts
+from .materialize import run_to_batch, stream_table
 from .sessionize_stream import sessionize_stream
 from .wordcount_stream import streaming_wordcount, windowed_event_counts
 
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "run_to_batch",
     "sessionize_stream",
     "sliding_event_counts",
+    "stream_table",
     "streaming_wordcount",
     "windowed_event_counts",
 ]

@@ -1,0 +1,68 @@
+"""Bounded streaming runs materialized as batch DataFrames — the
+bridge that puts streaming operators under the SAME correctness gate
+as batch queries (streaming result == batch/oracle query on the same
+input).
+
+Pattern: a parquet file-source stream + ``trigger(availableNow=True)``
+processes the whole (deterministic) input as micro-batches and stops;
+``foreachBatch`` overwrites a scratch parquet with the cumulative
+result each batch (complete mode), so after ``awaitTermination`` the
+scratch dir holds exactly the final state — which a batch engine (or
+DuckDB oracle) must reproduce.  This is the standard backfill/replay
+harness: the production pipeline is the same code with an unbounded
+source and a real sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Streaming file-source view of a synthetic table (schema from a
+    one-time static footer read; file sources require explicit schema).
+    Mirrors sources.scans.scan's events TIMESTAMP(NANOS) handling."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # file source requires a directory basePath; a glob that matches
+    # exactly this file keeps basePath at sf_dir (works unchanged when
+    # the "file" is a directory-tree of part files on a real cluster).
+    stream = spark.readStream.schema(schema).parquet(path + "*")
+    if table == "events":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_batch(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to end-of-input (availableNow) and
+    return the final result as a batch DataFrame.
+
+    ``complete`` mode: every micro-batch rewrites the full-to-date
+    result; the last rewrite is the final answer.  State stays bounded
+    by the operator's own watermarks; the scratch parquet is the only
+    materialization (never a driver collect).
+    """
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
