@@ -307,6 +307,10 @@ def _q_text_tokens(spark, sf):
     )
 
 
+def _q_token_bpe(spark, sf):
+    return textstats.bpe_token_stats(scan(spark, sf, "documents"))
+
+
 def _q_text_quality(spark, sf):
     out = textstats.quality_score(scan(spark, sf, "documents"))
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
@@ -409,6 +413,42 @@ def _q_streaming_tumbling(spark, sf):
         "event_type",
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def _q_streaming_enrich(spark, sf):
+    """Stream-static broadcast join under the batch oracle gate:
+    append-mode (stateless) — each micro-batch's joined rows
+    accumulate; the union over batches must equal the batch join."""
+    stream = streaming_ops.stream_table(spark, sf, "events")
+    cust = scan(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    joined = streaming_ops.enrich_stream(stream, cust, "user_id", how="inner").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return streaming_ops.run_to_batch(joined, spark, output_mode="append")
+
+
+def _q_pipeline_clean(spark, sf):
+    """Composite training-data cleaning pipeline — the operators a
+    100 TB corpus pass actually chains: quality-filter → exact-dedup
+    (keep one representative) → language-ID, one row per surviving
+    doc.  Every stage is the already-oracle-checked operator; this
+    entry checks their COMPOSITION."""
+    docs = scan(spark, sf, "documents")
+    quality = textstats.quality_score(docs).filter(F.col("quality") >= 0.5)
+    keep = dedup.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    lang = textstats.lang_id(docs)
+    return (
+        quality.join(keep, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            "lang_pred",
+        )
     )
 
 
@@ -743,6 +783,131 @@ def _q_tpch_q5(spark, sf):
     )
 
 
+def _q_tpch_q6(spark, sf):
+    """TPC-H Q6 (forecast revenue): pure scan-side filters + one global
+    sum — the predicate-pushdown showcase (every filter reaches the
+    parquet scan; no shuffle beyond the final 1-row agg)."""
+    li = scan(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (order priority checking): EXISTS → left-semi
+    join, then count by priority.  (The reference schema has no
+    l_commitdate/l_receiptdate; the existence predicate here is
+    'some lineitem shipped after the order date'.)"""
+    orders = scan(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = scan(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape (volume shipping between two nations): double
+    nation join (supplier side + customer side), year rollup."""
+    li = scan(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = scan(spark, sf, "orders")
+    cust = scan(spark, sf, "customer")
+    supp = scan(spark, sf, "supplier")
+    n1 = scan(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = scan(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): 4-table join, revenue per
+    customer, top 20."""
+    orders = scan(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = scan(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = scan(spark, sf, "customer")
+    nation = scan(spark, sf, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    return relational.top_k(agg, 20, F.desc("revenue"), F.asc("c_custkey"))
+
+
+def _q_tpch_q14(spark, sf):
+    """TPC-H Q14 (promo revenue ratio): join + conditional-sum ratio,
+    one output row."""
+    li = scan(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = scan(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) * 100.0 / F.sum(rev), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+def _q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape (discounted revenue, OR'd bracket predicates):
+    equi-join on partkey with disjunctive residual filters — the
+    OR-predicate-pushdown exercise."""
+    li = scan(spark, sf, "lineitem")
+    part = scan(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    brackets = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(brackets).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def _q_tpch_q3(spark, sf):
     """TPC-H Q3 shape (shipping priority): 3-way join + agg + top-k."""
     cust = scan(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -818,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "minhash_signatures": _q_minhash_signatures,
         "text_tokens": _q_text_tokens,
+        "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -833,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_enrich": _q_streaming_enrich,
+        "pipeline_clean": _q_pipeline_clean,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
@@ -857,6 +1025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "tpch_q5": _q_tpch_q5,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q19": _q_tpch_q19,
         "join_skew_salted": _q_join_skew_salted,
         "dedup_clusters": _q_dedup_clusters,
         "approx_distinct": _q_approx_distinct,
@@ -1085,6 +1259,32 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2, 3
         """,
+        "streaming_enrich": """
+            SELECT event_id, user_id, event_type, c_name, c_mktsegment
+            FROM events JOIN customer ON user_id = c_custkey
+        """,
+        "pipeline_clean": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOK_LOWER} AS tk,
+                     length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
+                     length(text) AS chars
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                     round(least(1.0,
+                           len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
+                           + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
+              FROM base WHERE len(tk) > 0
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+            hits AS (SELECT doc_id, {{lang_hit_cols}} FROM (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents)),
+            best AS (SELECT doc_id, *, {{lang_best}} AS best FROM hits),
+            lang AS (SELECT doc_id, {{lang_case}} AS lang_pred FROM best)
+            SELECT q.doc_id AS doc_id, n_tokens, quality, lang_pred
+            FROM q JOIN keep USING (doc_id) JOIN lang USING (doc_id)
+            WHERE quality >= 0.5
+        """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "minhash_signatures": f"""
             {_SHINGLES_LOWER},
             hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh)
@@ -1096,6 +1296,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_m
             FROM documents
+        """,
+        "token_bpe": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '{textstats.BPE_ISH_RE.replace("'", "''")}') AS pieces,
+                     length(text) AS chars
+              FROM documents
+            ),
+            np AS (
+              SELECT doc_id, pieces, chars,
+                     len(list_filter(pieces, x -> trim(x) <> '')) AS n_nonws
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(len(pieces) AS BIGINT) AS n_pieces,
+                   CAST(n_nonws AS BIGINT) AS n_nonws_pieces,
+                   CASE WHEN n_nonws > 0 THEN round(chars * 1.0 / n_nonws, 6) END AS chars_per_piece
+            FROM np
         """,
         "text_quality": f"""
             WITH base AS (
@@ -1428,6 +1646,75 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.04 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30)
         """,
         "join_skew_salted": """
             SELECT s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty

@@ -36,6 +36,30 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+#: GPT-2-style pre-tokenizer pattern (contractions, letter runs,
+#: digit runs, punctuation runs, whitespace) — the standard BPE
+#: pre-split, minus the trailing-space lookahead (RE2-compatible so
+#: the DuckDB oracle evaluates the IDENTICAL pattern).
+BPE_ISH_RE = r"'[sdmt]|'ll|'ve|'re| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-pre-tokenizer piece counting — the token-budget estimator a
+    training pipeline runs before the (expensive) real BPE merge step.
+    Counts all pieces, non-whitespace pieces, and chars-per-piece
+    (≈ the corpus' bytes-per-token compression proxy).  Pure JVM regex
+    on the codegen path — one pass, no shuffle."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)
+    nonws = F.filter(pieces, lambda p: F.trim(p) != F.lit(""))
+    n_nonws = F.size(nonws)
+    return docs.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        n_nonws.cast("long").alias("n_nonws_pieces"),
+        F.when(n_nonws > 0, F.round(F.length(text_col) / n_nonws, 6)).alias("chars_per_piece"),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality signals: mean token length, stopword ratio,
     non-letter (punct/digit/space) char ratio, and a composite score.

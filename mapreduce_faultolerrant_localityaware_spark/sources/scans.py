@@ -77,6 +77,14 @@ def scan_json(spark: SparkSession, paths: str | list[str], schema=None) -> DataF
     return reader.json(paths)
 
 
+def scan_orc(spark: SparkSession, paths: str | list[str], schema=None) -> DataFrame:
+    """ORC source; columnar with predicate pushdown, like parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(paths)
+
+
 def scan_tokens(spark: SparkSession, path: str) -> DataFrame:
     """Read the reference's ``K->V`` token format back into
     DataFrame[word, count] — the inverse of sinks.write_tokens

@@ -47,6 +47,15 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the other columnar interchange format (Hive
+    ecosystems); same pushdown/pruning properties as parquet."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, path: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

@@ -53,9 +53,12 @@ def run_to_batch(
     tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
     out = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
+    # complete mode: each batch REWRITES the full-to-date result.
+    # append mode: each batch contributes only new rows — accumulate.
+    write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out)
+        batch_df.write.mode(write_mode).parquet(out)
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -81,6 +81,20 @@ def test_csv_json_sink_roundtrip(spark, tmp_path):
     assert back_csv == back_json == {(1, "a"), (2, "b")}
 
 
+def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
+    supp = scans.scan(spark, sf_dir, "supplier")
+    path = str(tmp_path / "supp_orc")
+    sinks.write_orc(supp, path)
+    back = scans.scan_orc(spark, path)
+    assert back.schema == supp.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in supp.collect()}
+    # predicate pushdown reaches the ORC scan, same as parquet
+    from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
+
+    plan = formatted_plan(back.filter(F.col("s_suppkey") == 7))
+    assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,7)]" in plan
+
+
 def test_write_bucketed_layout(spark, sf_dir, tmp_path):
     supp = scans.scan(spark, sf_dir, "supplier")
     try:
