@@ -922,6 +922,42 @@ def _q_tpch_q3(spark, sf):
     return relational.top_k(agg, 10, F.desc("revenue"), F.asc("l_orderkey"))
 
 
+def _q_join_full_outer(spark, sf):
+    """Full-outer join with guaranteed null sides (disjoint filters):
+    per-nation customer counts vs supplier counts."""
+    cust = (
+        scan(spark, sf, "customer")
+        .filter(F.col("c_nationkey") < 10)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        scan(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") >= 5)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def _q_histogram_bins(spark, sf):
+    """Equi-width histogram via arithmetic binning (floor division —
+    engine-portable, no width_bucket dependency)."""
+    li = scan(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("bin")
+    )
+
+
 def _q_join_skew_salted(spark, sf):
     """Salted skew join — results provably identical to the plain join
     (the oracle IS the plain join)."""
@@ -1031,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
         "tpch_q19": _q_tpch_q19,
+        "join_full_outer": _q_join_full_outer,
+        "histogram_bins": _q_histogram_bins,
         "join_skew_salted": _q_join_skew_salted,
         "dedup_clusters": _q_dedup_clusters,
         "approx_distinct": _q_approx_distinct,
@@ -1715,6 +1753,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "join_full_outer": """
+            WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                       FROM customer WHERE c_nationkey < 10 GROUP BY 1),
+                 s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                       FROM supplier WHERE s_nationkey >= 5 GROUP BY 1)
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                   coalesce(n_cust, 0) AS n_cust,
+                   coalesce(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        """,
+        "histogram_bins": """
+            SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+                   count(*) AS n, round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "join_skew_salted": """
             SELECT s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
