@@ -64,3 +64,20 @@ def test_empty_input_frames(spark):
     assert wordcount_from_text(empty, "text").count() == 0
     assert dedup.dedup_exact(empty).count() == 0
     assert relational.group_agg(empty, ["doc_id"], {"n": ("count_star", None)}).count() == 0
+
+
+def test_bpe_token_stats_edges(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "don't stop"), (4, None)])
+    rows = {r["doc_id"]: r for r in textstats.bpe_token_stats(df).collect()}
+    assert rows[1]["n_pieces"] == 0 and rows[1]["chars_per_piece"] is None
+    assert rows[2]["n_pieces"] == 1 and rows[2]["n_nonws_pieces"] == 0
+    assert rows[3]["n_nonws_pieces"] == 3  # don | 't | " stop"
+    assert rows[4]["n_pieces"] is None  # null text propagates
+
+
+def test_lsh_candidates_empty_and_tiny(spark):
+    empty = _docs(spark, [])
+    assert dedup.dedup_minhash_candidates(empty).count() == 0
+    assert dedup.lsh_bucket_stats(empty).count() == 0
+    solo = _docs(spark, [(1, "only one document here nothing matches")])
+    assert dedup.dedup_minhash_candidates(solo).count() == 0
