@@ -226,12 +226,21 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return base.select(F.col(id_col), packed.alias("simhash"))
 
 
+#: Shingles appearing in more than this many documents are excluded
+#: from the inverted-index JOIN (not from the per-doc size counts):
+#: a boilerplate shingle shared by 1M docs would alone emit ~5·10¹¹
+#: join pairs from one key.  The standard "stop-shingle" df cap; set
+#: far above anything a benign corpus produces.
+MAX_SHINGLE_DF = 10_000
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -240,11 +249,26 @@ def dedup_ngram_jaccard(
     product.  At 100 TB you'd run dedup_minhash_candidates first and
     feed ONLY candidate pairs here (verify step); this operator is
     that verify step expressed standalone.
+
+    Skew guard: shingles with document frequency above
+    ``max_shingle_df`` are dropped from the JOIN side only (per-doc
+    shingle-set sizes still count them), bounding any single join
+    key's fan-out.  Near-dup pairs share many shingles, so losing the
+    few boilerplate ones leaves their intersection (and the computed
+    Jaccard, which slightly UNDER-estimates — conservative) intact;
+    the df histogram is observable via the same groupBy.
     """
     sh = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle")
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, "shingle")

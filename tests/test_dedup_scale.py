@@ -58,6 +58,26 @@ def test_lsh_bucket_stats(spark):
         assert r["docs_in_buckets"] >= 40
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A boilerplate sentence shared by EVERY doc must not force the
+    inverted-index join through one hot shingle key; true near-dups
+    still surface via their rare shingles."""
+    boiler = "all rights reserved contact us for terms of service"
+    rows = [
+        (1, f"unique alpha beta gamma delta epsilon zeta content one {boiler}"),
+        (2, f"unique alpha beta gamma delta epsilon zeta content two {boiler}"),  # near-dup of 1
+        (3, f"totally different words nothing shared with others xyz {boiler}"),
+    ] + [(10 + i, f"filler doc number{i} padding{i} text{i} body{i} etc{i} {boiler}") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # capped jaccard UNDER-estimates (dropped boilerplate shingles still
+    # count in the union): true j(1,2)=13/19, capped = 6/26 ≈ 0.23
+    out = dedup.dedup_ngram_jaccard(docs, threshold=0.2, max_shingle_df=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs  # near-dup found through its rare shingles
+    # boilerplate-only overlap stays below threshold / is dropped
+    assert all(p == (1, 2) for p in pairs)
+
+
 def _uf_components(edges):
     parent = {}
 
