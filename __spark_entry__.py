@@ -325,6 +325,44 @@ def _q_fingerprint(spark, sf):
     return textstats.fingerprint(scan(spark, sf, "documents"))
 
 
+def _q_scrub_text(spark, sf):
+    return textstats.scrub_text(scan(spark, sf, "documents"))
+
+
+def _q_sample_stratified(spark, sf):
+    return relational.sample_stratified(
+        scan(spark, sf, "orders"),
+        "o_orderpriority",
+        {"1-URGENT": 0.5, "5-LOW": 0.05},
+        key_col="o_orderkey",
+        default_rate=0.1,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def _q_vocab_top_tokens(spark, sf):
+    """Per-language vocabulary heavy hitters: lang-ID → token counts →
+    top-5 per language (window top-k, total tiebreak)."""
+    from pyspark.sql import Window
+
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as tokens_fn
+
+    docs = scan(spark, sf, "documents")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_fn("text", lowercase=True)).alias("token")
+    )
+    counts = (
+        toks.join(lang, "doc_id")
+        .groupBy("lang_pred", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang_pred").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
 # ---- dedup ----
 
 def _q_dedup_exact(spark, sf):
@@ -414,6 +452,20 @@ def _q_streaming_tumbling(spark, sf):
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+def _q_streaming_dedup_keys(spark, sf):
+    """Watermarked streaming dedup under the oracle gate: output only
+    the dedup KEY columns so the result (the distinct key set) is
+    deterministic regardless of which arrival survives."""
+    stream = streaming_ops.stream_table(spark, sf, "events")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = streaming_ops.run_to_batch(
+        deduped.select("user_id", "event_type"), spark, output_mode="append"
+    )
+    return out.distinct()  # batches may re-see keys across watermark expiry
 
 
 def _q_streaming_enrich(spark, sf):
@@ -1023,6 +1075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "scrub_text": _q_scrub_text,
+        "sample_stratified": _q_sample_stratified,
+        "vocab_top_tokens": _q_vocab_top_tokens,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1036,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,
+        "streaming_dedup_keys": _q_streaming_dedup_keys,
         "pipeline_clean": _q_pipeline_clean,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1296,6 +1352,37 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "scrub_text": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{URL}')) AS BIGINT) AS n_urls,
+                   md5(regexp_replace(regexp_replace(text, '{URL}', '<URL>', 'g'), '{EMAIL}', '<EMAIL>', 'g')) AS clean_md5,
+                   CAST(length(regexp_replace(regexp_replace(text, '{URL}', '<URL>', 'g'), '{EMAIL}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len
+            FROM documents
+        """.replace("{EMAIL}", textstats.EMAIL_RE).replace("{URL}", textstats.URL_RE),
+        "sample_stratified": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+            WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                  < CAST((CASE o_orderpriority WHEN '1-URGENT' THEN 0.5
+                                               WHEN '5-LOW' THEN 0.05
+                                               ELSE 0.1 END) * 10000 AS BIGINT)
+        """,
+        "vocab_top_tokens": f"""
+            WITH base AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            hits AS (SELECT doc_id, {{lang_hit_cols}} FROM base),
+            best AS (SELECT doc_id, *, {{lang_best}} AS best FROM hits),
+            lang AS (SELECT doc_id, {{lang_case}} AS lang_pred FROM best),
+            toks AS (SELECT doc_id, unnest({_TOK_LOWER}) AS token FROM documents),
+            counts AS (SELECT lang_pred, token, count(*) AS n
+                       FROM toks JOIN lang USING (doc_id) GROUP BY 1, 2)
+            SELECT lang_pred, token, n,
+                   CAST(row_number() OVER (PARTITION BY lang_pred
+                        ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+            FROM counts QUALIFY rk <= 5
+        """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
+        "streaming_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "streaming_enrich": """
             SELECT event_id, user_id, event_type, c_name, c_mktsegment

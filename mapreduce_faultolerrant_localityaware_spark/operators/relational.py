@@ -202,3 +202,22 @@ def join(
     """
     right = F.broadcast(other) if broadcast_right else other
     return df.join(right, on, how)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep rates via
+    md5-bucket filtering on the key (reproducible, engine-portable, no
+    RNG state — the down-sampling/re-balancing pattern of a corpus
+    mix, e.g. keep 10% of web text but 100% of books).  Pure map-side
+    filter: no shuffle, pushdown-friendly."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10) % 10000
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(bucket < (rate * 10000).cast("long"))

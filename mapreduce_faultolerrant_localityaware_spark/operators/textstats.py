@@ -99,6 +99,31 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("marker_hits"))
 
 
+#: RE2- and Java-compatible patterns (no lookaround/backrefs) so the
+#: DuckDB oracle evaluates the IDENTICAL regexes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII/link scrubbing — the redaction pass of a training-data
+    pipeline: count and replace emails and URLs with placeholder
+    tokens.  Pure per-row regex on the codegen path (URLs replaced
+    first so an address inside a URL isn't double-counted)."""
+    n_emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact identity)
     plus a coarse structural sketch (min/max token hash — a 2-hash

@@ -75,6 +75,41 @@ def test_bpe_token_stats_edges(spark):
     assert rows[4]["n_pieces"] is None  # null text propagates
 
 
+def test_scrub_text_detects_and_redacts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk or see https://x.io/p?q=1 now"),
+            (2, "no pii here at all"),
+            (3, "email inside url https://host/a@b.com stays one URL"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textstats.scrub_text(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 1
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
+    # URL replaced first, so the embedded address isn't double-redacted
+    assert rows[3]["n_urls"] == 1
+
+
+def test_sample_stratified_rates(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational as R
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan as _scan
+
+    orders = _scan(spark, sf_dir, "orders")
+    out = R.sample_stratified(
+        orders, "o_orderpriority", {"1-URGENT": 0.5}, key_col="o_orderkey", default_rate=0.1
+    )
+    tot = {r["o_orderpriority"]: r["n"] for r in orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["o_orderpriority"]: r["n"] for r in out.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["1-URGENT"] / tot["1-URGENT"] - 0.5) < 0.1
+    assert abs(got["5-LOW"] / tot["5-LOW"] - 0.1) < 0.05
+    # determinism: same call → identical sample
+    again = R.sample_stratified(
+        orders, "o_orderpriority", {"1-URGENT": 0.5}, key_col="o_orderkey", default_rate=0.1
+    )
+    assert {r["o_orderkey"] for r in again.collect()} == {r["o_orderkey"] for r in out.collect()}
+
+
 def test_lsh_candidates_empty_and_tiny(spark):
     empty = _docs(spark, [])
     assert dedup.dedup_minhash_candidates(empty).count() == 0
