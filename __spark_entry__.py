@@ -974,6 +974,357 @@ def _q_tpch_q3(spark, sf):
     return relational.top_k(agg, 10, F.desc("revenue"), F.asc("l_orderkey"))
 
 
+def _q_tpch_q1(spark, sf):
+    """TPC-H Q1 (pricing summary report): the canonical wide-agg scan —
+    8 aggregates over 2 grouping keys, one pass, partial-agg map side.
+    Large double sums rounded to 2 dp (summation-order noise at ~1e9)."""
+    li = scan(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier): the schema has no partsupp
+    table (reference generates none), so lineitem is the part-supplier
+    link — unit cost = min(l_extendedprice/l_quantity) per (part,
+    supplier).  Correlated-min decorrelated into a per-part min join;
+    min is order-independent so the double equality is exact on both
+    engines."""
+    li = scan(spark, sf, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nation = scan(spark, sf, "nation")
+    region = scan(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    esupp = (
+        scan(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = ps.join(F.broadcast(esupp), ps.l_suppkey == F.col("s_suppkey"))
+    minc = eps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    best = eps.join(
+        minc,
+        (eps.l_partkey == F.col("mc_partkey")) & (eps.unit_cost == F.col("min_cost")),
+    )
+    part = scan(spark, sf, "part").filter(F.col("p_size") < 20)
+    out = best.join(F.broadcast(part), best.l_partkey == part.p_partkey).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+        F.round("unit_cost", 6).alias("unit_cost"),
+    )
+    return relational.top_k(
+        out, 100, F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+    )
+
+
+def _q_tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): 7-table join, share-of-sum
+    ratio per order year."""
+    part = scan(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    orders = scan(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    li = scan(spark, sf, "lineitem")
+    cust = scan(spark, sf, "customer")
+    supp = scan(spark, sf, "supplier")
+    n1 = scan(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = scan(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = scan(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                 vol.alias("volume"), F.col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape (product-type profit): no ps_supplycost in the
+    schema — supply cost modeled as 0.6 * p_retailprice, keeping the
+    profit-expression + nation/year rollup shape."""
+    part = scan(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    li = scan(spark, sf, "lineitem")
+    supp = scan(spark, sf, "supplier")
+    orders = scan(spark, sf, "orders")
+    nation = scan(spark, sf, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def _q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape (important stock): per-part value with a
+    HAVING-vs-global-scalar threshold (group sum > 0.1% of total) —
+    the scalar rides a 1-row broadcast cross join, never a driver
+    collect."""
+    nation = scan(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = scan(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = scan(spark, sf, "lineitem")
+    val = li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    val.createOrReplaceTempView("q11_val")
+    return spark.sql(
+        """
+        SELECT l_partkey AS p_key, round(sum(v), 2) AS value
+        FROM q11_val GROUP BY 1
+        HAVING sum(v) > (SELECT sum(v) * 0.001 FROM q11_val)
+        ORDER BY value DESC, p_key ASC
+        """
+    )
+
+
+def _q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (shipping-priority lateness): no l_shipmode /
+    l_receiptdate in the schema — late = shipped >30 days after the
+    order date; counts split by order priority class."""
+    li = scan(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = scan(spark, sf, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "LATE"
+    ).otherwise("ONTIME")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(bucket.alias("ship_bucket"), high.alias("is_high"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.count(F.when(F.col("is_high"), 1)).alias("high_line_count"),
+            F.count(F.when(~F.col("is_high"), 1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def _q_tpch_q13(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    with an extra join-side predicate, then a histogram of counts —
+    the double-aggregation shape."""
+    cust = scan(spark, sf, "customer")
+    orders = scan(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q_tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier,
+    select the max via a scalar subquery (revenue rounded identically
+    on both engines before the equality)."""
+    li = scan(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    rev.createOrReplaceTempView("q15_revenue")
+    scan(spark, sf, "supplier").createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q15_supplier JOIN q15_revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM q15_revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+def _q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (supplier count by part attrs): lineitem as the
+    part-supplier link, NOT-IN excluded suppliers as a broadcast anti
+    join, count-distinct per attribute triple."""
+    part = scan(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_size") < 25)
+    )
+    bad = scan(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = scan(spark, sf, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+def _q_tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    avg decorrelated into a grouped join (quantities are integral so
+    the avg is exact on both engines; threshold 0.5 fits the uniform
+    synthetic quantities)."""
+    li = scan(spark, sf, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    part = scan(spark, sf, "part").filter(F.col("p_brand") == "Brand#11")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape (excess-supply promotion): nested IN →
+    left-semi join onto an aggregated subquery (suppliers who moved
+    >300 units of widget parts in 1996, in EUROPE)."""
+    part = scan(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    li = scan(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qual = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    nation = scan(spark, sf, "nation")
+    region = scan(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        scan(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def _q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): no
+    l_receiptdate/l_commitdate — late = shipped >60 days after order
+    date.  EXISTS/NOT-EXISTS pair expressed as per-order distinct
+    counts: the sole late supplier in a multi-supplier finished
+    order."""
+    orders_f = scan(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = scan(spark, sf, "lineitem")
+    j = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+    late = j.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    n_late = late.groupBy(F.col("l_orderkey").alias("nl_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    n_all = j.groupBy(F.col("l_orderkey").alias("na_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    sole = (
+        late.join(n_late.filter(F.col("n_late_supp") == 1), late.l_orderkey == F.col("nl_key"))
+        .join(n_all.filter(F.col("n_supp") >= 2), late.l_orderkey == F.col("na_key"))
+    )
+    supp = scan(spark, sf, "supplier")
+    out = (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return relational.top_k(out, 100, F.desc("numwait"), F.asc("s_name"))
+
+
+def _q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): no c_phone — country
+    code = c_nationkey % 10; rich-but-quiet customers = above-average
+    balance with no URGENT orders (anti join keeps the NOT-EXISTS
+    shape against a filtered build side)."""
+    cust = scan(spark, sf, "customer")
+    urgent = scan(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    cust.createOrReplaceTempView("q22_customer")
+    sel = (
+        cust.withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("long"))
+        .filter(F.col("cntrycode").isin(1, 2, 3, 4, 5))
+        .filter(
+            F.col("c_acctbal")
+            > F.expr("(SELECT avg(c_acctbal) FROM q22_customer WHERE c_acctbal > 0)")
+        )
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        sel.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def _q_join_full_outer(spark, sf):
     """Full-outer join with guaranteed null sides (disjoint filters):
     per-nation customer counts vs supplier counts."""
@@ -1113,6 +1464,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "window_first_last": _q_window_first_last,
         "window_range_frame": _q_window_range_frame,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
         "tpch_q18": _q_tpch_q18,
         "multimodal_decode": _q_multimodal_decode,
         "tpch_q5": _q_tpch_q5,
@@ -1727,6 +2091,179 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS rolling_10m
             FROM events
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q2": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               min(l_extendedprice / l_quantity) AS unit_cost
+                        FROM lineitem GROUP BY 1, 2),
+            eps AS (SELECT ps.*, s_acctbal, s_name, n_name
+                    FROM ps JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'EUROPE')
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(unit_cost, 6) AS unit_cost
+            FROM eps JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 20
+              AND unit_cost = (SELECT min(unit_cost) FROM eps e2
+                               WHERE e2.l_partkey = eps.l_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+        "tpch_q8": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <= TIMESTAMP '1997-12-31'
+            )
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+            FROM (
+              SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount)
+                       - 0.6 * p_retailprice * l_quantity AS amount
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%widget%'
+            )
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH val AS (SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+                         FROM lineitem
+                         JOIN supplier ON l_suppkey = s_suppkey
+                         JOIN nation ON s_nationkey = n_nationkey
+                         WHERE n_name = 'NATION_1')
+            SELECT l_partkey AS p_key, round(sum(v), 2) AS value
+            FROM val GROUP BY 1
+            HAVING sum(v) > (SELECT sum(v) * 0.001 FROM val)
+            ORDER BY value DESC, p_key ASC
+        """,
+        "tpch_q12": """
+            SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                        THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+                   count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS high_line_count,
+                   count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#11' AND p_size < 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """,
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#11'
+              AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = part.p_partkey)
+        """,
+        "tpch_q20": """
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%widget%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1 HAVING sum(l_quantity) > 300)
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 100
+        """,
+        "tpch_q22": """
+            SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+            FROM (
+              SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+              FROM customer
+              WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+                AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderpriority = '1-URGENT')
+            )
+            GROUP BY 1 ORDER BY 1
         """,
         "tpch_q18": """
             SELECT c_name, o_orderkey, o_totalprice, sum_qty
