@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_faultolerrant_localityaware_spark.operators import (
+    corpus,
     dedup,
     events as events_ops,
     multimodal,
@@ -361,6 +362,18 @@ def _q_vocab_top_tokens(spark, sf):
         counts.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+def _q_tfidf_top_terms(spark, sf):
+    return corpus.tfidf_top_terms(scan(spark, sf, "documents"), k=3)
+
+
+def _q_bigram_counts(spark, sf):
+    return corpus.bigram_counts(scan(spark, sf, "documents"), k=100)
+
+
+def _q_contamination(spark, sf):
+    return corpus.contamination_check(scan(spark, sf, "documents"))
 
 
 # ---- dedup ----
@@ -1429,6 +1442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": _q_scrub_text,
         "sample_stratified": _q_sample_stratified,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_counts": _q_bigram_counts,
+        "contamination": _q_contamination,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1747,6 +1763,46 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOK_LOWER}) AS token FROM documents),
+            counts AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM counts GROUP BY 1),
+            dfreq AS (SELECT token, count(*) AS df FROM counts GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM dl)
+            SELECT doc_id, token, tf, df, round(tfidf_raw, 6) AS tfidf, rk
+            FROM (
+              SELECT c.doc_id, c.token, c.tf, f.df,
+                     (CAST(c.tf AS DOUBLE) / d.dl)
+                       * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0) AS tfidf_raw,
+                     CAST(row_number() OVER (
+                       PARTITION BY c.doc_id
+                       ORDER BY (CAST(c.tf AS DOUBLE) / d.dl)
+                                  * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0) DESC,
+                                c.token ASC) AS BIGINT) AS rk
+              FROM counts c
+              JOIN dl d ON c.doc_id = d.doc_id
+              JOIN dfreq f ON c.token = f.token, n
+            ) WHERE rk <= 3
+        """,
+        "bigram_counts": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            grams AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+                      FROM (SELECT tk, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                            FROM toks))
+            SELECT bigram, count(*) AS n FROM grams
+            GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100
+        """,
+        "contamination": f"""
+            {_SHINGLES_LOWER},
+            bench AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+            train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 <> 0),
+            tot AS (SELECT doc_id, count(*) AS n_shingles FROM bench GROUP BY 1),
+            hit AS (SELECT doc_id, count(*) AS n_hit FROM bench
+                    WHERE shingle IN (SELECT shingle FROM train) GROUP BY 1)
+            SELECT tot.doc_id, n_shingles, coalesce(n_hit, 0) AS n_hit,
+                   round(coalesce(n_hit, 0) / CAST(n_shingles AS DOUBLE), 6) AS containment
+            FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
         """,
         "streaming_enrich": """
             SELECT event_id, user_id, event_type, c_name, c_mktsegment

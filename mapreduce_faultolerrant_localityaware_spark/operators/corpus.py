@@ -1,0 +1,158 @@
+"""Corpus-level statistics operators — TF-IDF term weighting, n-gram
+language-model counts, and benchmark-contamination checks.  The
+corpus-wide companions to the per-doc signals in ``textstats``:
+training-data-pipeline extensions beyond the reference surface (its
+only corpus statistic is the word count, core/map_reduce.go:543-560).
+
+All three are built-in-function compositions (codegen'd, no Python):
+  * TF-IDF: two partial-agged groupBys + an equi-join on token; the
+    corpus doc count rides a 1-row broadcast equi-join (never a
+    nested-loop or a driver collect).
+  * bigram counts: bigrams are built INSIDE the token array with a
+    ``transform`` over adjacent elements — zero shuffle until the
+    count groupBy, and that shuffle carries (bigram, partial count).
+  * contamination: an inverted-index LEFT SEMI join on the shingle —
+    only shingles that occur on both sides ever meet, never a cross
+    product; the corpus side is collapsed to DISTINCT shingles first
+    so the probe side is bounded by vocabulary, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ._parallel import ensure_parallelism
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms.
+
+    tf = term count / doc length; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed sklearn form — never divides by zero, never negative).
+    Ranking uses the RAW tfidf (exact ties broken by token) so both
+    engines rank identically; the emitted score is rounded to 6 dp.
+
+    Shape at scale: one explode pass → (doc, token) counts (partial
+    agg before the exchange) → df by token (second partial agg) →
+    equi-join counts⋈df on token (AQE handles hot tokens) → per-doc
+    window top-k.  N injects as a scalar subquery (one tiny extra job,
+    its result inlined as a literal — no nested-loop join, no driver
+    collect in the plan).
+    """
+    from pyspark.sql import Window
+
+    tk = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
+    )
+    counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = counts.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    doclen.createOrReplaceTempView("_tfidf_doclen")
+
+    scored = (
+        counts.join(doclen, id_col)
+        .join(dfreq, "token")
+        .withColumn("n_docs", F.expr("(SELECT count(*) FROM _tfidf_doclen)"))
+        .withColumn(
+            "tfidf_raw",
+            (F.col("tf") / F.col("dl"))
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_raw"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("tf").alias("tf"),
+            F.col("df").alias("df"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            "rk",
+        )
+    )
+
+
+def _bigrams(tk: Column) -> Column:
+    """Adjacent-pair bigrams from a token array — array-native, no
+    explode/self-join (``element_at`` is 1-based, lambda index 0-based)."""
+    return F.transform(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+    )
+
+
+def bigram_counts(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus top-``k`` bigram counts — the n-gram LM / collocation
+    statistic.  Bigram construction happens inside the token array
+    (one codegen'd pass, zero shuffle); the only exchange carries
+    (bigram, partial count) thanks to map-side combine, and the top-k
+    is TakeOrderedAndProject (per-partition heads, no total sort)."""
+    from ..operators.relational import top_k
+
+    tk = tokens(text_col, lowercase=True)
+    grams = ensure_parallelism(docs).select(F.explode(_bigrams(tk)).alias("bigram"))
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, k, F.desc("n"), F.asc("bigram"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench_mod: int = 50,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for each held-out "benchmark" doc
+    (``doc_id % bench_mod == 0`` — a deterministic stand-in for a real
+    eval set), the fraction of its word ``n``-gram shingles that also
+    occur anywhere in the training corpus (the remaining docs).
+
+    Returns (doc_id, n_shingles, n_hit, containment) — containment
+    ≥ ~0.8 is the usual "drop or decontaminate" trigger.
+
+    Scale shape: both sides reduce to DISTINCT shingles before the
+    LEFT SEMI equi-join (inverted index: only shared shingles meet,
+    and the training side is bounded by distinct-shingle vocabulary,
+    not corpus size).  A real pipeline feeds the eval set as a second
+    table; the modulo split keeps the operator self-contained and
+    oracle-checkable on one input.
+    """
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
+    ).distinct()
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    bench = sh.filter(is_bench)
+    train = sh.filter(~is_bench).select("shingle").distinct()
+
+    totals = bench.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        bench.join(train, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles"), 6).alias(
+                "containment"
+            ),
+        )
+    )

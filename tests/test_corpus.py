@@ -1,0 +1,71 @@
+"""Semantic tests for corpus-level operators (TF-IDF, bigram counts,
+contamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "zyzzyva zyzzyva the cat"),
+            (2, "the dog sat on the log"),
+            (3, "the bird sat on the wire"),
+        ],
+    )
+    out = corpus.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    # the corpus-unique term (same tf as 'the' in doc 1, higher idf)
+    # must out-weigh the everywhere-word
+    assert top[1] == "zyzzyva"
+    # rk is 1..k and tfidf is positive
+    assert all(r["rk"] == 1 and r["tfidf"] > 0 for r in out)
+
+
+def test_bigram_counts_exact(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    rows = {r["bigram"]: r["n"] for r in corpus.bigram_counts(df, k=10).collect()}
+    assert rows == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_bigram_short_docs_yield_nothing(spark):
+    df = _docs(spark, [(1, "single"), (2, "")])
+    assert corpus.bigram_counts(df, k=10).count() == 0
+
+
+def test_contamination_duplicate_is_fully_contained(spark):
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            (0, dup),                                   # bench (0 % 50 == 0)
+            (1, dup),                                   # train copy -> containment 1.0
+            (50, "iota kappa lambda mu nu xi omicron"), # bench, nothing shared
+            (2, "totally different training text here"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in corpus.contamination_check(df, bench_mod=50).collect()}
+    assert rows[0]["containment"] == 1.0
+    assert rows[50]["containment"] == 0.0
+    assert rows[50]["n_hit"] == 0
+    assert set(rows) == {0, 50}  # only bench docs are reported
+
+
+def test_contamination_plan_is_semi_join(spark):
+    df = _docs(spark, [(0, "a b c d e"), (1, "a b c x y")])
+    plan = (
+        corpus.contamination_check(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
