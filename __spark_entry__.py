@@ -364,6 +364,14 @@ def _q_vocab_top_tokens(spark, sf):
     )
 
 
+def _q_repetition_ratio(spark, sf):
+    return textstats.repetition_ratio(scan(spark, sf, "documents"))
+
+
+def _q_embedding_norms(spark, sf):
+    return similarity.embedding_norms(scan(spark, sf, "embeddings"))
+
+
 def _q_tfidf_top_terms(spark, sf):
     return corpus.tfidf_top_terms(scan(spark, sf, "documents"), k=3)
 
@@ -1442,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": _q_scrub_text,
         "sample_stratified": _q_sample_stratified,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "repetition_ratio": _q_repetition_ratio,
+        "embedding_norms": _q_embedding_norms,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
@@ -1763,6 +1773,30 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "repetition_ratio": f"""
+            WITH t AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+                  FROM t)
+            SELECT doc_id,
+                   CAST(len(sh) AS BIGINT) AS n_shingles,
+                   CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(sh) > 0
+                        THEN round(1 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE), 6)
+                   END AS rep_ratio
+            FROM s
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+                   round(list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs,
+                   CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos
+            FROM embeddings
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOK_LOWER}) AS token FROM documents),

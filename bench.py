@@ -41,8 +41,10 @@ HEADLINE = [
     "join_part",
     "tpch_q3",
     "asof_join",
+    "tpch_q1",
     "tpch_q5",
     "tpch_q18",
+    "tfidf_top_terms",
     "dedup_clusters",
     "multimodal_decode",
 ]

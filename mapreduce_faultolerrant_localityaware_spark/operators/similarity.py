@@ -225,3 +225,23 @@ def ann_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def embedding_norms(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector hygiene stats — the sanity pass a pipeline runs
+    before ANN indexing / cosine dedup: dimensionality, L2 norm,
+    largest-magnitude component, positive-component count.  All
+    array-native inside the row (zero shuffle, codegen'd); floats are
+    cast to double BEFORE arithmetic so the SQL oracle reproduces the
+    sums bit-for-bit at 6 dp."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        F.col(id_col),
+        F.size(vec_col).cast("long").alias("dim"),
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(F.array_max(F.transform(v, F.abs)), 6).alias("max_abs"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )

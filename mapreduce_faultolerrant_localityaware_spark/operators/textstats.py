@@ -124,6 +124,29 @@ def scrub_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def repetition_ratio(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total word ``n``-gram
+    shingles — the boilerplate/spam/degenerate-generation signal of a
+    pretraining quality filter (high ratio = the doc repeats itself).
+    Entirely array-native (shingle → distinct → size inside the row):
+    zero shuffle, codegen'd end to end."""
+    from ..functions.text import shingles as _shingles
+
+    sh = _shingles(tokens(text_col, lowercase=True), n)
+    n_total = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    return docs.select(
+        F.col(id_col),
+        n_total.cast("long").alias("n_shingles"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.when(n_total > 0, F.round(1 - n_distinct / n_total.cast("double"), 6)).alias(
+            "rep_ratio"
+        ),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact identity)
     plus a coarse structural sketch (min/max token hash — a 2-hash

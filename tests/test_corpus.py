@@ -69,3 +69,31 @@ def test_contamination_plan_is_semi_join(spark):
     )
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_ratio_flags_repeats(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),      # one distinct 3-gram
+            (2, "all words here are fully unique"),    # no repeats
+            (3, "ab"),                                 # too short -> null ratio
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_ratio(df).collect()}
+    assert rows[1]["n_distinct"] == 1 and rows[1]["rep_ratio"] == 0.75
+    assert rows[2]["rep_ratio"] == 0.0
+    assert rows[3]["n_shingles"] == 0 and rows[3]["rep_ratio"] is None
+
+
+def test_embedding_norms_unit_vector(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0]), (2, [0.0, 0.0, -1.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["vec_id"]: r for r in similarity.embedding_norms(df).collect()}
+    assert rows[1]["l2_norm"] == 5.0 and rows[1]["max_abs"] == 4.0 and rows[1]["n_pos"] == 2
+    assert rows[2]["l2_norm"] == 1.0 and rows[2]["n_pos"] == 0 and rows[2]["dim"] == 3
