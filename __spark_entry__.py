@@ -1803,7 +1803,7 @@ def oracle_sql() -> dict[str, str]:
             counts AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
             dl AS (SELECT doc_id, sum(tf) AS dl FROM counts GROUP BY 1),
             dfreq AS (SELECT token, count(*) AS df FROM counts GROUP BY 1),
-            n AS (SELECT count(*) AS n_docs FROM dl)
+            n AS (SELECT count(*) AS n_docs FROM documents)
             SELECT doc_id, token, tf, df, round(tfidf_raw, 6) AS tfidf, rk
             FROM (
               SELECT c.doc_id, c.token, c.tf, f.df,

@@ -36,30 +36,34 @@ def tfidf_top_terms(
 
     tf = term count / doc length; idf = ln((N+1)/(df+1)) + 1 (the
     smoothed sklearn form — never divides by zero, never negative).
+    N = total docs in the input (a metadata-only count(*) scalar).
     Ranking uses the RAW tfidf (exact ties broken by token) so both
     engines rank identically; the emitted score is rounded to 6 dp.
 
-    Shape at scale: one explode pass → (doc, token) counts (partial
-    agg before the exchange) → df by token (second partial agg) →
-    equi-join counts⋈df on token (AQE handles hot tokens) → per-doc
-    window top-k.  N injects as a scalar subquery (one tiny extra job,
-    its result inlined as a literal — no nested-loop join, no driver
-    collect in the plan).
+    Shape at scale: ONE corpus pass — explode → (doc, token) counts
+    (partial agg before the exchange), then doc length and document
+    frequency as WINDOW sums over the counts (no re-aggregation, no
+    self-joins, no second read of the corpus).  The doc-length window
+    and the final rank window share the doc_id partitioning, so
+    Catalyst reuses that exchange; total shuffles: counts, token
+    window, doc window — each carrying (doc, token, tf), never raw
+    text.  N injects as a scalar subquery (its result inlined as a
+    literal — no nested-loop join, no driver collect in the plan).
     """
     from pyspark.sql import Window
 
+    docs.createOrReplaceTempView("_tfidf_docs")
     tk = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
     )
     counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = counts.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfreq = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    doclen.createOrReplaceTempView("_tfidf_doclen")
 
+    w_token = Window.partitionBy("token")
+    w_doc = Window.partitionBy(id_col)
     scored = (
-        counts.join(doclen, id_col)
-        .join(dfreq, "token")
-        .withColumn("n_docs", F.expr("(SELECT count(*) FROM _tfidf_doclen)"))
+        counts.withColumn("df", F.count(F.lit(1)).over(w_token))
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .withColumn("n_docs", F.expr("(SELECT count(*) FROM _tfidf_docs)"))
         .withColumn(
             "tfidf_raw",
             (F.col("tf") / F.col("dl"))
