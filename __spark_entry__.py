@@ -384,6 +384,10 @@ def _q_contamination(spark, sf):
     return corpus.contamination_check(scan(spark, sf, "documents"))
 
 
+def _q_pack_sequences(spark, sf):
+    return corpus.pack_sequences(scan(spark, sf, "documents"), budget=512, n_streams=8)
+
+
 # ---- dedup ----
 
 def _q_dedup_exact(spark, sf):
@@ -1455,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1797,6 +1802,18 @@ def oracle_sql() -> dict[str, str]:
                          x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs,
                    CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos
             FROM embeddings
+        """,
+        "pack_sequences": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len({_TOK_LOWER}) AS BIGINT) AS n_tokens,
+                     CAST(doc_id % 8 AS BIGINT) AS stream
+              FROM documents)
+            SELECT doc_id, n_tokens, stream,
+                   CAST(stream * 4294967296
+                        + floor((sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
+                                 - n_tokens) / 512.0) AS BIGINT) AS pack_id
+            FROM base
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOK_LOWER}) AS token FROM documents),

@@ -4,10 +4,10 @@ corpus-wide companions to the per-doc signals in ``textstats``:
 training-data-pipeline extensions beyond the reference surface (its
 only corpus statistic is the word count, core/map_reduce.go:543-560).
 
-All three are built-in-function compositions (codegen'd, no Python):
-  * TF-IDF: two partial-agged groupBys + an equi-join on token; the
-    corpus doc count rides a 1-row broadcast equi-join (never a
-    nested-loop or a driver collect).
+All built-in-function compositions (codegen'd, no Python):
+  * TF-IDF: one explode pass → (doc, token) counts; doc length and
+    document frequency are window sums over the counts (no
+    re-aggregation joins); the corpus doc count is a scalar subquery.
   * bigram counts: bigrams are built INSIDE the token array with a
     ``transform`` over adjacent elements — zero shuffle until the
     count groupBy, and that shuffle carries (bigram, partial count).
@@ -159,4 +159,49 @@ def contamination_check(
                 "containment"
             ),
         )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_streams: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing — assign each document to a fixed-token-budget
+    pack (the pretraining step that concatenates short docs into full
+    context windows).  Greedy contiguous fill per stream: docs are
+    sharded into ``n_streams`` deterministic streams (``doc_id %
+    n_streams``), ordered by id within the stream, and a running token
+    total opens a new pack every time it crosses ``budget``.
+
+    Returns (doc_id, n_tokens, stream, pack_id) where pack_id is
+    globally unique (stream * 2^32 + bin).
+
+    Scale shape: a true global greedy pack is inherently sequential —
+    one running sum over the whole corpus would funnel everything
+    through a single partition.  Sharding first bounds each window to
+    a stream (parallelism = n_streams; set it to O(cores×4) in real
+    runs), which is exactly how packing shards in practice: packs
+    never span streams, each stream fills independently.  One shuffle
+    (by stream), one sort (by id within stream), all codegen'd.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col, lowercase=True))
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), n_tok.cast("long").alias("n_tokens"),
+        (F.col(id_col) % n_streams).cast("long").alias("stream"),
+    )
+    w = Window.partitionBy("stream").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    # bin by the prefix BEFORE this doc: a doc that crosses the budget
+    # boundary finishes its current pack rather than opening a new one
+    bin_ = F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "stream",
+        (F.col("stream") * F.lit(2**32) + bin_).cast("long").alias("pack_id"),
     )

@@ -97,3 +97,26 @@ def test_embedding_norms_unit_vector(spark):
     rows = {r["vec_id"]: r for r in similarity.embedding_norms(df).collect()}
     assert rows[1]["l2_norm"] == 5.0 and rows[1]["max_abs"] == 4.0 and rows[1]["n_pos"] == 2
     assert rows[2]["l2_norm"] == 1.0 and rows[2]["n_pos"] == 0 and rows[2]["dim"] == 3
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    # single stream, budget 10, 4-token docs: cum-before = 0,4,8,12,...
+    # -> floor(cum_before/10) = 0,0,0,1,1,2,2,2
+    df = _docs(spark, [(i, "a b c d") for i in range(8)])
+    out = corpus.pack_sequences(df, budget=10, n_streams=1).collect()
+    bins = {r["doc_id"]: r["pack_id"] for r in out}
+    assert [bins[i] for i in range(8)] == [0, 0, 0, 1, 1, 2, 2, 2]
+    assert all(r["stream"] == 0 and r["n_tokens"] == 4 for r in out)
+
+
+def test_pack_sequences_streams_are_disjoint(spark):
+    df = _docs(spark, [(i, "w " * (i % 5 + 1)) for i in range(40)])
+    out = corpus.pack_sequences(df, budget=6, n_streams=4)
+    rows = out.collect()
+    # stream is doc_id % 4 and pack ids never collide across streams
+    assert all(r["doc_id"] % 4 == r["stream"] for r in rows)
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r["stream"], set()).add(r["pack_id"])
+    packs = [p for s in by_stream.values() for p in s]
+    assert len(packs) == len(set(packs))
