@@ -388,6 +388,24 @@ def _q_pack_sequences(spark, sf):
     return corpus.pack_sequences(scan(spark, sf, "documents"), budget=512, n_streams=8)
 
 
+def _q_mixture_report(spark, sf):
+    return corpus.mixture_report(scan(spark, sf, "documents"))
+
+
+def _q_lang_confusion(spark, sf):
+    """Lang-ID evaluation against the corpus' ground-truth lang column:
+    the (truth, predicted) confusion counts an eval harness reports."""
+    docs = scan(spark, sf, "documents")
+    pred = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 # ---- dedup ----
 
 def _q_dedup_exact(spark, sf):
@@ -1460,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
         "pack_sequences": _q_pack_sequences,
+        "mixture_report": _q_mixture_report,
+        "lang_confusion": _q_lang_confusion,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1803,6 +1823,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos
             FROM embeddings
         """,
+        "mixture_report": f"""
+            WITH agg AS (
+              SELECT source, lang, count(*) AS n_docs,
+                     CAST(sum(len({_TOK_LOWER})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1, 2)
+            SELECT source, lang, n_docs, n_tokens,
+                   round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+                   round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+            FROM agg
+        """,
+        "lang_confusion": """
+            WITH base AS (SELECT doc_id, {TOKL} AS tk FROM documents),
+            hits AS (SELECT doc_id, {lang_hit_cols} FROM base),
+            best AS (SELECT doc_id, *, {lang_best} AS best FROM hits),
+            pred AS (SELECT doc_id, {lang_case} AS lang_pred FROM best)
+            SELECT lang, lang_pred, count(*) AS n
+            FROM documents JOIN pred USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """.replace("{TOKL}", _TOK_LOWER)
+          .replace("{lang_hit_cols}", lang_hit_cols)
+          .replace("{lang_best}", lang_best)
+          .replace("{lang_case}", lang_case),
         "pack_sequences": f"""
             WITH base AS (
               SELECT doc_id,

@@ -205,3 +205,34 @@ def pack_sequences(
         "stream",
         (F.col("stream") * F.lit(2**32) + bin_).cast("long").alias("pack_id"),
     )
+
+
+def mixture_report(
+    docs: DataFrame,
+    by: tuple = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture audit — per-(source, lang) document and token
+    volumes with corpus shares: the report a pretraining pipeline runs
+    before (and after) re-balancing its mix.
+
+    One aggregation pass carries (group, partial n_docs, partial
+    n_tokens); the share-of-total windows run over the AGGREGATED
+    output, whose cardinality is |sources| × |langs| — a few hundred
+    rows at any corpus size, so the unpartitioned window is safe."""
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in by]
+    agg = ensure_parallelism(docs).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col, lowercase=True))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        *by,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
+    )

@@ -120,3 +120,15 @@ def test_pack_sequences_streams_are_disjoint(spark):
         by_stream.setdefault(r["stream"], set()).add(r["pack_id"])
     packs = [p for s in by_stream.values() for p in s]
     assert len(packs) == len(set(packs))
+
+
+def test_mixture_report_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1", "en"), (2, "d e", "s1", "fr"), (3, "f", "s2", "en")],
+        ["doc_id", "text", "source", "lang"],
+    )
+    rows = corpus.mixture_report(df).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-5
+    by = {(r["source"], r["lang"]): r for r in rows}
+    assert by[("s1", "en")]["n_tokens"] == 3 and by[("s2", "en")]["n_docs"] == 1
