@@ -819,6 +819,61 @@ def _q_window_range_frame(spark, sf):
     )
 
 
+def _q_window_rows_frame(spark, sf):
+    """Moving average over a 3-row frame per user — the ROWS-frame
+    companion to the RANGE frame query (deterministic under the total
+    (ts, event_id) order)."""
+    from pyspark.sql import Window
+
+    ev = scan(spark, sf, "events").withColumn(
+        "epoch_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_us", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg3")
+    )
+
+
+def _q_struct_funcs(spark, sf):
+    """Nested-struct pack: per-customer sorted array of (price, key)
+    structs — array_sort over structs is lexicographic, so the head of
+    the sorted array is the (min price, tiebreak min key) order.
+    Output stays flat for the oracle; the nesting is the point."""
+    orders = scan(spark, sf, "orders")
+    arr = F.array_sort(F.collect_list(F.struct("o_totalprice", "o_orderkey")))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(arr.alias("arr"))
+        .select(
+            "o_custkey",
+            F.size("arr").cast("long").alias("n_orders"),
+            F.round(F.col("arr")[0]["o_totalprice"], 6).alias("min_price"),
+            F.col("arr")[0]["o_orderkey"].alias("min_price_key"),
+            F.round(F.element_at("arr", -1)["o_totalprice"], 6).alias("max_price"),
+        )
+    )
+
+
+def _q_map_funcs(spark, sf):
+    """Map-typed per-user event profile: map_from_entries over sorted
+    (event_type, n) structs, probed with element_at — the nested
+    map-column surface; outputs flattened for the oracle."""
+    ev = scan(spark, sf, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("profile")
+    )
+    return m.select(
+        "user_id",
+        F.size("profile").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("profile", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("profile", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.element_at("profile", "error"), F.lit(0)).alias("n_error"),
+    )
+
+
 def _q_tpch_q18(spark, sf):
     """TPC-H Q18 shape (large-volume customers): agg + HAVING + join
     back + top-k."""
@@ -1515,6 +1570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "window_first_last": _q_window_first_last,
         "window_range_frame": _q_window_range_frame,
+        "window_rows_frame": _q_window_rows_frame,
+        "struct_funcs": _q_struct_funcs,
+        "map_funcs": _q_map_funcs,
         "tpch_q1": _q_tpch_q1,
         "tpch_q2": _q_tpch_q2,
         "tpch_q8": _q_tpch_q8,
@@ -2240,6 +2298,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6) AS rolling_10m
             FROM events
+        """,
+        "window_rows_frame": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+            FROM events
+        """,
+        "struct_funcs": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(min(o_totalprice), 6) AS min_price,
+                   (array_agg(o_orderkey ORDER BY o_totalprice, o_orderkey))[1]
+                     AS min_price_key,
+                   round(max(o_totalprice), 6) AS max_price
+            FROM orders GROUP BY 1
+        """,
+        "map_funcs": """
+            WITH per AS (SELECT user_id, event_type, count(*) AS n
+                         FROM events GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_types,
+                   coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS n_click,
+                   coalesce(max(CASE WHEN event_type = 'purchase' THEN n END), 0) AS n_purchase,
+                   coalesce(max(CASE WHEN event_type = 'error' THEN n END), 0) AS n_error
+            FROM per GROUP BY 1
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
