@@ -1207,7 +1207,7 @@ def _q_tpch_q9(spark, sf):
 
 def _q_tpch_q11(spark, sf):
     """TPC-H Q11 shape (important stock): per-part value with a
-    HAVING-vs-global-scalar threshold (group sum > 0.1% of total) —
+    HAVING-vs-global-scalar threshold (parts worth > 2x the mean part value - scale-invariant) —
     the scalar rides a 1-row broadcast cross join, never a driver
     collect."""
     nation = scan(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
@@ -1223,7 +1223,7 @@ def _q_tpch_q11(spark, sf):
         """
         SELECT l_partkey AS p_key, round(sum(v), 2) AS value
         FROM q11_val GROUP BY 1
-        HAVING sum(v) > (SELECT sum(v) * 0.001 FROM q11_val)
+        HAVING sum(v) > (SELECT 2.0 * sum(v) / count(DISTINCT l_partkey) FROM q11_val)
         ORDER BY value DESC, p_key ASC
         """
     )
@@ -2399,7 +2399,7 @@ def oracle_sql() -> dict[str, str]:
                          WHERE n_name = 'NATION_1')
             SELECT l_partkey AS p_key, round(sum(v), 2) AS value
             FROM val GROUP BY 1
-            HAVING sum(v) > (SELECT sum(v) * 0.001 FROM val)
+            HAVING sum(v) > (SELECT 2.0 * sum(v) / count(DISTINCT l_partkey) FROM val)
             ORDER BY value DESC, p_key ASC
         """,
         "tpch_q12": """

@@ -5,9 +5,9 @@ training-data-pipeline extensions beyond the reference surface (its
 only corpus statistic is the word count, core/map_reduce.go:543-560).
 
 All built-in-function compositions (codegen'd, no Python):
-  * TF-IDF: one explode pass → (doc, token) counts; doc length and
-    document frequency are window sums over the counts (no
-    re-aggregation joins); the corpus doc count is a scalar subquery.
+  * TF-IDF: one tokenize pass → persisted (doc, token) counts;
+    document frequency via skew-safe groupBy+join, doc length via a
+    doc-partitioned window; the corpus doc count is a scalar subquery.
   * bigram counts: bigrams are built INSIDE the token array with a
     ``transform`` over adjacent elements — zero shuffle until the
     count groupBy, and that shuffle carries (bigram, partial count).
@@ -40,15 +40,17 @@ def tfidf_top_terms(
     Ranking uses the RAW tfidf (exact ties broken by token) so both
     engines rank identically; the emitted score is rounded to 6 dp.
 
-    Shape at scale: ONE corpus pass — explode → (doc, token) counts
-    (partial agg before the exchange), then doc length and document
-    frequency as WINDOW sums over the counts (no re-aggregation, no
-    self-joins, no second read of the corpus).  The doc-length window
-    and the final rank window share the doc_id partitioning, so
-    Catalyst reuses that exchange; total shuffles: counts, token
-    window, doc window — each carrying (doc, token, tf), never raw
-    text.  N injects as a scalar subquery (its result inlined as a
-    literal — no nested-loop join, no driver collect in the plan).
+    Shape at scale: ONE tokenize pass — explode → (doc, token) counts
+    (partial agg before the exchange), PERSISTED so both consumers
+    read the materialized counts instead of re-tokenizing the corpus.
+    Document frequency is a groupBy(token) + equi-join back — NOT a
+    token-partitioned window: a window would funnel every ("the", doc)
+    row through one task with no partial aggregation and no skew
+    mitigation, while the groupBy collapses hot tokens map-side and
+    AQE skew-splits the join.  Doc length IS a window (per-doc groups
+    are bounded by doc vocabulary) and shares the doc_id partitioning
+    with the final rank window (exchange reuse).  N injects as a
+    scalar subquery (inlined literal — no nested-loop join).
     """
     from pyspark.sql import Window
 
@@ -56,12 +58,12 @@ def tfidf_top_terms(
     tk = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
     )
-    counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
-    w_token = Window.partitionBy("token")
     w_doc = Window.partitionBy(id_col)
     scored = (
-        counts.withColumn("df", F.count(F.lit(1)).over(w_token))
+        counts.join(dfreq, "token")
         .withColumn("dl", F.sum("tf").over(w_doc))
         .withColumn("n_docs", F.expr("(SELECT count(*) FROM _tfidf_docs)"))
         .withColumn(
