@@ -421,6 +421,10 @@ def _q_dedup_simhash(spark, sf):
     return dedup.simhash(scan(spark, sf, "documents"))
 
 
+def _q_dedup_simhash_pairs(spark, sf):
+    return dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+
+
 def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
@@ -1538,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
@@ -2082,6 +2087,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
             FROM v GROUP BY doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH tc AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
+              GROUP BY doc_id, t
+            ),
+            v AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
+              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+              GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
+              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
+            ),
+            ok AS (SELECT band, bv FROM bands GROUP BY 1, 2
+                   HAVING count(*) <= {dedup.MAX_BUCKET_ALLPAIRS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.simhash AS sim_a, b.simhash AS sim_b
+              FROM bands a
+              JOIN ok USING (band, bv)
+              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
         """,
         "dedup_ngram_jaccard": f"""
             {_SHINGLES_LOWER},

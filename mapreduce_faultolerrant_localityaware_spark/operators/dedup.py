@@ -316,3 +316,68 @@ def dedup_embedding_cosine(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+#: SimHash banding: 4 bands of 8 bits over the 32-bit fingerprint.
+#: Pigeonhole guarantee: any pair within hamming distance 3 shares at
+#: least one intact band, so banded candidate generation is COMPLETE
+#: for max_hamming <= SIMHASH_BANDS - 1.
+SIMHASH_BANDS = 4
+
+
+def dedup_simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET_ALLPAIRS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs from banded SimHash fingerprints: band the
+    32-bit fingerprint into SIMHASH_BANDS byte buckets, candidate
+    pairs via an equi-join on (band, value), verify with the exact
+    hamming distance ``bit_count(xor)`` — complete for ``max_hamming
+    <= SIMHASH_BANDS - 1`` by pigeonhole.
+
+    Scale shape mirrors the LSH operator: candidates come from
+    equi-joins on band buckets (never a cross product — the shuffle
+    carries 4 byte-sized rows per doc), and band values shared by more
+    than ``max_bucket`` docs are dropped from the join (the all-same
+    byte a boilerplate corpus produces), bounding single-key fan-out.
+    Verification is a constant-time bitop on the joined pair.
+    """
+    sig = simhash(docs, text_col=text_col, id_col=id_col)
+    bands = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    ok = (
+        bands.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bv")
+    )
+    capped = bands.join(ok, ["band", "bv"])
+    left = capped.select(
+        "band", "bv", F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    right = capped.select(
+        "band", "bv", F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )

@@ -119,3 +119,27 @@ def test_label_prop_nonconvergence_raises(spark):
     # allow_partial returns (possibly wrong) labels without raising
     got = connected_components(df, max_iter=2, allow_partial=True).collect()
     assert len(got) == 13
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, "completely unrelated legal boilerplate " * 5)],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.dedup_simhash_pairs(df).collect()}
+    assert pairs[(1, 2)] == 0
+    # repeated-token doc 3 differs from 1/2 in far more than 3 bits
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pairs_bucket_cap_drops_flood(spark):
+    # 40 identical docs -> every band bucket holds 40 ids; cap at 10
+    # drops all buckets, so no candidate survives
+    df = spark.createDataFrame(
+        [(i, "mass duplicated boilerplate page content") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    assert dedup.dedup_simhash_pairs(df, max_bucket=10).count() == 0
+    assert dedup.dedup_simhash_pairs(df, max_bucket=64).count() == 40 * 39 // 2
