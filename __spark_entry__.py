@@ -501,6 +501,24 @@ def _q_streaming_tumbling(spark, sf):
     )
 
 
+def _q_streaming_sliding(spark, sf):
+    """Sliding-window streaming counts under the batch oracle gate:
+    every event lands in window/slide = 2 overlapping windows; the
+    oracle reproduces the epoch-aligned window grid with an unnested
+    offset join."""
+    stream = streaming_ops.stream_table(spark, sf, "events")
+    win = streaming_ops.sliding_event_counts(
+        stream, window_len="30 minutes", slide="15 minutes", watermark="1 hour"
+    )
+    out = streaming_ops.run_to_batch(win, spark)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
 def _q_streaming_dedup_keys(spark, sf):
     """Watermarked streaming dedup under the oracle gate: output only
     the dedup KEY columns so the result (the distinct key set) is
@@ -1553,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,
+        "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "pipeline_clean": _q_pipeline_clean,
         "asof_join": _q_asof_join,
@@ -1830,6 +1849,18 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "streaming_sliding": """
+            WITH g AS (
+              SELECT event_type,
+                     to_timestamp(floor(epoch(ts) / 900) * 900) AS g0
+              FROM events),
+            e AS (SELECT event_type, g0 - (o * INTERVAL 15 MINUTE) AS ws
+                  FROM g, (SELECT unnest([0, 1]) AS o))
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(ws + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, count(*) AS n_events
+            FROM e GROUP BY 1, 2, 3
         """,
         "scrub_text": """
             SELECT doc_id,
