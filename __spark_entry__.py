@@ -1501,6 +1501,15 @@ def _q_dedup_clusters(spark, sf):
     return connected_components(pairs)
 
 
+def _q_triangle_count(spark, sf):
+    """Cluster-density diagnostic: triangle count over the SimHash
+    near-dup pair graph (degree-oriented wedge enumeration)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import triangle_count
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return triangle_count(pairs)
+
+
 def _q_approx_distinct(spark, sf):
     """HyperLogLog++ distinct estimation — approximate by design, so no
     value-exact SQL oracle (driver records the weaker rows-only check);
@@ -1624,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": _q_histogram_bins,
         "join_skew_salted": _q_join_skew_salted,
         "dedup_clusters": _q_dedup_clusters,
+        "triangle_count": _q_triangle_count,
         "approx_distinct": _q_approx_distinct,
     }
 
@@ -2153,6 +2163,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        """,
+        "triangle_count": f"""
+            WITH tc AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
+              GROUP BY doc_id, t
+            ),
+            v AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
+              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+              GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
+              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
+            ),
+            ok AS (SELECT band, bv FROM bands GROUP BY 1, 2
+                   HAVING count(*) <= {dedup.MAX_BUCKET_ALLPAIRS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.simhash AS sim_a, b.simhash AS sim_b
+              FROM bands a
+              JOIN ok USING (band, bv)
+              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand
+              WHERE bit_count(xor(sim_a, sim_b)) <= 3
+            ),
+            nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+            tri AS (SELECT count(*) AS n_triangles FROM edges e1
+                    JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) FROM edges) AS n_edges,
+                   (SELECT n_triangles FROM tri) AS n_triangles
         """,
         "dedup_ngram_jaccard": f"""
             {_SHINGLES_LOWER},

@@ -181,3 +181,68 @@ def connected_components_two_phase(
         membership.unionByName(roots)
         .select(F.col("id").alias("doc_id"), F.col("cluster_id"))
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Global triangle count over an undirected edge list — the
+    cluster-density diagnostic for near-dup graphs (triangle-rich
+    components are tight duplicate cliques; triangle-free ones are
+    chains of borderline matches).
+
+    Degree-oriented enumeration (the scalable formulation): orient
+    every edge from its (degree, id)-smaller endpoint to the larger,
+    enumerate wedges by joining oriented edges on their source, and
+    close each wedge with a semi-join against the canonical edge set.
+    Orientation bounds every node's out-degree by O(sqrt(m)), so the
+    wedge join's per-key fan-out — the quadratic hazard a hub node
+    creates in the naive id-ordered version — is capped regardless of
+    skew.  Two equi-joins + one semi-join, no cross products.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    e = (
+        pairs.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    wedges = (
+        oriented.join(o2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c")))
+        .select(
+            F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+        )
+    )
+    closed = wedges.join(e, ["u", "v"], "left_semi")
+    # one-row summary WITHOUT joining 1-row frames (a join would plan
+    # a nested loop): tag each count source and conditional-aggregate
+    tagged = (
+        deg.select(F.lit("node").alias("kind"))
+        .unionByName(e.select(F.lit("edge").alias("kind")))
+        .unionByName(closed.select(F.lit("tri").alias("kind")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("kind") == "node", 1)).alias("n_nodes"),
+        F.count(F.when(F.col("kind") == "edge", 1)).alias("n_edges"),
+        F.count(F.when(F.col("kind") == "tri", 1)).alias("n_triangles"),
+    )

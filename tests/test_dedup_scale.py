@@ -143,3 +143,24 @@ def test_simhash_pairs_bucket_cap_drops_flood(spark):
     )
     assert dedup.dedup_simhash_pairs(df, max_bucket=10).count() == 0
     assert dedup.dedup_simhash_pairs(df, max_bucket=64).count() == 40 * 39 // 2
+
+
+def test_triangle_count_known_graph(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (no new triangle)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_orientation_handles_hub(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import triangle_count
+
+    # star graph: hub 0 to 50 leaves -> 0 triangles even though the
+    # hub's degree is 50 (degree orientation points every edge AT the
+    # hub, so no wedge enumerates from it)
+    df = spark.createDataFrame([(0, i) for i in range(1, 51)], ["doc_a", "doc_b"])
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (51, 50, 0)
