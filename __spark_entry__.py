@@ -571,6 +571,10 @@ def _q_pipeline_clean(spark, sf):
 
 # ---- temporal joins ----
 
+def _q_resample_ffill(spark, sf):
+    return temporal.resample_ffill(scan(spark, sf, "events"))
+
+
 def _q_asof_join(spark, sf):
     ev = scan(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
@@ -1583,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "pipeline_clean": _q_pipeline_clean,
+        "resample_ffill": _q_resample_ffill,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
@@ -1859,6 +1864,23 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
                    event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "resample_ffill": """
+            WITH per AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+                                count(*) AS n, sum(value) AS v
+                         FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                       FROM per GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+                     FROM bounds),
+            j AS (SELECT g.user_id, g.bucket, per.n, per.v
+                  FROM grid g LEFT JOIN per ON per.user_id = g.user_id AND per.bucket = g.bucket)
+            SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   coalesce(n, 0) AS n_events,
+                   round(last_value(v IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+            FROM j
         """,
         "streaming_sliding": """
             WITH g AS (

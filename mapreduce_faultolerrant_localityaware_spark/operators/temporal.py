@@ -93,3 +93,51 @@ def range_join(
     v = F.col(value) if isinstance(value, str) else value
     cond = (v >= bands[lo]) & (v < bands[hi])
     return fact.join(F.broadcast(bands), cond, how)
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample an irregular event stream onto a regular per-key time
+    grid with forward-fill — the gap-filling step before any
+    fixed-step time-series model.
+
+    Per key: bucket events to the unit grid (count + sum), generate
+    the dense [min, max] grid with ``sequence`` + explode, left-join
+    the observed buckets, and carry the last observed value forward
+    with ``last(ignorenulls)`` over an unbounded-preceding ROWS frame.
+
+    Scale shape: the aggregation is partial-agged on (key, bucket);
+    the grid explode is bounded by span/unit per key (never a global
+    range); the fill window sorts each key's buckets once —
+    per-key-bounded, no global sort, no cross product.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    per = events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("v")
+    )
+    bounds = per.groupBy(key_col).agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("mn", "mx", F.expr(f"INTERVAL 1 {unit.upper()}"))).alias(
+            "bucket"
+        ),
+    )
+    j = grid.join(per, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        key_col,
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
+    )

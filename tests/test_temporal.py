@@ -132,3 +132,28 @@ def test_range_join_semantics(spark):
     got = {(r["id"], r["band"]) for r in range_join(fact, bands, "v", "lo", "hi").collect()}
     # half-open [lo, hi): v=10 lands in band b; v=99 matches nothing
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_resample_ffill_fills_gaps(spark):
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import resample_ffill
+
+    d = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 0, 10), 10.0),
+            (1, d(2024, 1, 1, 0, 50), 20.0),   # same hour 0 -> v=30
+            (1, d(2024, 1, 1, 3, 5), 7.0),     # hours 1,2 are gaps
+            (2, d(2024, 1, 1, 5, 0), 1.0),     # single-bucket key
+        ],
+        ["user_id", "ts", "value"],
+    )
+    rows = {(r["user_id"], r["bucket"]): r for r in resample_ffill(ev).collect()}
+    assert len(rows) == 4 + 1  # user 1: hours 0..3; user 2: hour 5
+    h = lambda k: rows[(1, f"2024-01-01 0{k}:00:00")]
+    assert h(0)["n_events"] == 2 and h(0)["v_filled"] == 30.0
+    assert h(1)["n_events"] == 0 and h(1)["v_filled"] == 30.0  # carried forward
+    assert h(2)["n_events"] == 0 and h(2)["v_filled"] == 30.0
+    assert h(3)["n_events"] == 1 and h(3)["v_filled"] == 7.0
+    assert rows[(2, "2024-01-01 05:00:00")]["v_filled"] == 1.0
