@@ -104,3 +104,69 @@ def test_asof_join_matches_bruteforce(spark, left, right):
             # greatest ts; ties → greatest payload (operator's documented tiebreak)
             want[lid] = max(cands)[1]
     assert got == want
+
+
+# ---- pack_sequences invariants ----
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    st.integers(min_value=4, max_value=30),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_invariants(spark, token_counts, budget, n_streams):
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=budget, n_streams=n_streams).collect()
+
+    # every doc assigned exactly once, token counts preserved
+    assert sorted(r["doc_id"] for r in out) == list(range(len(token_counts)))
+    assert {r["doc_id"]: r["n_tokens"] for r in out} == dict(enumerate(token_counts))
+
+    # within a stream, pack ids are monotone in doc order and every
+    # pack's PREFIX (tokens before its last doc) stays under budget —
+    # the greedy contiguous-fill contract
+    from collections import defaultdict
+
+    by_stream = defaultdict(list)
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_stream[r["stream"]].append(r)
+    for rows_s in by_stream.values():
+        packs = [r["pack_id"] for r in rows_s]
+        assert packs == sorted(packs)
+        run = defaultdict(int)
+        for r in rows_s:
+            # cum-before determines the bin: bin*budget <= cum_before
+            bin_ = r["pack_id"] % (2 ** 32)
+            assert bin_ * budget <= run[r["stream"]] if r["n_tokens"] else True
+            run[r["stream"]] += r["n_tokens"]
+
+
+# ---- triangle_count vs brute force ----
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, raw_edges):
+    from itertools import combinations
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import triangle_count
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    nodes = {n for e in edges for n in e}
+    expected = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= edges
+    )
+    df = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == expected
+    assert row["n_edges"] == len(edges) and row["n_nodes"] == len(nodes)
