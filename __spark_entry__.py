@@ -470,6 +470,10 @@ def _q_ann_ivf_kmeans(spark, sf):
 
 # ---- multimodal (binary-column plumbing; blob = utf8 bytes of text) ----
 
+def _q_dedup_embedding_srp(spark, sf):
+    return similarity.dedup_embedding_srp(scan(spark, sf, "embeddings"))
+
+
 def _q_multimodal_meta(spark, sf):
     docs = scan(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -1576,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
@@ -2250,6 +2255,24 @@ def oracle_sql() -> dict[str, str]:
                    {_COS.format(a='a.v', b='b.v')} AS cos_sim
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a='a.v', b='b.v')} >= 0.3
+        """,
+        "dedup_embedding_srp": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (SELECT vec_id, v, (CASE WHEN list_dot_product(v, [0.9895989275537431, -0.31349296122789383, 0.6123312548734248, -0.5840348615311086, -0.11534162284806371, -0.24351818626746535, -0.442271604668349, -0.4668286209926009, 0.9363924688659608, -0.329772284720093, -0.0727226659655571, -0.2199577377177775, -0.22148014046251774, 0.3709295494481921, -0.9249956212006509, 0.484303611330688, -0.034349862951785326, -0.6852920395322144, 0.6514988290145993, 0.28825979493558407, -0.17598587600514293, -0.09702444169670343, -0.00217893673107028, -0.6235786466859281, -0.29495612578466535, -0.09502926981076598, 0.5548180574551225, -0.9435646524652839, -0.23579924926161766, 0.03559662075713277, -0.689897196367383, 0.4210969381965697, -0.30852551851421595, 0.24508045706897974, -0.7158403280191123, 0.7358866515569389, 0.5945824533700943, 0.5263097826391459, 0.8320022546686232, -0.9292879183776677, -0.7607307531870902, 0.3312248704023659, -0.23131675878539681, 0.03250852832570672, -0.1159096984192729, -0.6054952968843281, -0.39289988251402974, -0.17386305378749967, -0.21223892970010638, 0.1460451688617468, 0.7864339170046151, -0.7288963403552771, 0.2732720598578453, -0.5249767238274217, -0.4316005986183882, -0.32942668395116925, 0.9036115915514529, 0.1431344081647694, -0.3557684365659952, 0.0757171381264925, -0.5812856159172952, -0.8350109294988215, -0.6140082753263414, 0.29127166606485844]) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [-0.969538957811892, -0.316115309484303, -0.45670436322689056, -0.5971330949105322, 0.20083572855219245, 0.14283681008964777, 0.030060661491006613, 0.16839623358100653, -0.3687840448692441, 0.6361289802007377, -0.49907908914610744, -0.028946225065737963, 0.753825125284493, 0.9665465271100402, 0.6665155608206987, 0.4578809356316924, -0.68831158708781, 0.807326870970428, -0.31998008815571666, -0.5143852834589779, 0.7310408693738282, 0.8488652482628822, 0.8139826618134975, -0.9978709793649614, -0.7351595554500818, -0.5376028390601277, -0.7154859760776162, 0.9531834530644119, -0.5248531573452055, 0.677964779548347, -0.8123366949148476, -0.38016592198982835, -0.45774584310129285, -0.2301572449505329, 0.8302086354233325, -0.37926420057192445, 0.7512041279114783, 0.759671697858721, -0.7913494990207255, 0.7065482498146594, 0.9618783318437636, -0.4012018428184092, 0.26798727829009295, 0.7951476234011352, -0.4429904860444367, 0.492217555642128, 0.6233934159390628, 0.9260506965219975, 0.8569550197571516, -0.9520787969231606, -0.7549385842867196, -0.7243463788181543, 0.7155700759030879, 0.19014895521104336, 0.8894044235348701, 0.6756490268744528, -0.15795314917340875, 0.07394067756831646, 0.8471186994574964, 0.5953701930120587, 0.9427763987332582, 0.8850259208120406, -0.4539541006088257, -0.18621118739247322]) > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.21718989219516516, -0.5831786198541522, -0.6970925270579755, -0.8454598067328334, -0.8475600918754935, -0.9726014537736773, 0.05019629653543234, 0.44882303243502975, 0.6895050774328411, 0.8864213889464736, 0.4976222342811525, -0.13310882123187184, -0.6523523116484284, -0.8218865245580673, 0.7903622533194721, 0.8468346544541419, 0.21015298506245017, 0.7128839124925435, 0.7767738602124155, 0.5714026051573455, 0.28141951840370893, 0.42866230057552457, -0.5279407352209091, -0.5989048695191741, 0.24763435870409012, 0.2910762648098171, -0.2835097862407565, 0.9775888938456774, -0.37278798036277294, -0.06314151408150792, -0.9580300408415496, -0.41959299705922604, 0.28688119864091277, -0.1301860506646335, 0.050701468251645565, 0.8409574632532895, 0.08457199856638908, -0.5171833541244268, -0.1577776181511581, -0.2314721397124231, 0.5168937961570919, 0.10187313053756952, -0.5338332788087428, 0.46832665242254734, -0.7893908591940999, 0.8349026241339743, -0.17095484770834446, 0.8468898790888488, -0.8039023317396641, 0.22146388981491327, 0.7918132920749485, -0.008171266410499811, 0.8313385741785169, -0.7363628670573235, 0.26835809787735343, 0.4677373515442014, -0.3379070716910064, -0.4845564868301153, -0.6141253667883575, 0.5836867764592171, -0.27856759494170547, 0.9752342510037124, -0.4830321338959038, 0.7151943449862301]) > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.44092866452410817, -0.7707216143608093, -0.6969673312269151, -0.9261109125800431, 0.043993488885462284, 0.32589889084920287, 0.27606391441076994, 0.4110178332775831, -0.28594766464084387, -0.6017345008440316, 0.1995861493051052, -0.28564721159636974, 0.5606724848039448, 0.9104256443679333, 0.9211594597436488, -0.9961846144869924, 0.7329340246506035, 0.4674663608893752, -0.43918780190870166, 0.7695384775288403, -0.4697715062648058, 0.3584064277820289, -0.2941410248167813, -0.5589128430001438, -0.6341146822087467, 0.832432066090405, -0.33583764638751745, -0.8145033894106746, -0.39415839221328497, 0.4636660413816571, 0.5955821126699448, -0.17199055012315512, -0.4501168034039438, -0.9592135515995324, 0.7253502714447677, -0.5262859091162682, -0.6909259338863194, 0.4634812125004828, -0.9629650833085179, -0.7339440416544676, -0.8331347107887268, -0.08642626740038395, 0.0021841712296009064, 0.10933575546368957, -0.19538471102714539, 0.6299485098570585, -0.7851129802875221, -0.9197440631687641, 0.07374484650790691, -0.6641707075759768, -0.3119747322052717, 0.7057383479550481, 0.15433499915525317, -0.2462534848600626, 0.08942152606323361, 0.19721390632912517, 0.7096554744057357, 0.8400166495703161, -0.5753743620589375, 0.6151834055781364, 0.6837367950938642, -0.6022881590761244, -0.3933863053098321, -0.21217781491577625]) > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [-0.15576751809567213, -0.4401653539389372, 0.5805736887268722, -0.5787790068425238, -0.4122398430481553, 0.5002855560742319, 0.12544779386371374, -0.591021282132715, 0.19883665116503835, 0.5687442678026855, -0.13041100883856416, -0.5838456638157368, 0.15535636758431792, 0.49146476900205016, -0.9231664626859128, 0.39474480552598834, -0.162294439971447, 0.8194311768747866, -0.8856512610800564, -0.27967957500368357, -0.90662273298949, -0.12337440392002463, 0.10080736689269543, 0.40339985210448503, 0.7221568864770234, -0.0627727247774601, -0.6050632670521736, 0.0988157819956541, 0.03888394171372056, 0.3193926806561649, 0.12715550092980266, -0.2589067383669317, -0.5742578501813114, -0.28976625530049205, -0.19941794965416193, -0.12987526459619403, -0.07007102202624083, -0.12195549346506596, -0.9704801863990724, -0.8296677600592375, 0.9423115886747837, 0.7318667657673359, -0.8207607921212912, 0.8597635794430971, -0.5257755727507174, 0.9138230816461146, 0.9232335644774139, 0.12692513689398766, 0.0972120501101017, 0.7498742444440722, -0.6769516225904226, -0.7489776983857155, 0.9648851859383285, 0.5061893481761217, -0.8825860149227083, 0.653192057274282, 0.9710251679643989, -0.6965467375703156, 0.6829191208817065, -0.26100446889176965, -0.12082385551184416, 0.5088358051143587, -0.872206733096391, -0.7014010427519679]) > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.4017124678939581, -0.15359224751591682, -0.11796974204480648, -0.318372851703316, 0.21064278250560164, 0.60023358091712, 0.06965359766036272, -0.2987942760810256, 0.8383340062573552, 0.534702064935118, -0.41661673365160823, -0.038728647865355015, -0.2947427788749337, 0.690877721644938, -0.2866590810008347, -0.5568142449483275, 0.2185822748579085, 0.3443126594647765, 0.9511259351857007, 0.18827627273276448, -0.8606905196793377, -0.7237604768015444, 0.7376511078327894, -0.7016569548286498, 0.40109627321362495, -0.44323043152689934, -0.8134721741080284, -0.6111926948651671, -0.2197412750683725, -0.7707330221310258, -0.45908803632482886, 0.6924177962355316, -0.8493022159673274, 0.32423294289037585, 0.8189398483373225, -0.09352216124534607, 0.4958728337660432, -0.2608759175054729, -0.6077688955701888, 0.9961792277172208, 0.3397967382334173, -0.1571244732476771, -0.4823706867173314, 0.7990863639861345, -0.44434867054224014, 0.005333797074854374, 0.6522150244563818, -0.7821934269741178, -0.011181606445461512, -0.5178338969126344, 0.8557903566397727, -0.6326045910827816, 0.9599301554262638, -0.7111059138551354, -0.8424168764613569, -0.16851796954870224, -0.9449414731934667, -0.5022053909488022, -0.17102153273299336, -0.8295756890438497, -0.798894056584686, -0.46165992598980665, -0.3342869100160897, 0.3127192626707256]) > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.02317108865827322, 0.7790312236174941, 0.6898696282878518, -0.6697605326771736, -0.8952466887421906, -0.9826138997450471, -0.6787755745463073, -0.11614803969860077, -0.5973493871279061, -0.20645055826753378, -0.6115985298529267, -0.8358973190188408, 0.2753255506977439, 0.4781297012232244, -0.9768038056790829, -0.6309518185444176, -0.39560343557968736, -0.5016140965744853, -0.19725836254656315, 0.7517031258903444, 0.21925111440941691, 0.6669477811083198, 0.8363306769169867, -0.35391266690567136, -0.28880302840843797, 0.4336852286942303, 0.5194019577465951, -0.820204817224294, -0.12051397701725364, 0.23964937683194876, -0.1992583074606955, -0.39113968843594193, -0.29905005916953087, 0.22560196509584785, 0.37584429048001766, 0.4153627147898078, 0.12009656755253673, -0.6530079264193773, -5.926517769694328e-05, 0.5019925087690353, -0.8335121031850576, -0.7377589805983007, -0.45665595261380076, -0.3613907895050943, 0.7501205261796713, 0.9693798213265836, 0.10457644704729319, 0.6098182299174368, 0.9234954062849283, 0.6167513835243881, 0.6225182642228901, -0.5046839793212712, -0.7371937688440084, -0.02744716964662075, 0.3863589293323457, 0.660133951343596, -0.4989363760687411, -0.9779292144812644, 0.6920115510001779, 0.8671369170770049, 0.4344106246717274, 0.982749009039253, 0.2401577401906252, 0.7430026503279805]) > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [-0.235062790568918, 0.10841957340016961, 0.3531644041649997, -0.47520425636321306, 0.6387292235158384, 0.47248316649347544, 0.08877427782863379, 0.6325170607306063, -0.011504921596497297, 0.15092069888487458, -0.8041706504300237, 0.5685208695940673, -0.625339878257364, 0.04484812309965491, 0.9830156774260104, -0.3599037011153996, 0.499966932926327, -0.35729228146374226, 0.3099968577735126, -0.33643153170123696, 0.6198894530534744, -0.4792139558121562, 0.8234496833756566, 0.6566663347184658, 0.9096828801557422, -0.1253174669109285, -0.22158894268795848, 0.25323689728975296, 0.652601420879364, 0.619675190653652, 0.5420234939083457, -0.40053201746195555, -0.3505032700486481, -0.8657472664490342, -0.6669423477724195, -0.43394789565354586, 0.9611114165745676, -0.9800233305431902, -0.5453111790120602, 0.4916020454838872, 0.662815622985363, -0.9927791454829276, 0.27185074565932155, 0.7396356901153922, 0.44564938824623823, -0.05624879151582718, -0.8715860666707158, -0.8534688982181251, 0.9851398742757738, 0.3248284813016653, 0.19943645922467113, -0.41926421597599983, -0.05788463167846203, 0.6685113278217614, -0.5312172593548894, 0.5783891249448061, -0.401168754324317, 0.6086796601302922, -0.9860697169788182, 0.8724790569394827, -0.12809718400239944, 0.09310039272531867, -0.16394510213285685, -0.09450991591438651]) > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.24894231325015426, -0.8414692794904113, -0.4398103025741875, 0.45376106537878513, -0.2914421223104, 0.4185508186928928, 0.5982412160374224, 0.33194489777088165, 0.7095955740660429, -0.7228203425183892, 0.5856421794742346, 0.08745087496936321, -0.37038986664265394, -0.3447323963046074, -0.19300214713439345, -0.04622968006879091, -0.4400964961387217, -0.9716931562870741, -0.010133133735507727, -0.35249962704256177, -0.6508297533728182, -0.1574254659935832, 0.006933362223207951, -0.9278981392271817, -0.8956622295081615, -0.19967567268759012, -0.3004193282686174, -0.13454391062259674, 0.8637494640424848, 0.5924590127542615, -0.9134367629885674, -0.42337924614548683, -0.8206685585901141, 0.7407638914883137, 0.7599951410666108, 0.5299908248707652, -0.4109861049801111, 0.06742002535611391, -0.9094286020845175, 0.8049650718457997, 0.890152707695961, 0.3541622473858297, 0.6635907515883446, 0.2448260118253529, -0.2695254636928439, 0.9650529525242746, -0.33760842913761735, -0.24595629516988993, 0.9529254212975502, -0.6912850299850106, -0.6090329494327307, 0.4082818045280874, 0.17336142342537642, 0.8846541736274958, 0.2163610286079347, 0.7393831526860595, -0.14839217672124505, 0.8351806486025453, 0.9350636159069836, -0.7227498344145715, -0.4325497895479202, 0.2903902227990329, -0.7637123097665608, 0.9353253794834018]) > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [-0.008430900517851114, 0.6039964272640646, -0.3582506310194731, 0.698869361076504, 0.6377432318404317, 0.10296780942007899, 0.8300933255814016, 0.3273395844735205, -0.8575322520919144, -0.34442621702328324, -0.32764688320457935, -0.244892836548388, 0.41020134929567575, 0.8293675608001649, -0.26772313797846437, -0.9344770698808134, 0.5047706672921777, 0.8530619638040662, -0.5256069460883737, -0.15350203216075897, -0.23073886381462216, -0.5095786983147264, -0.5381829557009041, 0.1314988313242793, -0.6833265963941813, 0.5329643888399005, 0.4338754885829985, -0.4970389869995415, 0.43028154550120234, -0.5575908878818154, 0.49738022964447737, -0.08280149661004543, -0.05773551110178232, 0.9680875926278532, -0.4982951898127794, 0.7760441182181239, 0.12706308951601386, 0.3064463292248547, -0.6669632839038968, -0.8903541811741889, 0.17002538917586207, 0.7112378356978297, 0.5997262336313725, -0.9699786375276744, 0.8858605027198792, 0.35463464725762606, -0.8147526052780449, 0.28706137416884303, 0.40918226912617683, 0.7534977071918547, 0.20859252801164985, 0.72189588425681, -0.8258972675539553, -0.8428555391728878, -0.5013033752329648, 0.09987885504961014, 0.9223282770253718, -0.8850673101842403, -0.6012459374032915, -0.6185647738166153, 0.35195451602339745, -0.9180688820779324, -0.9920447235926986, 0.4001524210907519]) > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.5448780283331871, -0.3983503212220967, -0.7925774790346622, -0.6351706669665873, 0.6904131714254618, -0.4441684680059552, -0.8932763230986893, -0.08614060375839472, 0.47640466783195734, 0.9466920429840684, -0.7584185977466404, 0.9478581282310188, -0.21585209341719747, -0.48727720510214567, 0.6724403696134686, 0.9214998590759933, 0.24049034202471375, -0.17167035909369588, 0.47734761936590075, -0.07764173950999975, 0.5953080663457513, -0.4701649518683553, -0.962399851065129, 0.19168009143322706, 0.7598247290588915, 0.4047730006277561, 0.7659068014472723, 0.24135716632008553, -0.5216695950366557, -0.4566812124103308, -0.9351006364449859, 0.5421433798037469, -0.18058434734120965, -0.1267974078655243, 0.518637714907527, -0.5722704124636948, 0.3546861745417118, 0.3198211621493101, 0.5665309862233698, 0.8650505244731903, -0.910169692710042, -0.19268183782696724, 0.46011775312945247, -0.6188048939220607, -0.1599188824184239, 0.18177226232364774, 0.8143817847594619, 0.16795461904257536, -0.22222932893782854, -0.5174140520393848, 0.6964617022313178, 0.4686333201825619, 0.5700807734392583, 0.7570593771524727, 0.6665560388937593, 0.934740505181253, 0.4196813669987023, -0.10600754106417298, -0.5396540542133152, 0.24645425891503692, -0.7305296286940575, -0.935946261510253, -0.24164888774976134, 0.02265905076637864]) > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.5138573558069766, -0.4904236337170005, 0.25436824234202504, -0.604855271987617, -0.18093309178948402, 0.7639420190826058, 0.6547224684618413, -0.45133840944617987, -0.2240944691002369, 0.18243315955623984, -0.9539947737939656, -0.2603313163854182, -0.5657811127603054, -0.2962304260581732, 0.23829911882057786, -0.481632468290627, 0.9269100478850305, -0.3505691452883184, 0.5623713596723974, 0.624820307828486, 0.6942079570144415, 0.7676228666678071, 0.4547871886752546, -0.947235485073179, -0.16537789767608047, -0.10524942399933934, 0.8119864990003407, -0.5961905554868281, 0.31345907784998417, 0.9542825999669731, 0.9630693006329238, -0.8249858738854527, 0.3550582234747708, -0.09983121743425727, -0.8977741613052785, -0.8647690638899803, 0.4010134255513549, -0.23205603240057826, -0.44848450645804405, 0.18218825943768024, 0.009710233192890882, -0.1755357589572668, 0.3058232474140823, 0.30054553505033255, 0.21707026567310095, -0.0753670516423881, 0.8360224920324981, -0.6307016620412469, 0.39963834872469306, -0.40203858027234674, -0.0072949971072375774, 0.6317043341696262, 0.9635290871374309, -0.03450207505375147, -0.7854135166853666, -0.4012904725968838, 0.975418561603874, -0.19750607199966908, -0.01749377464875579, -0.4952230164781213, 0.8346875482238829, -0.7465189890936017, 0.35766463447362185, -0.7912705014459789]) > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [-0.6843581148423254, -0.5772624514065683, -0.380302753765136, -0.48736016266047955, -0.3697234825231135, -0.799213258549571, -0.22180205769836903, 0.9091436173766851, 0.47858318500220776, 0.21590480720624328, 0.7013584496453404, -0.5262089124880731, 0.22666187724098563, 0.7197379423305392, -0.27086668740957975, 0.88624526001513, -0.48179703997448087, 0.9964249306358397, -0.981746407225728, -0.7014282029122114, -0.11074618296697736, -0.4319087080657482, 0.34112490992993116, -0.13954391283914447, -0.22463053138926625, -0.786400246899575, 0.02698870236054063, 0.7250845418311656, -0.9314517001621425, 0.5723742097616196, -0.12748510483652353, -0.4425167008303106, 0.549229740165174, 0.10335570340976119, -0.35177174443379045, -0.8985150009393692, -0.17725192196667194, 0.9418127327226102, -0.8945574155077338, -0.44469099678099155, 0.8013560082763433, 0.5013340604491532, 0.11089286580681801, 0.2623418546281755, -0.4446827946230769, 0.34604714810848236, 0.9239928526803851, 0.327326025813818, -0.7249532523564994, 0.1081145009957254, 0.7537872479297221, 0.2704694583080709, -0.4799718135036528, 0.27688847156241536, 0.44827750558033586, -0.6706761554814875, -0.9443588010035455, 0.9318565586581826, -0.10068305348977447, 0.6362064788118005, 0.8787019597366452, -0.9768702113069594, 0.2290403456427157, -0.1405496490187943]) > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.020845726132392883, 0.2929157139733434, 0.43843240663409233, -0.9879164574667811, -0.8715608939528465, 0.9821288604289293, 0.12573423516005278, 0.18829947663471103, 0.8094731289893389, -0.945759367197752, -0.14371707383543253, 0.006373109761625528, 0.1620159070007503, 0.18651531403884292, -0.2754759038798511, -0.5711728665046394, 0.05412663612514734, 0.6273805759847164, -0.19517853017896414, 0.8860952947288752, 0.20439670700579882, -0.77525604236871, -0.7045855484902859, -0.33427691366523504, -0.04023759160190821, -0.8899808637797832, -0.8513188594952226, -0.8476287410594523, -0.8876108243130147, 0.13041962077841163, 0.4683493566699326, 0.5080072372220457, -0.1033296980895102, -0.32321961177513003, 0.23423317912966013, -0.6762977768667042, -0.3514423123560846, 0.9732657251879573, -0.6834801859222353, -0.25380198331549764, 0.19534324249252677, -0.7390484502539039, 0.4422426838427782, 0.06223195372149348, 0.5260263341479003, 0.31281871628016233, 0.023121451027691364, -0.7321028360165656, 0.7182703772559762, -0.3258371530100703, 0.5149818658828735, 0.23944207839667797, 0.09038552036508918, 0.2795657077804208, -0.4923603995703161, 0.8922415301203728, 0.7018585237674415, 0.8927110102958977, 0.02904328051954508, 0.6985692358575761, -0.9075139439664781, 0.49175441451370716, 0.7873031203635037, -0.7086345609277487]) > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [0.26750524435192347, 0.4036690522916615, -0.9275023872032762, 0.8116056458093226, -0.5675376206636429, -0.6064229654148221, -0.1599324895069003, 0.15303004113957286, 0.7436309140175581, 0.8584566772915423, -0.4011489013209939, -0.3638230422511697, 0.5162778068333864, -0.10368050029501319, -0.9594402494840324, -0.7538415971212089, 0.056100690737366676, 0.11191868642345071, -0.38779103895649314, -0.42478671902790666, 0.37193158734589815, 0.2580843474715948, -0.479343022685498, 0.40248769894242287, -0.5670959874987602, -0.09460338205099106, 0.7280276911333203, 0.5575678301975131, -0.79454160714522, 0.011720286216586828, 0.5825211061164737, 0.754952316172421, -0.4510738356038928, 0.3359332578256726, 0.15137603506445885, 0.7476794961839914, -0.38649235432967544, 0.5656307311728597, 0.2292559645138681, -0.478708993177861, -0.7387167108245194, 0.6697366302832961, -0.1864415523596108, -0.21288609970360994, 0.46335245948284864, -0.7872039615176618, -0.8732719263061881, 0.624535150360316, 0.9517391459085047, 0.08891736576333642, 0.7018388956785202, -0.24984511081129313, -0.6302774762734771, 0.12243416160345078, -0.8298829370178282, -0.7652687965892255, 0.396006781142205, -0.03078059246763587, -0.17942437063902617, -0.3942335806787014, 0.9046319602057338, -0.29164351150393486, 0.24641217198222876, 0.8863403024151921]) > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN list_dot_product(v, [-0.3962865490466356, -0.44390992214903235, -0.47931848326697946, 0.40327979624271393, -0.05039701797068119, -0.06958701787516475, 0.16027332236990333, -0.8919954625889659, -0.6992333368398249, 0.7619808954186738, -0.999772532377392, 0.6859704009257257, 0.29781505605205894, 0.7397389770485461, -0.5783061375841498, 0.6506290175020695, 0.35668845660984516, -0.409240965731442, 0.7002431247383356, 0.16683460725471377, 0.36936796037480235, 0.05581174464896321, 0.7878755666315556, 0.6638809721916914, -0.9493672614917159, 0.5834574564360082, 0.5034062205813825, 0.4956846130080521, 0.9697921224869788, -0.17010983685031533, 0.9812986757606268, -0.44222455844283104, -0.81996966060251, 0.6093082702718675, -0.5553501043468714, 0.5163664491847157, -0.32221057871356606, 0.6671714885160327, -0.05697006918489933, 0.025881233159452677, -0.46643191622570157, 0.21679320326074958, -0.18784713931381702, -0.8694150280207396, -0.702097968198359, -0.04808480432257056, 0.3928480548784137, 0.614746552426368, -0.8681236044503748, -0.061739304568618536, -0.9644000162370503, 0.528250437695533, -0.7264292524196208, -0.9371911850757897, 0.9790383200161159, -0.7002455834299326, 0.5635748347267509, 0.43626287393271923, 0.931416783016175, -0.19752618111670017, 0.20478709693998098, 0.7198298694565892, 0.43300446262583137, -0.13588538905605674]) > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) AS srp FROM e),
+            bands AS (
+              SELECT vec_id, v, o - 1 AS band,
+                     CASE WHEN o = 1 THEN srp & 255 ELSE (srp >> 8) & 255 END AS bv
+              FROM sig, (SELECT unnest([1, 2]) AS o)
+            ),
+            ok AS (SELECT band, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 256),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+              FROM bands a
+              JOIN ok USING (band, bv)
+              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, {_COS.format(a='va', b='vb')} AS cos_sim
+            FROM cand WHERE {_COS.format(a='va', b='vb')} >= 0.3
         """,
         "ann_bruteforce": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

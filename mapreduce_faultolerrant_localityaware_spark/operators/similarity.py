@@ -245,3 +245,107 @@ def embedding_norms(
         F.round(F.array_max(F.transform(v, F.abs)), 6).alias("max_abs"),
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
     )
+
+
+def srp_planes(n_bits: int = 16, dim: int = 64, seed: str = "srp") -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes: component
+    (b, d) derives from md5(seed:b:d) mapped to [-1, 1).  Model
+    constants (n_bits x dim floats) — computed once on the driver and
+    inlined as literals on BOTH engines, like the k-means centroids."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[:8], 16) / 2**32)
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def srp_fingerprint(
+    emb: DataFrame,
+    n_bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``n_bits``-bit SRP fingerprint per vector: bit b = sign of the
+    dot product with deterministic hyperplane b.  P(bits agree) =
+    1 − θ/π for angle θ, so hamming distance estimates the angle —
+    the cosine analogue of SimHash.  Pure per-row expression (zero
+    shuffle): n_bits literal-plane dot products inside codegen."""
+    planes = srp_planes(n_bits=n_bits, dim=dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    packed = None
+    for b, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        dot_b = F.aggregate(
+            F.zip_with(v, lits, lambda a, p: a * p), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bit = F.when(dot_b > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return emb.select(F.col(id_col), F.col(vec_col), packed.alias("srp"))
+
+
+def dedup_embedding_srp(
+    emb: DataFrame,
+    cos_threshold: float = 0.3,
+    n_bits: int = 16,
+    dim: int = 64,
+    max_bucket: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH banding — the cosine-space
+    scale path that needs NO pre-existing blocking column (contrast
+    ``dedup_embedding``'s grid cells / ``ann_ivf``'s fitted cells):
+    band the SRP fingerprint into two byte buckets, candidate pairs
+    via equi-join on (band, value), verify with exact cosine.
+
+    Scale shape mirrors the text-LSH operator: the shuffle carries
+    2 byte-bucket rows per vector (plus the vector for the verify),
+    buckets above ``max_bucket`` are dropped (degenerate all-equal
+    regions), and the exact cosine runs only on in-bucket pairs."""
+    sig = srp_fingerprint(emb, n_bits=n_bits, dim=dim, id_col=id_col, vec_col=vec_col)
+    half = n_bits // 2
+    mask = (1 << half) - 1
+    bands = sig.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(
+            F.array(
+                F.col("srp").bitwiseAND(F.lit(mask)),
+                F.shiftright("srp", half).bitwiseAND(F.lit(mask)),
+            )
+        ).alias("band", "bv"),
+    )
+    ok = (
+        bands.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bv")
+    )
+    capped = bands.join(ok, ["band", "bv"])
+    left = capped.select(
+        "band", "bv", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    right = capped.select(
+        "band", "bv", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .distinct()
+    )
+    cos = cosine_similarity(
+        F.transform("va", lambda x: x.cast("double")),
+        F.transform("vb", lambda x: x.cast("double")),
+    )
+    return (
+        cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= cos_threshold)
+    )

@@ -164,3 +164,31 @@ def test_triangle_count_orientation_handles_hub(spark):
     df = spark.createDataFrame([(0, i) for i in range(1, 51)], ["doc_a", "doc_b"])
     row = triangle_count(df).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (51, 50, 0)
+
+
+def test_srp_identical_vectors_pair_with_cos_one(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    v = [float((i * 37 % 13) - 6) for i in range(64)]
+    w = [float(-x) for x in v]  # antipodal: opposite on every plane
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], ["vec_id", "embedding"]
+    )
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+             for r in similarity.dedup_embedding_srp(df).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # antipodal vector never lands in the same bucket as v (all 16
+    # sign bits differ) and would fail the cosine gate anyway
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_srp_fingerprint_deterministic(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(64)]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    a = {r["vec_id"]: r["srp"] for r in similarity.srp_fingerprint(df).collect()}
+    b = {r["vec_id"]: r["srp"] for r in similarity.srp_fingerprint(df).collect()}
+    assert a == b and all(0 <= x < 2**16 for x in a.values())
