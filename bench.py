@@ -47,6 +47,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_clusters",
     "multimodal_decode",
+    "dedup_embedding_srp",
+    "resample_ffill",
 ]
 
 
