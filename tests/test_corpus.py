@@ -132,3 +132,33 @@ def test_mixture_report_shares_sum_to_one(spark):
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-5
     by = {(r["source"], r["lang"]): r for r in rows}
     assert by[("s1", "en")]["n_tokens"] == 3 and by[("s2", "en")]["n_docs"] == 1
+
+
+def test_srp_fingerprint_plan_is_shuffle_free(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [float(d) for d in range(64)])], ["vec_id", "embedding"]
+    )
+    plan = (
+        similarity.srp_fingerprint(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # fingerprint is a pure per-row expression
+
+
+def test_resample_plan_single_fill_window(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import resample_ffill
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan as _scan
+
+    plan = (
+        resample_ffill(_scan(spark, sf_dir, "events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one Window node (the forward-fill); no cartesian/nested-loop
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
