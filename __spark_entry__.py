@@ -474,6 +474,27 @@ def _q_dedup_embedding_srp(spark, sf):
     return similarity.dedup_embedding_srp(scan(spark, sf, "embeddings"))
 
 
+def _q_csv_roundtrip(spark, sf):
+    """CSV connector under the oracle gate: write the nation dim to a
+    CSV sink, re-scan it with an explicit schema, aggregate — the
+    oracle reads the original parquet, so any serialization drift
+    (quoting, types, header) breaks the hash."""
+    import tempfile
+
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan_csv
+
+    nation = scan(spark, sf, "nation")
+    path = tempfile.mkdtemp(prefix="sparkgraft_csv_") + "/nation"
+    sinks.write_csv(nation, path)
+    back = scan_csv(spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
 def _q_multimodal_meta(spark, sf):
     docs = scan(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -1585,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "csv_roundtrip": _q_csv_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
@@ -2255,6 +2277,10 @@ def oracle_sql() -> dict[str, str]:
                    {_COS.format(a='a.v', b='b.v')} AS cos_sim
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a='a.v', b='b.v')} >= 0.3
+        """,
+        "csv_roundtrip": """
+            SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+            FROM nation GROUP BY 1 ORDER BY 1
         """,
         "dedup_embedding_srp": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
