@@ -251,6 +251,24 @@ def _q_intersect(spark, sf):
     return relational.intersect(f, o)
 
 
+def _q_intersect_all(spark, sf):
+    """Bag-semantics intersect: per-value multiplicity = min of the two
+    sides (vs the set semantics of plain INTERSECT)."""
+    orders = scan(spark, sf, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("mult"))
+
+
+def _q_except_all(spark, sf):
+    """Bag-semantics except: multiplicity = left count minus right
+    count, floored at zero."""
+    orders = scan(spark, sf, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(o).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("mult"))
+
+
 def _q_except(spark, sf):
     cust = scan(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
     with_orders = scan(spark, sf, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
@@ -1573,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": _q_cube,
         "intersect": _q_intersect,
         "except": _q_except,
+        "intersect_all": _q_intersect_all,
+        "except_all": _q_except_all,
         "join_part": _q_join_part,
         "subquery_above_avg": _q_subquery_above_avg,
         "events_json": _q_events_json,
@@ -2277,6 +2297,20 @@ def oracle_sql() -> dict[str, str]:
                    {_COS.format(a='a.v', b='b.v')} AS cos_sim
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a='a.v', b='b.v')} >= 0.3
+        """,
+        "intersect_all": """
+            SELECT o_custkey, count(*) AS mult FROM (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            ) GROUP BY 1
+        """,
+        "except_all": """
+            SELECT o_custkey, count(*) AS mult FROM (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            ) GROUP BY 1
         """,
         "csv_roundtrip": """
             SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
