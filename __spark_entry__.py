@@ -402,6 +402,27 @@ def _q_contamination(spark, sf):
     return corpus.contamination_check(scan(spark, sf, "documents"))
 
 
+def _q_length_filter(spark, sf):
+    """Percentile-band length filter — the pretraining gate that drops
+    docs outside [p05, p95] of token length.  Exact percentiles ride
+    scalar subqueries (both engines interpolate linearly, proven by
+    the `percentiles` query)."""
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as tokens_fn
+
+    docs = scan(spark, sf, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens_fn("text", lowercase=True)).cast("long").alias("n_tokens")
+    )
+    lens.createOrReplaceTempView("_lenf")
+    return spark.sql(
+        """
+        SELECT doc_id, n_tokens FROM _lenf
+        WHERE n_tokens >= (SELECT percentile(n_tokens, 0.05) FROM _lenf)
+          AND n_tokens <= (SELECT percentile(n_tokens, 0.95) FROM _lenf)
+        """
+    )
+
+
 def _q_pack_sequences(spark, sf):
     return corpus.pack_sequences(scan(spark, sf, "documents"), budget=512, n_streams=8)
 
@@ -1612,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
+        "length_filter": _q_length_filter,
         "pack_sequences": _q_pack_sequences,
         "mixture_report": _q_mixture_report,
         "lang_confusion": _q_lang_confusion,
@@ -1995,6 +2017,13 @@ def oracle_sql() -> dict[str, str]:
                          x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs,
                    CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT) AS n_pos
             FROM embeddings
+        """,
+        "length_filter": f"""
+            WITH lenf AS (SELECT doc_id, CAST(len({_TOK_LOWER}) AS BIGINT) AS n_tokens
+                          FROM documents)
+            SELECT doc_id, n_tokens FROM lenf
+            WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.05) FROM lenf)
+              AND n_tokens <= (SELECT quantile_cont(n_tokens, 0.95) FROM lenf)
         """,
         "mixture_report": f"""
             WITH agg AS (
