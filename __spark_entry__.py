@@ -2249,18 +2249,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
               FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
             ),
-            ok AS (SELECT band, bv FROM bands GROUP BY 1, 2
-                   HAVING count(*) <= {dedup.MAX_BUCKET_ALLPAIRS}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                              a.simhash AS sim_a, b.simhash AS sim_b
+            sizes AS (SELECT band, bv, count(*) AS n, min(doc_id) AS min_id
+                      FROM bands GROUP BY 1, 2),
+            raw AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sim_a, b.simhash AS sim_b
               FROM bands a
-              JOIN ok USING (band, bv)
+              JOIN sizes s ON a.band = s.band AND a.bv = s.bv
+                          AND s.n <= {dedup.MAX_BUCKET_ALLPAIRS}
               JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-            )
+              UNION ALL
+              SELECT s.min_id, b.doc_id, sa.simhash, b.simhash
+              FROM sizes s
+              JOIN bands b ON b.band = s.band AND b.bv = s.bv AND b.doc_id > s.min_id
+              JOIN sig sa ON sa.doc_id = s.min_id
+              WHERE s.n > {dedup.MAX_BUCKET_ALLPAIRS}
+            ),
+            cand AS (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
+                     WHERE bit_count(xor(sim_a, sim_b)) <= 3)
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-            FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+            FROM cand
         """,
         "triangle_count": f"""
             WITH tc AS (
@@ -2353,15 +2362,26 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN o = 1 THEN srp & 255 ELSE (srp >> 8) & 255 END AS bv
               FROM sig, (SELECT unnest([1, 2]) AS o)
             ),
-            ok AS (SELECT band, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 256),
+            sizes AS (SELECT band, bv, count(*) AS n, min(vec_id) AS min_id
+                      FROM bands GROUP BY 1, 2),
             cand AS (
-              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
-              FROM bands a
-              JOIN ok USING (band, bv)
-              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+              SELECT DISTINCT vec_a, vec_b FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bands a
+                JOIN sizes s ON a.band = s.band AND a.bv = s.bv AND s.n <= 256
+                JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+                UNION ALL
+                SELECT s.min_id, b.vec_id
+                FROM sizes s
+                JOIN bands b ON b.band = s.band AND b.bv = s.bv AND b.vec_id > s.min_id
+                WHERE s.n > 256
+              )
             )
-            SELECT vec_a, vec_b, {_COS.format(a='va', b='vb')} AS cos_sim
-            FROM cand WHERE {_COS.format(a='va', b='vb')} >= 0.3
+            SELECT vec_a, vec_b, {_COS.format(a='ea.v', b='eb.v')} AS cos_sim
+            FROM cand
+            JOIN e ea ON ea.vec_id = vec_a
+            JOIN e eb ON eb.vec_id = vec_b
+            WHERE {_COS.format(a='ea.v', b='eb.v')} >= 0.3
         """,
         "ann_bruteforce": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

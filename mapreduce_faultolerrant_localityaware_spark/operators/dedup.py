@@ -199,30 +199,46 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Bit b's direction for a token is the high bit of hex digit b of
     md5(token) — engine-portable.
 
-    ZERO-shuffle plan: the frequency-weighted vote Σ cnt(token)·dir_b
-    equals a plain sum of dir_b over raw token INSTANCES, so each
-    doc's fingerprint is a pure per-row expression — md5 the token
-    array once, then 32 array-aggregate votes, all inside whole-stage
-    codegen with no exchange at all.  (Earlier formulations: ×32 bit
-    explode = 4.4 s at sf0.1; groupBy(doc,token) conditional sums =
-    2.7 s but shuffles a corpus-scale distinct-token relation; this
-    one = 2.5 s and shuffles NOTHING.)
+    ZERO-shuffle plan, SINGLE traversal: the frequency-weighted vote
+    Σ cnt(token)·dir_b equals a plain sum of dir_b over raw token
+    INSTANCES, so each doc's fingerprint is a pure per-row expression —
+    md5 the token array once, then ONE ``aggregate`` pass whose
+    accumulator is the 32-element vote-count array (``zip_with`` add of
+    each token's ±1 vote vector), all inside whole-stage codegen with
+    no exchange at all.  (Earlier formulations: ×32 bit explode = 4.4 s
+    at sf0.1; groupBy(doc,token) conditional sums = 2.7 s but shuffles
+    a corpus-scale distinct-token relation; 32 SEPARATE per-bit
+    aggregates = zero shuffle but 32 full array traversals per row,
+    1.7 s; this one traverses once.)
     """
     hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
 
-    def vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.substring(h, b + 1, 1).isin(*hexhi), F.lit(1)
-        ).otherwise(F.lit(-1))
+    def votes(h):
+        # the token's ±1 vote for every bit — one substring per bit,
+        # evaluated once per token instance during the single pass
+        # (an integer-decode variant via conv() measured SLOWER: the
+        # hex parse costs more than 32 one-char substring+isin)
+        return F.array(
+            *[
+                F.when(F.substring(h, b + 1, 1).isin(*hexhi), F.lit(1)).otherwise(F.lit(-1))
+                for b in range(SIMHASH_BITS)
+            ]
+        )
 
     base = ensure_parallelism(docs).select(
         F.col(id_col), F.transform(tokens(text_col, lowercase=True), lambda t: F.md5(t)).alias("hs")
     )
-    packed = None
-    for b in range(SIMHASH_BITS):
-        v = F.aggregate("hs", F.lit(0).cast("long"), vote(b))
-        bit = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed + bit
+    counts = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    packed = F.aggregate(
+        F.zip_with(counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return base.select(F.col(id_col), packed.alias("simhash"))
 
 
@@ -334,16 +350,21 @@ def dedup_simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs from banded SimHash fingerprints: band the
     32-bit fingerprint into SIMHASH_BANDS byte buckets, candidate
-    pairs via an equi-join on (band, value), verify with the exact
-    hamming distance ``bit_count(xor)`` — complete for ``max_hamming
-    <= SIMHASH_BANDS - 1`` by pigeonhole.
+    pairs from in-bucket expansion, verify with the exact hamming
+    distance ``bit_count(xor)``.  Candidate generation is COMPLETE for
+    ``max_hamming <= SIMHASH_BANDS - 1`` by pigeonhole **for buckets
+    of at most max_bucket docs**; larger buckets (the all-same byte a
+    boilerplate corpus produces) degrade to STAR expansion — every
+    member pairs with the bucket's minimum id — so the bucket stays
+    connected at the candidate level with O(|bucket|) output instead
+    of being dropped, and every emitted pair is still hamming-verified.
 
-    Scale shape mirrors the LSH operator: candidates come from
-    equi-joins on band buckets (never a cross product — the shuffle
-    carries 4 byte-sized rows per doc), and band values shared by more
-    than ``max_bucket`` docs are dropped from the join (the all-same
-    byte a boilerplate corpus produces), bounding single-key fan-out.
-    Verification is a constant-time bitop on the joined pair.
+    Scale shape mirrors dedup_minhash_candidates: ONE fingerprint pass
+    (a band self-JOIN would recompute the whole tokenize→simhash
+    pipeline for both sides), one groupBy shuffle carrying
+    (band, byte, id, fingerprint) rows, pair expansion with array
+    functions inside the bucket row, and verification before the
+    dedup ``distinct()`` so only surviving pairs shuffle again.
     """
     sig = simhash(docs, text_col=text_col, id_col=id_col)
     bands = sig.select(
@@ -358,26 +379,46 @@ def dedup_simhash_pairs(
             )
         ).alias("band", "bv"),
     )
-    ok = (
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sim"))
+    buckets = (
         bands.groupBy("band", "bv")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band", "bv")
+        .agg(F.sort_array(F.collect_set(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    capped = bands.join(ok, ["band", "bv"])
-    left = capped.select(
-        "band", "bv", F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["id"].alias("doc_a"),
+                    b["id"].alias("doc_b"),
+                    a["sim"].alias("sim_a"),
+                    b["sim"].alias("sim_b"),
+                ),
+            ),
+        )
     )
-    right = capped.select(
-        "band", "bv", F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b")
+    small = (
+        buckets.filter(F.size("ms") <= max_bucket)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
     )
-    cand = (
-        left.join(right, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+    first = F.element_at("ms", 1)
+    star = (
+        buckets.filter(F.size("ms") > max_bucket)
+        .select(first.alias("a"), F.explode(F.slice(F.col("ms"), 2, F.size("ms") - 1)).alias("b"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.filter(hamming <= max_hamming).select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    return (
+        small.unionByName(star)
+        .filter(hamming <= max_hamming)
+        .distinct()
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )

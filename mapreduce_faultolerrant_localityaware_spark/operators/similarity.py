@@ -86,33 +86,40 @@ def kmeans_fit(
     v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
     if k <= 0:
         raise ValueError("kmeans_fit needs k > 0")
-    # deterministic pseudo-random seeds: k smallest id-hashes.  orderBy
-    # + limit plans as TakeOrderedAndProject — per-partition top-k then
-    # a k-row merge on the driver, no global sort / single-partition
-    # window even at 100 TB.
-    init = v.orderBy(F.xxhash64("_id"), "_id").limit(k).select("v").collect()
-    if not init:
-        raise ValueError("kmeans_fit needs a non-empty corpus")
-    centroids = [list(r["v"]) for r in init]
-    k = len(centroids)
+    # the fit loop re-reads these vectors up to max_iter+1 times —
+    # persist so the source (100 TB of parquet upstream) is scanned
+    # ONCE and every Lloyd iteration reads the materialized columns.
+    v = v.persist()
+    try:
+        # deterministic pseudo-random seeds: k smallest id-hashes.
+        # orderBy + limit plans as TakeOrderedAndProject — per-partition
+        # top-k then a k-row merge on the driver, no global sort /
+        # single-partition window even at 100 TB.
+        init = v.orderBy(F.xxhash64("_id"), "_id").limit(k).select("v").collect()
+        if not init:
+            raise ValueError("kmeans_fit needs a non-empty corpus")
+        centroids = [list(r["v"]) for r in init]
+        k = len(centroids)
 
-    for _ in range(max_iter):
-        assigned = v.withColumn("cell", _nearest_cell(F.col("v"), centroids))
-        stats = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("mean"))
-            .collect()
-        )
-        new_centroids = [list(c) for c in centroids]  # empty cells keep old
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mean"]
-        for cell, dims in by_cell.items():
-            new_centroids[cell] = [dims[i] for i in range(len(dims))]
-        if new_centroids == centroids:
-            break
-        centroids = new_centroids
+        for _ in range(max_iter):
+            assigned = v.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+            stats = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("mean"))
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]  # empty cells keep old
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mean"]
+            for cell, dims in by_cell.items():
+                new_centroids[cell] = [dims[i] for i in range(len(dims))]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+    finally:
+        v.unpersist()
     return centroids
 
 
@@ -276,17 +283,31 @@ def srp_fingerprint(
     dot product with deterministic hyperplane b.  P(bits agree) =
     1 − θ/π for angle θ, so hamming distance estimates the angle —
     the cosine analogue of SimHash.  Pure per-row expression (zero
-    shuffle): n_bits literal-plane dot products inside codegen."""
+    shuffle), SINGLE traversal: the plane matrix is transposed into a
+    per-dimension literal table, so one ``aggregate`` pass over the
+    vector accumulates all n_bits dots at once (``acc[b] += x·P[b][d]``
+    via ``zip_with``) instead of n_bits separate array walks.  Float
+    additions stay in dimension order 0..d-1 per dot — bit-identical
+    to per-plane summation, so the SQL oracle's ``list_dot_product``
+    reproduces it exactly."""
     planes = srp_planes(n_bits=n_bits, dim=dim)
+    # transposed literal table: entry d = [P[0][d] .. P[n_bits-1][d]]
+    plane_cols = F.array(
+        *[F.array(*[F.lit(planes[b][d]) for b in range(n_bits)]) for d in range(dim)]
+    )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    packed = None
-    for b, plane in enumerate(planes):
-        lits = F.array(*[F.lit(x) for x in plane])
-        dot_b = F.aggregate(
-            F.zip_with(v, lits, lambda a, p: a * p), F.lit(0.0), lambda acc, x: acc + x
-        )
-        bit = F.when(dot_b > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed + bit
+    zipped = F.zip_with(v, plane_cols, lambda x, pc: F.struct(x.alias("x"), pc.alias("pc")))
+    dots = F.aggregate(
+        zipped,
+        F.array_repeat(F.lit(0.0), n_bits),
+        lambda acc, s: F.zip_with(acc, s["pc"], lambda a, p: a + s["x"] * p),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    packed = F.aggregate(
+        F.zip_with(dots, powers, lambda d, p: F.when(d > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return emb.select(F.col(id_col), F.col(vec_col), packed.alias("srp"))
 
 
@@ -305,16 +326,20 @@ def dedup_embedding_srp(
     band the SRP fingerprint into two byte buckets, candidate pairs
     via equi-join on (band, value), verify with exact cosine.
 
-    Scale shape mirrors the text-LSH operator: the shuffle carries
-    2 byte-bucket rows per vector (plus the vector for the verify),
-    buckets above ``max_bucket`` are dropped (degenerate all-equal
-    regions), and the exact cosine runs only on in-bucket pairs."""
+    Scale shape mirrors dedup_minhash_candidates: ONE fingerprint pass
+    (a band self-JOIN would recompute the SRP pipeline for both
+    sides), one groupBy shuffle carrying ONLY (band, byte-bucket, id)
+    rows — never the vectors — in-bucket pair expansion with array
+    functions, buckets above ``max_bucket`` (degenerate all-equal
+    regions) degrading to STAR expansion (connectivity preserved,
+    O(|bucket|) output) instead of being dropped, and the full vectors
+    attaching exactly once, after the id-pair ``distinct()``, for the
+    exact-cosine verify."""
     sig = srp_fingerprint(emb, n_bits=n_bits, dim=dim, id_col=id_col, vec_col=vec_col)
     half = n_bits // 2
     mask = (1 << half) - 1
     bands = sig.select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(
             F.array(
                 F.col("srp").bitwiseAND(F.lit(mask)),
@@ -322,30 +347,42 @@ def dedup_embedding_srp(
             )
         ).alias("band", "bv"),
     )
-    ok = (
+    buckets = (
         bands.groupBy("band", "bv")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band", "bv")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    capped = bands.join(ok, ["band", "bv"])
-    left = capped.select(
-        "band", "bv", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
+            ),
+        )
     )
-    right = capped.select(
-        "band", "bv", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    small = (
+        buckets.filter(F.size("ids") <= max_bucket)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.vec_a", "p.vec_b")
     )
-    cand = (
-        left.join(right, ["band", "bv"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
-        .distinct()
+    star = (
+        buckets.filter(F.size("ids") > max_bucket)
+        .select(
+            F.element_at("ids", 1).alias("vec_a"),
+            F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("vec_b"),
+        )
     )
+    cand = small.unionByName(star).distinct()
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     cos = cosine_similarity(
         F.transform("va", lambda x: x.cast("double")),
         F.transform("vb", lambda x: x.cast("double")),
     )
     return (
-        cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= cos_threshold)
     )

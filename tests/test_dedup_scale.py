@@ -134,14 +134,17 @@ def test_simhash_pairs_identical_docs_hamming_zero(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
-def test_simhash_pairs_bucket_cap_drops_flood(spark):
+def test_simhash_pairs_bucket_cap_star_expands_flood(spark):
     # 40 identical docs -> every band bucket holds 40 ids; cap at 10
-    # drops all buckets, so no candidate survives
+    # degrades to star expansion: every member pairs with the bucket's
+    # min id (0), so output is linear in bucket size and the bucket
+    # stays one connected component instead of silently vanishing
     df = spark.createDataFrame(
         [(i, "mass duplicated boilerplate page content") for i in range(40)],
         ["doc_id", "text"],
     )
-    assert dedup.dedup_simhash_pairs(df, max_bucket=10).count() == 0
+    star = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_simhash_pairs(df, max_bucket=10).collect()}
+    assert star == {(0, i) for i in range(1, 40)}
     assert dedup.dedup_simhash_pairs(df, max_bucket=64).count() == 40 * 39 // 2
 
 
