@@ -43,18 +43,25 @@ def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; have {TABLES}")
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; nanosAsLong reads the nanos as long, truncated here
-        # to micros (matching what DuckDB's microsecond TIMESTAMP does
-        # on the same file).  session.get_spark sets the flag at build
-        # time; the guard below only fires for externally-built
-        # sessions (e.g. the driver harness) and is idempotent.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # testdata generations and TIMESTAMP(MICROS) in others, so the
+        # normalization is schema-driven: nanos (surfaced as long via
+        # the nanosAsLong flag set in session.get_spark) are truncated
+        # to micros — matching DuckDB's microsecond TIMESTAMP on the
+        # same file — and micros (surfaced as TIMESTAMP_NTZ) are cast
+        # to the session-zone timestamp, a no-op instant-wise because
+        # the session zone is pinned to UTC.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 

@@ -35,7 +35,11 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # the "file" is a directory-tree of part files on a real cluster).
     stream = spark.readStream.schema(schema).parquet(path + "*")
     if table == "events":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(stream.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -53,12 +57,33 @@ def run_to_batch(
     tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
     out = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
-    # complete mode: each batch REWRITES the full-to-date result.
-    # append mode: each batch contributes only new rows — accumulate.
-    write_mode = "overwrite" if output_mode == "complete" else "append"
+    # Seed the sink with an empty, schema-bearing write so a stream
+    # that yields ZERO micro-batches (empty bounded input) still leaves
+    # a readable result instead of crashing the final read.
+    empty = spark.createDataFrame([], stream_df.schema)
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out)
+    if output_mode == "complete":
+        # complete mode: each batch REWRITES the full-to-date result;
+        # a micro-batch retry re-overwrites the same path — idempotent
+        # by construction.
+        empty.write.mode("overwrite").parquet(out)
+
+        def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        read_path = out
+    else:
+        # append mode: each batch contributes only new rows.  A plain
+        # mode("append") write is NOT retry-safe (a re-run micro-batch
+        # would double-append), so each batch overwrites its own
+        # batch-id-keyed subdirectory — Structured Streaming replays
+        # with the same batch id, making the write idempotent.
+        empty.write.mode("overwrite").parquet(os.path.join(out, "batch-seed"))
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch-{batch_id}"))
+
+        read_path = os.path.join(out, "batch-*")
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -68,4 +93,4 @@ def run_to_batch(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(read_path)

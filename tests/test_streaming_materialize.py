@@ -25,6 +25,34 @@ def test_streaming_wordcount_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_empty_bounded_stream_yields_empty_result(spark, tmp_path):
+    """Zero micro-batches must still produce a readable, empty result
+    (regression: the scratch parquet used to never be written)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], "word string, count long").write.parquet(src)
+    stream = spark.readStream.schema("word string, count long").parquet(src)
+    agg = stream.groupBy("word").agg(F.sum("count").alias("count"))
+    out = S.run_to_batch(agg, spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"word", "count"}
+
+
+def test_append_mode_empty_and_idempotent_layout(spark, tmp_path):
+    """Append-mode materialization survives an empty input and writes
+    per-batch-id directories (retry-idempotent, never double-appends)."""
+    src = str(tmp_path / "srcA")
+    spark.range(0).selectExpr("id AS k").write.parquet(src)
+    stream = spark.readStream.schema("k long").parquet(src)
+    out = S.run_to_batch(stream, spark, output_mode="append")
+    assert out.count() == 0
+
+    src2 = str(tmp_path / "srcB")
+    spark.range(10).selectExpr("id AS k").write.parquet(src2)
+    stream2 = spark.readStream.schema("k long").parquet(src2)
+    out2 = S.run_to_batch(stream2, spark, output_mode="append")
+    assert sorted(r["k"] for r in out2.collect()) == list(range(10))
+
+
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
     stream = S.stream_table(spark, sf_dir, "events")
     got = S.run_to_batch(S.windowed_event_counts(stream), spark)
