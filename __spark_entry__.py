@@ -1770,6 +1770,52 @@ def oracle_sql() -> dict[str, str]:
         + " ".join(f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}'" for lg in _LANGS)
         + " ELSE 'und' END"
     )
+    # ONE copy of the simhash-LSH candidate-pair pipeline (fingerprint →
+    # byte bands → all-pairs within small buckets, min-id star expansion
+    # above MAX_BUCKET_ALLPAIRS → hamming<=3 verify), shared by the
+    # dedup_simhash_pairs and triangle_count oracles so their semantics
+    # cannot drift apart again (they did in round 3).
+    simhash_pairs_ctes = f"""
+            WITH tc AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
+              GROUP BY doc_id, t
+            ),
+            v AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
+              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+              GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
+              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
+            ),
+            sizes AS (SELECT band, bv, count(*) AS n, min(doc_id) AS min_id
+                      FROM bands GROUP BY 1, 2),
+            raw AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sim_a, b.simhash AS sim_b
+              FROM bands a
+              JOIN sizes s ON a.band = s.band AND a.bv = s.bv
+                          AND s.n <= {dedup.MAX_BUCKET_ALLPAIRS}
+              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT s.min_id, b.doc_id, sa.simhash, b.simhash
+              FROM sizes s
+              JOIN bands b ON b.band = s.band AND b.bv = s.bv AND b.doc_id > s.min_id
+              JOIN sig sa ON sa.doc_id = s.min_id
+              WHERE s.n > {dedup.MAX_BUCKET_ALLPAIRS}
+            ),
+            cand AS (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
+                     WHERE bit_count(xor(sim_a, sim_b)) <= 3)
+    """
     return {
         "wordcount": f"""
             SELECT w AS word, count(*) AS cnt
@@ -2228,83 +2274,15 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY doc_id
         """,
         "dedup_simhash_pairs": f"""
-            WITH tc AS (
-              SELECT doc_id, t AS token, count(*) AS cnt
-              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
-              GROUP BY doc_id, t
-            ),
-            v AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
-                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
-              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
-              GROUP BY doc_id, b
-            ),
-            sig AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-              FROM v GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
-              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
-            ),
-            sizes AS (SELECT band, bv, count(*) AS n, min(doc_id) AS min_id
-                      FROM bands GROUP BY 1, 2),
-            raw AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.simhash AS sim_a, b.simhash AS sim_b
-              FROM bands a
-              JOIN sizes s ON a.band = s.band AND a.bv = s.bv
-                          AND s.n <= {dedup.MAX_BUCKET_ALLPAIRS}
-              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-              UNION ALL
-              SELECT s.min_id, b.doc_id, sa.simhash, b.simhash
-              FROM sizes s
-              JOIN bands b ON b.band = s.band AND b.bv = s.bv AND b.doc_id > s.min_id
-              JOIN sig sa ON sa.doc_id = s.min_id
-              WHERE s.n > {dedup.MAX_BUCKET_ALLPAIRS}
-            ),
-            cand AS (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
-                     WHERE bit_count(xor(sim_a, sim_b)) <= 3)
+            {simhash_pairs_ctes}
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
             FROM cand
         """,
         "triangle_count": f"""
-            WITH tc AS (
-              SELECT doc_id, t AS token, count(*) AS cnt
-              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
-              GROUP BY doc_id, t
-            ),
-            v AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
-                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
-              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
-              GROUP BY doc_id, b
-            ),
-            sig AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-              FROM v GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
-              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
-            ),
-            ok AS (SELECT band, bv FROM bands GROUP BY 1, 2
-                   HAVING count(*) <= {dedup.MAX_BUCKET_ALLPAIRS}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                              a.simhash AS sim_a, b.simhash AS sim_b
-              FROM bands a
-              JOIN ok USING (band, bv)
-              JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-            ),
+            {simhash_pairs_ctes},
             edges AS (
               SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand
-              WHERE bit_count(xor(sim_a, sim_b)) <= 3
             ),
             nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
             tri AS (SELECT count(*) AS n_triangles FROM edges e1
