@@ -2011,7 +2011,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scrub_text": """
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '{EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(regexp_replace(text, '{URL}', '<URL>', 'g'), '{EMAIL}')) AS BIGINT) AS n_emails,
                    CAST(len(regexp_extract_all(text, '{URL}')) AS BIGINT) AS n_urls,
                    md5(regexp_replace(regexp_replace(text, '{URL}', '<URL>', 'g'), '{EMAIL}', '<EMAIL>', 'g')) AS clean_md5,
                    CAST(length(regexp_replace(regexp_replace(text, '{URL}', '<URL>', 'g'), '{EMAIL}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len
@@ -2020,9 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": """
             SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
             WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
-                  < CAST((CASE o_orderpriority WHEN '1-URGENT' THEN 0.5
-                                               WHEN '5-LOW' THEN 0.05
-                                               ELSE 0.1 END) * 10000 AS BIGINT)
+                  < CAST(round((CASE o_orderpriority WHEN '1-URGENT' THEN 0.5
+                                                     WHEN '5-LOW' THEN 0.05
+                                                     ELSE 0.1 END) * 10000) AS BIGINT)
         """,
         "vocab_top_tokens": f"""
             WITH base AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),

@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, tokens
 from ._parallel import ensure_parallelism
 
+# Cached (doc, token, tf) relation of the most recent tfidf_top_terms
+# call — unpersisted by the next call so a long-lived session caches at
+# most one corpus worth of counts.
+_tfidf_prev_counts: DataFrame | None = None
+
 
 def tfidf_top_terms(
     docs: DataFrame,
@@ -43,29 +48,37 @@ def tfidf_top_terms(
     Shape at scale: ONE tokenize pass — explode → (doc, token) counts
     (partial agg before the exchange), PERSISTED so both consumers
     read the materialized counts instead of re-tokenizing the corpus.
-    Document frequency is a groupBy(token) + equi-join back — NOT a
-    token-partitioned window: a window would funnel every ("the", doc)
-    row through one task with no partial aggregation and no skew
-    mitigation, while the groupBy collapses hot tokens map-side and
-    AQE skew-splits the join.  Doc length IS a window (per-doc groups
-    are bounded by doc vocabulary) and shares the doc_id partitioning
-    with the final rank window (exchange reuse).  N injects as a
-    scalar subquery (inlined literal — no nested-loop join).
+    Each call releases the previous call's cached counts, so repeated
+    invocations hold at most ONE cached relation (no storage creep in
+    a long-lived session) and nothing session-global (no temp views)
+    is mutated.  Document frequency is a groupBy(token) + equi-join
+    back — NOT a token-partitioned window: a window would funnel every
+    ("the", doc) row through one task with no partial aggregation and
+    no skew mitigation, while the groupBy collapses hot tokens
+    map-side and AQE skew-splits the join.  Doc length IS a window
+    (per-doc groups are bounded by doc vocabulary) and shares the
+    doc_id partitioning with the final rank window (exchange reuse).
+    N attaches as a broadcast single-row join (one scalar shipped to
+    every executor — no session-global view, no cartesian blowup).
     """
     from pyspark.sql import Window
 
-    docs.createOrReplaceTempView("_tfidf_docs")
+    global _tfidf_prev_counts
+    if _tfidf_prev_counts is not None:
+        _tfidf_prev_counts.unpersist(blocking=False)
     tk = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
     )
     counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    _tfidf_prev_counts = counts
     dfreq = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
 
     w_doc = Window.partitionBy(id_col)
     scored = (
         counts.join(dfreq, "token")
         .withColumn("dl", F.sum("tf").over(w_doc))
-        .withColumn("n_docs", F.expr("(SELECT count(*) FROM _tfidf_docs)"))
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf_raw",
             (F.col("tf") / F.col("dl"))

@@ -29,6 +29,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'s storage blocks deterministically.
+
+    Called only once NO future job can read them (the next round's
+    checkpoint has already materialized); without this, every round's
+    blocks linger until the ContextCleaner notices, and a long session
+    iterating many graphs accumulates executor storage.
+    ``DataFrame.unpersist`` only talks to the SQL cache manager, so
+    reach the checkpointed internal RDD through the plan's LogicalRDD
+    node.  Best-effort: on any reflection mismatch the blocks simply
+    age out via GC as before.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -56,6 +76,7 @@ def connected_components(
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
 
     changed = -1
+    prev_ckpt = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -76,6 +97,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
+        if prev_ckpt is not None:
+            _release_checkpoint(prev_ckpt)  # new round materialized; old blocks dead
+        prev_ckpt = new_labels
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:
@@ -88,6 +112,9 @@ def connected_components(
             "or pass allow_partial=True."
         )
 
+    # the final labels checkpoint is self-contained — the edge blocks
+    # can be released before handing the result back.
+    _release_checkpoint(edges)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -159,8 +186,11 @@ def connected_components_two_phase(
         )
 
     prev = _digest(edges)
+    prev_ckpt = edges
     for _ in range(max_iter):
         edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        _release_checkpoint(prev_ckpt)  # contracted edge set materialized; old blocks dead
+        prev_ckpt = edges
         cur = _digest(edges)
         if cur == prev:
             break

@@ -220,4 +220,7 @@ def sample_stratified(
     rate = F.lit(float(default_rate))
     for k, v in rates.items():
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
-    return df.filter(bucket < (rate * 10000).cast("long"))
+    # round() before the long cast: a truncating cast of double
+    # arithmetic turns e.g. 0.29 * 10000 = 2899.999… into 2899, off by
+    # one bucket vs an engine computing in DECIMAL (the DuckDB oracle).
+    return df.filter(bucket < F.round(rate * 10000).cast("long"))

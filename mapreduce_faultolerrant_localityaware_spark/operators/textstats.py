@@ -108,13 +108,14 @@ URL_RE = r"https?://[^\s]+"
 def scrub_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """PII/link scrubbing — the redaction pass of a training-data
     pipeline: count and replace emails and URLs with placeholder
-    tokens.  Pure per-row regex on the codegen path (URLs replaced
-    first so an address inside a URL isn't double-counted)."""
-    n_emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    tokens.  Pure per-row regex on the codegen path.  URLs are
+    replaced first and emails are COUNTED on the URL-scrubbed text,
+    so an address-shaped substring inside a URL is attributed to the
+    URL only — counts always agree with the replacements."""
+    url_scrubbed = F.regexp_replace(F.col(text_col), URL_RE, "<URL>")
     n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
-    )
+    n_emails = F.size(F.regexp_extract_all(url_scrubbed, F.lit(EMAIL_RE), 0))
+    clean = F.regexp_replace(url_scrubbed, EMAIL_RE, "<EMAIL>")
     return docs.select(
         F.col(id_col),
         n_emails.cast("long").alias("n_emails"),

@@ -162,3 +162,23 @@ def test_resample_plan_single_fill_window(spark, sf_dir):
     # one Window node (the forward-fill); no cartesian/nested-loop
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_repeated_calls_bounded_cache(spark, sf_dir):
+    """tfidf_top_terms persists its token counts; repeated calls must
+    release the previous call's cache (at most ONE cached relation
+    alive) and must not register any session-global temp view."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import tfidf_top_terms
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    docs = scan(spark, sf_dir, "documents")
+    before = n_cached()
+    for _ in range(3):
+        tfidf_top_terms(docs, k=2).count()
+    assert n_cached() - before <= 1
+    assert not [t.name for t in spark.catalog.listTables() if "tfidf" in t.name]

@@ -107,3 +107,22 @@ def test_write_bucketed_layout(spark, sf_dir, tmp_path):
         assert spark.table("supp_bt").count() == supp.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS supp_bt")
+
+
+def test_cc_releases_checkpoint_blocks(spark):
+    """Each propagation round frees the previous round's localCheckpoint
+    blocks: a long chain (many rounds) must leave at most the FINAL
+    labels checkpoint cached, not one relation per round."""
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    before = n_cached()
+    out = connected_components(pairs, max_iter=30)
+    assert all(r["cluster_id"] == 0 for r in out.collect())
+    leaked = n_cached() - before
+    assert leaked <= 1, f"checkpoint blocks leaked: {leaked} extra cached RDDs"

@@ -20,7 +20,10 @@ from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 #: join (tiny broadcast side × theta predicate)
 #: (join_skew_salted: the salt-replication crossJoin of the small side
 #: against the broadcast salt range is the operator's mechanism)
-BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted"}
+# queries whose plan deliberately contains a BroadcastNestedLoopJoin:
+# banded/broadcast comparisons, and tfidf's single-row corpus-size
+# attach (a broadcast of one scalar row, not a cartesian hazard).
+BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted", "tfidf_top_terms"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
