@@ -29,6 +29,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage — per-round plan
+    reset for the iterative loops.
+
+    When the session has a checkpoint directory configured
+    (``sc.setCheckpointDir``), uses a RELIABLE checkpoint: blocks are
+    backed by files on shared storage, so losing an executor mid-loop
+    re-reads the round's state instead of failing the job (a local
+    checkpoint's blocks die with their executor and its lineage is
+    already truncated — unrecoverable).  On a 1000-executor cluster
+    running a 20-round loop, executor loss is an expectation, not an
+    edge case; reliable checkpointing is the production posture, and
+    ``localCheckpoint`` the zero-setup local default.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _release_checkpoint(df: DataFrame) -> None:
     """Free a ``localCheckpoint``'s storage blocks deterministically.
 
@@ -71,7 +95,7 @@ def connected_components(
     """
     fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    edges = _truncate_lineage(fwd.unionByName(rev).distinct())
 
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
 
@@ -95,8 +119,8 @@ def connected_components(
                 F.least(labels.label, F.coalesce(F.col("min_nbr"), labels.label)).alias("label"),
                 (F.coalesce(F.col("min_nbr"), labels.label) < labels.label).alias("chg"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage every round
         )
+        new_labels = _truncate_lineage(new_labels)  # truncate lineage every round
         if prev_ckpt is not None:
             _release_checkpoint(prev_ckpt)  # new round materialized; old blocks dead
         prev_ckpt = new_labels
@@ -146,13 +170,12 @@ def connected_components_two_phase(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    all_nodes = (
+    edges = _truncate_lineage(edges)
+    all_nodes = _truncate_lineage(
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _digest(e: DataFrame) -> tuple:
@@ -188,7 +211,7 @@ def connected_components_two_phase(
     prev = _digest(edges)
     prev_ckpt = edges
     for _ in range(max_iter):
-        edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        edges = _truncate_lineage(_star(_star(edges, large=True), large=False))
         _release_checkpoint(prev_ckpt)  # contracted edge set materialized; old blocks dead
         prev_ckpt = edges
         cur = _digest(edges)

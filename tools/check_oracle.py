@@ -4,13 +4,21 @@ the same parquet tables; compare row count, column names, and
 order-insensitive values (floats rounded to 6 dp).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+With ``--json`` every query's outcome is also written in the driver's
+CORRECTNESS schema (``rows_match``/``schema_match``/``hash_match``/
+``spark_rows``/``oracle_rows``/``err`` per query) so a committed
+full-surface artifact can be regenerated each round.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
+import traceback
 
 sys.path.insert(0, ".")
 
@@ -37,8 +45,13 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -46,9 +59,19 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -56,8 +79,10 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            rec["err"] = traceback.format_exc()[-1500:]
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
+        rec["spark_rows"] = len(srows)
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP {name}: no oracle ({len(srows)} rows)")
@@ -68,24 +93,33 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            rec["err"] = traceback.format_exc()[-1500:]
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         dt = time.time() - t0
-        if sorted(scols) != sorted(ocols):
+        rec["oracle_rows"] = len(orows)
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
             continue
-        if len(srows) != len(orows):
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL {name}: rows {len(srows)} != {len(orows)}")
             continue
         cs, co = canon(srows, scols), canon(orows, ocols)
-        if cs != co:
+        rec["hash_match"] = cs == co
+        if not rec["hash_match"]:
             failures.append(name)
             diff = [(a, b) for a, b in zip(cs, co) if a != b][:3]
             print(f"FAIL {name}: values differ, first diffs: {diff}")
             continue
         print(f"OK   {name}: {len(srows)} rows, {dt:.1f}s")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     sys.exit(1 if failures else 0)
 
