@@ -1569,6 +1569,19 @@ def _q_dedup_clusters(spark, sf):
     return connected_components(pairs)
 
 
+def _q_dedup_clusters_two_phase(spark, sf):
+    """Same clusters via alternating large-star/small-star (Kiveris
+    SoCC'14) — the O(log² n)-round scale path; labels (component min)
+    must be identical to min-label propagation, so it shares the
+    dedup_clusters oracle."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    pairs = dedup.dedup_minhash_candidates(scan(spark, sf, "documents"))
+    return connected_components_two_phase(pairs)
+
+
 def _q_triangle_count(spark, sf):
     """Cluster-density diagnostic: triangle count over the SimHash
     near-dup pair graph (degree-oriented wedge enumeration)."""
@@ -1707,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": _q_histogram_bins,
         "join_skew_salted": _q_join_skew_salted,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "triangle_count": _q_triangle_count,
         "approx_distinct": _q_approx_distinct,
     }
@@ -1816,6 +1830,26 @@ def oracle_sql() -> dict[str, str]:
             cand AS (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
                      WHERE bit_count(xor(sim_a, sim_b)) <= 3)
     """
+    dedup_clusters_sql = "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """
     return {
         "wordcount": f"""
             SELECT w AS word, count(*) AS cnt
@@ -2885,24 +2919,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
-        "dedup_clusters": "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
-            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
-            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
-            bands AS ({_BAND_SELECTS}),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-            ),
-            edges AS (
-              SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs
-            ),
-            reach(id, r) AS (
-              SELECT a, a FROM edges
-              UNION
-              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-            )
-            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-        """,
+        "dedup_clusters": dedup_clusters_sql,
+        # two-phase CC computes the SAME component-min labels, so the
+        # same recursive-CTE oracle pins both implementations.
+        "dedup_clusters_two_phase": dedup_clusters_sql,
     }

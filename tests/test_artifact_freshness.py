@@ -1,0 +1,54 @@
+"""Committed-artifact freshness: the full-surface local correctness
+artifacts must exist and cover EVERY ``queries()`` entry — a query
+added without regenerating the artifacts (the exact blind spot that
+hid the round-3 triangle_count regression) fails CI immediately.
+Regenerate with:
+
+    python tools/check_oracle.py --json CORRECTNESS_local_r<N>_sf0.001.json /root/testdata/sf0.001
+    python tools/check_oracle.py --json CORRECTNESS_local_r<N>_sf0.01.json  /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# queries with no SQL oracle by design (rows-only in the driver gate)
+NO_ORACLE = {"approx_distinct", "ann_ivf_kmeans"}
+
+
+def _latest(sf: str) -> str:
+    paths = glob.glob(os.path.join(REPO, f"CORRECTNESS_local_r*_sf{sf}.json"))
+    assert paths, f"no committed CORRECTNESS_local_r*_sf{sf}.json artifact"
+    return max(paths, key=lambda p: int(re.search(r"_r(\d+)_", p).group(1)))
+
+
+def _check(sf: str) -> None:
+    path = _latest(sf)
+    with open(path) as f:
+        report = json.load(f)
+    qnames = set(entry_mod.queries())
+    missing = qnames - set(report)
+    assert not missing, f"{os.path.basename(path)} missing queries {sorted(missing)} — regenerate"
+    bad = [
+        n
+        for n, rec in report.items()
+        if n in qnames
+        and n not in NO_ORACLE
+        and not (rec["rows_match"] and rec["schema_match"] and rec["hash_match"])
+    ]
+    assert not bad, f"{os.path.basename(path)} has non-green rows: {sorted(bad)}"
+
+
+def test_sf0001_artifact_fresh_and_green():
+    _check("0.001")
+
+
+def test_sf001_artifact_fresh_and_green():
+    _check("0.01")

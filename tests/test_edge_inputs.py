@@ -87,8 +87,10 @@ def test_scrub_text_detects_and_redacts(spark):
     rows = {r["doc_id"]: r for r in textstats.scrub_text(df).collect()}
     assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 1
     assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
-    # URL replaced first, so the embedded address isn't double-redacted
+    # URL replaced first AND counted first: the address-shaped substring
+    # inside the URL is attributed to the URL only, never double-counted
     assert rows[3]["n_urls"] == 1
+    assert rows[3]["n_emails"] == 0
 
 
 def test_sample_stratified_rates(spark, sf_dir):
@@ -108,6 +110,27 @@ def test_sample_stratified_rates(spark, sf_dir):
         orders, "o_orderpriority", {"1-URGENT": 0.5}, key_col="o_orderkey", default_rate=0.1
     )
     assert {r["o_orderkey"] for r in again.collect()} == {r["o_orderkey"] for r in out.collect()}
+
+
+def test_sample_stratified_rate_boundary_exact(spark):
+    """Rates whose double product truncates (0.29 * 10000 = 2899.999…)
+    must round to the intended bucket threshold, not lose a bucket —
+    keys hashing exactly to bucket 2899 prove round-vs-truncate."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational as R
+
+    df = spark.range(20000).selectExpr("id AS k", "'s' AS g")
+    out = R.sample_stratified(df, "g", {"s": 0.29}, key_col="k")
+    kept = {r["k"] for r in out.collect()}
+    # recompute the bucket in Python with exact integer md5 arithmetic
+    import hashlib
+
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 10000
+
+    boundary = [k for k in range(20000) if bucket(k) == 2899]
+    assert boundary, "no key hit the boundary bucket; widen the range"
+    assert all(k in kept for k in boundary), "bucket 2899 lost to double truncation"
+    assert kept == {k for k in range(20000) if bucket(k) < 2900}
 
 
 def test_lsh_candidates_empty_and_tiny(spark):
