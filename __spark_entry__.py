@@ -534,6 +534,33 @@ def _q_csv_roundtrip(spark, sf):
     )
 
 
+def _q_partitioned_roundtrip(spark, sf):
+    """Hive-partitioned parquet layout under the oracle gate: write
+    orders partitioned by o_orderpriority, re-scan with a filter on
+    the partition column — the filter prunes entire directories at
+    planning time (PartitionFilters, zero data read for the other
+    classes), THE layout primitive for a 100 TB date/source-partitioned
+    lake.  The oracle filters the original table, so any value drift
+    through the partition encode/decode (escaping, type) breaks the
+    hash."""
+    import tempfile
+
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    orders = scan(spark, sf, "orders")
+    path = tempfile.mkdtemp(prefix="sparkgraft_part_") + "/orders"
+    sinks.write_parquet(orders, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_multimodal_meta(spark, sf):
     docs = scan(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -595,6 +622,28 @@ def _q_streaming_dedup_keys(spark, sf):
         deduped.select("user_id", "event_type"), spark, output_mode="append"
     )
     return out.distinct()  # batches may re-see keys across watermark expiry
+
+
+def _q_streaming_sessionize(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState)
+    under the batch oracle gate: per-user gap sessionization emits an
+    update row per micro-batch; the final extent of each session
+    (max end, max count per (user, start)) must equal the batch
+    gaps-and-islands sessionization of the same bounded input."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming.sessionize_stream import (
+        sessionize_stream,
+    )
+
+    stream = streaming_ops.stream_table(spark, sf, "events").select("user_id", "ts")
+    sess = sessionize_stream(stream, gap_minutes=30)
+    updates = streaming_ops.run_to_batch(sess, spark, output_mode="update")
+    return (
+        updates.groupBy("user_id", "session_start_us")
+        .agg(
+            F.max("session_end_us").alias("session_end_us"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
 
 
 def _q_streaming_enrich(spark, sf):
@@ -1662,12 +1711,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "csv_roundtrip": _q_csv_roundtrip,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
+        "streaming_sessionize": _q_streaming_sessionize,
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
         "asof_join": _q_asof_join,
@@ -2073,6 +2124,27 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            d AS (SELECT user_id, t,
+                         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                   > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, t,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d)
+            SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "partitioned_roundtrip": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1 ORDER BY 1
         """,
         "repetition_ratio": f"""
             WITH t AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
