@@ -65,7 +65,10 @@ def tfidf_top_terms(
 
     global _tfidf_prev_counts
     if _tfidf_prev_counts is not None:
-        _tfidf_prev_counts.unpersist(blocking=False)
+        try:
+            _tfidf_prev_counts.unpersist(blocking=False)
+        except Exception:
+            pass  # previous call's session is gone; nothing to release
     tk = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
     )
