@@ -561,6 +561,33 @@ def _q_partitioned_roundtrip(spark, sf):
     )
 
 
+def _q_clustered_roundtrip(spark, sf):
+    """Range-clustered layout under the oracle gate: write orders
+    clustered by o_orderdate (repartitionByRange + in-file sort), scan
+    back with a date-range predicate — file/row-group min-max
+    statistics skip everything outside the band — and aggregate.  The
+    oracle runs the same predicate on the unclustered original, so the
+    clustering shuffle must be value-preserving."""
+    import tempfile
+
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    orders = scan(spark, sf, "orders")
+    path = tempfile.mkdtemp(prefix="sparkgraft_clust_") + "/orders"
+    sinks.write_clustered(orders, path, ["o_orderdate"], n_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    return (
+        back.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("month")
+    )
+
+
 def _q_multimodal_meta(spark, sf):
     docs = scan(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
@@ -1712,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "csv_roundtrip": _q_csv_roundtrip,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
+        "clustered_roundtrip": _q_clustered_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
@@ -2144,6 +2172,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "clustered_roundtrip": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
             GROUP BY 1 ORDER BY 1
         """,
         "repetition_ratio": f"""

@@ -56,6 +56,23 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     writer.orc(path)
 
 
+def write_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int | None = None
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` assigns
+    each output file a narrow, (near-)disjoint band of ``cluster_cols``
+    and ``sortWithinPartitions`` orders rows inside it, so parquet
+    file- and row-group statistics prune range predicates down to a
+    handful of files — the sort-based layout optimization a 100 TB
+    date/key-clustered lake relies on (what Delta's OPTIMIZE ZORDER
+    approximates for the multi-column case).  One shuffle at write
+    time buys every later range scan its pruning.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    part = df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, path: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

@@ -36,6 +36,8 @@ def _check(sf: str) -> None:
     qnames = set(entry_mod.queries())
     missing = qnames - set(report)
     assert not missing, f"{os.path.basename(path)} missing queries {sorted(missing)} — regenerate"
+    stale = set(report) - qnames
+    assert not stale, f"{os.path.basename(path)} has stale queries {sorted(stale)} — regenerate"
     bad = [
         n
         for n, rec in report.items()

@@ -132,3 +132,27 @@ def test_token_roundtrip(spark, tmpdir):
     write_tokens(df, path)
     back = {(r["word"], r["count"]) for r in scan_tokens(spark, path).collect()}
     assert back == {("the", 10), ("è", 3)}
+
+
+def test_write_clustered_disjoint_file_bands(spark, sf_dir, tmpdir):
+    """write_clustered produces (near-)disjoint per-file value bands on
+    the cluster column — the property min/max statistics pruning needs —
+    while preserving every row."""
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    orders = scan(spark, sf_dir, "orders")
+    path = f"{tmpdir}/clustered_orders"
+    sinks.write_clustered(orders, path, ["o_orderdate"], n_files=6)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    stats = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    assert len(stats) > 1, "clustering produced a single file; widen n_files"
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
