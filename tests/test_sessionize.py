@@ -27,6 +27,40 @@ def test_batch_sessionize_gap_splits(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_streaming_sessionize_boundary_semantics(spark, tmp_path):
+    """Streaming fold == batch gaps-and-islands on adversarial inputs:
+    a gap of EXACTLY 30 min must NOT split (strict >), duplicate
+    timestamps stay one session, a lone event is its own session."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming import materialize as M
+
+    rows = [
+        (100, _ts(0)), (100, _ts(30)),            # exact-gap boundary: same session
+        (100, dt.datetime(2024, 1, 1, 11, 1)),    # 31 min later: new session
+        (200, _ts(10)), (200, _ts(10)),           # duplicate ts: one session, n=2
+        (300, _ts(5)),                            # singleton session
+    ]
+    src = str(tmp_path / "events_edge")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    updates = M.run_to_batch(sessionize_stream(stream, gap_minutes=30), spark, "update")
+    final = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in updates.groupBy("user_id", "session_start_us")
+        .agg(F.max("session_end_us").alias("session_end_us"), F.max("n_events").alias("n_events"))
+        .collect()
+    }
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    assert final == {
+        (100, us(_ts(0))): (us(_ts(30)), 2),
+        (100, us(dt.datetime(2024, 1, 1, 11, 1))): (us(dt.datetime(2024, 1, 1, 11, 1)), 1),
+        (200, us(_ts(10))): (us(_ts(10)), 2),
+        (300, us(_ts(5))): (us(_ts(5)), 1),
+    }
+
+
 def test_streaming_sessionize_stateful(spark):
     src = spark.readStream.format("rate").option("rowsPerSecond", "20").load()
     events = src.select(
