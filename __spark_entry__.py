@@ -300,6 +300,21 @@ def _q_events_json(spark, sf):
     )
 
 
+def _q_events_variant(spark, sf):
+    """Same property pulled through the VARIANT encode→typed-get path
+    instead of get_json_object, with a selective predicate on the
+    extracted value — results must match the plain-JSON oracle."""
+    ev = events_ops.variant_prop(scan(spark, sf, "events"))
+    return (
+        ev.filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hi"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def _q_window_lag(spark, sf):
     ev = events_ops.with_lag(scan(spark, sf, "events"))
     return ev.select("event_id", "user_id", F.round(F.col("prev_value"), 6).alias("prev_value"))
@@ -1706,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_part": _q_join_part,
         "subquery_above_avg": _q_subquery_above_avg,
         "events_json": _q_events_json,
+        "events_variant": _q_events_variant,
         "window_lag": _q_window_lag,
         "sessionize": _q_sessionize,
         "minhash_signatures": _q_minhash_signatures,
@@ -2063,6 +2079,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "events_variant": """
+            SELECT event_type, count(*) AS n_hi, round(avg(k), 6) AS avg_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k >= 50 GROUP BY event_type
         """,
         "window_lag": """
             SELECT event_id, user_id,

@@ -20,6 +20,20 @@ def extract_json_prop(
     return events.withColumn(out, F.get_json_object(F.col(props_col), prop_path).cast("long"))
 
 
+def variant_prop(
+    events: DataFrame, prop_path: str = "$.k", props_col: str = "props", out: str = "k"
+) -> DataFrame:
+    """Open-schema property access via the VARIANT type (Spark 4):
+    ``parse_json`` binary-encodes the document once and
+    ``try_variant_get`` does typed path access on the encoded form —
+    at lake scale the parse cost is paid per ROW at ingest/scan, not
+    per extracted path per query, which is the difference between one
+    and N Jackson passes when a query touches many properties of a
+    wide event document."""
+    v = F.parse_json(F.col(props_col))
+    return events.withColumn(out, F.try_variant_get(v, prop_path, "long"))
+
+
 def with_lag(
     events: DataFrame,
     value_col: str = "value",
