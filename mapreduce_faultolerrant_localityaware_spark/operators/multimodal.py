@@ -68,7 +68,15 @@ def decode_image_stub(data: bytes) -> tuple[int, int, list[float]]:
     digest = hashlib.sha256(data).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
-    feats = [round(int.from_bytes(digest[2 + 2 * i : 4 + 2 * i], "big") / 65536.0, 6) for i in range(FEATURE_DIM)]
+    # round k/65536 to 6 dp HALF-UP via exact integer arithmetic:
+    # Python's round() is banker's (0.2578125 → 0.257812) but SQL
+    # engines round half away from zero (→ 0.257813); ties are real at
+    # 16-bit resolution, so the tie rule must match the oracle's.
+    feats = [
+        ((int.from_bytes(digest[2 + 2 * i : 4 + 2 * i], "big") * 2_000_000 + 65536) // 131072)
+        / 1e6
+        for i in range(FEATURE_DIM)
+    ]
     return width, height, feats
 
 
