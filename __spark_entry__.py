@@ -483,6 +483,60 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
 
+def _q_dedup_chunks(spark, sf):
+    """Sub-document (chunk-level) exact dedup: C4-style line dedup over
+    20-token chunks; docs reassembled from their surviving chunks."""
+    return dedup.dedup_chunks(scan(spark, sf, "documents"), chunk_tokens=20)
+
+
+def _q_mixture_sample(spark, sf):
+    """Deterministic token-budget mixture sampling per source."""
+    return corpus.mixture_sample(scan(spark, sf, "documents"), budget_tokens=1500)
+
+
+def _q_embedding_quantize(spark, sf):
+    """Per-dimension symmetric int8 scalar quantization + dequant MAE."""
+    return similarity.embedding_quantize(scan(spark, sf, "embeddings"), dim=64)
+
+
+def _q_streaming_join(spark, sf):
+    """Stream-stream watermarked interval join under the batch oracle
+    gate: click events paired with same-user view events within ±5
+    minutes; bounded replay must equal the batch interval join."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming.enrich_stream import (
+        interval_join_streams,
+    )
+
+    ev = streaming_ops.stream_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = interval_join_streams(clicks, views, on="user_id", tolerance="5 minutes")
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("view_id"),
+        (F.col("r.ts").cast("long") - F.col("l.ts").cast("long")).alias("lag_s"),
+    )
+    res = streaming_ops.run_to_batch(out, spark, output_mode="append")
+    # micro-batch replay may re-emit a pair when both sides re-see it
+    return res.distinct()
+
+
+def _q_dedup_incremental(spark, sf):
+    """Incremental exact dedup: the 25% of docs with doc_id % 4 == 0
+    are the 'new crawl' delta, deduped against the other 75% (the
+    accepted corpus) and against themselves (first id wins)."""
+    docs = scan(spark, sf, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    return dedup.dedup_incremental(base, delta)
+
+
+def _q_key_skew_report(spark, sf):
+    """Pre-shuffle heavy-hitter diagnostic on the events stream key."""
+    return relational.key_skew_report(scan(spark, sf, "events"), "user_id", top_k=10)
+
+
 def _q_dedup_embedding(spark, sf):
     return dedup.dedup_embedding_cosine(scan(spark, sf, "embeddings"), threshold=0.3)
 
@@ -1090,6 +1144,29 @@ def _q_multimodal_decode(spark, sf):
     )
 
 
+def _q_multimodal_resize(spark, sf):
+    """Decode once (Arrow/mapInPandas), then resize JVM-side: the
+    feature vector rescaled by the target/source area ratio."""
+    docs = scan(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    out = multimodal.resize_media(multimodal.decode_media(docs))
+    return out.select(
+        "media_id",
+        F.col("resized_w").cast("long").alias("resized_w"),
+        F.col("resized_h").cast("long").alias("resized_h"),
+        F.col("features_resized")[0].alias("r0"),
+        F.col("features_resized")[1].alias("r1"),
+    )
+
+
+def _q_ann_sq8(spark, sf):
+    """SQ8 ANN: int8-quantized corpus, integer-dot-product top-k."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_sq8(emb, queries_df, k=5, dim=64)
+
+
 def _q_tpch_q5(spark, sf):
     """TPC-H Q5 shape (local supplier volume): 6-table join with an
     extra non-key equality (customer and supplier in the same nation)."""
@@ -1682,6 +1759,17 @@ def _q_triangle_count(spark, sf):
     return triangle_count(pairs)
 
 
+def _q_graph_bfs(spark, sf):
+    """Contamination-radius BFS: min hop distance (≤3) from the seed
+    docs (doc_id % 97 == 0) over the SimHash near-dup pair graph."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import bfs_hops
+
+    docs = scan(spark, sf, "documents")
+    pairs = dedup.dedup_simhash_pairs(docs, max_hamming=3)
+    seeds = docs.select("doc_id").where(F.col("doc_id") % 97 == 0)
+    return bfs_hops(pairs, seeds, max_hops=3)
+
+
 def _q_approx_distinct(spark, sf):
     """HyperLogLog++ distinct estimation — approximate by design, so no
     value-exact SQL oracle (driver records the weaker rows-only check);
@@ -1747,6 +1835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_chunks": _q_dedup_chunks,
+        "dedup_incremental": _q_dedup_incremental,
+        "graph_bfs": _q_graph_bfs,
+        "key_skew_report": _q_key_skew_report,
+        "mixture_sample": _q_mixture_sample,
+        "embedding_quantize": _q_embedding_quantize,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
@@ -1757,12 +1851,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "clustered_roundtrip": _q_clustered_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_resize": _q_multimodal_resize,
+        "ann_sq8": _q_ann_sq8,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_join": _q_streaming_join,
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
         "asof_join": _q_asof_join,
@@ -2315,6 +2412,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, c_name, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey
         """,
+        "streaming_join": """
+            SELECT a.event_id AS click_id, a.user_id AS user_id,
+                   b.event_id AS view_id,
+                   CAST(floor(epoch(b.ts)) AS BIGINT)
+                     - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'view'
+             AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+                          AND a.ts + INTERVAL 5 MINUTE
+        """,
         "pipeline_clean": f"""
             WITH base AS (
               SELECT doc_id, {_TOK_LOWER} AS tk,
@@ -2401,6 +2509,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY 1
         """,
+        "dedup_chunks": f"""
+            WITH tk AS (SELECT doc_id, {_TOK_LOWER} AS tks FROM documents),
+            chunks AS (
+              SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+                     array_to_string(tks[(u.i * 20 + 1):(u.i * 20 + 20)], ' ') AS chunk
+              FROM tk, UNNEST(range(CAST(ceil(len(tks) / 20.0) AS BIGINT))) AS u(i)
+            ),
+            win AS (
+              SELECT doc_id, chunk_idx FROM (
+                SELECT doc_id, chunk_idx,
+                       row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks) WHERE rn = 1
+            ),
+            kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+                     FROM chunks c JOIN win USING (doc_id, chunk_idx)),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(ceil(len(tks) / 20.0) AS BIGINT) AS n_chunks
+                    FROM tk)
+            SELECT t.doc_id, t.n_chunks, coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.text_dedup, '') AS text_dedup
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "dedup_incremental": f"""
+            WITH base AS (SELECT md5({_NORM}) AS content_hash, count(*) AS n_base
+                          FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+            dh AS (SELECT doc_id, md5({_NORM}) AS content_hash
+                   FROM documents WHERE doc_id % 4 = 0),
+            fd AS (SELECT content_hash, min(doc_id) AS first_id FROM dh GROUP BY 1)
+            SELECT dh.doc_id,
+                   (b.n_base IS NOT NULL) AS in_base,
+                   (b.n_base IS NULL AND dh.doc_id = fd.first_id) AS keep
+            FROM dh JOIN fd USING (content_hash)
+            LEFT JOIN base b USING (content_hash)
+        """,
+        "key_skew_report": """
+            WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            r AS (SELECT key, n,
+                         round(n / CAST(total AS DOUBLE), 6) AS share,
+                         row_number() OVER (ORDER BY n DESC, key) AS rank
+                  FROM c, t)
+            SELECT key, n, share, CAST(rank AS BIGINT) AS rank FROM r
+            WHERE rank <= 10
+        """,
+        "mixture_sample": f"""
+            WITH base AS (
+              SELECT doc_id, source, CAST(len({_TOK_LOWER}) AS BIGINT) AS n_tokens,
+                     md5('mix:' || CAST(doc_id AS VARCHAR)) AS rank_key
+              FROM documents),
+            c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                                ORDER BY rank_key, doc_id) AS cum_tokens
+                  FROM base)
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= 1500
+        """,
+        "embedding_quantize": """
+            WITH dims AS (
+              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            scales AS (SELECT i, max(abs(x)) AS s FROM dims GROUP BY i),
+            q AS (
+              SELECT vec_id, i, x, s,
+                     CASE WHEN s = 0 THEN 0
+                          ELSE CAST(round(x / s * 127) AS INTEGER) END AS qi
+              FROM dims JOIN scales USING (i)),
+            e AS (
+              SELECT vec_id, array_agg(qi ORDER BY i) AS qvec,
+                     list_reduce(
+                       array_agg(abs(x - qi * (CASE WHEN s = 0 THEN 0.0 ELSE s END)
+                                     / 127.0) ORDER BY i),
+                       (a, b) -> a + b) / 64.0 AS mae_raw
+              FROM q GROUP BY vec_id)
+            SELECT vec_id, qvec, round(mae_raw, 6) AS mae FROM e
+        """,
         "dedup_minhash": f"""
             {_SHINGLES_LOWER},
             hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
@@ -2457,6 +2643,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM nodes) AS n_nodes,
                    (SELECT count(*) FROM edges) AS n_edges,
                    (SELECT n_triangles FROM tri) AS n_triangles
+        """,
+        "graph_bfs": f"""
+            {simhash_pairs_ctes},
+            edges AS (
+              SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand WHERE doc_a <> doc_b
+              UNION
+              SELECT DISTINCT doc_b AS u, doc_a AS v FROM cand WHERE doc_a <> doc_b
+            ),
+            d0 AS (SELECT DISTINCT doc_id AS node, 0 AS hops FROM documents
+                   WHERE doc_id % 97 = 0),
+            n1 AS (SELECT DISTINCT e.v AS node, 1 AS hops
+                   FROM d0 JOIN edges e ON e.u = d0.node
+                   WHERE e.v NOT IN (SELECT node FROM d0)),
+            d1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM n1),
+            n2 AS (SELECT DISTINCT e.v AS node, 2 AS hops
+                   FROM n1 JOIN edges e ON e.u = n1.node
+                   WHERE e.v NOT IN (SELECT node FROM d1)),
+            d2 AS (SELECT * FROM d1 UNION ALL SELECT * FROM n2),
+            n3 AS (SELECT DISTINCT e.v AS node, 3 AS hops
+                   FROM n2 JOIN edges e ON e.u = n2.node
+                   WHERE e.v NOT IN (SELECT node FROM d2)),
+            d3 AS (SELECT * FROM d2 UNION ALL SELECT * FROM n3)
+            SELECT node, CAST(hops AS BIGINT) AS hops FROM d3
         """,
         "dedup_ngram_jaccard": f"""
             {_SHINGLES_LOWER},
@@ -2934,6 +3143,42 @@ def oracle_sql() -> dict[str, str]:
                    round(round(CAST(('0x' || substring(hx, 5, 4)) AS BIGINT) / 65536.0, 6), 6) AS f0,
                    round(round(CAST(('0x' || substring(hx, 9, 4)) AS BIGINT) / 65536.0, 6), 6) AS f1
             FROM h
+        """,
+        "multimodal_resize": """
+            WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+            d AS (SELECT media_id,
+                         64 + CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) % 192 AS width,
+                         64 + CAST(('0x' || substring(hx, 3, 2)) AS BIGINT) % 192 AS height,
+                         round(CAST(('0x' || substring(hx, 5, 4)) AS BIGINT) / 65536.0, 6) AS f0,
+                         round(CAST(('0x' || substring(hx, 9, 4)) AS BIGINT) / 65536.0, 6) AS f1
+                  FROM h)
+            SELECT media_id, CAST(32 AS BIGINT) AS resized_w, CAST(32 AS BIGINT) AS resized_h,
+                   round(f0 * (1024.0 / (width * height)), 6) AS r0,
+                   round(f1 * (1024.0 / (width * height)), 6) AS r1
+            FROM d
+        """,
+        "ann_sq8": """
+            WITH dims AS (
+              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            scales AS (SELECT i, max(abs(x)) AS s FROM dims GROUP BY i),
+            q AS (
+              SELECT vec_id, i,
+                     CASE WHEN s = 0 THEN 0
+                          ELSE CAST(round(x / s * 127) AS INTEGER) END AS qi
+              FROM dims JOIN scales USING (i)),
+            pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(sum(a.qi * b.qi) AS BIGINT) AS score
+              FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+              WHERE a.vec_id < 8
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, neighbor_id) AS rk
+              FROM pairs)
+            SELECT query_id, neighbor_id, score FROM ranked WHERE rk <= 5
         """,
         "tpch_q5": """
             SELECT n_name,

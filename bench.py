@@ -56,6 +56,8 @@ HEADLINE = [
     "multimodal_decode",
     "dedup_embedding_srp",
     "resample_ffill",
+    "dedup_chunks",
+    "embedding_quantize",
 ]
 
 

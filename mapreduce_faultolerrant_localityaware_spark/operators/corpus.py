@@ -254,3 +254,43 @@ def mixture_report(
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget_tokens: int = 1500,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget mixture sampling — materialize a target data mix by
+    taking, per ``by`` group (source/domain), documents in a
+    DETERMINISTIC pseudo-random order until the group's token budget is
+    exhausted (greedy prefix: a doc survives iff the running total
+    through it stays ≤ budget).  This is the selection step a
+    pretraining pipeline runs after `mixture_report` decides the target
+    weights; the md5 rank key makes the sample reproducible and
+    order-independent of the input layout — no RNG, no seed drift
+    across retries (the reference has no sampling surface at all).
+
+    100 TB shape: one window per group ordered by the rank hash.  The
+    running sum is a single range-partitioned sort per group — the same
+    cost as any per-group quota assignment; with very few giant groups,
+    pre-aggregating per (group, rank-prefix) buckets and prefix-summing
+    bucket totals turns it into two cheap passes (not needed here —
+    group count × docs/group keeps partitions bounded).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(by),
+        F.size(tokens(text_col, lowercase=True)).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))).alias("rank_key"),
+    )
+    w = Window.partitionBy(by).orderBy("rank_key", id_col)
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, by, "n_tokens", "cum_tokens")
+    )

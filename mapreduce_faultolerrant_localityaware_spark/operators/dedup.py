@@ -422,3 +422,109 @@ def dedup_simhash_pairs(
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (the C4/CCNet "line dedup"
+    pass, generalized to fixed ``chunk_tokens``-token chunks because the
+    synthetic corpus has no line structure): every distinct chunk keeps
+    only its FIRST occurrence (min ``(doc_id, chunk_idx)``) anywhere in
+    the corpus; each document is then reassembled from its surviving
+    chunks.  Beyond the reference's whole-record guard
+    (core/map_reduce.go:167-182) — this is sub-document dedup, the pass
+    that strips boilerplate repeated across pages.
+
+    100 TB shape: chunking is a map-side array op; the winner election
+    groups by the 32-byte md5 ONLY carrying ``(hash, doc_id, idx)`` —
+    chunk text never rides the hash-keyed exchange.  Winners rejoin the
+    chunk text by ``(doc_id, idx)`` (equi-join, AQE-skew-safe) and
+    reassembly re-aggregates by ``doc_id``; both those exchanges carry
+    each chunk's text exactly once.
+
+    Returns one row per input doc: ``doc_id, n_chunks, n_kept,
+    text_dedup`` (empty string when every chunk was seen earlier).
+    """
+    tk = tokens(text_col, lowercase=True)
+    n_chunks = F.ceil(F.size(tk) / F.lit(chunk_tokens)).cast("int")
+    # NB: F.sequence(0, -1) is DESCENDING, not empty — guard zero-token docs.
+    idxs = F.when(F.size(tk) > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_arr = F.transform(
+        idxs,
+        lambda i: F.array_join(F.slice(tk, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    base = docs.select(F.col(id_col), chunk_arr.alias("chunks"))
+    chunks = base.select(
+        id_col, F.posexplode_outer("chunks").alias("chunk_idx", "chunk")
+    )
+    hashed = chunks.where(F.col("chunk").isNotNull()).select(
+        id_col, "chunk_idx", F.md5("chunk").alias("h")
+    )
+    winners = (
+        hashed.groupBy("h")
+        .agg(F.min(F.struct(id_col, "chunk_idx")).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.chunk_idx").alias("chunk_idx"))
+    )
+    kept = chunks.join(winners, [id_col, "chunk_idx"])
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = base.select(id_col, F.size("chunks").cast("long").alias("n_chunks"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+def dedup_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an EXISTING
+    corpus — the steady-state shape of a production ingestion pipeline
+    (each crawl snapshot dedups against everything already accepted,
+    not against itself alone).  A delta doc survives iff its normalized
+    content hash (1) never appears in the base corpus and (2) is the
+    first occurrence (min id) within the delta itself.
+
+    100 TB shape: both sides reduce to 32-byte digests before any
+    exchange; the base side pre-aggregates to one row per distinct
+    hash (its total text volume never matters), and the probe is a
+    hash equi-join — the same bloom-filter-friendly shape Spark's
+    runtime row-group skipping exploits.
+
+    Returns one row per delta doc: ``doc_id, in_base, keep``.
+    """
+    bh = (
+        base.select(F.md5(normalized_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    dh = delta.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+    first_in_delta = dh.groupBy("content_hash").agg(F.min(id_col).alias("first_id"))
+    return (
+        dh.join(first_in_delta, "content_hash")
+        .join(bh, "content_hash", "left")
+        .select(
+            id_col,
+            F.col("n_base").isNotNull().alias("in_base"),
+            (F.col("n_base").isNull() & (F.col(id_col) == F.col("first_id"))).alias("keep"),
+        )
+    )

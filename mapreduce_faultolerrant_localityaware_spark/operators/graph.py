@@ -299,3 +299,61 @@ def triangle_count(
         F.count(F.when(F.col("kind") == "edge", 1)).alias("n_edges"),
         F.count(F.when(F.col("kind") == "tri", 1)).alias("n_triangles"),
     )
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Multi-source bounded-depth BFS over an undirected edge list:
+    the minimum hop count (≤ ``max_hops``) from any seed node — "how
+    close is this doc to a known-bad seed" over the near-dup graph,
+    the contamination-radius / blocklist-expansion query of a corpus
+    pipeline.  All-integer semantics: exactly reproducible, no FP.
+
+    Textbook frontier BFS, the distributed way: each round expands the
+    CURRENT frontier by one equi-join against the (symmetrized) edge
+    list, then anti-joins out already-visited nodes so a node's first
+    visit — necessarily at its minimum distance — is its only visit.
+    Rounds = ``max_hops`` (a small constant), so lineage stays bounded
+    without checkpointing; per-round cost is one shuffle of the
+    frontier×degree expansion, never the whole graph.
+
+    ``seeds`` is a 1-column DataFrame of node ids.  Seeds absent from
+    the graph still appear at hops 0.  Returns (node, hops).
+    """
+    # materialize the (possibly expensive) edge derivation ONCE —
+    # every round re-references `edges`, and without truncation each
+    # round's lazy plan would re-run the upstream pair pipeline.
+    edges = _truncate_lineage(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    seed_col = seeds.columns[0]
+    seen = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = seen.select("node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        # truncate the (small) frontier each round: `seen` and `new`
+        # are referenced by BOTH the next round's anti-join and the
+        # final union — without materialization every reference
+        # re-executes all prior rounds (2^rounds plan blowup).
+        new = _truncate_lineage(
+            nbrs.join(seen.select("node"), "node", "left_anti").withColumn(
+                "hops", F.lit(h)
+            )
+        )
+        seen = seen.unionByName(new)
+        frontier = new.select("node")
+    return seen.withColumn("hops", F.col("hops").cast("long"))

@@ -126,3 +126,29 @@ def frame_sample_plan(df: DataFrame, blob_col: str = "blob", id_col: str = "medi
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def resize_media(
+    decoded: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+) -> DataFrame:
+    """Resize step over DECODED media: rescale the feature vector by
+    the area ratio target/(width·height) — the deterministic stand-in
+    for a real bilinear resample (which would swap only the per-row
+    kernel, exactly like ``decode_image_stub``).
+
+    Runs entirely JVM-side on the decode output (higher-order array
+    transform, codegen'd): the Python/Arrow boundary is crossed once at
+    decode; every downstream media transform stays in the JVM — the
+    composition a production pipeline wants (decode once, derive many).
+    """
+    ratio = F.lit(float(target_w * target_h)) / (
+        F.col("width").cast("double") * F.col("height").cast("double")
+    )
+    return decoded.select(
+        "media_id",
+        F.lit(target_w).alias("resized_w"),
+        F.lit(target_h).alias("resized_h"),
+        F.transform("features", lambda x: F.round(x * ratio, 6)).alias("features_resized"),
+    )

@@ -224,3 +224,34 @@ def sample_stratified(
     # arithmetic turns e.g. 0.29 * 10000 = 2899.999… into 2899, off by
     # one bucket vs an engine computing in DECIMAL (the DuckDB oracle).
     return df.filter(bucket < F.round(rate * 10000).cast("long"))
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostic for a join/aggregation key: the top-k
+    keys by row count with their corpus share — the report that decides
+    whether a key needs salting (`salted_agg`/`join_skew_salted`)
+    before a 100 TB shuffle, and the batch analog of AQE's runtime
+    skew detection.
+
+    Shape: one partial-agged groupBy carries (key, count); the grand
+    total is a 1-row aggregate broadcast back (deliberate 1-row
+    nested-loop, same pattern as the salt replication); ranking runs
+    AFTER the top-k cut so no global window ever sees the full key
+    space — only ``top_k`` rows pass through the final sort.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return top.select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

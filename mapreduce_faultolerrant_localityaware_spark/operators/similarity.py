@@ -386,3 +386,101 @@ def dedup_embedding_srp(
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= cos_threshold)
     )
+
+
+def embedding_quantize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding
+    column — the 4× memory/IO compression an ANN index applies before
+    serving (scalar quantization, the SQ8 baseline of the FAISS/IVF
+    playbook; the PQ upgrade keeps this exact two-pass shape).
+
+    Pass 1 aggregates per-dimension max|x| ("scales", d doubles total,
+    partial-agged before the exchange); pass 2 broadcasts that single
+    row and maps each vector to ``round(x/scale*127)`` plus its mean
+    absolute dequantization error.  Nothing wider than d doubles ever
+    reaches the driver or the shuffle — at 100 TB the second pass is a
+    pure map stage.
+
+    Returns ``id_col, qvec (array<int>), mae (double)``; all arithmetic
+    is double-precision in dimension order on both engines so the FP
+    folds are bit-reproducible against the oracle.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if dim is None:
+        # one-scalar schema probe (array length isn't in the schema);
+        # same driver-side model-state exception as the k-means fit
+        dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    # per-dim scales: d independent max aggregates in ONE pass
+    scales = emb.agg(
+        F.array(
+            *[F.max(F.abs(F.element_at(v, i + 1))) for i in range(dim)]
+        ).alias("scales")
+    )
+    joined = emb.select(F.col(id_col), v.alias("v")).crossJoin(F.broadcast(scales))
+    s_at = lambda i: F.element_at("scales", i + F.lit(1))
+    qexpr = F.transform(
+        "v",
+        lambda x, i: F.when(s_at(i) == 0.0, F.lit(0))
+        .otherwise(F.round(x / s_at(i) * 127).cast("int")),
+    )
+    with_q = joined.select(id_col, "v", "scales", qexpr.alias("qvec"))
+    errs = F.transform(
+        "v",
+        lambda x, i: F.abs(
+            x
+            - F.element_at("qvec", i + F.lit(1)).cast("double")
+            * F.when(s_at(i) == 0.0, F.lit(0.0)).otherwise(s_at(i))
+            / F.lit(127.0)
+        ),
+    )
+    mae = F.aggregate(errs, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(dim))
+    return with_q.select(id_col, "qvec", F.round(mae, 6).alias("mae"))
+
+
+def ann_sq8(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Quantized-corpus ANN: brute-force top-k over int8-quantized
+    vectors (SQ8 — the serving configuration of `embedding_quantize`).
+    Scoring is an INTEGER dot product in the quantized space: exact,
+    overflow-free (d·127² ≪ 2³¹), and ~4× less memory/IO than the
+    float path — the standard recall-for-cost trade of an SQ8 index.
+
+    Same distributed shape as `ann_bruteforce`: quantize once (map
+    stage after the d-value scale aggregate), broadcast the quantized
+    query side, per-query top-k with a total tiebreak (score DESC,
+    neighbor ASC).  The integer scores make the result engine-exact —
+    no FP summation-order caveats anywhere.
+
+    ``queries`` must be a subset of ``emb`` (selected by ``id_col``):
+    both sides are quantized with the CORPUS scales — quantizing the
+    query batch with its own max|x| would score in a different space.
+    """
+    corpus = embedding_quantize(emb, vec_col=vec_col, id_col=id_col, dim=dim).select(
+        id_col, "qvec"
+    )
+    qside = corpus.join(
+        queries.select(id_col), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), F.col("qvec").alias("q_qvec"))
+    score = F.aggregate(
+        F.zip_with("qvec", "q_qvec", lambda a, b: a * b),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(qside), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        score.cast("long").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -65,3 +65,36 @@ def dedup_stream(
 ) -> DataFrame:
     """Exactly-once-per-key emission within the watermark horizon."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM inner interval join: pair left/right events with
+    the same key whose timestamps lie within ``tolerance`` of each
+    other.  Both sides are watermarked and the join condition is
+    time-range-bounded, so each side's buffered state is only the
+    watermark+tolerance horizon — the requirement for an unbounded
+    run (without the range bound Spark would have to buffer a whole
+    stream forever; it rejects such joins in append mode).
+
+    Inner-join matches emit as soon as both rows have arrived; the
+    watermark governs state EVICTION, not emission, so a bounded
+    replay yields exactly the batch join of the same inputs.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{on} = r.{on} AND "
+            f"r.{ts_col} BETWEEN l.{ts_col} - INTERVAL {tolerance}"
+            f" AND l.{ts_col} + INTERVAL {tolerance}"
+        ),
+        "inner",
+    )

@@ -23,7 +23,9 @@ from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 # queries whose plan deliberately contains a BroadcastNestedLoopJoin:
 # banded/broadcast comparisons, and tfidf's single-row corpus-size
 # attach (a broadcast of one scalar row, not a cartesian hazard).
-BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted", "tfidf_top_terms"}
+#: queries whose BNLJ is a deliberate 1-row/tiny broadcast replication
+BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted",
+           "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -5,6 +5,11 @@ order-insensitive values (floats rounded to 6 dp).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
        python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+       python tools/check_oracle.py --merge --json OUT.json [sf_dir] [query ...]
+
+``--merge`` updates only the queries run this invocation inside an
+existing artifact (incremental refresh after adding an operator);
+without it ``--json`` rewrites the file with exactly the queries run.
 
 With ``--json`` every query's outcome is also written in the driver's
 CORRECTNESS schema (``rows_match``/``schema_match``/``hash_match``/
@@ -47,6 +52,10 @@ def canon(rows, cols):
 def main():
     args = sys.argv[1:]
     json_out = None
+    merge = False
+    if args and args[0] == "--merge":
+        merge = True
+        args = args[1:]
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
@@ -117,6 +126,17 @@ def main():
             continue
         print(f"OK   {name}: {len(srows)} rows, {dt:.1f}s")
     if json_out:
+        if merge:
+            # incremental refresh: update only the queries run this
+            # invocation, keep every other entry of the existing artifact
+            try:
+                with open(json_out) as f:
+                    prior = json.load(f)
+            except FileNotFoundError:
+                prior = {}
+            prior.update(report)
+            # keep artifact key order aligned with queries() ordering
+            report = {k: prior[k] for k in qs if k in prior}
         with open(json_out, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {json_out} ({len(report)} queries)")
