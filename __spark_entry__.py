@@ -1160,6 +1160,16 @@ def _q_multimodal_resize(spark, sf):
     )
 
 
+def _q_multimodal_frames(spark, sf):
+    """Frame-sampling plumbing: one row per sampled frame index
+    (every 10th), frame count derived from the blob length."""
+    docs = scan(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    out = multimodal.frame_sample_plan(docs, every_n=10)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 def _q_ann_sq8(spark, sf):
     """SQ8 ANN: int8-quantized corpus, integer-dot-product top-k."""
     emb = scan(spark, sf, "embeddings")
@@ -1852,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_roundtrip": _q_clustered_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         "ann_sq8": _q_ann_sq8,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
@@ -3156,6 +3167,13 @@ def oracle_sql() -> dict[str, str]:
                    round(f0 * (1024.0 / (width * height)), 6) AS r0,
                    round(f1 * (1024.0 / (width * height)), 6) AS r1
             FROM d
+        """,
+        "multimodal_frames": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              CAST(floor(octet_length(encode(text)) / 1024.0 + 1) AS BIGINT) AS n_frames
+                       FROM documents)
+            SELECT media_id, CAST(u.i AS BIGINT) AS frame_idx
+            FROM m, UNNEST(range(0, n_frames, 10)) AS u(i)
         """,
         "ann_sq8": """
             WITH dims AS (
