@@ -756,6 +756,11 @@ def _q_streaming_enrich(spark, sf):
     return streaming_ops.run_to_batch(joined, spark, output_mode="append")
 
 
+def _q_events_funnel(spark, sf):
+    """First-touch ordered conversion funnel signup → click → purchase."""
+    return events_ops.funnel(scan(spark, sf, "events"))
+
+
 def _q_pipeline_clean(spark, sf):
     """Composite training-data cleaning pipeline — the operators a
     100 TB corpus pass actually chains: quality-filter → exact-dedup
@@ -1871,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_join": _q_streaming_join,
+        "events_funnel": _q_events_funnel,
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
         "asof_join": _q_asof_join,
@@ -2422,6 +2428,19 @@ def oracle_sql() -> dict[str, str]:
         "streaming_enrich": """
             SELECT event_id, user_id, event_type, c_name, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey
+        """,
+        "events_funnel": """
+            WITH s0 AS (SELECT user_id, min(ts) AS a0 FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS a1
+                   FROM events e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s0.a0 GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS a2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s1.a1 GROUP BY 1)
+            SELECT (SELECT count(*) FROM s0) AS n_signup,
+                   (SELECT count(*) FROM s1) AS n_click,
+                   (SELECT count(*) FROM s2) AS n_purchase
         """,
         "streaming_join": """
             SELECT a.event_id AS click_id, a.user_id AS user_id,

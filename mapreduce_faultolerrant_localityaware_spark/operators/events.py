@@ -67,3 +67,45 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn("session_id", F.sum(new_session).over(running).cast("long"))
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: users who performed step 1, then
+    step 2 AFTER their first step 1, then step 3 after THAT step 2 —
+    each step anchored at the earliest qualifying event (first-touch
+    semantics, the standard product-analytics funnel).
+
+    Shape: ONE shuffle (groupBy user collecting the per-user event
+    list, bounded by per-user activity — the sessionization envelope),
+    then every step anchor is a higher-order array expression chained
+    on the previous anchor (filter → first element of the ts-sorted
+    list), entirely codegen'd; the final report is a single global
+    aggregate of step counts.  A step whose predecessor is missing is
+    automatically NULL: the ts >= NULL gate filters everything.
+
+    Returns one row: ``n_<step>`` user counts per step.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct(ts_col, type_col))).alias("evs")
+    )
+    anchors: list = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            cand = F.filter("evs", lambda e: e[type_col] == step)
+        else:
+            prev = anchors[i - 1]
+            cand = F.filter(
+                "evs", lambda e: (e[type_col] == step) & (e[ts_col] >= prev)
+            )
+        # try_element_at: an empty candidate list (step never reached)
+        # is NULL, not an ANSI out-of-bounds error
+        anchors.append(F.try_element_at(cand, F.lit(1))[ts_col])
+    return per_user.agg(
+        *[F.count(a).alias(f"n_{s}") for s, a in zip(steps, anchors)]
+    )

@@ -254,3 +254,32 @@ def test_bfs_hops_path_graph(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1, 99: 0}
     # node 5 is 4 hops out — beyond the horizon, absent
     assert 5 not in got
+
+
+# ---- events funnel ----
+
+def test_funnel_ordering_semantics(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import funnel
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts(0), "signup"), (1, ts(5), "click"), (1, ts(9), "purchase"),
+        # user 2: click BEFORE signup → funnel stops at signup
+        (2, ts(5), "click"), (2, ts(6), "signup"),
+        # user 3: purchase before the post-signup click → stops at click
+        (3, ts(0), "signup"), (3, ts(1), "purchase"), (3, ts(2), "click"),
+        # user 4: click at EXACTLY the signup ts (>= counts it), no purchase
+        (4, ts(0), "signup"), (4, ts(0), "click"),
+        # user 5: never signed up
+        (5, ts(0), "click"), (5, ts(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel(ev).collect()[0]
+    assert out["n_signup"] == 4   # users 1,2,3,4
+    assert out["n_click"] == 3    # users 1,3,4 (user 2's click precedes signup)
+    assert out["n_purchase"] == 1  # only user 1 purchased after the click
