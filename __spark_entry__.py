@@ -1977,6 +1977,36 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+# 64-bit SimHash fingerprint CTEs (mirrors dedup.simhash / _simhash_vote):
+# two direction bits per md5 hex digit — bit b<32 is digit b's high bit
+# (value 8), bit b>=32 is digit (b-32)'s value-4 bit.  Bit 63 packs as
+# the SIGNED weight -2**63 (DuckDB refuses 1::BIGINT << 63; Spark longs
+# wrap the same way), so top-bit fingerprints are negative on BOTH
+# engines.  Ends at CTE ``sig(doc_id, simhash)``.
+_SIMHASH_SIG_CTES = f"""tc AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
+              GROUP BY doc_id, t
+            ),
+            v AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (b < 32 AND substring(md5(token), b + 1, 1) IN
+                                    ('8','9','a','b','c','d','e','f'))
+                               OR (b >= 32 AND substring(md5(token), b - 31, 1) IN
+                                    ('4','5','6','7','c','d','e','f'))
+                          THEN cnt ELSE -cnt END) AS v
+              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
+              GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN
+                              (CASE WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
+                                    ELSE CAST(CAST(1 AS BIGINT) << least(b, 62) AS HUGEINT) END)
+                          ELSE 0 END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id
+            )"""
+
 _LANGS = list(textstats.LANG_MARKERS)
 
 
@@ -1997,25 +2027,11 @@ def oracle_sql() -> dict[str, str]:
     # byte bands → all-pairs within small buckets, min-id star expansion
     # above MAX_BUCKET_ALLPAIRS → hamming<=3 verify), shared by the
     # dedup_simhash_pairs and triangle_count oracles so their semantics
-    # cannot drift apart again (they did in round 3).
+    # cannot drift apart again (they did in round 3).  The fingerprint
+    # CTEs (_SIMHASH_SIG_CTES) are shared with the dedup_simhash oracle
+    # for the same reason.
     simhash_pairs_ctes = f"""
-            WITH tc AS (
-              SELECT doc_id, t AS token, count(*) AS cnt
-              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
-              GROUP BY doc_id, t
-            ),
-            v AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
-                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
-              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
-              GROUP BY doc_id, b
-            ),
-            sig AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-              FROM v GROUP BY doc_id
-            ),
+            WITH {_SIMHASH_SIG_CTES},
             bands AS (
               SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
               FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
@@ -2639,21 +2655,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes WHERE n > 1 GROUP BY band ORDER BY band
         """,
         "dedup_simhash": f"""
-            WITH tc AS (
-              SELECT doc_id, t AS token, count(*) AS cnt
-              FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)
-              GROUP BY doc_id, t
-            ),
-            v AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN substring(md5(token), b + 1, 1) IN
-                              ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v
-              FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
-              GROUP BY doc_id, b
-            )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-            FROM v GROUP BY doc_id
+            WITH {_SIMHASH_SIG_CTES}
+            SELECT doc_id, simhash FROM sig
         """,
         "dedup_simhash_pairs": f"""
             {simhash_pairs_ctes}

@@ -16,8 +16,8 @@ Design notes for 100 TB:
   * MinHash-LSH never materializes the O(n²) pair space: candidate
     pairs come from equi-joins on band signatures, so the shuffle is
     O(n·bands) and the join fans out only within a bucket.
-  * SimHash reduces each doc to one 32-bit int; near-dup search then
-    bands the fingerprint (not implemented here — pairs via LSH above).
+  * SimHash reduces each doc to one 64-bit fingerprint; near-dup
+    search bands it into 8 byte-buckets (dedup_simhash_pairs).
   * all hashes are md5-derived → deterministic, engine-portable
     (hash-matchable against a DuckDB oracle), seedable per permutation.
 """
@@ -190,50 +190,70 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash fingerprint per doc (token-frequency-weighted bit vote).
+def _simhash_vote(h, b: int):
+    """Token's ±1 direction for bit ``b`` from its md5 hex string.
 
-    Bit b's direction for a token is the high bit of hex digit b of
-    md5(token) — engine-portable.
+    md5 has 32 hex digits; a 64-bit fingerprint takes TWO direction
+    bits per digit: bit b<32 is the digit's high bit (value 8 — digit
+    lexicographically >= '8', since hex digits sort 0-9 < a-f), bit
+    b>=32 is the digit's value-4 bit (digit in 4-7 or c-f).  Plain
+    string comparisons, not isin(): cheaper per token instance, and
+    exactly portable to a SQL oracle.
+    """
+    d = F.substring(h, (b % 32) + 1, 1)
+    if b < 32:
+        hit = d >= "8"
+    else:
+        hit = ((d >= "4") & (d <= "7")) | (d >= "c")
+    return F.when(hit, F.lit(1)).otherwise(F.lit(-1))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash fingerprint per doc (token-frequency-weighted bit vote).
+
+    64 bits is the industry-standard width: a 32-bit space is
+    birthday-saturated at >= 1e8 docs (the 100 TB regime), flooding
+    band buckets with unrelated docs and draining all discrimination
+    from hamming<=3.  ``bits=32`` remains available for the
+    collision-rate comparison test.  Direction bits come from the
+    token's md5 (two per hex digit, see _simhash_vote) — engine-portable.
 
     ZERO-shuffle plan, SINGLE traversal: the frequency-weighted vote
     Σ cnt(token)·dir_b equals a plain sum of dir_b over raw token
     INSTANCES, so each doc's fingerprint is a pure per-row expression —
     md5 the token array once, then ONE ``aggregate`` pass whose
-    accumulator is the 32-element vote-count array (``zip_with`` add of
-    each token's ±1 vote vector), all inside whole-stage codegen with
-    no exchange at all.  (Earlier formulations: ×32 bit explode = 4.4 s
-    at sf0.1; groupBy(doc,token) conditional sums = 2.7 s but shuffles
-    a corpus-scale distinct-token relation; 32 SEPARATE per-bit
-    aggregates = zero shuffle but 32 full array traversals per row,
-    1.7 s; this one traverses once.)
+    accumulator is the ``bits``-element vote-count array (``zip_with``
+    add of each token's ±1 vote vector), all inside whole-stage codegen
+    with no exchange at all.  (Earlier formulations: ×32 bit explode =
+    4.4 s at sf0.1; groupBy(doc,token) conditional sums = 2.7 s but
+    shuffles a corpus-scale distinct-token relation; 32 SEPARATE
+    per-bit aggregates = zero shuffle but 32 full array traversals per
+    row, 1.7 s; this one traverses once.)
+
+    Packing note: bit 63's weight is the SIGNED two's-complement value
+    -2**63 (Spark longs and DuckDB BIGINTs cannot represent +2**63;
+    DuckDB even refuses the shift), so fingerprints with the top bit
+    set are negative longs — harmless, since banding masks with & 255
+    after an arithmetic shift and hamming uses bit_count(xor).
     """
-    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
 
     def votes(h):
-        # the token's ±1 vote for every bit — one substring per bit,
-        # evaluated once per token instance during the single pass
-        # (an integer-decode variant via conv() measured SLOWER: the
-        # hex parse costs more than 32 one-char substring+isin)
-        return F.array(
-            *[
-                F.when(F.substring(h, b + 1, 1).isin(*hexhi), F.lit(1)).otherwise(F.lit(-1))
-                for b in range(SIMHASH_BITS)
-            ]
-        )
+        return F.array(*[_simhash_vote(h, b) for b in range(bits)])
 
     base = ensure_parallelism(docs).select(
         F.col(id_col), F.transform(tokens(text_col, lowercase=True), lambda t: F.md5(t)).alias("hs")
     )
     counts = F.aggregate(
         "hs",
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
     )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    powers = F.array(
+        *[F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long") for b in range(bits)]
+    )
     packed = F.aggregate(
         F.zip_with(counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -334,11 +354,11 @@ def dedup_embedding_cosine(
     )
 
 
-#: SimHash banding: 4 bands of 8 bits over the 32-bit fingerprint.
-#: Pigeonhole guarantee: any pair within hamming distance 3 shares at
+#: SimHash banding: 8 bands of 8 bits over the 64-bit fingerprint.
+#: Pigeonhole guarantee: any pair within hamming distance 7 shares at
 #: least one intact band, so banded candidate generation is COMPLETE
 #: for max_hamming <= SIMHASH_BANDS - 1.
-SIMHASH_BANDS = 4
+SIMHASH_BANDS = 8
 
 
 def dedup_simhash_pairs(
@@ -349,7 +369,7 @@ def dedup_simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs from banded SimHash fingerprints: band the
-    32-bit fingerprint into SIMHASH_BANDS byte buckets, candidate
+    64-bit fingerprint into SIMHASH_BANDS byte buckets, candidate
     pairs from in-bucket expansion, verify with the exact hamming
     distance ``bit_count(xor)``.  Candidate generation is COMPLETE for
     ``max_hamming <= SIMHASH_BANDS - 1`` by pigeonhole **for buckets

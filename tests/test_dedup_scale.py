@@ -195,3 +195,34 @@ def test_srp_fingerprint_deterministic(spark):
     a = {r["vec_id"]: r["srp"] for r in similarity.srp_fingerprint(df).collect()}
     b = {r["vec_id"]: r["srp"] for r in similarity.srp_fingerprint(df).collect()}
     assert a == b and all(0 <= x < 2**16 for x in a.values())
+
+
+def test_simhash_64bit_collision_rate_drop(spark, sf_dir):
+    """The round-6 fingerprint-width upgrade: at >=1e8 docs a 32-bit
+    SimHash space is birthday-saturated; even at corpus-sample scale
+    (500 docs) 32 bits already collides unrelated docs into identical
+    fingerprints, while 64 bits keeps non-duplicates distinct.  Guards
+    both the width and its portability packing (bit 63 = signed -2^63).
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    docs = scan(spark, sf_dir, "documents")
+    n = docs.count()
+    d64, neg64 = (
+        dedup.simhash(docs)
+        .select(
+            F.countDistinct("simhash"),
+            F.sum((F.col("simhash") < 0).cast("long")),
+        )
+        .first()
+    )
+    d32 = dedup.simhash(docs, bits=32).select(F.countDistinct("simhash")).first()[0]
+    assert dedup.SIMHASH_BITS == 64 and dedup.SIMHASH_BANDS == 8
+    # strictly fewer exact-fingerprint collisions at 64 bits, by at least 2x
+    assert d64 > d32
+    assert (n - d64) * 2 < (n - d32)
+    # the packing really uses the top bit: ~half of natural-language
+    # fingerprints have bit 63 set and thus come out negative
+    assert 0 < neg64 < n
