@@ -419,22 +419,23 @@ def _q_contamination(spark, sf):
 
 def _q_length_filter(spark, sf):
     """Percentile-band length filter — the pretraining gate that drops
-    docs outside [p05, p95] of token length.  Exact percentiles ride
-    scalar subqueries (both engines interpolate linearly, proven by
-    the `percentiles` query)."""
+    docs outside [p05, p95] of token length.  Exact percentiles come
+    from a one-row agg broadcast-crossed back onto the lengths (both
+    engines interpolate linearly, proven by the `percentiles` query)."""
     from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as tokens_fn
 
     docs = scan(spark, sf, "documents")
     lens = docs.select(
         "doc_id", F.size(tokens_fn("text", lowercase=True)).cast("long").alias("n_tokens")
     )
-    lens.createOrReplaceTempView("_lenf")
-    return spark.sql(
-        """
-        SELECT doc_id, n_tokens FROM _lenf
-        WHERE n_tokens >= (SELECT percentile(n_tokens, 0.05) FROM _lenf)
-          AND n_tokens <= (SELECT percentile(n_tokens, 0.95) FROM _lenf)
-        """
+    bounds = lens.agg(
+        F.percentile("n_tokens", 0.05).alias("p05"),
+        F.percentile("n_tokens", 0.95).alias("p95"),
+    )
+    return (
+        lens.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_tokens") >= F.col("p05")) & (F.col("n_tokens") <= F.col("p95")))
+        .select("doc_id", "n_tokens")
     )
 
 
@@ -587,13 +588,12 @@ def _q_csv_roundtrip(spark, sf):
     CSV sink, re-scan it with an explicit schema, aggregate — the
     oracle reads the original parquet, so any serialization drift
     (quoting, types, header) breaks the hash."""
-    import tempfile
-
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
     from mapreduce_faultolerrant_localityaware_spark.sources import sinks
     from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan_csv
 
     nation = scan(spark, sf, "nation")
-    path = tempfile.mkdtemp(prefix="sparkgraft_csv_") + "/nation"
+    path = scratch_dir("csv") + "/nation"
     sinks.write_csv(nation, path)
     back = scan_csv(spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
     return (
@@ -612,12 +612,11 @@ def _q_partitioned_roundtrip(spark, sf):
     lake.  The oracle filters the original table, so any value drift
     through the partition encode/decode (escaping, type) breaks the
     hash."""
-    import tempfile
-
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
     from mapreduce_faultolerrant_localityaware_spark.sources import sinks
 
     orders = scan(spark, sf, "orders")
-    path = tempfile.mkdtemp(prefix="sparkgraft_part_") + "/orders"
+    path = scratch_dir("part") + "/orders"
     sinks.write_parquet(orders, path, partition_by=["o_orderpriority"])
     back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
     return (
@@ -637,12 +636,11 @@ def _q_clustered_roundtrip(spark, sf):
     statistics skip everything outside the band — and aggregate.  The
     oracle runs the same predicate on the unclustered original, so the
     clustering shuffle must be value-preserving."""
-    import tempfile
-
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
     from mapreduce_faultolerrant_localityaware_spark.sources import sinks
 
     orders = scan(spark, sf, "orders")
-    path = tempfile.mkdtemp(prefix="sparkgraft_clust_") + "/orders"
+    path = scratch_dir("clust") + "/orders"
     sinks.write_clustered(orders, path, ["o_orderdate"], n_files=8)
     back = spark.read.parquet(path).filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
@@ -823,14 +821,18 @@ def _q_range_join(spark, sf):
 # ---- grouping sets / percentiles / arg-extremes / analytic windows ----
 
 def _q_grouping_sets(spark, sf):
-    scan(spark, sf, "lineitem").createOrReplaceTempView("li_gsets")
-    return spark.sql(
-        """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               sum(l_quantity) AS sum_qty, count(*) AS n_rows
-        FROM li_gsets GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+    return (
+        scan(spark, sf, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
     )
 
 
@@ -965,15 +967,15 @@ def _q_corr_subquery(spark, sf):
 
 
 def _q_scalar_subquery(spark, sf):
-    """Scalar subquery in a projection — planned as a one-row broadcast
-    (Subquery scalar-subquery node), not a join or a driver collect."""
-    scan(spark, sf, "orders").createOrReplaceTempView("orders_ssq")
-    return spark.sql(
-        """
-        SELECT o_orderkey,
-               round(o_totalprice / (SELECT max(o_totalprice) FROM orders_ssq), 6) AS price_frac
-        FROM orders_ssq
-        """
+    """Scalar-subquery semantics (every row normalized by a global
+    aggregate) as a one-row broadcast cross join — the same physical
+    shape Catalyst plans for a SQL scalar subquery, with no session-
+    global temp view and no driver collect."""
+    orders = scan(spark, sf, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("mx"))
+    return orders.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") / F.col("mx"), 6).alias("price_frac"),
     )
 
 
@@ -1491,14 +1493,18 @@ def _q_tpch_q11(spark, sf):
     val = li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey")).select(
         "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
     )
-    val.createOrReplaceTempView("q11_val")
-    return spark.sql(
-        """
-        SELECT l_partkey AS p_key, round(sum(v), 2) AS value
-        FROM q11_val GROUP BY 1
-        HAVING sum(v) > (SELECT 2.0 * sum(v) / count(DISTINCT l_partkey) FROM q11_val)
-        ORDER BY value DESC, p_key ASC
-        """
+    per_part = val.groupBy("l_partkey").agg(F.sum("v").alias("value_raw"))
+    # HAVING-with-scalar-subquery shape: the threshold is a one-row
+    # aggregate over the same relation, broadcast-crossed onto the
+    # grouped result (no temp view, no second SQL context)
+    thresh = val.agg(
+        (F.lit(2.0) * F.sum("v") / F.countDistinct("l_partkey")).alias("thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value_raw") > F.col("thr"))
+        .select(F.col("l_partkey").alias("p_key"), F.round("value_raw", 2).alias("value"))
+        .orderBy(F.desc("value"), F.asc("p_key"))
     )
 
 
@@ -1556,15 +1562,14 @@ def _q_tpch_q15(spark, sf):
             "total_revenue"
         )
     )
-    rev.createOrReplaceTempView("q15_revenue")
-    scan(spark, sf, "supplier").createOrReplaceTempView("q15_supplier")
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name, total_revenue
-        FROM q15_supplier JOIN q15_revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT max(total_revenue) FROM q15_revenue)
-        ORDER BY s_suppkey
-        """
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        scan(spark, sf, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
 
 
@@ -1676,14 +1681,15 @@ def _q_tpch_q22(spark, sf):
     urgent = scan(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_custkey"
     )
-    cust.createOrReplaceTempView("q22_customer")
+    # scalar subquery as a one-row broadcast cross join: identical
+    # physical shape (BroadcastNestedLoop over a 1-row build) without
+    # the session-global temp view a SQL scalar subquery would need
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
     sel = (
         cust.withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("long"))
         .filter(F.col("cntrycode").isin(1, 2, 3, 4, 5))
-        .filter(
-            F.col("c_acctbal")
-            > F.expr("(SELECT avg(c_acctbal) FROM q22_customer WHERE c_acctbal > 0)")
-        )
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     )
     return (

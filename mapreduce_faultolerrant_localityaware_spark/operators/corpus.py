@@ -25,12 +25,6 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, tokens
 from ._parallel import ensure_parallelism
 
-# Cached (doc, token, tf) relation of the most recent tfidf_top_terms
-# call — unpersisted by the next call so a long-lived session caches at
-# most one corpus worth of counts.
-_tfidf_prev_counts: DataFrame | None = None
-
-
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,
@@ -45,13 +39,14 @@ def tfidf_top_terms(
     Ranking uses the RAW tfidf (exact ties broken by token) so both
     engines rank identically; the emitted score is rounded to 6 dp.
 
-    Shape at scale: ONE tokenize pass — explode → (doc, token) counts
-    (partial agg before the exchange), PERSISTED so both consumers
-    read the materialized counts instead of re-tokenizing the corpus.
-    Each call releases the previous call's cached counts, so repeated
-    invocations hold at most ONE cached relation (no storage creep in
-    a long-lived session) and nothing session-global (no temp views)
-    is mutated.  Document frequency is a groupBy(token) + equi-join
+    Shape at scale: explode → (doc, token) counts (partial agg before
+    the exchange); BOTH consumers (document frequency and the scoring
+    join) sit over the identical counts exchange, which AQE's runtime
+    stage reuse deduplicates — measured FASTER at sf0.1 (1.7 s vs
+    2.1 s) than an explicit .persist(), which paid a storage
+    write+read and needed cross-call lifecycle state (a module global
+    the round-5 review flagged as a concurrency hazard; this function
+    is now pure).  Document frequency is a groupBy(token) + equi-join
     back — NOT a token-partitioned window: a window would funnel every
     ("the", doc) row through one task with no partial aggregation and
     no skew mitigation, while the groupBy collapses hot tokens
@@ -63,17 +58,10 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    global _tfidf_prev_counts
-    if _tfidf_prev_counts is not None:
-        try:
-            _tfidf_prev_counts.unpersist(blocking=False)
-        except Exception:
-            pass  # previous call's session is gone; nothing to release
     tk = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
     )
-    counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
-    _tfidf_prev_counts = counts
+    counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
 

@@ -410,11 +410,14 @@ def embedding_quantize(
     is double-precision in dimension order on both engines so the FP
     folds are bit-reproducible against the oracle.
     """
-    v = F.col(vec_col).cast("array<double>")
     if dim is None:
         # one-scalar schema probe (array length isn't in the schema);
         # same driver-side model-state exception as the k-means fit
         dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    # slice to dim so an explicit dim SHORTER than the stored vectors
+    # truncates cleanly instead of null-poisoning qvec/mae (element_at
+    # past the scales array returns NULL — round-5 advice)
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     # per-dim scales: d independent max aggregates in ONE pass
     scales = emb.agg(
         F.array(

@@ -84,8 +84,16 @@ def interval_join_streams(
     stream forever; it rejects such joins in append mode).
 
     Inner-join matches emit as soon as both rows have arrived; the
-    watermark governs state EVICTION, not emission, so a bounded
-    replay yields exactly the batch join of the same inputs.
+    watermark governs state EVICTION, not emission.  A bounded replay
+    equals the batch join of the same inputs ONLY when the replay
+    arrives in a single micro-batch (or in event-time order across
+    micro-batches): with multiple unordered micro-batches, a row more
+    than ``watermark`` older than the observed max event time can be
+    evicted before its partner arrives, silently dropping that pair —
+    exactly the late-data loss the watermark contract defines.  Drive
+    bounded replays with availableNow + one-file-per-batch ordering
+    (as run_to_batch does), or widen ``watermark`` to cover the
+    input's worst-case disorder.
     """
     lw = left.withWatermark(ts_col, watermark).alias("l")
     rw = right.withWatermark(ts_col, watermark).alias("r")

@@ -16,7 +16,6 @@ source and a real sink.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,8 +26,9 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     one-time static footer read; file sources require explicit schema).
     Mirrors sources.scans.scan's events TIMESTAMP(NANOS) handling."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.scans import ensure_nanos_readable
+
+    ensure_nanos_readable(spark, path)
     schema = spark.read.parquet(path).schema
     # file source requires a directory basePath; a glob that matches
     # exactly this file keeps basePath at sf_dir (works unchanged when
@@ -54,7 +54,9 @@ def run_to_batch(
     by the operator's own watermarks; the scratch parquet is the only
     materialization (never a driver collect).
     """
-    tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    from .._scratch import scratch_dir
+
+    tmp = scratch_dir("stream")
     out = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
     # Seed the sink with an empty, schema-bearing write so a stream
