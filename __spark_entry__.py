@@ -1749,6 +1749,14 @@ def _q_join_skew_salted(spark, sf):
     )
 
 
+def _q_dedup_pipeline(spark, sf):
+    """End-to-end dedup pass: LSH candidates → n-gram-Jaccard verify
+    (candidates only) → connected components → representative per
+    cluster.  The composition query — stages exercised AGAINST each
+    other, not in isolation."""
+    return dedup.dedup_pipeline(scan(spark, sf, "documents"), threshold=0.5)
+
+
 def _q_dedup_clusters(spark, sf):
     """Near-dup clusters: MinHash-LSH candidate pairs → connected
     components (iterative min-label propagation)."""
@@ -1934,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full_outer": _q_join_full_outer,
         "histogram_bins": _q_histogram_bins,
         "join_skew_salted": _q_join_skew_salted,
+        "dedup_pipeline": _q_dedup_pipeline,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "triangle_count": _q_triangle_count,
@@ -2080,6 +2089,51 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
             )
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """
+    # dedup_pipeline: the clusters oracle with the Jaccard-verify stage
+    # between candidate generation and components, plus representative
+    # election and singleton fill (threshold matches _q_dedup_pipeline).
+    dedup_pipeline_sql = "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            sh_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT p.doc_a, p.doc_b, count(*) AS n_common
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.doc_a
+              JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+              GROUP BY p.doc_a, p.doc_b
+            ),
+            verified AS (
+              SELECT c.doc_a, c.doc_b FROM common c
+              JOIN sh_sizes sa ON sa.doc_id = c.doc_a
+              JOIN sh_sizes sb ON sb.doc_id = c.doc_b
+              WHERE round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified
+            ),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+            ),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            clus AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+            ),
+            csz AS (SELECT cluster_id, count(*) AS n_cluster FROM clus GROUP BY cluster_id)
+            SELECT c.doc_id, c.cluster_id, s.n_cluster,
+                   c.doc_id = c.cluster_id AS keep
+            FROM clus c JOIN csz s USING (cluster_id)
         """
     return {
         "wordcount": f"""
@@ -3342,6 +3396,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
+        "dedup_pipeline": dedup_pipeline_sql,
         "dedup_clusters": dedup_clusters_sql,
         # two-phase CC computes the SAME component-min labels, so the
         # same recursive-CTE oracle pins both implementations.

@@ -58,6 +58,7 @@ HEADLINE = [
     "resample_ffill",
     "dedup_chunks",
     "embedding_quantize",
+    "dedup_pipeline",
 ]
 
 

@@ -511,6 +511,77 @@ def dedup_chunks(
     )
 
 
+def dedup_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_allpairs: int = MAX_BUCKET_ALLPAIRS,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The END-TO-END near-dup dedup pass a training pipeline actually
+    runs, composed from this module's stages: MinHash-LSH candidate
+    pairs → exact n-gram-Jaccard verification of ONLY those pairs →
+    connected components over the verified edges → per-cluster
+    representative election.  (The reference's one end-to-end test is
+    exactly its full pipeline, test/genSequentiallyTokens.go:29-45;
+    this is the analogous composition for the dedup surface.)
+
+    Returns one row per input doc:
+    ``doc_id, cluster_id, n_cluster, keep`` — ``cluster_id`` is the
+    min doc id of the verified-duplicate component (the doc's own id
+    for singletons), ``keep`` marks the representative.
+
+    Stage shape at 100 TB, and why nothing is computed twice:
+      * candidates: one LSH bucketing groupBy (see
+        dedup_minhash_candidates — O(n·bands) shuffle, star-expansion
+        skew guard above ``max_bucket_allpairs``).
+      * verify: LSH leaves O(n) candidate pairs, so each side's
+        DISTINCT shingle set attaches by equi-join and the Jaccard is
+        in-row ``array_intersect`` work — never an inverted-index
+        re-join of the whole corpus (that is dedup_ngram_jaccard's
+        standalone job; here the candidate filter has already done the
+        pruning).
+      * components: connected_components CHECKPOINTS the verified edge
+        list eagerly before its first round, so the whole
+        candidates→verify prefix executes exactly ONCE; every
+        propagation round and the final label join read the
+        materialized blocks, not the lineage.
+      * representative: labels cover only docs with >= 1 verified
+        duplicate; the left join back to the corpus fills singletons
+        with their own id, and cluster_id IS the representative
+        (min-label propagation elects the minimum member).
+    """
+    from .graph import connected_components
+
+    cand = dedup_minhash_candidates(docs, text_col, id_col, max_bucket_allpairs)
+    sh_sets = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col, lowercase=True), n)).alias("shs"),
+    )
+    j = (
+        cand.join(sh_sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sh_a")), "doc_a")
+        .join(sh_sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    edges = j.filter(jac >= threshold).select("doc_a", "doc_b")
+    labels = connected_components(edges, max_iter=max_iter).withColumnRenamed("doc_id", id_col)
+    clus = (
+        docs.select(F.col(id_col))
+        .join(labels, id_col, "left")
+        .select(F.col(id_col), F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )
+    sizes = clus.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_cluster"))
+    return clus.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "n_cluster",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def dedup_incremental(
     base: DataFrame,
     delta: DataFrame,
