@@ -1184,6 +1184,16 @@ def _q_ann_sq8(spark, sf):
     return similarity.ann_sq8(emb, queries_df, k=5, dim=64)
 
 
+def _q_ann_pq(spark, sf):
+    """Product-quantization ANN: per-subspace codebooks (iterative
+    k-means fit — no SQL oracle, rows-only like ann_ivf_kmeans), ADC
+    shortlist over m-byte codes, exact re-rank.  Recall>=0.9 vs
+    bruteforce held by tests/test_ann_kmeans.py."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_pq(emb, queries_df, k=5)
+
+
 def _q_tpch_q5(spark, sf):
     """TPC-H Q5 shape (local supplier volume): 6-table join with an
     extra non-key equality (customer and supplier in the same nation)."""
@@ -1883,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "ann_sq8": _q_ann_sq8,
+        "ann_pq": _q_ann_pq,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,

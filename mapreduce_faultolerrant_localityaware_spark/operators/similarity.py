@@ -487,3 +487,208 @@ def ann_sq8(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 8,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split d dims into ``m`` disjoint
+    subspaces and fit ``n_codes`` centroids in EACH — m independent
+    (n_codes × d/m) codebooks, m·n_codes·d/m scalars total:
+    driver-sized model state, the standard 100-TB ANN serving format
+    (a code is m bytes where the vector was 4·d).
+
+    All m Lloyd's fits advance JOINTLY — one corpus pass per iteration
+    regardless of m (see the loop comment), against the persisted
+    vectors so 100 TB of upstream parquet is scanned once.  Same
+    determinism guarantees as :func:`kmeans_fit` (id-hash seeding,
+    index-order double sums): repeated fits are bit-identical.
+    """
+    dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ds = dim // m
+    v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v").persist()
+    try:
+        # JOINT Lloyd's: all m subspace fits advance in the SAME pass —
+        # one job per iteration total (assignment for every subspace is
+        # one array expression; the centroid update groups the exploded
+        # (pos, cell) pairs, pos encoding the subspace), instead of the
+        # m independent kmeans_fit loops' m jobs per iteration.  Same
+        # determinism: id-hash seeds, index-order double sums.
+        init = v.orderBy(F.xxhash64("_id"), "_id").limit(n_codes).select("v").collect()
+        if not init:
+            raise ValueError("pq_fit needs a non-empty corpus")
+        books = [[list(r["v"])[j * ds : (j + 1) * ds] for r in init] for j in range(m)]
+        for _ in range(max_iter):
+            cells = F.array(
+                *[_nearest_cell(F.slice("v", j * ds + 1, ds), books[j]) for j in range(m)]
+            )
+            # two selects: a generator (posexplode) in the same projection
+            # as the nearest-cell struct expressions trips the analyzer's
+            # struct-field resolution (FIELD_NOT_FOUND on the d/cell
+            # struct), so assign first, then explode.
+            stats = (
+                v.select(cells.alias("cells"), "v")
+                .select("cells", F.posexplode("v").alias("pos", "val"))
+                .withColumn("j", F.floor(F.col("pos") / ds).cast("int"))
+                .withColumn("cell", F.element_at("cells", F.col("j") + 1))
+                .groupBy("pos", "j", "cell")
+                .agg(F.avg("val").alias("mean"))
+                .collect()
+            )
+            new_books = [[list(c) for c in book] for book in books]  # empty cells keep old
+            for r in stats:
+                new_books[r["j"]][r["cell"]][r["pos"] - r["j"] * ds] = r["mean"]
+            if new_books == books:
+                break
+            books = new_books
+    finally:
+        v.unpersist()
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-codes + its reconstruction
+    norm²: (id, codes array<int>, rnorm2).
+
+    ``rnorm2`` is EXACT given the codes — subspaces are disjoint, so
+    ||x̂||² = Σ_j ||c_{j,code_j}||² with no cross terms — and is the
+    denominator the ADC cosine needs, computed once at encode time by
+    a literal table lookup (pure map stage, no shuffle).
+    """
+    ds = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            _nearest_cell(F.slice(v, j * ds + 1, ds), book)
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    norms_lit = F.array(
+        *[
+            F.array(*[F.lit(float(sum(x * x for x in c))) for c in book])
+            for book in codebooks
+        ]
+    )
+    coded = emb.select(F.col(id_col), codes.alias("codes"))
+    rnorm2 = F.aggregate(
+        F.zip_with("codes", norms_lit, lambda c, tbl: F.element_at(tbl, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return coded.select(F.col(id_col), "codes", rnorm2.alias("rnorm2"))
+
+
+def ann_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN with ADC scoring and exact re-rank —
+    the natural upgrade of :func:`ann_sq8` and the standard serving
+    shape for 100-TB vector corpora (FAISS IVF-PQ's PQ half).
+
+    Two stages:
+      * ADC shortlist: each query precomputes an m×n_codes lookup
+        table of subspace dot products against the codebooks (a pure
+        expression on the broadcast query side), then every corpus
+        CODE row scores with m table lookups — the scan reads m bytes
+        per vector instead of 4·d, the 64×-compression advantage that
+        makes exhaustive candidate generation affordable; top
+        ``k·rerank`` survive per query (window, total tiebreak).
+        Approximate cosine = ADC dot / (‖q‖·‖x̂‖) with the exact
+        reconstruction norm from :func:`pq_encode`.
+      * exact re-rank: the shortlist (|Q|·k·rerank rows) equi-joins
+        the true vectors by id and re-scores with exact cosine — the
+        recall knob is ``rerank``, the cost knob is that only the
+        shortlist ever touches full-precision floats.
+
+    Output schema/tiebreak matches ann_bruteforce: (query_id,
+    neighbor_id, cos_sim DESC, neighbor ASC).  No SQL oracle
+    (iterative fit); tests hold the recall>=0.9-vs-bruteforce bar.
+
+    Default knobs are tuned for the synthetic ISOTROPIC unit vectors
+    (like the IVF tests note, label/geometry carry no cluster
+    structure, so recall ~ shortlist fraction and ``rerank`` must be
+    generous); real clustered corpora reach the same recall with far
+    smaller shortlists.
+    """
+    from ..functions.vectors import l2_norm
+
+    books = pq_fit(emb, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    ds = len(books[0][0])
+    enc = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("qv", j * ds + 1, ds),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in book
+                ]
+            )
+            for j, book in enumerate(books)
+        ]
+    )
+    qside = q.select("query_id", "qv", lut.alias("lut"), l2_norm(F.col("qv")).alias("qnorm"))
+    adc_dot = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, tbl: F.element_at(tbl, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc_cos = F.when(
+        (F.col("qnorm") > 0) & (F.col("rnorm2") > 0),
+        adc_dot / (F.col("qnorm") * F.sqrt("rnorm2")),
+    ).otherwise(F.lit(-2.0))
+    shortlisted = (
+        enc.join(F.broadcast(qside), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            "qv",
+            F.col(id_col).alias("neighbor_id"),
+            adc_cos.alias("adc_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    shortlist = (
+        shortlisted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * rerank)
+        .drop("rk", "adc_cos")
+    )
+    corpus = _prep(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    exact = shortlist.join(corpus, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return exact.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k).drop("rk")

@@ -73,3 +73,47 @@ def test_ann_ivf_kmeans_plan_shape(spark, sf_dir):
     # probe join is an equi-join on cell with the query side broadcast
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_fit_deterministic_and_shaped(spark, sf_dir):
+    emb = scan(spark, sf_dir, "embeddings")
+    b1 = similarity.pq_fit(emb, m=8, n_codes=16, max_iter=2)
+    b2 = similarity.pq_fit(emb, m=8, n_codes=16, max_iter=2)
+    assert b1 == b2  # bit-identical: no RNG, index-order sums
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+
+def test_pq_encode_codes_and_exact_rnorm(spark, sf_dir):
+    emb = scan(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=8, n_codes=16, max_iter=2)
+    enc = similarity.pq_encode(emb, books).collect()
+    assert len(enc) == emb.count()
+    row = enc[0]
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+    # rnorm2 is the exact reconstruction norm^2: recompute in python
+    expect = sum(
+        sum(x * x for x in books[j][c]) for j, c in enumerate(row["codes"])
+    )
+    assert abs(row["rnorm2"] - expect) < 1e-9
+
+
+def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
+    """recall@5 >= 0.9 vs the exact baseline — same isotropic-data
+    caveat as the IVF test: the shortlist must be a generous corpus
+    fraction here; clustered real corpora need far less."""
+    emb = scan(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.ann_bruteforce(emb, queries, k=5).collect()
+    approx = similarity.ann_pq(emb, queries, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, recall
+    # exact-rerank output: every reported cos_sim matches bruteforce's
+    # score for the same pair when present
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["cos_sim"] - exact_sims[key]) < 1e-9
