@@ -261,12 +261,23 @@ def mixture_sample(
     order-independent of the input layout — no RNG, no seed drift
     across retries (the reference has no sampling surface at all).
 
-    100 TB shape: one window per group ordered by the rank hash.  The
-    running sum is a single range-partitioned sort per group — the same
-    cost as any per-group quota assignment; with very few giant groups,
-    pre-aggregating per (group, rank-prefix) buckets and prefix-summing
-    bucket totals turns it into two cheap passes (not needed here —
-    group count × docs/group keeps partitions bounded).
+    100 TB shape — bucketed TWO-PASS, never a single-task sort of a
+    giant group: the rank order (rank_key, id) is coarsened into 256
+    buckets by the rank hash's first byte, so
+      * pass 1 aggregates per-(group, bucket) token totals — a tiny
+        relation (|groups|·256 rows) whose within-group prefix sum
+        gives each bucket's starting offset;
+      * buckets whose offset already exceeds the budget are dropped
+        BEFORE any sort (the broadcast join below) — with a small
+        budget against a billion-doc group, ~all of the group never
+        sorts at all;
+      * pass 2 computes the exact running total as bucket offset +
+        a bucket-LOCAL running sum, windowed by (group, bucket) —
+        256-way parallel per group instead of one task holding the
+        whole group.
+    The bucket boundaries respect the rank order (a hash-prefix bucket
+    is a contiguous rank range), so the output is IDENTICAL to the
+    single-window formulation, cum_tokens included.
     """
     from pyspark.sql import Window
 
@@ -275,10 +286,18 @@ def mixture_sample(
         F.col(by),
         F.size(tokens(text_col, lowercase=True)).cast("long").alias("n_tokens"),
         F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))).alias("rank_key"),
+    ).withColumn("bucket", F.substring("rank_key", 1, 2))
+    btot = base.groupBy(by, "bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.partitionBy(by).orderBy("bucket")
+    live = (
+        btot.withColumn("offset", F.sum("btok").over(wb) - F.col("btok"))
+        .where(F.col("offset") <= budget_tokens)
+        .select(by, "bucket", "offset")
     )
-    w = Window.partitionBy(by).orderBy("rank_key", id_col)
+    w2 = Window.partitionBy(by, "bucket").orderBy("rank_key", id_col)
     return (
-        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        base.join(F.broadcast(live), [by, "bucket"])
+        .withColumn("cum_tokens", F.col("offset") + F.sum("n_tokens").over(w2))
         .where(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, by, "n_tokens", "cum_tokens")
     )

@@ -53,3 +53,51 @@ def test_dedup_pipeline_verify_gate_blocks_spurious_candidates(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = dedup.dedup_pipeline(df, threshold=0.8).collect()
     assert all(r["n_cluster"] == 1 and r["keep"] for r in out)
+
+
+def _window_partition_specs(df):
+    """window partition-by expressions from the optimized plan text."""
+    import io
+    import contextlib
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return re.findall(r"windowspecdefinition\(([^)]*?), [^,]*? ASC", buf.getvalue())
+
+
+def test_mixture_sample_bucketed_no_giant_group_sort(spark):
+    """One group >> the others must NOT funnel through one window task:
+    the doc-level window partitions by (group, bucket) — 256-way
+    parallel — and buckets past the budget are dropped before any sort.
+    Output must equal the brute-force greedy prefix."""
+    import hashlib
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [(i, "giant", "tok " * ((i % 7) + 1)) for i in range(3000)]
+    rows += [(10_000 + i, "small", "tok tok tok") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = corpus.mixture_sample(df, budget_tokens=300)
+
+    # plan shape: the doc-level running-sum window is keyed by the
+    # bucket too, so no single task ever holds the whole giant group
+    specs = _window_partition_specs(out)
+    doc_level = [s for s in specs if "bucket" in s]
+    assert doc_level, f"no bucket-partitioned window in plan: {specs}"
+
+    got = {(r["doc_id"], r["cum_tokens"]) for r in out.collect()}
+    # brute-force oracle: greedy prefix in (md5 rank, id) order
+    def rank(i):
+        return hashlib.md5(f"mix:{i}".encode()).hexdigest()
+
+    expect = set()
+    for grp, ids in (("giant", range(3000)), ("small", range(10_000, 10_005))):
+        cum = 0
+        for i in sorted(ids, key=lambda i: (rank(i), i)):
+            n = {True: (i % 7) + 1, False: 3}[grp == "giant"]
+            cum += n
+            if cum <= 300:
+                expect.add((i, cum))
+    assert got == expect
