@@ -1,0 +1,110 @@
+"""Repeated randomized executor-kill loop — matching the ENVELOPE of
+the reference's fault-tolerance harness (scripts/testFaultTollerance.sh
+:5-8: a loop of randomized worker crashes per run, diffing the output
+every time), not just a single-fault demonstration.
+
+One local-cluster session runs 20 iterations alternating the two
+canonical jobs (wordcount — the reference's own workload — and the
+dedup_clusters iterative loop) while a killer thread SIGKILLs a random
+executor backend at a random seeded delay each iteration.  Every
+iteration's output must be EXACTLY the no-chaos baseline.  Tagged
+``slow``; bounded well under 5 minutes (one cluster startup, small sf).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+SCRIPT = textwrap.dedent(
+    """
+    import os, random, signal, subprocess, sys, tempfile, threading, time
+    sys.path.insert(0, ".")
+    from pyspark.sql import SparkSession, functions as F
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import connected_components
+    from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
+
+    spark = (
+        SparkSession.builder.master("local-cluster[2,2,1024]").appName("chaos-loop")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="sparkgraft_chaosloop_ckpt_"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run_wc():
+        wc = wordcount_from_text(docs, "text", sort=False)
+        return sorted((r["word"], r["count"]) for r in wc.collect())
+
+    def run_cc():
+        pairs = dedup.dedup_minhash_candidates(docs)
+        return sorted(
+            (r["doc_id"], r["cluster_id"]) for r in connected_components(pairs).collect()
+        )
+
+    expect_wc = run_wc()
+    expect_cc = run_cc()
+
+    rng = random.Random(0xC0FFEE)  # seeded: the 20 kill delays are reproducible
+    kills = []
+
+    def kill_one_executor(delay):
+        time.sleep(delay)
+        out = subprocess.run(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        java = []
+        for p in out:
+            if int(p) == os.getpid():
+                continue
+            try:
+                if open(f"/proc/{p}/comm").read().strip() == "java":
+                    java.append(int(p))
+            except OSError:
+                continue
+        if java:
+            victim = rng.choice(java)
+            try:
+                os.kill(victim, signal.SIGKILL)
+                kills.append(victim)
+            except OSError:
+                pass
+
+    N = 20
+    for i in range(N):
+        t = threading.Thread(target=kill_one_executor, args=(rng.uniform(0.2, 2.0),))
+        t.start()
+        if i % 2 == 0:
+            got = run_wc()
+            assert got == expect_wc, f"iteration {i}: wordcount diverged under chaos"
+        else:
+            got = run_cc()
+            assert got == expect_cc, f"iteration {i}: clusters diverged under chaos"
+        t.join()
+        print(f"iter {i} ok (kills so far: {len(kills)})", flush=True)
+
+    assert len(kills) >= N // 2, f"only {len(kills)} kills fired across {N} iterations"
+    print("CHAOS_LOOP_OK", N, "iterations,", len(kills), "kills")
+    """
+)
+
+
+@pytest.mark.slow
+def test_randomized_kill_loop_outputs_exact():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=290,
+        cwd="/root/repo",
+    )
+    assert "CHAOS_LOOP_OK" in proc.stdout, (
+        f"stdout={proc.stdout[-2500:]}\nstderr={proc.stderr[-3000:]}"
+    )
