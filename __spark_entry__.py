@@ -603,6 +603,46 @@ def _q_csv_roundtrip(spark, sf):
     )
 
 
+def _q_orc_roundtrip(spark, sf):
+    """ORC connector under the oracle gate: write supplier to an ORC
+    sink, re-scan, aggregate — the oracle reads the original parquet,
+    so any type/value drift through the ORC encode/decode (decimal,
+    string, date handling) breaks the hash."""
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    supp = scan(spark, sf, "supplier")
+    path = scratch_dir("orc") + "/supplier"
+    sinks.write_orc(supp, path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def _q_json_roundtrip(spark, sf):
+    """JSON-lines connector under the oracle gate: write region to a
+    JSON sink, re-scan with an explicit schema (production posture —
+    inference is an extra full read), aggregate."""
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan_json
+
+    region = scan(spark, sf, "region")
+    path = scratch_dir("json") + "/region"
+    sinks.write_json(region, path)
+    back = scan_json(spark, path, schema="r_regionkey INT, r_name STRING")
+    return back.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    ).orderBy("r_regionkey")
+
+
 def _q_partitioned_roundtrip(spark, sf):
     """Hive-partitioned parquet layout under the oracle gate: write
     orders partitioned by o_orderpriority, re-scan with a filter on
@@ -1887,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "json_roundtrip": _q_json_roundtrip,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "clustered_roundtrip": _q_clustered_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
@@ -2810,6 +2852,15 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": """
             SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
             FROM nation GROUP BY 1 ORDER BY 1
+        """,
+        "orc_roundtrip": """
+            SELECT s_nationkey, count(*) AS n_supp,
+                   round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
+            FROM supplier GROUP BY 1 ORDER BY 1
+        """,
+        "json_roundtrip": """
+            SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region ORDER BY 1
         """,
         "dedup_embedding_srp": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
