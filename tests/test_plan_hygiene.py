@@ -24,8 +24,13 @@ from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 # banded/broadcast comparisons, and tfidf's single-row corpus-size
 # attach (a broadcast of one scalar row, not a cartesian hazard).
 #: queries whose BNLJ is a deliberate 1-row/tiny broadcast replication
+#: (round 6: the scalar-subquery queries trade their session-global
+#: temp views for a one-row broadcast cross join — same physical work
+#: a Subquery node does, now visible as a 1-row BNLJ; ann_pq broadcasts
+#: the query side against a `!=` predicate like ann_bruteforce/ann_sq8)
 BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted",
-           "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8"}
+           "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8",
+           "length_filter", "scalar_subquery", "tpch_q11", "tpch_q22", "ann_pq"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
