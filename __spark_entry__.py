@@ -2150,24 +2150,26 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
             sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
             bands AS ({_BAND_SELECTS}),
-            pairs AS (
+            pairs AS MATERIALIZED (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
             ),
-            sh_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            common AS (
-              SELECT p.doc_a, p.doc_b, count(*) AS n_common
-              FROM pairs p
-              JOIN sh a ON a.doc_id = p.doc_a
-              JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-              GROUP BY p.doc_a, p.doc_b
+            sh_lists AS MATERIALIZED (
+              SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id
             ),
             verified AS (
-              SELECT c.doc_a, c.doc_b FROM common c
-              JOIN sh_sizes sa ON sa.doc_id = c.doc_a
-              JOIN sh_sizes sb ON sb.doc_id = c.doc_b
-              WHERE round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.5
+              -- per-pair in-row list intersection, mirroring the Spark
+              -- plan: an inverted-index formulation (pairs JOIN sh JOIN
+              -- sh ON shingle) lets the optimizer pick the full shingle
+              -- self-join first, which spills ~80 GB at sf0.1 on the
+              -- mass-duplicate boilerplate groups (df² per shingle)
+              SELECT p.doc_a, p.doc_b
+              FROM pairs p
+              JOIN sh_lists a ON a.doc_id = p.doc_a
+              JOIN sh_lists b ON b.doc_id = p.doc_b
+              WHERE round(len(list_intersect(a.shs, b.shs)) * 1.0 /
+                    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 6) >= 0.5
             ),
             edges AS (
               SELECT doc_a AS a, doc_b AS b FROM verified

@@ -63,6 +63,11 @@ def main():
     only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # keep spill out of the repo and BOUNDED: a pathological oracle
+    # (round 6: an inverted-index self-join the optimizer mis-ordered)
+    # must fail fast with a temp-space error, not fill the disk.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='24GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
