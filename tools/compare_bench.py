@@ -1,0 +1,44 @@
+"""Compare two bench JSON artifacts: per-query steady-state deltas,
+common-query totals, and regressions beyond a threshold.
+
+Usage: python tools/compare_bench.py BENCH_old.json BENCH_new.json [pct]
+Exit 1 if any common query regressed more than ``pct`` (default 25%)
+AND more than 0.15 s absolute — small absolute jitter is not a
+regression signal on a shared machine.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    pct = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    common = sorted(set(qo) & set(qn))
+    print(f"common queries: {len(common)}  (old-only: {sorted(set(qo)-set(qn))}, "
+          f"new-only: {sorted(set(qn)-set(qo))})")
+    tot_o = sum(qo[q] for q in common)
+    tot_n = sum(qn[q] for q in common)
+    print(f"common total: {tot_o:.2f}s -> {tot_n:.2f}s ({tot_n/tot_o:.2f}x)")
+    regressions = []
+    for q in common:
+        o, n = qo[q], qn[q]
+        delta = (n - o) / o * 100 if o else 0.0
+        flag = ""
+        if n - o > 0.15 and delta > pct:
+            regressions.append(q)
+            flag = "  <-- REGRESSION"
+        print(f"  {q:28s} {o:7.3f}s -> {n:7.3f}s  {delta:+6.1f}%{flag}")
+    if regressions:
+        print(f"REGRESSED (> {pct}% and > 0.15s): {regressions}")
+        sys.exit(1)
+    print("no significant regressions")
+
+
+if __name__ == "__main__":
+    main()
