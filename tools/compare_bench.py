@@ -16,9 +16,16 @@ import sys
 def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     pct = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
-    qo, qn = old.get("queries", {}), new.get("queries", {})
+    def load(path):
+        d = json.load(open(path))
+        # driver-recorded BENCH_r*.json wraps bench.py's line in "parsed"
+        return d.get("parsed") or d
+
+    old, new = load(old_path), load(new_path)
+    qo, qn = old.get("queries") or {}, new.get("queries") or {}
+    if not (set(qo) & set(qn)):
+        print("no common queries between the two artifacts")
+        sys.exit(0)
     common = sorted(set(qo) & set(qn))
     print(f"common queries: {len(common)}  (old-only: {sorted(set(qo)-set(qn))}, "
           f"new-only: {sorted(set(qn)-set(qo))})")
