@@ -2066,7 +2066,11 @@ _SIMHASH_SIG_CTES = f"""tc AS (
               FROM tc, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b)
               GROUP BY doc_id, b
             ),
-            sig AS (
+            sig AS MATERIALIZED (
+              -- MATERIALIZED: consumers reference sig repeatedly (bands
+              -- self-join, BFS frontiers); inlining would re-evaluate
+              -- the 64x-exploded vote relation per reference — DuckDB
+              -- spilled past 22 GiB on graph_bfs at sf0.1 without it
               SELECT doc_id,
                      CAST(sum(CASE WHEN v > 0 THEN
                               (CASE WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
@@ -2120,7 +2124,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN sig sa ON sa.doc_id = s.min_id
               WHERE s.n > {dedup.MAX_BUCKET_ALLPAIRS}
             ),
-            cand AS (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
+            cand AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
                      WHERE bit_count(xor(sim_a, sim_b)) <= 3)
     """
     dedup_clusters_sql = "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
