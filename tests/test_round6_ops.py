@@ -101,3 +101,44 @@ def test_mixture_sample_bucketed_no_giant_group_sort(spark):
             if cum <= 300:
                 expect.add((i, cum))
     assert got == expect
+
+
+def test_scan_nanos_events_generation(spark, tmp_path):
+    """The ts-normalization path for TIMESTAMP(NANOS) testdata
+    generations is dormant while the shipped data is micros — keep it
+    honest by fabricating a nanos events.parquet and scanning it:
+    the footer sniff must set the legacy flag (foreign-session path),
+    the bigint nanos must truncate to micro timestamps, and the values
+    must equal the same instants written as micros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    micros = [1700000000_000000 + i * 1_500_000 for i in range(10)]
+    nanos_dir = tmp_path / "nanos_sf"
+    nanos_dir.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array([m * 1000 + 777 for m in micros], pa.timestamp("ns")),
+            "user_id": pa.array([i % 3 for i in range(10)], pa.int64()),
+            "event_type": pa.array(["click"] * 10),
+            "value": pa.array([float(i) for i in range(10)]),
+            "props": pa.array(["{}"] * 10),
+        }
+    )
+    pq.write_table(table, nanos_dir / "events.parquet")
+
+    # simulate a foreign session: the flag unset, scan() must sniff the
+    # footer and set it (restore afterwards — get_spark sets it true)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = scan(spark, str(nanos_dir), "events")
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = [r["us"] for r in df.select(F.unix_micros("ts").alias("us")).orderBy("event_id").collect()]
+        assert got == micros  # sub-micro nanos truncated, instants preserved
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
