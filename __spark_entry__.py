@@ -643,6 +643,15 @@ def _q_json_roundtrip(spark, sf):
     ).orderBy("r_regionkey")
 
 
+def _q_ann_ivfpq(spark, sf):
+    """IVF+PQ composed: coarse-cell pruning, ADC scoring over m-byte
+    codes, exact re-rank — the full vector-serving ladder.  Rows-only
+    (two iterative fits); recall>=0.9 pytest vs bruteforce."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_ivfpq(emb, queries_df, k=5)
+
+
 def _q_partitioned_roundtrip(spark, sf):
     """Hive-partitioned parquet layout under the oracle gate: write
     orders partitioned by o_orderpriority, re-scan with a filter on
@@ -1936,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "ann_sq8": _q_ann_sq8,
         "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,

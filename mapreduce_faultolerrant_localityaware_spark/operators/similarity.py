@@ -692,3 +692,110 @@ def ann_pq(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return exact.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k).drop("rk")
+
+
+def ann_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 6,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 4,
+) -> DataFrame:
+    """IVF + PQ composed — the full serving ladder: a coarse k-means
+    quantizer PRUNES (equi-join on the query's ``nprobe`` nearest
+    cells), PQ-ADC SCORES only the surviving m-byte codes, and the
+    exact re-rank touches only the shortlist's full-precision vectors.
+    At 100 TB this is the standard vector-serving layout: cell id as a
+    partition column (written once), codes as the only hot columns,
+    raw vectors cold until re-rank.
+
+    Non-residual codebooks by design: codes quantize the raw vector
+    with ONE shared codebook set (encode is cell-independent, the
+    corpus encodes before/without cell assignment, and cells can be
+    refit without re-encoding).  Residual PQ (FAISS's default) is a
+    quality knob on the same plan shape, not a different plan.
+
+    Both models are the existing deterministic fits; candidates per
+    query ≈ |corpus|·nprobe/n_cells, ADC cost is m lookups per
+    candidate, re-rank cost k·rerank exact cosines.  Output matches
+    ann_bruteforce.  Recall compounds BOTH prune and quantization
+    losses, so the isotropic-data defaults are generous (see ann_pq).
+    """
+    from ..functions.vectors import l2_norm
+
+    centroids = kmeans_fit(emb, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    books = pq_fit(emb, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    ds = len(books[0][0])
+    enc = pq_encode(emb, books, id_col=id_col, vec_col=vec_col).join(
+        assign_cells(emb, centroids, id_col, vec_col).select(id_col, "cell"), id_col
+    )
+    q = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("qv", j * ds + 1, ds),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in book
+                ]
+            )
+            for j, book in enumerate(books)
+        ]
+    )
+    qside = q.select(
+        "query_id",
+        "qv",
+        lut.alias("lut"),
+        l2_norm(F.col("qv")).alias("qnorm"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_dists(F.col("qv"), centroids)), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    adc_dot = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, tbl: F.element_at(tbl, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc_cos = F.when(
+        (F.col("qnorm") > 0) & (F.col("rnorm2") > 0),
+        adc_dot / (F.col("qnorm") * F.sqrt("rnorm2")),
+    ).otherwise(F.lit(-2.0))
+    shortlisted = (
+        enc.join(F.broadcast(qside), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qv", F.col(id_col).alias("neighbor_id"), adc_cos.alias("adc_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    shortlist = (
+        shortlisted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * rerank)
+        .drop("rk", "adc_cos")
+    )
+    corpus = _prep(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    exact = shortlist.join(corpus, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return exact.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k).drop("rk")

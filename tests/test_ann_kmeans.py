@@ -117,3 +117,23 @@ def test_ann_pq_recall_vs_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sims:
             assert abs(r["cos_sim"] - exact_sims[key]) < 1e-9
+
+
+def test_ann_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    """IVF+PQ compounds prune AND quantization losses; defaults are
+    generous (nprobe=6/8 cells, rerank=24) for the isotropic synthetic
+    corpus and must still clear recall@5 >= 0.9, with every reported
+    score being the exact re-ranked cosine."""
+    emb = scan(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.ann_bruteforce(emb, queries, k=5).collect()
+    approx = similarity.ann_ivfpq(emb, queries, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, recall
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["cos_sim"] - exact_sims[key]) < 1e-9
