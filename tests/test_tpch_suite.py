@@ -69,10 +69,16 @@ def test_q16_not_in_is_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
-def test_q22_anti_join_and_no_nested_loop(spark, sf_dir):
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """NOT-EXISTS keeps the anti-join shape; the avg-balance scalar is
+    a ONE-ROW broadcast cross join (round 6 — it replaced the session-
+    global temp view a SQL scalar subquery needed), so exactly one
+    BroadcastNestedLoopJoin with a 1-row build side is expected and
+    no CartesianProduct ever."""
     plan = _plan(spark, sf_dir, "tpch_q22")
     assert "LeftAnti" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_q21_semantics_sole_late_supplier(spark):
