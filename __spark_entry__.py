@@ -789,6 +789,19 @@ def _q_streaming_sessionize(spark, sf):
     )
 
 
+def _q_streaming_incremental_dedup(spark, sf):
+    """Streaming twin of dedup_incremental (same 25% delta / 75% base
+    split): delta documents STREAM in, anti-join the static base digest
+    set, min-id election per surviving digest — replayed bounded under
+    the batch oracle."""
+    delta = streaming_ops.stream_table(spark, sf, "documents").where(
+        F.col("doc_id") % 4 == 0
+    )
+    base = scan(spark, sf, "documents").where(F.col("doc_id") % 4 != 0)
+    out = streaming_ops.incremental_dedup_stream(delta, base)
+    return streaming_ops.run_to_batch(out, spark, output_mode="complete")
+
+
 def _q_streaming_enrich(spark, sf):
     """Stream-static broadcast join under the batch oracle gate:
     append-mode (stateless) — each micro-batch's joined rows
@@ -1951,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": _q_streaming_enrich,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup_keys": _q_streaming_dedup_keys,
+        "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_join": _q_streaming_join,
         "events_funnel": _q_events_funnel,
@@ -2434,6 +2448,16 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_incremental_dedup": f"""
+            WITH bh AS (SELECT DISTINCT md5({_NORM}) AS content_hash
+                        FROM documents WHERE doc_id % 4 != 0),
+            dh AS (SELECT doc_id, md5({_NORM}) AS content_hash
+                   FROM documents WHERE doc_id % 4 = 0)
+            SELECT content_hash, min(doc_id) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_delta
+            FROM dh ANTI JOIN bh USING (content_hash)
+            GROUP BY content_hash
         """,
         "streaming_sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -1,4 +1,10 @@
-from .enrich_stream import dedup_stream, enrich_stream, sliding_event_counts
+from .enrich_stream import (
+    dedup_stream,
+    enrich_stream,
+    incremental_dedup_stream,
+    interval_join_streams,
+    sliding_event_counts,
+)
 from .materialize import run_to_batch, stream_table
 from .sessionize_stream import sessionize_stream
 from .wordcount_stream import streaming_wordcount, windowed_event_counts
@@ -6,6 +12,8 @@ from .wordcount_stream import streaming_wordcount, windowed_event_counts
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "incremental_dedup_stream",
+    "interval_join_streams",
     "run_to_batch",
     "sessionize_stream",
     "sliding_event_counts",

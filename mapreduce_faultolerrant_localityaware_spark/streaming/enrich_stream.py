@@ -106,3 +106,42 @@ def interval_join_streams(
         ),
         "inner",
     )
+
+
+def incremental_dedup_stream(
+    delta: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_incremental``: a
+    STREAM of newly crawled documents dedups against the STATIC
+    accepted corpus — the steady-state shape of a production ingestion
+    pipeline run continuously instead of per-snapshot.
+
+    Plan: digest both sides (md5 of normalized text — the stream never
+    carries text past this projection), stream-static LEFT ANTI join
+    against the base digest set (broadcast per micro-batch, so a base
+    refresh is picked up without restarting the query), then a
+    streaming aggregation electing min-id per surviving digest.  The
+    min-id election (complete mode) rather than ``dropDuplicates``
+    keeps the result DETERMINISTIC under any arrival order — batch
+    parity is exact, not arrival-dependent.  State is one row per
+    distinct surviving digest; under unbounded input, bound it by
+    rotating the query per ingestion epoch (each epoch's survivors
+    merge into the base, exactly like the batch snapshot pipeline).
+
+    Returns ``content_hash, keep_id, n_delta``.
+    """
+    from ..functions.text import normalized_text
+
+    bh = base.select(F.md5(normalized_text(text_col)).alias("content_hash")).distinct()
+    dh = delta.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+    return (
+        dh.join(F.broadcast(bh), "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_delta"),
+        )
+    )
