@@ -484,6 +484,19 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
 
+def _q_dedup_substring(spark, sf):
+    """Repeated-substring span report (Lee et al. 2021 fixed-window
+    analog): per doc, the fraction of 8-token windows whose exact text
+    recurs in another document."""
+    return dedup.substring_spans(scan(spark, sf, "documents"), window=8)
+
+
+def _q_dedup_editdist(spark, sf):
+    """Levenshtein-verified near-dup pairs over banded SimHash
+    candidates (candidate/verify two-tier fuzzy dedup)."""
+    return dedup.dedup_editdist(scan(spark, sf, "documents"), max_dist=80, max_hamming=3)
+
+
 def _q_dedup_chunks(spark, sf):
     """Sub-document (chunk-level) exact dedup: C4-style line dedup over
     20-token chunks; docs reassembled from their surviving chunks."""
@@ -1936,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_substring": _q_dedup_substring,
+        "dedup_editdist": _q_dedup_editdist,
         "dedup_chunks": _q_dedup_chunks,
         "dedup_incremental": _q_dedup_incremental,
         "graph_bfs": _q_graph_bfs,
@@ -2816,6 +2831,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
             FROM cand
+        """,
+        "dedup_editdist": f"""
+            {simhash_pairs_ctes},
+            norm AS (SELECT doc_id, {_NORM} AS nt FROM documents)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS dist,
+                   round(1.0 - levenshtein(na.nt, nb.nt) * 1.0
+                               / greatest(length(na.nt), length(nb.nt)), 6) AS edit_sim
+            FROM cand c
+            JOIN norm na ON na.doc_id = c.doc_a
+            JOIN norm nb ON nb.doc_id = c.doc_b
+            WHERE levenshtein(na.nt, nb.nt) <= 80
+        """,
+        "dedup_substring": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            w AS (
+              SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS wh
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, greatest(len(tk)-7, 0))) AS i
+                    FROM toks)
+            ),
+            per AS (SELECT doc_id, wh, count(*) AS cnt FROM w GROUP BY 1, 2),
+            dup AS (SELECT wh FROM per GROUP BY wh HAVING count(*) >= 2)
+            SELECT per.doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN d.wh IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+                       AS dup_windows,
+                   round(sum(CASE WHEN d.wh IS NOT NULL THEN cnt ELSE 0 END) * 1.0
+                         / sum(cnt), 6) AS dup_ratio
+            FROM per LEFT JOIN dup d ON per.wh = d.wh
+            GROUP BY per.doc_id
         """,
         "triangle_count": f"""
             {simhash_pairs_ctes},

@@ -619,3 +619,114 @@ def dedup_incremental(
             (F.col("n_base").isNull() & (F.col(id_col) == F.col("first_id"))).alias("keep"),
         )
     )
+
+
+def substring_spans(
+    docs: DataFrame,
+    window: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring detection at token granularity — the
+    span-level dedup pass of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"): a ``window``-token span whose
+    exact text recurs in at least ``min_docs`` DISTINCT documents is
+    memorization fuel even when the whole documents differ, so a
+    training pipeline measures (and then cuts) those spans rather than
+    whole-doc duplicates.
+
+    The paper builds a corpus-wide suffix array; the Spark-native
+    equivalent is the fixed-width rolling window: every doc emits its
+    ``window``-token sliding windows (the same shingle machinery as
+    MinHash, so tokenizer semantics stay reference-exact, Q2), each
+    window is md5-collapsed IN THE SAME PROJECTION so only 32-byte
+    digests ever reach an exchange — never the span text.  One
+    groupBy(doc, digest) with map-side partial aggregation collapses
+    within-doc repeats, a digest-keyed count-distinct-docs marks
+    cross-doc spans, and one equi-join back attributes them per doc.
+    At 100 TB every stage is a hash shuffle on digests; there is no
+    pair space at all (unlike MinHash banding this is exact matching,
+    so the "bucket" IS the answer, not a candidate set).
+
+    Returns one row per document that has at least one full window
+    (docs shorter than ``window`` tokens have no spans by definition):
+    ``doc_id, n_windows, dup_windows, dup_ratio`` where dup_windows
+    counts window POSITIONS whose digest occurs in >= min_docs docs.
+    """
+    wins = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(tokens(text_col, lowercase=True), window)).alias("win"),
+        )
+        .select(id_col, F.md5("win").alias("wh"))
+    )
+    per = wins.groupBy(id_col, "wh").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        per.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    # per carries one row per DISTINCT (doc, digest), so count(*) per
+    # digest IS the distinct-doc count — no countDistinct shuffle.
+    flagged = per.join(dup.withColumn("is_dup", F.lit(1)), "wh", "left")
+    return flagged.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("dup_windows"),
+        F.round(
+            F.sum(F.when(F.col("is_dup") == 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def dedup_editdist(
+    docs: DataFrame,
+    max_dist: int = 64,
+    max_hamming: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: SimHash banding
+    proposes candidates, exact Levenshtein over the normalized text
+    confirms them — the two-tier candidate/verify shape every
+    at-scale fuzzy dedup uses, with the MOST precise (and most
+    expensive) verifier reserved for the tiny candidate set.
+
+    Scale shape: the O(n²) pair space is never touched — candidates
+    come from :func:`dedup_simhash_pairs` (banded, star-guarded,
+    hamming-prefiltered to ``max_hamming``), and only those pairs
+    join the text back (two broadcast-or-shuffle equi-joins on doc
+    id).  Levenshtein is O(len_a·len_b) per pair, which is exactly
+    why it must sit BEHIND the banding: at 100 TB the verifier cost
+    is proportional to the near-dup rate, not the corpus size.
+
+    Returns ``doc_a, doc_b, dist, edit_sim`` for pairs with
+    ``dist <= max_dist``; ``edit_sim = 1 - dist/max(len_a, len_b)``
+    (rounded 6 dp) is the normalized similarity a filter thresholds.
+    """
+    cand = dedup_simhash_pairs(
+        docs, max_hamming=max_hamming, text_col=text_col, id_col=id_col
+    ).select("doc_a", "doc_b")
+    norm = docs.select(F.col(id_col), normalized_text(text_col).alias("nt"))
+    joined = (
+        cand.join(norm.select(F.col(id_col).alias("doc_a"), F.col("nt").alias("ta")), "doc_a")
+        .join(norm.select(F.col(id_col).alias("doc_b"), F.col("nt").alias("tb")), "doc_b")
+    )
+    dist = F.levenshtein("ta", "tb")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("dist"),
+            F.round(
+                1.0 - dist / F.greatest(F.length("ta"), F.length("tb")), 6
+            ).alias("edit_sim"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

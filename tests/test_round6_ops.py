@@ -142,3 +142,52 @@ def test_scan_nanos_events_generation(spark, tmp_path):
         assert got == micros  # sub-micro nanos truncated, instants preserved
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_substring_spans_cross_doc_windows(spark):
+    rows = [
+        (1, "one two three four five"),            # 3 windows at w=3
+        (2, "zz one two three yy"),                # shares "one two three"
+        (3, "totally different words here"),       # 2 windows, no dups
+        (4, "rep rep rep rep rep"),                # within-doc repeats only
+        (5, "too short"),                          # < window tokens: no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.substring_spans(df, window=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_windows"], out[1]["dup_windows"]) == (3, 1)
+    assert (out[2]["n_windows"], out[2]["dup_windows"]) == (3, 1)
+    assert out[1]["dup_ratio"] == pytest.approx(0.333333)
+    assert (out[3]["n_windows"], out[3]["dup_windows"]) == (2, 0)
+    # a span repeated only WITHIN one doc is not cross-doc duplicated
+    assert (out[4]["n_windows"], out[4]["dup_windows"]) == (3, 0)
+
+
+def test_substring_spans_min_docs_threshold(spark):
+    rows = [(i, "shared prefix of text plus suffix " + w)
+            for i, w in [(1, "alpha"), (2, "bravo"), (3, "charlie")]]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # the 6-token shared prefix window recurs in all 3 docs
+    strict = dedup.substring_spans(df, window=6, min_docs=4).collect()
+    assert all(r["dup_windows"] == 0 for r in strict)
+    loose = {r["doc_id"]: r for r in dedup.substring_spans(df, window=6, min_docs=3).collect()}
+    assert all(loose[i]["dup_windows"] >= 1 for i in (1, 2, 3))
+
+
+def test_dedup_editdist_verifies_candidates(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "bright summer sun shines over the quiet green valley")
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),   # levenshtein 3 on normalized text
+        (3, "an entirely unrelated treatise on maritime insurance law "
+            "covering vessels cargo liability and arbitration clauses"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.dedup_editdist(df, max_dist=10, max_hamming=20).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["dist"] == 3
+    assert pairs[(1, 2)]["edit_sim"] == pytest.approx(1 - 3 / len(base), abs=1e-6)
+    # the distance cap filters the pair out
+    assert dedup.dedup_editdist(df, max_dist=2, max_hamming=20).count() == 0
