@@ -37,6 +37,7 @@ from mapreduce_faultolerrant_localityaware_spark.operators import (
 )
 from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
 from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+from mapreduce_faultolerrant_localityaware_spark.sources.sinks import zvalue_sql
 from mapreduce_faultolerrant_localityaware_spark import streaming as streaming_ops
 
 
@@ -348,6 +349,11 @@ def _q_token_bpe(spark, sf):
 def _q_text_quality(spark, sf):
     out = textstats.quality_score(scan(spark, sf, "documents"))
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _q_text_entropy(spark, sf):
+    """Unigram token entropy + type-token ratio per document."""
+    return textstats.entropy_score(scan(spark, sf, "documents"))
 
 
 def _q_lang_id(spark, sf):
@@ -688,6 +694,32 @@ def _q_partitioned_roundtrip(spark, sf):
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+def _q_zorder_roundtrip(spark, sf):
+    """Z-order (Morton-interleaved) clustered layout under the oracle
+    gate: write lineitem clustered by interleave(l_partkey, l_suppkey),
+    scan back with a two-dimensional box predicate — file min/max
+    stats prune on BOTH axes — and aggregate.  The oracle computes the
+    identical interleave in SQL over the unclustered original, so both
+    the bit math and the layout shuffle must be value-preserving."""
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    li = scan(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
+    )
+    path = scratch_dir("zorder") + "/lineitem"
+    sinks.write_zorder(li, path, "l_partkey", "l_suppkey", n_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_partkey") <= 150) & (F.col("l_suppkey") <= 8)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("zval").alias("min_zval"),
+        F.max("zval").alias("max_zval"),
     )
 
 
@@ -1930,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
+        "text_entropy": _q_text_entropy,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "scrub_text": _q_scrub_text,
@@ -1968,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": _q_json_roundtrip,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "clustered_roundtrip": _q_clustered_roundtrip,
+        "zorder_roundtrip": _q_zorder_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -2504,6 +2538,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-07-01'
             GROUP BY 1 ORDER BY 1
         """,
+        "zorder_roundtrip": f"""
+            WITH z AS (
+              SELECT l_returnflag, l_quantity,
+                     {zvalue_sql('l_partkey', 'l_suppkey')} AS zval
+              FROM lineitem
+              WHERE l_partkey <= 150 AND l_suppkey <= 8
+            )
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   min(zval) AS min_zval,
+                   max(zval) AS max_zval
+            FROM z GROUP BY 1
+        """,
         "repetition_ratio": f"""
             WITH t AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
             s AS (SELECT doc_id,
@@ -2704,6 +2752,22 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
                          + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
             FROM base WHERE len(tk) > 0
+        """,
+        "text_entropy": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            counts AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   round(log2(sum(cnt))
+                         - sum(CAST(round(cnt * log2(cnt) * 1e6) AS BIGINT))
+                           / 1e6 / sum(cnt), 6) AS entropy,
+                   round(count(*) * 1.0 / sum(cnt), 6) AS ttr
+            FROM counts GROUP BY doc_id
         """,
         "lang_id": f"""
             WITH base AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),

@@ -160,3 +160,40 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.array_min(hashed).alias("min_token_hash"),
         F.array_max(hashed).alias("max_token_hash"),
     )
+
+
+def entropy_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc unigram token entropy + type-token ratio — the
+    information-density quality signal (low entropy flags keyword
+    stuffing, template spam, and repetition loops that the
+    char-n-gram repetition_ratio misses at the token level).
+
+    H = -Σ p·log2(p) over the doc's token distribution, computed as
+    ``log2(L) - (Σ c·log2(c))/L`` from integer counts.  The inner sum
+    is accumulated in INTEGER micro-units (round(c·log2(c)·1e6) as
+    BIGINT): floating-point addition is order-sensitive and Spark's
+    partial aggregation order varies run to run, so a double sum
+    would make the output hash-unstable — the integer sum is exact
+    and associative, and the only doubles left are one log2 and one
+    division per doc.
+
+    Scale shape: explode → groupBy(doc, token) with map-side partial
+    aggregation (hot tokens collapse before the exchange), then one
+    groupBy(doc) — the same two-shuffle profile as token_stats' big
+    brother; nothing corpus-global, no windows.
+
+    Returns ``doc_id, n_tokens, n_types, entropy, ttr`` for docs with
+    at least one token.
+    """
+    tk = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
+    )
+    counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    s_micro = F.sum(F.round(F.col("cnt") * F.log2("cnt") * 1e6).cast("long"))
+    n_tok = F.sum("cnt")
+    return counts.groupBy(id_col).agg(
+        n_tok.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.log2(n_tok) - s_micro / 1e6 / n_tok, 6).alias("entropy"),
+        F.round(F.count(F.lit(1)) / n_tok, 6).alias("ttr"),
+    )

@@ -191,3 +191,26 @@ def test_dedup_editdist_verifies_candidates(spark):
     assert pairs[(1, 2)]["edit_sim"] == pytest.approx(1 - 3 / len(base), abs=1e-6)
     # the distance cap filters the pair out
     assert dedup.dedup_editdist(df, max_dist=2, max_hamming=20).count() == 0
+
+
+def test_entropy_score_hand_computed(spark):
+    import math
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    rows = [
+        (1, "aa bb aa bb"),        # uniform over 2 types: H = 1.0
+        (2, "aa aa aa aa"),        # single type: H = 0.0
+        (3, "aa aa bb cc"),        # 1/2, 1/4, 1/4 -> H = 1.5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.entropy_score(df).collect()}
+    assert out[1]["entropy"] == pytest.approx(1.0)
+    assert out[2]["entropy"] == pytest.approx(0.0)
+    assert out[3]["entropy"] == pytest.approx(1.5)
+    assert (out[3]["n_tokens"], out[3]["n_types"]) == (4, 3)
+    assert out[3]["ttr"] == pytest.approx(0.75)
+    # order-insensitive determinism: repeated runs hash-stable
+    a = sorted(map(tuple, textstats.entropy_score(df).collect()))
+    b = sorted(map(tuple, textstats.entropy_score(df).collect()))
+    assert a == b

@@ -156,3 +156,36 @@ def test_write_clustered_disjoint_file_bands(spark, sf_dir, tmpdir):
     spans = sorted((r["lo"], r["hi"]) for r in stats)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
+
+
+def test_zorder_prunes_both_axes(spark, tmpdir):
+    """Z-order layout gives PARTIAL file pruning on EACH of the two
+    interleaved columns — the property single-column range clustering
+    lacks (its secondary column spans the full domain in every file).
+    Uniform 0..255 domains (equal bit widths, the layout's sweet spot:
+    skewed-width domains should be rank-bucketed first)."""
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    rows = [(x, y) for x in range(0, 256, 4) for y in range(0, 256, 4)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    path = f"{tmpdir}/zorder_xy"
+    sinks.write_zorder(df, path, "x", "y", bits=8, n_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == len(rows)
+    # zval must equal the reference interleave recomputed on read-back
+    recheck = back.withColumn("z2", sinks.zvalue("x", "y", bits=8))
+    assert recheck.filter(F.col("zval") != F.col("z2")).count() == 0
+    stats = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+        .collect()
+    )
+    n_files = len(stats)
+    assert n_files >= 8, "z-order write produced too few files for the claim"
+    # a 0..63 box on each axis must be prunable to a strict subset of
+    # files by min/max stats alone
+    x_hit = sum(1 for r in stats if r["min(x)"] <= 63 and r["max(x)"] >= 0)
+    y_hit = sum(1 for r in stats if r["min(y)"] <= 63 and r["max(y)"] >= 0)
+    assert x_hit < n_files
+    assert y_hit < n_files
