@@ -1134,6 +1134,12 @@ def _q_sample_hash(spark, sf):
     return orders.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def _q_split_assign(spark, sf):
+    """Deterministic train/val/test assignment (pure key-hash
+    function: reproducible, contamination-safe, shuffle-free)."""
+    return corpus.split_assign(scan(spark, sf, "documents"))
+
+
 def _q_window_first_last(spark, sf):
     from pyspark.sql import Window
 
@@ -2037,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg": _q_array_agg,
         "unpivot": _q_unpivot,
         "sample_hash": _q_sample_hash,
+        "split_assign": _q_split_assign,
         "window_first_last": _q_window_first_last,
         "window_range_frame": _q_window_range_frame,
         "window_rows_frame": _q_window_rows_frame,
@@ -3218,6 +3225,19 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        """,
+        "split_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "window_first_last": """
             SELECT event_id, user_id,

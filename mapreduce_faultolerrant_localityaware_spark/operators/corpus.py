@@ -301,3 +301,37 @@ def mixture_sample(
         .where(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, by, "n_tokens", "cum_tokens")
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: tuple = (90, 5, 5),
+    names: tuple = ("train", "val", "test"),
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the step every
+    training pipeline runs last, and the one where nondeterminism is
+    catastrophic (a doc drifting between train and test across reruns
+    silently contaminates evaluation).  Assignment is a pure function
+    of the KEY (md5 bucket 0..99 cut at cumulative ``weights``), so it
+    is reproducible across runs, engines, cluster sizes, and data
+    orderings, and ADDING data never reassigns existing docs — the
+    properties .sample()/rand() cannot give.
+
+    Scale shape: one map-side expression per row, zero shuffles, zero
+    RNG state.  Returns ``key_col, bucket, split``.
+    """
+    if len(weights) != len(names) or sum(weights) != 100:
+        raise ValueError("weights must match names and sum to 100")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    cut = 0
+    expr = None
+    for w, nm in zip(weights[:-1], names[:-1]):
+        cut += w
+        cond = bucket < cut
+        expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
+    split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return docs.select(F.col(key_col), bucket.alias("bucket"), split.alias("split"))

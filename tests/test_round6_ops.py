@@ -214,3 +214,21 @@ def test_entropy_score_hand_computed(spark):
     a = sorted(map(tuple, textstats.entropy_score(df).collect()))
     b = sorted(map(tuple, textstats.entropy_score(df).collect()))
     assert a == b
+
+
+def test_split_assign_deterministic_and_additive(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    a = {r["doc_id"]: r["split"] for r in corpus.split_assign(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus.split_assign(df).collect()}
+    assert a == b
+    # roughly the requested proportions
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 820 <= n_train <= 960
+    # adding data never reassigns existing keys
+    bigger = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    c = {r["doc_id"]: r["split"] for r in corpus.split_assign(bigger).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    with pytest.raises(ValueError):
+        corpus.split_assign(df, weights=(50, 50, 50))
