@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_chunks",
     "embedding_quantize",
     "dedup_pipeline",
+    "dedup_substring",
+    "text_entropy",
+    "split_assign",
 ]
 
 
