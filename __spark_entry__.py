@@ -580,6 +580,14 @@ def _q_ann_bruteforce(spark, sf):
     return similarity.ann_bruteforce(emb, queries_df, k=5)
 
 
+def _q_ann_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: per query, top-k most-similar
+    vectors with a DIFFERENT label (boundary pairs for training)."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.hard_negatives(emb, queries_df, k=5)
+
+
 def _q_ann_ivf(spark, sf):
     emb = scan(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -2000,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
+        "ann_hard_negatives": _q_ann_hard_negatives,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -3057,6 +3066,19 @@ def oracle_sql() -> dict[str, str]:
               FROM e CROSS JOIN q WHERE e.vec_id <> query_id
             )
             SELECT query_id, neighbor_id, cos_sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+        """,
+        "ann_hard_negatives": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+                  FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                     {_COS.format(a='qv', b='e.v')} AS cos_sim
+              FROM e CROSS JOIN q WHERE e.label <> qlabel
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cos_sim FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
         """,

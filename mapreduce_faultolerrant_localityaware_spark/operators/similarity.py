@@ -799,3 +799,44 @@ def ann_ivfpq(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return exact.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k).drop("rk")
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-``k`` most-similar corpus vectors with a DIFFERENT label — the
+    pairs that sit closest to the decision boundary, which is exactly
+    what contrastive/embedding training wants as negatives (random
+    negatives are trivially separable and teach nothing).
+
+    Same scale shape as ann_bruteforce: the query side broadcasts
+    (queries are the small side by construction), the corpus side
+    streams through one scored map stage, and per-query top-k is a
+    bounded window.  The label inequality joins into the broadcast
+    condition so excluded same-label rows never reach the scorer.
+
+    Returns (query_id, neighbor_id, neighbor_label, cos_sim),
+    tiebroken (sim DESC, neighbor ASC) for determinism.
+    """
+    corpus = _prep(emb, id_col, vec_col, extra=[label_col])
+    q = _prep(queries, id_col, vec_col, extra=[label_col]).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col(label_col) != F.col("qlabel")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -232,3 +232,24 @@ def test_split_assign_deterministic_and_additive(spark):
     assert all(c[k] == v for k, v in a.items())
     with pytest.raises(ValueError):
         corpus.split_assign(df, weights=(50, 50, 50))
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    # two tight same-label clusters; nearest DIFFERENT-label vector is
+    # the other cluster's closest member, never a same-label twin
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.99, 0.1], "a"),     # near-twin of 1, same label
+        (3, [0.8, 0.6], "b"),      # closest b to 1
+        (4, [0.0, 1.0], "b"),
+        (5, [-1.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") == 1)
+    out = similarity.hard_negatives(df, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [3, 4]
+    assert all(r["neighbor_label"] != "a" for r in out)
+    # similarity ordering holds
+    assert out[0]["cos_sim"] >= out[1]["cos_sim"]
