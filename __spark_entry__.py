@@ -356,6 +356,12 @@ def _q_text_entropy(spark, sf):
     return textstats.entropy_score(scan(spark, sf, "documents"))
 
 
+def _q_tokens_to_ids(spark, sf):
+    """Vocabulary-indexed encoding: corpus top-V vocab, docs rewritten
+    as integer id arrays (0 = OOV)."""
+    return corpus.tokens_to_ids(scan(spark, sf, "documents"), vocab_size=200)
+
+
 def _q_lang_id(spark, sf):
     out = textstats.lang_id(scan(spark, sf, "documents"))
     return out.withColumn("marker_hits", F.col("marker_hits").cast("long"))
@@ -1977,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
         "text_entropy": _q_text_entropy,
+        "tokens_to_ids": _q_tokens_to_ids,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "scrub_text": _q_scrub_text,
@@ -2768,6 +2775,26 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
                          + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
             FROM base WHERE len(tk) > 0
+        """,
+        "tokens_to_ids": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            tkp AS (
+              SELECT doc_id, i AS pos, tk[i] AS token
+              FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+                    FROM toks)
+            ),
+            counts AS (SELECT token, count(*) AS n FROM tkp GROUP BY 1),
+            vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+                       AS tok_id
+              FROM counts QUALIFY tok_id <= 200
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   list(CAST(coalesce(tok_id, 0) AS BIGINT) ORDER BY pos) AS ids
+            FROM tkp LEFT JOIN vocab USING (token)
+            GROUP BY doc_id
         """,
         "text_entropy": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),

@@ -345,3 +345,46 @@ def split_assign(
         expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
     split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     return docs.select(F.col(key_col), bucket.alias("bucket"), split.alias("split"))
+
+
+def tokens_to_ids(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-indexed encoding — the last text-side step before
+    tensors: build the top-``vocab_size`` corpus vocabulary (count
+    desc, token asc — fully deterministic) and rewrite every document
+    as its array of integer token ids, 0 for out-of-vocabulary.
+
+    Inherently TWO corpus passes (every real tokenizer trainer is):
+    pass 1 aggregates token counts (partial-agged groupBy — the only
+    corpus-wide state, model-sized by construction), pass 2 re-reads
+    the corpus and maps tokens through the BROADCAST vocab — no
+    shuffle joins the corpus against the vocab, and the id arrays
+    reassemble per doc in one final exchange.  The top-V selection is
+    orderBy+limit (TakeOrderedAndProject: per-partition top-V, k-row
+    driver merge) followed by a window over only V rows to number
+    them — never a global sort of the full vocabulary.
+
+    Returns ``doc_id, n_tokens, ids`` for docs with >= 1 token.
+    """
+    from pyspark.sql import Window
+
+    tk = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col, lowercase=True)).alias("pos", "token"),
+    )
+    counts = tk.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    vocab = top.withColumn("tok_id", F.row_number().over(w)).select("token", "tok_id")
+    joined = tk.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tok_id"))),
+            lambda s: F.coalesce(s["tok_id"], F.lit(0)).cast("long"),
+        ).alias("ids"),
+    )

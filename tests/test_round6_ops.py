@@ -253,3 +253,22 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r["neighbor_label"] != "a" for r in out)
     # similarity ordering holds
     assert out[0]["cos_sim"] >= out[1]["cos_sim"]
+
+
+def test_tokens_to_ids_vocab_and_oov(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [
+        (1, "cat cat cat dog dog bird"),
+        (2, "dog cat unseen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # vocab_size=2: cat (4) -> 1, dog (3) -> 2; bird/unseen -> OOV 0
+    out = {r["doc_id"]: r for r in corpus.tokens_to_ids(df, vocab_size=2).collect()}
+    assert out[1]["ids"] == [1, 1, 1, 2, 2, 0]
+    assert out[2]["ids"] == [2, 1, 0]
+    assert out[1]["n_tokens"] == 6
+    # count-desc, token-asc determinism: tie between equal counts
+    rows2 = [(1, "bb aa bb aa")]
+    out2 = corpus.tokens_to_ids(spark.createDataFrame(rows2, ["doc_id", "text"]), vocab_size=2).collect()
+    assert out2[0]["ids"] == [2, 1, 2, 1]  # aa wins id 1 on the tie
