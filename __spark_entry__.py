@@ -1925,6 +1925,15 @@ def _q_triangle_count(spark, sf):
     return triangle_count(pairs)
 
 
+def _q_graph_pagerank(spark, sf):
+    """Integer fixed-point PageRank over the SimHash near-dup graph —
+    bit-reproducible centrality for canonical-doc election."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import pagerank
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return pagerank(pairs, iters=5)
+
+
 def _q_graph_bfs(spark, sf):
     """Contamination-radius BFS: min hop distance (≤3) from the seed
     docs (doc_id % 97 == 0) over the SimHash near-dup pair graph."""
@@ -2095,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "triangle_count": _q_triangle_count,
+        "graph_pagerank": _q_graph_pagerank,
         "approx_distinct": _q_approx_distinct,
     }
 
@@ -2222,6 +2232,40 @@ def oracle_sql() -> dict[str, str]:
             ),
             cand AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
                      WHERE bit_count(xor(sim_a, sim_b)) <= 3)
+    """
+    # PageRank: power iteration UNROLLED into r0..r5 CTEs (integer
+    # micro-unit arithmetic mirrors graph.pagerank exactly — floor
+    # divisions and integer sums, so the hash must match bit-for-bit)
+    pr_iters = 5
+    pr_cte_list = []
+    for i in range(pr_iters):
+        pr_cte_list.append(f"""r{i + 1} AS (
+              SELECT r.node, r.deg, r.teleport,
+                     CAST(r.teleport + floor(coalesce(m.in_mass, 0) * 85 / 100) AS BIGINT)
+                       AS rank_micro
+              FROM r{i} r LEFT JOIN (
+                SELECT sym.d AS d,
+                       sum(CAST(floor(p.rank_micro * 1.0 / p.deg) AS BIGINT)) AS in_mass
+                FROM sym JOIN r{i} p ON p.node = sym.s GROUP BY 1) m
+              ON m.d = r.node
+            )""")
+    pr_ctes_joined = ",\n            ".join(pr_cte_list)
+    graph_pagerank_sql = f"""
+            {simhash_pairs_ctes},
+            sym AS (SELECT DISTINCT s, d FROM (
+                SELECT doc_a AS s, doc_b AS d FROM cand
+                UNION ALL
+                SELECT doc_b AS s, doc_a AS d FROM cand) WHERE s <> d),
+            deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT s AS node, deg,
+                          CAST(floor(1000000.0 / n) AS BIGINT) AS rank_micro,
+                          CAST(floor(150000.0 / n) AS BIGINT) AS teleport
+                   FROM deg CROSS JOIN nn),
+            {pr_ctes_joined}
+            SELECT node, rank_micro,
+                   round(rank_micro / 1000000.0, 6) AS pr
+            FROM r{pr_iters}
     """
     dedup_clusters_sql = "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
             hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
@@ -3679,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_pipeline": dedup_pipeline_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "graph_pagerank": graph_pagerank_sql,
         # two-phase CC computes the SAME component-min labels, so the
         # same recursive-CTE oracle pins both implementations.
         "dedup_clusters_two_phase": dedup_clusters_sql,

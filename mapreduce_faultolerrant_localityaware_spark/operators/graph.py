@@ -457,3 +457,71 @@ def connected_components_resumable(
             "budget resumes from the last committed round."
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 5,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Deterministic PageRank over an undirected edge list — the
+    centrality score that ranks a near-dup cluster's "canonical"
+    member (the doc most connected to everything else) better than
+    min-id election when clusters are large.
+
+    BIT-REPRODUCIBLE fixed-point arithmetic: ranks live in integer
+    micro-units (1e6 = mass 1/N... scaled), every per-iteration step
+    is integer floor-division and integer sums — no FP accumulation
+    order can change the result, so the output hash-matches a SQL
+    oracle and repeated runs exactly.  Teleport 15%, damping 85%,
+    ``iters`` fixed iterations (power iteration unrolled — the oracle
+    unrolls the same CTE chain).
+
+    Scale shape per iteration: one equi-join (ranks ⋈ edges on the
+    source, AQE-skew-safe) and one partial-agged groupBy(dst) — the
+    standard Pregel-on-DataFrames message pass; degrees compute once.
+    The symmetrized graph has no dangling nodes by construction
+    (every node has degree >= 1).
+
+    Returns ``node, rank_micro (bigint), rank (double, 6dp)``.
+    """
+    sym = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    # init + teleport are integer functions of N, broadcast as a
+    # 1-row scalar (computed IN the plan, not on the driver, so the
+    # oracle's scalar subquery sees the identical value)
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("s").alias("node"),
+        "deg",
+        F.floor(1000000 / F.col("n")).cast("long").alias("rank_micro"),
+        F.floor(150000 / F.col("n")).cast("long").alias("teleport"),
+    )
+    for _ in range(iters):
+        contrib = sym.join(
+            ranks.withColumnRenamed("node", "s"), "s"
+        ).select(F.col("d"), F.floor(F.col("rank_micro") / F.col("deg")).alias("c"))
+        summed = contrib.groupBy("d").agg(F.sum("c").alias("in_mass"))
+        ranks = (
+            ranks.join(summed, ranks["node"] == summed["d"], "left")
+            .select(
+                "node",
+                "deg",
+                "teleport",
+                (
+                    F.col("teleport")
+                    + F.floor(F.coalesce(F.col("in_mass"), F.lit(0)) * 85 / 100)
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_micro",
+        F.round(F.col("rank_micro") / 1e6, 6).alias("pr"),
+    )

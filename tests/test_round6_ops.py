@@ -272,3 +272,18 @@ def test_tokens_to_ids_vocab_and_oov(spark):
     rows2 = [(1, "bb aa bb aa")]
     out2 = corpus.tokens_to_ids(spark.createDataFrame(rows2, ["doc_id", "text"]), vocab_size=2).collect()
     assert out2[0]["ids"] == [2, 1, 2, 1]  # aa wins id 1 on the tie
+
+
+def test_pagerank_star_graph_centrality(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import pagerank
+
+    # star: 0 is the hub, 1..4 leaves; hub must out-rank every leaf,
+    # leaves are symmetric so their ranks are identical
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], ["doc_a", "doc_b"])
+    out = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(out[0] > out[i] for i in range(1, 5))
+    assert len({out[i] for i in range(1, 5)}) == 1
+    # bit-reproducible across runs
+    again = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=5).collect()}
+    assert out == again
