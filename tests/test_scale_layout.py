@@ -189,3 +189,43 @@ def test_zorder_prunes_both_axes(spark, tmpdir):
     y_hit = sum(1 for r in stats if r["min(y)"] <= 63 and r["max(y)"] >= 0)
     assert x_hit < n_files
     assert y_hit < n_files
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """The session keeps Spark's runtime bloom-filter join pruning ON
+    (default since 3.5): a selective dimension side injects a bloom
+    filter into the fact-side scan of a SHUFFLE join, so fact rows
+    that cannot match die before the exchange — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching fraction.  Local data sits under the application-
+    side size threshold (the optimization targets big scans), so the
+    test drops that threshold to materialize the plan shape the
+    cluster would produce."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = scan(spark, sf_dir, "lineitem")
+        supp = scan(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+        j = li.join(supp, li.l_suppkey == supp.s_suppkey).groupBy("s_name").count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in optimized or "might_contain" in optimized
+        rows = j.collect()
+        phys = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in phys
+        # the filter is pruning-only: results equal the plain join
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        plain = li.join(supp, li.l_suppkey == supp.s_suppkey).groupBy("s_name").count()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
