@@ -875,6 +875,17 @@ def _q_streaming_enrich(spark, sf):
     return streaming_ops.run_to_batch(joined, spark, output_mode="append")
 
 
+def _q_streaming_quality_filter(spark, sf):
+    """Ingestion-time quality gate on a document stream: stateless
+    score+filter per arriving doc; the accumulated append output must
+    equal the batch filter."""
+    stream = streaming_ops.stream_table(spark, sf, "documents")
+    kept = streaming_ops.quality_filter_stream(stream, threshold=0.5).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+    return streaming_ops.run_to_batch(kept, spark, output_mode="append")
+
+
 def _q_events_funnel(spark, sf):
     """First-touch ordered conversion funnel signup → click → purchase."""
     return events_ops.funnel(scan(spark, sf, "events"))
@@ -2040,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
         "streaming_wordcount": _q_streaming_wordcount,
+        "streaming_quality_filter": _q_streaming_quality_filter,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,
         "streaming_sliding": _q_streaming_sliding,
@@ -2564,6 +2576,24 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_quality_filter": f"""
+            SELECT * FROM (
+              WITH base AS (
+                SELECT doc_id, {_TOK_LOWER} AS tk,
+                       length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
+                       length(text) AS chars
+                FROM documents
+              )
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                     round(letters * 1.0 / len(tk), 6) AS mean_token_len,
+                     round(len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk), 6) AS stopword_ratio,
+                     round((chars - letters) * 1.0 / chars, 6) AS nonletter_ratio,
+                     round(least(1.0,
+                           len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
+                           + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
+              FROM base WHERE len(tk) > 0
+            ) WHERE quality >= 0.5
         """,
         "streaming_incremental_dedup": f"""
             WITH bh AS (SELECT DISTINCT md5({_NORM}) AS content_hash

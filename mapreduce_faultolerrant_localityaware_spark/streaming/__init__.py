@@ -7,13 +7,18 @@ from .enrich_stream import (
 )
 from .materialize import run_to_batch, stream_table
 from .sessionize_stream import sessionize_stream
-from .wordcount_stream import streaming_wordcount, windowed_event_counts
+from .wordcount_stream import (
+    quality_filter_stream,
+    streaming_wordcount,
+    windowed_event_counts,
+)
 
 __all__ = [
     "dedup_stream",
     "enrich_stream",
     "incremental_dedup_stream",
     "interval_join_streams",
+    "quality_filter_stream",
     "run_to_batch",
     "sessionize_stream",
     "sliding_event_counts",

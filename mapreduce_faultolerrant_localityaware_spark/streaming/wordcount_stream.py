@@ -55,3 +55,21 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def quality_filter_stream(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming ingestion-time quality gate: score each arriving doc
+    with the batch quality heuristics (same expression tree —
+    textstats.quality_score works unchanged on a streaming relation
+    because it is a pure stateless projection) and pass only docs at
+    or above ``threshold``.  The shape every live crawl pipeline
+    runs: filter at ingest, BEFORE anything is stored or shuffled —
+    stateless, so it needs no watermark, no state store, and scales
+    as a pure map over arriving files.
+    """
+    from ..operators.textstats import quality_score
+
+    scored = quality_score(docs, text_col=text_col, id_col=id_col)
+    return scored.filter(F.col("quality") >= threshold)
