@@ -226,3 +226,30 @@ def test_simhash_64bit_collision_rate_drop(spark, sf_dir):
     # the packing really uses the top bit: ~half of natural-language
     # fingerprints have bit 63 set and thus come out negative
     assert 0 < neg64 < n
+
+
+def test_substring_spans_hot_span_every_doc(spark):
+    """Worst-case skew for the digest-frequency window: ONE span text
+    shared by EVERY doc (the boilerplate-header case) — all its digest
+    rows land in a single window partition.  Output must stay exact:
+    the shared window positions are duplicated in every doc, the
+    unique tails are not."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+
+    n = 500
+    shared = "lorem ipsum dolor sit amet boilerplate header"  # 7 tokens
+    # letters-only uniqueness — the tokenizer strips digit runs (Q2),
+    # so numeric suffixes would collapse every tail to the same tokens
+    def tag(i):
+        return "".join(chr(ord("a") + int(c)) for c in str(i))
+    uniq = [" ".join(f"{p}{tag(i)}" for p in "uvwxyzq") for i in range(n)]
+    rows = [(i, f"{shared} {uniq[i]}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.substring_spans(df, window=7).collect()
+    assert len(out) == n
+    for r in out:
+        # 14 tokens -> 8 windows; only the pure-shared window (pos 0)
+        # exists in every doc, windows 1..7 mix shared+unique tokens
+        assert r["n_windows"] == 8
+        assert r["dup_windows"] == 1
+        assert r["dup_ratio"] == 0.125
