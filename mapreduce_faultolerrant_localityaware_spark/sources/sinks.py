@@ -147,3 +147,58 @@ def write_zorder(
         else out.repartitionByRange("zval")
     )
     part.sortWithinPartitions("zval").write.mode("overwrite").parquet(path)
+
+
+def rank_buckets(df: DataFrame, col: str, bits: int = 8) -> list[float]:
+    """Equi-depth bucket cut points for ``col`` (2**bits buckets) via
+    approxQuantile — driver-sized model state (like a k-means fit),
+    computed in one pass with bounded error.  Used to rank-normalize a
+    skewed column before Morton interleaving: Z-order only balances
+    file pruning across axes when both domains have comparable bit
+    occupancy, which raw skewed values (ids, prices, timestamps with
+    hotspots) do not."""
+    n = (1 << bits) - 1
+    probs = [i / (n + 1) for i in range(1, n + 1)]
+    return df.stat.approxQuantile(col, probs, 0.001)
+
+
+def bucketize(col, cuts: list[float]):
+    """Map a value to its equi-depth bucket index: the count of cut
+    points <= value — one codegen'd pass over a literal array, no join
+    and no per-row Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(float(x)) for x in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, cut: acc + F.when(c >= cut, 1).otherwise(0),
+    )
+
+
+def write_zorder_ranked(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Z-order layout for SKEWED domains: equi-depth rank-bucketize
+    each dimension to ``bits`` bits first (so every bucket holds
+    ~equal rows regardless of the value distribution), then Morton-
+    interleave the bucket indices and cluster as in write_zorder.
+    This is what "OPTIMIZE ZORDER BY (a, b)" does internally on
+    real lakehouse engines — raw-value interleaving (write_zorder)
+    only balances pruning when both domains are already uniform."""
+    cuts_x = rank_buckets(df, col_x, bits)
+    cuts_y = rank_buckets(df, col_y, bits)
+    out = df.withColumn(
+        "zval",
+        zvalue(bucketize(col_x, cuts_x), bucketize(col_y, cuts_y), bits),
+    )
+    part = (
+        out.repartitionByRange(n_files, "zval")
+        if n_files
+        else out.repartitionByRange("zval")
+    )
+    part.sortWithinPartitions("zval").write.mode("overwrite").parquet(path)

@@ -229,3 +229,36 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+def test_zorder_ranked_prunes_skewed_domains(spark, tmpdir):
+    """Raw-value interleaving fails on skewed/unequal-width domains
+    (one dimension dominates the high bits); equi-depth rank
+    bucketization first restores both-axis pruning.  x is a heavy
+    power-law id, y is a tiny-range category code."""
+    import random
+
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    rng = random.Random(7)
+    rows = [(int(rng.paretovariate(1.2) * 100), rng.randrange(16)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    path = f"{tmpdir}/zorder_ranked"
+    sinks.write_zorder_ranked(df, path, "x", "y", bits=8, n_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == len(rows)
+    stats = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+        .collect()
+    )
+    n_files = len(stats)
+    assert n_files >= 8
+    # a selective range on EACH axis must be prunable by min/max stats
+    x_lo, x_hi = 100, 150          # dense low end of the pareto ids
+    y_lo, y_hi = 0, 3              # quarter of the category codes
+    x_hit = sum(1 for r in stats if r["min(x)"] <= x_hi and r["max(x)"] >= x_lo)
+    y_hit = sum(1 for r in stats if r["min(y)"] <= y_hi and r["max(y)"] >= y_lo)
+    assert x_hit < n_files
+    assert y_hit < n_files
