@@ -202,3 +202,47 @@ def write_zorder_ranked(
         else out.repartitionByRange("zval")
     )
     part.sortWithinPartitions("zval").write.mode("overwrite").parquet(path)
+
+
+def table_stats(spark, path: str, stat_cols: list[str] | None = None) -> DataFrame:
+    """Per-file layout statistics of a parquet directory — row count
+    plus min/max per requested column — the manifest a table-format
+    (Delta/Iceberg) maintains, derived here straight from the data:
+    the operational input to compaction decisions (file-count/size
+    skew) and to verifying that a clustered layout actually produces
+    prunable min/max bands.  One scan, one groupBy(file): the file
+    name is a split-local constant so the partial aggregation
+    collapses each file to one row before the exchange."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols or []:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction — the OPTIMIZE half of lakehouse table
+    maintenance: a streaming ingest (or an over-partitioned shuffle
+    write) leaves thousands of KB-sized files whose open/footer cost
+    dominates every later scan; compaction rewrites them into
+    ~``target_rows_per_file`` files.  Row-preserving by construction
+    (a pure repartition+rewrite, no dedup, no ordering claim), and
+    the row-count based sizing needs only ONE metadata-cheap count.
+    Returns the number of output files written."""
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    written = spark.read.parquet(out_path)
+    return written.select(F.input_file_name()).distinct().count()

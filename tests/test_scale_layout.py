@@ -262,3 +262,28 @@ def test_zorder_ranked_prunes_skewed_domains(spark, tmpdir):
     y_hit = sum(1 for r in stats if r["min(y)"] <= y_hi and r["max(y)"] >= y_lo)
     assert x_hit < n_files
     assert y_hit < n_files
+
+
+def test_compaction_and_table_stats(spark, tmpdir):
+    """Small-file compaction rewrites an over-fragmented table into
+    row-count-sized files, preserving every row; table_stats exposes
+    the per-file manifest both before (many tiny files) and after."""
+    from mapreduce_faultolerrant_localityaware_spark.sources import sinks
+
+    df = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
+    frag = f"{tmpdir}/fragmented"
+    df.repartition(64).write.mode("overwrite").parquet(frag)  # 64 tiny files
+    before = sinks.table_stats(spark, frag, ["id"]).collect()
+    assert len(before) == 64
+    assert sum(r["n_rows"] for r in before) == 10000
+
+    compacted = f"{tmpdir}/compacted"
+    n_out = sinks.compact_files(spark, frag, compacted, target_rows_per_file=5000)
+    assert n_out == 2
+    after = sinks.table_stats(spark, compacted, ["id"]).collect()
+    assert len(after) == 2
+    assert sum(r["n_rows"] for r in after) == 10000
+    # row-preserving: same multiset of ids
+    a = spark.read.parquet(frag).groupBy("v").count().collect()
+    b = spark.read.parquet(compacted).groupBy("v").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
