@@ -936,6 +936,29 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_asof_join_forward(spark, sf):
+    """Forward as-of: each click looks up the NEXT purchase at or
+    after it (per user) — the other half of the as-of pair."""
+    ev = scan(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("value").alias("next_value"),
+    )
+    j = temporal.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        payload=["next_purchase_id", "next_value"],
+        direction="forward",
+    )
+    return j.select(
+        "event_id", "user_id", "next_purchase_id", F.round("next_value", 6).alias("next_value")
+    )
+
+
 def _q_range_join(spark, sf):
     orders = scan(spark, sf, "orders")
     bands = spark.createDataFrame(
@@ -2063,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
         "asof_join": _q_asof_join,
+        "asof_join_forward": _q_asof_join_forward,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3208,6 +3232,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_forward": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, event_id AS next_purchase_id, value AS next_value
+                  FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, r.next_purchase_id,
+                   round(r.next_value, 6) AS next_value
+            FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         "range_join": """
             WITH bands(band, lo, hi) AS (VALUES

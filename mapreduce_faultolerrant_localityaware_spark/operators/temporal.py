@@ -33,15 +33,26 @@ def asof_join(
     right_ts: str = "ts",
     payload: Sequence[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the payload of the single
-    right row with the greatest ``right_ts <= left_ts`` (``<`` when
-    ``strict``) in the same key group; left rows with no prior right row
-    are dropped (inner semantics, matching DuckDB ``ASOF JOIN``).
+    """As-of join: each left row gets the payload of the single right
+    row with the greatest ``right_ts <= left_ts`` (``direction=
+    "backward"``, ``<`` when ``strict``) or the smallest ``right_ts >=
+    left_ts`` (``direction="forward"`` — the "next quote/next
+    maintenance event" lookup) in the same key group; unmatched left
+    rows are dropped (inner semantics, matching DuckDB ``ASOF JOIN``
+    in either comparison direction).
 
     Right-side ties on (key, ts) are broken deterministically by taking
     the lexicographically greatest payload struct.
+
+    ONE shuffle either way: both sides union into a single relation,
+    one window scan per key in event-time order (reversed for
+    forward) carries the nearest right payload to every left row —
+    never a per-row range join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = list(on)
     payload = list(payload) if payload is not None else [c for c in right.columns if c not in keys and c != right_ts]
 
@@ -65,9 +76,10 @@ def asof_join(
     # semantics, after for strict (<); the trailing __pay orders ties
     # among right rows so `last` picks the greatest payload struct.
     tie = F.col("__is_right").desc() if not strict else F.col("__is_right").asc()
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), tie, F.col("__pay").asc_nulls_first())
+        .orderBy(ts_order, tie, F.col("__pay").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = left_u.unionByName(right_u)

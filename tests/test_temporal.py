@@ -157,3 +157,22 @@ def test_resample_ffill_fills_gaps(spark):
     assert h(2)["n_events"] == 0 and h(2)["v_filled"] == 30.0
     assert h(3)["n_events"] == 1 and h(3)["v_filled"] == 7.0
     assert rows[(2, "2024-01-01 05:00:00")]["v_filled"] == 1.0
+
+
+def test_asof_forward_direction(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 12, "a"), (1, 20, "b"), (1, 30, "c"), (2, 1, "d")], ["k", "ts", "tag"]
+    )
+    fwd = {(r["k"], r["ts"]): r["tag"] for r in temporal.asof_join(
+        left, right, on=["k"], payload=["tag"], direction="forward").collect()}
+    # next right at-or-after: (1,10)->12:a, (1,25)->30:c; (2,5) has none
+    assert fwd == {(1, 10): "a", (1, 25): "c"}
+    bwd = {(r["k"], r["ts"]): r["tag"] for r in temporal.asof_join(
+        left, right, on=["k"], payload=["tag"]).collect()}
+    assert bwd == {(1, 25): "b", (2, 5): "d"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temporal.asof_join(left, right, on=["k"], payload=["tag"], direction="nearest")
