@@ -936,6 +936,22 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_resample_ohlc(spark, sf):
+    """Per-(user, day) open/high/low/close downsampling with total
+    (ts, event_id) ordering for deterministic open/close."""
+    ev = scan(spark, sf, "events")
+    out = temporal.resample_ohlc(ev, unit="day")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "open",
+        "close",
+        "low",
+        "high",
+        "n_events",
+    )
+
+
 def _q_asof_join_forward(spark, sf):
     """Forward as-of: each click looks up the NEXT purchase at or
     after it (per user) — the other half of the as-of pair."""
@@ -2087,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": _q_resample_ffill,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
+        "resample_ohlc": _q_resample_ohlc,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3232,6 +3249,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "resample_ohlc": """
+            SELECT user_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   round((min(struct_pack(ts := ts, eid := event_id, v := value))).v, 6) AS open,
+                   round((max(struct_pack(ts := ts, eid := event_id, v := value))).v, 6) AS close,
+                   round(min(value), 6) AS low,
+                   round(max(value), 6) AS high,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "asof_join_forward": """
             WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -153,3 +153,37 @@ def resample_ffill(
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
     )
+
+
+def resample_ohlc(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit: str = "day",
+) -> DataFrame:
+    """Time-bucket downsampling to open/high/low/close + count — the
+    canonical numeric-series summarization (finance bars, sensor
+    rollups, metric downsampling before retention).
+
+    Open/close are the value of the FIRST/LAST event in the bucket,
+    with a total (ts, id) ordering so duplicate timestamps cannot make
+    the result run-dependent — implemented as min/max over a
+    (ts, id, value) struct, which keeps the whole operator a single
+    partial-aggregated groupBy: every per-bucket statistic combines
+    associatively map-side, so one shuffle of O(buckets) tiny rows is
+    all that moves regardless of corpus size (a window/first-last
+    formulation would shuffle every event row instead).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    s = F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"), F.col(value_col).alias("v")
+    )
+    return events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        F.round(F.min(s)["v"], 6).alias("open"),
+        F.round(F.max(s)["v"], 6).alias("close"),
+        F.round(F.min(value_col), 6).alias("low"),
+        F.round(F.max(value_col), 6).alias("high"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -176,3 +176,26 @@ def test_asof_forward_direction(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temporal.asof_join(left, right, on=["k"], payload=["tag"], direction="nearest")
+
+
+def test_resample_ohlc_deterministic_open_close(spark):
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # same-timestamp duplicates: event_id breaks the tie
+        (1, 1, t0, 10.0),
+        (2, 1, t0, 11.0),
+        (3, 1, t0 + dt.timedelta(hours=2), 5.0),
+        (4, 1, t0 + dt.timedelta(hours=3), 20.0),
+        (5, 2, t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in temporal.resample_ohlc(df, unit="day").collect()}
+    r1 = out[1]
+    assert (r1["open"], r1["close"], r1["low"], r1["high"], r1["n_events"]) == (
+        10.0, 20.0, 5.0, 20.0, 4,
+    )  # open = min (ts, id) -> event 1, not 2
+    assert out[2]["n_events"] == 1
