@@ -170,3 +170,57 @@ def test_triangle_count_matches_bruteforce(spark, raw_edges):
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == expected
     assert row["n_edges"] == len(edges) and row["n_nodes"] == len(nodes)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo"]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=20,
+    ),
+    window=st.integers(min_value=2, max_value=4),
+)
+def test_substring_spans_vs_python_oracle(spark, docs, window):
+    """substring_spans against a brute-force Python oracle on random
+    small-vocab corpora (small vocab maximizes cross-doc collisions)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.dedup import substring_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"])
+           for r in substring_spans(df, window=window).collect()}
+
+    wins = {i: [" ".join(toks[j:j + window]) for j in range(len(toks) - window + 1)]
+            for i, toks in enumerate(docs)}
+    docs_per_span = Counter()
+    for i, ws in wins.items():
+        for w in set(ws):
+            docs_per_span[w] += 1
+    expect = {}
+    for i, ws in wins.items():
+        if not ws:
+            continue
+        dup = sum(1 for w in ws if docs_per_span[w] >= 2)
+        expect[i] = (len(ws), dup)
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+)
+def test_split_assign_proportions_and_purity(spark, vals):
+    """split_assign is a pure function of the key: any subset of keys
+    gets exactly the assignments the full set gives (additivity), and
+    every bucket is in [0, 100)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import split_assign
+
+    keys = sorted(set(vals))
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    full = {r["doc_id"]: (r["bucket"], r["split"]) for r in split_assign(df).collect()}
+    assert all(0 <= b < 100 for b, _ in full.values())
+    half = keys[: max(1, len(keys) // 2)]
+    sub = {r["doc_id"]: (r["bucket"], r["split"])
+           for r in split_assign(spark.createDataFrame([(k,) for k in half], ["doc_id"])).collect()}
+    assert all(full[k] == v for k, v in sub.items())
