@@ -30,7 +30,12 @@ from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 #: the query side against a `!=` predicate like ann_bruteforce/ann_sq8)
 BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted",
            "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8",
-           "length_filter", "scalar_subquery", "tpch_q11", "tpch_q22", "ann_pq"}
+           "length_filter", "scalar_subquery", "tpch_q11", "tpch_q22", "ann_pq",
+           # round 6: hard-negative mining broadcasts the query side
+           # against a label-inequality predicate (same shape as
+           # ann_bruteforce); pagerank attaches the 1-row node count
+           # as a broadcast cross join (same as tfidf's scalar)
+           "ann_hard_negatives", "graph_pagerank"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
