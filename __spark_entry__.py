@@ -936,6 +936,11 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_events_zscore(spark, sf):
+    """Per-user z-score outliers with exact integer moment sums."""
+    return events_ops.zscore_outliers(scan(spark, sf, "events"))
+
+
 def _q_resample_ohlc(spark, sf):
     """Per-(user, day) open/high/low/close downsampling with total
     (ts, event_id) ordering for deterministic open/close."""
@@ -2104,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
+        "events_zscore": _q_events_zscore,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3249,6 +3255,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_zscore": """
+            WITH m AS (
+              SELECT event_id, user_id, value,
+                     count(*) OVER w AS n,
+                     sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s1,
+                     sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) OVER w AS s2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id)
+            ),
+            z AS (
+              SELECT event_id, user_id, value,
+                     CASE WHEN sqrt(s2 / 10000.0 / n - (s1 / 100.0 / n) * (s1 / 100.0 / n)) > 0.0
+                          THEN (value - s1 / 100.0 / n)
+                               / sqrt(s2 / 10000.0 / n - (s1 / 100.0 / n) * (s1 / 100.0 / n))
+                     END AS zraw
+              FROM m
+            )
+            SELECT event_id, user_id, round(value, 6) AS value, round(zraw, 6) AS z
+            FROM z WHERE abs(zraw) > 2.0
         """,
         "resample_ohlc": """
             SELECT user_id,

@@ -109,3 +109,47 @@ def funnel(
     return per_user.agg(
         *[F.count(a).alias(f"n_{s}") for s, a in zip(steps, anchors)]
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key z-score anomaly flagging — the metrics-pipeline outlier
+    pass (a user's event value far outside their own distribution).
+
+    DETERMINISTIC moments: the value is fixed-point (2-dp) so its
+    cent-scaled integer is exact; per-key count/sum/sum-of-squares
+    accumulate as INTEGER sums (associative — immune to Spark's
+    nondeterministic partial-agg order, where double sums are not),
+    and mean/std derive from those exact integers with an identical
+    expression tree on both engines.  Population std; keys with
+    zero variance (or a single event) flag nothing.
+
+    One shuffle: the moments are window aggregates over the key
+    partition, so each event picks up its key's statistics in the
+    same pass that computes them — no join back.
+
+    Returns flagged events only: ``event_id, key, value, z``.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy(key_col)
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(cents).over(w)
+    s2 = F.sum(cents * cents).over(w)
+    mean = s1 / 100.0 / n
+    var = s2 / 10000.0 / n - mean * mean
+    std = F.sqrt(var)
+    # zero-variance keys (incl. singletons) flag nothing: NULL z falls
+    # out of the threshold filter (ANSI mode would error on /0)
+    z = F.when(std > 0.0, (F.col(value_col) - mean) / std)
+    return (
+        events.select(F.col(id_col), F.col(key_col), F.col(value_col), z.alias("z"))
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(id_col, key_col, F.round(value_col, 6).alias(value_col), F.round("z", 6).alias("z"))
+    )

@@ -287,3 +287,21 @@ def test_pagerank_star_graph_centrality(spark):
     # bit-reproducible across runs
     again = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=5).collect()}
     assert out == again
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = (
+        [(i, 1, 10.0) for i in range(20)]       # tight cluster
+        + [(99, 1, 100.0)]                      # clear outlier
+        + [(200, 2, 50.0)]                      # singleton key: no std
+        + [(300, 3, 5.0), (301, 3, 5.0)]        # zero-variance key
+    )
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    out = events_ops.zscore_outliers(df).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 4
+    # determinism across runs (integer moment sums)
+    again = events_ops.zscore_outliers(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
