@@ -62,6 +62,8 @@ HEADLINE = [
     "dedup_substring",
     "text_entropy",
     "split_assign",
+    "graph_pagerank",
+    "tokens_to_ids",
 ]
 
 

@@ -486,7 +486,7 @@ def pagerank(
 
     Returns ``node, rank_micro (bigint), rank (double, 6dp)``.
     """
-    sym = (
+    sym = _truncate_lineage(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .filter(F.col("s") != F.col("d"))
@@ -503,7 +503,15 @@ def pagerank(
         F.floor(1000000 / F.col("n")).cast("long").alias("rank_micro"),
         F.floor(150000 / F.col("n")).cast("long").alias("teleport"),
     )
-    for _ in range(iters):
+    # the edge list is checkpointed ONCE (without it every round
+    # re-derives the whole candidate-pair pipeline: measured 14 s at
+    # sf0.1 for 5 rounds); ranks lineage is truncated only every
+    # CHECKPOINT_EVERY rounds — plan depth stays bounded for long
+    # runs, while short runs skip the per-round eager-job overhead
+    # (5 rounds: 4.4 s with per-round checkpoints, 3.7 s without)
+    CHECKPOINT_EVERY = 5
+    prev = None
+    for i in range(iters):
         contrib = sym.join(
             ranks.withColumnRenamed("node", "s"), "s"
         ).select(F.col("d"), F.floor(F.col("rank_micro") / F.col("deg")).alias("c"))
@@ -520,6 +528,11 @@ def pagerank(
                 ).cast("long").alias("rank_micro"),
             )
         )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+            ranks = _truncate_lineage(ranks)
+            if prev is not None:
+                _release_checkpoint(prev)
+            prev = ranks
     return ranks.select(
         "node",
         "rank_micro",

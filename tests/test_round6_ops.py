@@ -305,3 +305,16 @@ def test_zscore_outliers_flags_only_extremes(spark):
     # determinism across runs (integer moment sums)
     again = events_ops.zscore_outliers(df).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pagerank_long_run_bounded_lineage(spark):
+    """A 12-iteration run crosses the periodic checkpoint boundary
+    twice — results must match the star-graph expectations and stay
+    deterministic (exercises the truncate/release path)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], ["doc_a", "doc_b"])
+    out = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=12).collect()}
+    assert all(out[0] > out[i] for i in range(1, 5))
+    again = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=12).collect()}
+    assert out == again
