@@ -509,6 +509,15 @@ def _q_dedup_editdist(spark, sf):
     return dedup.dedup_editdist(scan(spark, sf, "documents"), max_dist=80, max_hamming=3)
 
 
+def _q_dedup_incremental_fuzzy(spark, sf):
+    """Fuzzy (SimHash) incremental dedup: new batch (doc_id % 5 == 0)
+    vs the accepted corpus, matches within hamming<=3."""
+    docs = scan(spark, sf, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.dedup_incremental_fuzzy(base, delta, max_hamming=3)
+
+
 def _q_dedup_chunks(spark, sf):
     """Sub-document (chunk-level) exact dedup: C4-style line dedup over
     20-token chunks; docs reassembled from their surviving chunks."""
@@ -2071,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": _q_dedup_editdist,
         "dedup_chunks": _q_dedup_chunks,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
         "graph_bfs": _q_graph_bfs,
         "key_skew_report": _q_key_skew_report,
         "mixture_sample": _q_mixture_sample,
@@ -3059,6 +3069,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
             FROM cand
+        """,
+        "dedup_incremental_fuzzy": f"""
+            WITH {_SIMHASH_SIG_CTES},
+            bands AS (
+              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
+              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
+            ),
+            matches AS (
+              SELECT d.doc_id AS delta_id, count(DISTINCT b.doc_id) AS n_matches
+              FROM bands d JOIN bands b ON d.band = b.band AND d.bv = b.bv
+              WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                AND bit_count(xor(d.simhash, b.simhash)) <= 3
+              GROUP BY 1
+            )
+            SELECT dd.doc_id,
+                   CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+                   coalesce(n_matches, 0) = 0 AS keep
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) dd
+            LEFT JOIN matches ON matches.delta_id = dd.doc_id
         """,
         "dedup_editdist": f"""
             {simhash_pairs_ctes},

@@ -737,3 +737,70 @@ def dedup_editdist(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def dedup_incremental_fuzzy(
+    base: DataFrame,
+    delta: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy incremental dedup — the NEAR-dup counterpart of
+    :func:`dedup_incremental`: each new-batch (delta) doc is checked
+    against the accepted corpus (base) for SimHash matches within
+    ``max_hamming``, not just exact content equality.  The
+    steady-state ingestion question a production pipeline actually
+    asks ("is this crawl page a near-copy of anything we already
+    hold"), answered without ever joining text.
+
+    Scale shape: ONE fingerprint pass per side (64-bit SimHash, zero
+    shuffle), band both sides into SIMHASH_BANDS byte buckets, and a
+    band-keyed equi-join delta×base proposes candidates — the base
+    side ships (band, byte, id, fingerprint) rows only, so the
+    accepted corpus is represented by 8 small integers per doc
+    regardless of its text volume.  Hamming verification and the
+    per-delta-doc aggregation collapse candidates before anything
+    re-shuffles.  Pigeonhole-complete for ``max_hamming <=
+    SIMHASH_BANDS - 1`` (no bucket-size cap needed: the join output is
+    bounded by delta-bucket × base-bucket, and AQE skew-splits hot
+    buckets).
+
+    Returns one row per delta doc: ``doc_id, n_matches (distinct base
+    docs within the radius), keep``.
+    """
+    def bands_of(docs, side):
+        sig = simhash(docs, text_col=text_col, id_col=id_col)
+        return sig.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("simhash").alias(f"{side}_sim"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                        for i in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band", "bv"),
+        )
+
+    db = bands_of(delta, "delta")
+    bb = bands_of(base, "base")
+    hamming = F.bit_count(F.col("delta_sim").bitwiseXOR(F.col("base_sim")))
+    matches = (
+        db.join(bb, ["band", "bv"])
+        .filter(hamming <= max_hamming)
+        .select("delta_id", "base_id")
+        .distinct()
+        .groupBy("delta_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        delta.select(F.col(id_col))
+        .join(matches.withColumnRenamed("delta_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -318,3 +318,27 @@ def test_pagerank_long_run_bounded_lineage(spark):
     assert all(out[0] > out[i] for i in range(1, 5))
     again = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=12).collect()}
     assert out == again
+
+
+def test_dedup_incremental_fuzzy_near_and_far(spark):
+    base_text = ("the quick brown fox jumps over the lazy dog while the "
+                 "bright summer sun shines over the quiet green valley today")
+    base = spark.createDataFrame(
+        [(1, base_text),
+         (2, "a completely different legal document about maritime insurance "
+             "claims arbitration and vessel liability provisions")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(10, base_text.replace("dog", "cat")),   # near-dup of base 1
+         (11, "entirely novel astronomy content regarding stellar formation "
+              "accretion disks and planetary nebulae evolution")],
+        ["doc_id", "text"],
+    )
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_incremental_fuzzy(base, delta, max_hamming=10).collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["n_matches"] >= 1 and not out[10]["keep"]
+    assert out[11]["n_matches"] == 0 and out[11]["keep"]
