@@ -287,6 +287,23 @@ def _q_join_part(spark, sf):
     )
 
 
+def _q_join_null_safe(spark, sf):
+    """Null-safe equality join (<=>): NULL keys match each other —
+    the semantics dimension plain equi-joins silently drop.  Mapped to
+    a regular equi-join physically (Spark plans EqualNullSafe as a
+    hash-join key, no nested loop)."""
+    sup = scan(spark, sf, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 7, F.lit(0)).alias("grp")
+    )
+    a = sup.alias("a")
+    b = sup.alias("b")
+    j = a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+    return (
+        j.groupBy(F.col("a.grp").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def _q_subquery_above_avg(spark, sf):
     orders = scan(spark, sf, "orders")
     cust_avg = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
@@ -2034,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_large": _q_join_large,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
+        "join_null_safe": _q_join_null_safe,
         "window_rank": _q_window_rank,
         "window_running": _q_window_running,
         "rollup": _q_rollup,
@@ -2467,6 +2485,12 @@ def oracle_sql() -> dict[str, str]:
         "join_anti": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "join_null_safe": """
+            WITH s AS (SELECT s_suppkey, nullif(s_nationkey % 7, 0) AS grp FROM supplier)
+            SELECT a.grp, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM s a JOIN s b ON a.grp IS NOT DISTINCT FROM b.grp
+            GROUP BY a.grp
         """,
         "window_rank": """
             SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
