@@ -373,6 +373,12 @@ def _q_text_entropy(spark, sf):
     return textstats.entropy_score(scan(spark, sf, "documents"))
 
 
+def _q_lm_score(spark, sf):
+    """Per-doc cross-entropy under the corpus's own smoothed bigram
+    LM (perplexity-filter analog)."""
+    return corpus.lm_bigram_score(scan(spark, sf, "documents"))
+
+
 def _q_tokens_to_ids(spark, sf):
     """Vocabulary-indexed encoding: corpus top-V vocab, docs rewritten
     as integer id arrays (0 = OOV)."""
@@ -2075,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_entropy": _q_text_entropy,
         "tokens_to_ids": _q_tokens_to_ids,
+        "lm_score": _q_lm_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "scrub_text": _q_scrub_text,
@@ -2930,6 +2937,31 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
                          + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
             FROM base WHERE len(tk) > 0
+        """,
+        "lm_score": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            per AS (
+              SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+                SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                      FROM toks)
+              ) GROUP BY 1, 2, 3
+            ),
+            big AS (SELECT w1, w2, sum(cnt) AS c_big FROM per GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c_big) AS c_ctx FROM big GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT w2) AS v FROM big),
+            scored AS (
+              SELECT big.w1, big.w2,
+                     CAST(round(log2((c_big + 1.0) / (c_ctx + v)) * 1e6) AS BIGINT)
+                       AS lp_micro
+              FROM big JOIN ctx ON big.w1 = ctx.w1 CROSS JOIN vocab
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   round(-sum(cnt * lp_micro) / 1e6 / sum(cnt), 6) AS h_bits
+            FROM per JOIN scored ON per.w1 = scored.w1 AND per.w2 = scored.w2
+            GROUP BY doc_id
         """,
         "tokens_to_ids": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),

@@ -388,3 +388,74 @@ def tokens_to_ids(
             lambda s: F.coalesce(s["tok_id"], F.lit(0)).cast("long"),
         ).alias("ids"),
     )
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc cross-entropy under an add-one-smoothed corpus bigram
+    LM — the SQL-able analog of perplexity filtering (CCNet-style
+    pipelines drop docs whose LM score says "not natural language";
+    a bigram model over the corpus itself is the engine-native
+    stand-in for the external KenLM).
+
+    Model, defined entirely from ONE bigram relation (no second
+    tokenize pass): p(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V) where
+    ctx(w1) = Σ_w2 c(w1,w2) (bigram-context count) and V = distinct
+    second-word types.  Per doc, H = -(Σ occurrences log2 p) /
+    n_bigrams, in bits per token.
+
+    Determinism: each bigram TYPE's log2 p rounds to integer
+    micro-units once; per-doc sums are exact integer
+    count×contribution products — no FP accumulation order anywhere
+    (same discipline as text_entropy/graph_pagerank).
+
+    Scale shape: one explode pass builds (doc, w1, w2) counts
+    (partial-agged); corpus bigram counts, context counts, and V all
+    derive from that one relation by further aggregation (sum/count
+    reference the counted column, so the aggregates stay over the
+    same exchange — see the tfidf reuse note); scoring is two
+    equi-joins on (w1,w2)/(w1) plus a broadcast scalar.
+
+    Returns ``doc_id, n_bigrams, h_bits`` for docs with >= 1 bigram.
+    """
+    tk = tokens(text_col, lowercase=True)
+    pairs_arr = F.transform(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("w1"), F.element_at(tk, i + 2).alias("w2")),
+    )
+    per = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    big = per.groupBy("w1", "w2").agg(F.sum("cnt").alias("c_big"))
+    ctx = big.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
+    vocab = big.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        big.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log2((F.col("c_big") + 1.0) / (F.col("c_ctx") + F.col("v"))) * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        per.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("cnt") * F.col("lp_micro")) / 1e6 / F.sum("cnt"), 6
+            ).alias("h_bits"),
+        )
+    )

@@ -342,3 +342,21 @@ def test_dedup_incremental_fuzzy_near_and_far(spark):
     assert set(out) == {10, 11}
     assert out[10]["n_matches"] >= 1 and not out[10]["keep"]
     assert out[11]["n_matches"] == 0 and out[11]["keep"]
+
+
+def test_lm_score_repetitive_beats_novel(spark):
+    """A doc made of the corpus's dominant bigrams must score LOWER
+    cross-entropy than one made of rare transitions."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [
+        (100, "zebra quantum furnace doily omelette crankshaft")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.lm_bigram_score(df).collect()}
+    assert out[0]["h_bits"] < out[100]["h_bits"]
+    assert out[0]["n_bigrams"] == 5
+    # deterministic across runs (integer micro-unit sums)
+    again = {r["doc_id"]: r["h_bits"] for r in corpus.lm_bigram_score(df).collect()}
+    assert {k: v["h_bits"] for k, v in out.items()} == again
