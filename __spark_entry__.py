@@ -1348,6 +1348,15 @@ def _q_tpch_q18(spark, sf):
     return relational.top_k(out, 100, F.desc("o_totalprice"), F.asc("o_orderkey"))
 
 
+def _q_multimodal_phash(spark, sf):
+    """Image dedup fingerprints: Arrow decode → per-feature threshold
+    bits packed to one integer pHash (bucket = dedup candidate set)."""
+    docs = scan(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return multimodal.phash_fingerprint(multimodal.decode_media(docs))
+
+
 def _q_multimodal_decode(spark, sf):
     """Arrow-batched decode over binary media columns (mapInPandas).
     The stub decode is sha256-derived, hence exactly reproducible by
@@ -2124,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_roundtrip": _q_clustered_roundtrip,
         "zorder_roundtrip": _q_zorder_roundtrip,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_phash": _q_multimodal_phash,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "ann_sq8": _q_ann_sq8,
@@ -3753,6 +3763,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "multimodal_phash": """
+            WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+            SELECT media_id, CAST("""
+        + " + ".join(
+            f"CASE WHEN CAST(('0x' || substring(hx, {5 + 4 * i}, 4)) AS BIGINT) >= 32768"
+            f" THEN {1 << i} ELSE 0 END"
+            for i in range(8)
+        )
+        + """ AS BIGINT) AS phash
+            FROM h
         """,
         "multimodal_decode": """
             WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)

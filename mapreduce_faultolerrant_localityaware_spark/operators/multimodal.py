@@ -152,3 +152,27 @@ def resize_media(
         F.lit(target_h).alias("resized_h"),
         F.transform("features", lambda x: F.round(x * ratio, 6)).alias("features_resized"),
     )
+
+
+def phash_fingerprint(decoded: DataFrame) -> DataFrame:
+    """Perceptual-hash stage of an image dedup pipeline: threshold
+    each decoded feature at 0.5 into one bit and pack them into a
+    single integer fingerprint — the LAION-style pHash pass that lets
+    billions of images dedup by 64-bit integer instead of by pixels.
+    (The real pipeline swaps the stub decode for DCT coefficients;
+    everything downstream of the feature vector — thresholding,
+    packing, bucketing — is unchanged.)  JVM-side expression over the
+    decoded relation, no second Python hop after the decode.
+
+    Returns ``media_id, phash (bigint)``; equal fingerprints are the
+    dedup buckets (band the bits as in dedup_simhash_pairs for a
+    within-hamming search at scale).
+    """
+    bits = [
+        F.when(F.col("features")[i] >= 0.5, F.lit(1 << i)).otherwise(0)
+        for i in range(FEATURE_DIM)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return decoded.select(F.col("media_id"), acc.cast("long").alias("phash"))

@@ -48,3 +48,20 @@ def test_frame_sample_plan_explodes(media_df):
     out = multimodal.frame_sample_plan(media_df, every_n=1)
     counts = {r["media_id"]: r["n"] for r in out.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
     assert all(n >= 1 for n in counts.values())
+
+
+def test_phash_fingerprint_bits(spark):
+    """pHash packs feature>=0.5 threshold bits; identical blobs get
+    identical fingerprints (the dedup bucket property)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import multimodal
+
+    rows = [(1, b"same-bytes"), (2, b"same-bytes"), (3, b"other-bytes")]
+    df = spark.createDataFrame(rows, ["media_id", "blob"])
+    decoded = multimodal.decode_media(df)
+    out = {r["media_id"]: r["phash"] for r in multimodal.phash_fingerprint(decoded).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 256
+    # bits agree with the decoded features
+    feats = {r["media_id"]: r["features"] for r in decoded.collect()}
+    expect = sum((1 << i) for i, f in enumerate(feats[3]) if f >= 0.5)
+    assert out[3] == expect
