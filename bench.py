@@ -64,6 +64,8 @@ HEADLINE = [
     "split_assign",
     "graph_pagerank",
     "tokens_to_ids",
+    "lm_score",
+    "dedup_incremental_fuzzy",
 ]
 
 
