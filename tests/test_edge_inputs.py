@@ -139,3 +139,48 @@ def test_lsh_candidates_empty_and_tiny(spark):
     assert dedup.lsh_bucket_stats(empty).count() == 0
     solo = _docs(spark, [(1, "only one document here nothing matches")])
     assert dedup.dedup_minhash_candidates(solo).count() == 0
+
+
+def test_round6_ops_empty_and_degenerate_inputs(spark):
+    """Round-6 operators must return empty/degenerate-safe results on
+    empty corpora and single-doc inputs — not errors."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus, events as ev_ops, textstats as ts
+
+    empty = _docs(spark, [])
+    assert dedup.substring_spans(empty).count() == 0
+    assert ts.entropy_score(empty).count() == 0
+    assert corpus.lm_bigram_score(empty).count() == 0
+    assert corpus.tokens_to_ids(empty).count() == 0
+    assert corpus.split_assign(empty).count() == 0
+    assert dedup.dedup_editdist(empty).count() == 0
+
+    one = _docs(spark, [(1, "only one document here")])
+    assert dedup.substring_spans(one, window=2).collect()[0]["dup_windows"] == 0
+    assert dedup.dedup_editdist(one).count() == 0  # no pairs from one doc
+    # single-token doc: zero bigrams -> absent from lm output, present in entropy
+    tiny = _docs(spark, [(1, "word")])
+    assert corpus.lm_bigram_score(tiny).count() == 0
+    assert ts.entropy_score(tiny).collect()[0]["entropy"] == 0.0
+
+    from pyspark.sql import types as T2
+    ev_schema = T2.StructType([
+        T2.StructField("event_id", T2.LongType()),
+        T2.StructField("user_id", T2.LongType()),
+        T2.StructField("value", T2.DoubleType()),
+    ])
+    assert ev_ops.zscore_outliers(spark.createDataFrame([], ev_schema)).count() == 0
+
+
+def test_merge_schema_read(spark, tmp_path):
+    """Schema evolution on read: a partition written BEFORE a column
+    existed reads back as NULLs under mergeSchema — the append-only
+    lakehouse evolution path."""
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v").write.parquet(p + "/part=a")
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS v", "'new' AS extra"
+    ).write.parquet(p + "/part=b")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "extra", "part"}
+    assert df.count() == 10
+    assert df.filter(F.col("extra").isNull()).count() == 5
