@@ -618,6 +618,13 @@ def _q_ann_bruteforce(spark, sf):
     return similarity.ann_bruteforce(emb, queries_df, k=5)
 
 
+def _q_ann_recall_report(spark, sf):
+    """Recall@5 of the IVF index vs exact brute force per query."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_recall_report(emb, queries_df, k=5)
+
+
 def _q_ann_hard_negatives(spark, sf):
     """Contrastive hard-negative mining: per query, top-k most-similar
     vectors with a DIFFERENT label (boundary pairs for training)."""
@@ -2124,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_hard_negatives": _q_ann_hard_negatives,
+        "ann_recall_report": _q_ann_recall_report,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -3311,6 +3319,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+        """,
+        "ann_recall_report": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 8),
+            bf AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, e.vec_id AS neighbor_id,
+                       {_COS.format(a='qv', b='e.v')} AS cos_sim
+                FROM e CROSS JOIN q WHERE e.vec_id <> query_id
+              ) QUALIFY row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+            ),
+            ivf AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, e.vec_id AS neighbor_id,
+                       {_COS.format(a='qv', b='e.v')} AS cos_sim
+                FROM e JOIN q USING (label) WHERE e.vec_id <> query_id
+              ) QUALIFY row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+            ),
+            hits AS (
+              SELECT bf.query_id, count(*) AS n_hits
+              FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+                              AND bf.neighbor_id = ivf.neighbor_id
+              GROUP BY 1
+            ),
+            totals AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY 1)
+            SELECT t.query_id,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   round(coalesce(n_hits, 0) * 1.0 / n_exact, 6) AS recall
+            FROM totals t LEFT JOIN hits ON hits.query_id = t.query_id
         """,
         "ann_hard_negatives": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

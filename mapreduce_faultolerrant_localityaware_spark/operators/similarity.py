@@ -840,3 +840,46 @@ def hard_negatives(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Recall audit of the IVF index against exact brute force — the
+    measurement every ANN deployment runs before trusting its index
+    (an index whose recall silently degrades poisons every downstream
+    dedup/retrieval decision).  Computes both top-k sets and reports,
+    per query: hits (|IVF ∩ exact|) and recall@k.
+
+    Scale note: the EXACT side is the expensive half — in production
+    this runs on a sampled query set, which is exactly how the
+    callers use it (queries is a small filtered relation).  Both
+    sides share the corpus scan; the overlap join is per-query
+    k-bounded.
+    """
+    bf = ann_bruteforce(emb, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("bf_id")
+    )
+    ivf = ann_ivf(
+        emb, queries, k=k, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    ).select("query_id", F.col("neighbor_id").alias("ivf_id"))
+    hits = (
+        bf.join(ivf, (bf["query_id"] == ivf["query_id"]) & (F.col("bf_id") == F.col("ivf_id")))
+        .groupBy(bf["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
