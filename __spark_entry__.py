@@ -3147,8 +3147,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_fuzzy": f"""
             WITH {_SIMHASH_SIG_CTES},
             bands AS (
-              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 255 AS bv
-              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS i)
+              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 65535 AS bv
+              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 2})) AS i)
             ),
             matches AS (
               SELECT d.doc_id AS delta_id, count(DISTINCT b.doc_id) AS n_matches

