@@ -780,6 +780,15 @@ def dedup_incremental_fuzzy(
 
     def bands_of(docs, side):
         sig = simhash(docs, text_col=text_col, id_col=id_col)
+        # materialization-by-aggregation: the fingerprint is a PROJECTED
+        # expression, and Catalyst collapses projections straight
+        # through exchanges — without this barrier the hamming filter
+        # re-evaluates the whole tokenize→vote pipeline PER JOINED ROW
+        # (373k× instead of 5k× at sf0.1; measured 7 s → 2 s).  An
+        # aggregate's outputs cannot be collapsed into, stay
+        # recomputable on executor loss (unlike a checkpoint), and the
+        # exchange ships only (id, fingerprint).
+        sig = sig.groupBy(id_col).agg(F.max("simhash").alias("simhash"))
         return sig.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col("simhash").alias(f"{side}_sim"),
