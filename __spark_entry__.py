@@ -914,6 +914,14 @@ def _q_streaming_enrich(spark, sf):
     return streaming_ops.run_to_batch(joined, spark, output_mode="append")
 
 
+def _q_streaming_ohlc(spark, sf):
+    """Streaming OHLC bars — identical associative aggregation to the
+    batch resample_ohlc, run over watermarked tumbling windows."""
+    stream = streaming_ops.stream_table(spark, sf, "events")
+    bars = streaming_ops.ohlc_stream(stream, window="1 day", watermark="1 day")
+    return streaming_ops.run_to_batch(bars, spark)
+
+
 def _q_streaming_quality_filter(spark, sf):
     """Ingestion-time quality gate on a document stream: stateless
     score+filter per arriving doc; the accumulated append output must
@@ -2149,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_quality_filter": _q_streaming_quality_filter,
+        "streaming_ohlc": _q_streaming_ohlc,
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_enrich": _q_streaming_enrich,
         "streaming_sliding": _q_streaming_sliding,
@@ -2682,6 +2691,16 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{lang_hit_cols}", lang_hit_cols).replace("{lang_best}", lang_best).replace("{lang_case}", lang_case),
         "streaming_dedup_keys": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_ohlc": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   user_id,
+                   round((min(struct_pack(ts := ts, eid := event_id, v := value))).v, 6) AS open,
+                   round((max(struct_pack(ts := ts, eid := event_id, v := value))).v, 6) AS close,
+                   round(min(value), 6) AS low,
+                   round(max(value), 6) AS high,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "streaming_quality_filter": f"""
             SELECT * FROM (

@@ -8,6 +8,7 @@ from .enrich_stream import (
 from .materialize import run_to_batch, stream_table
 from .sessionize_stream import sessionize_stream
 from .wordcount_stream import (
+    ohlc_stream,
     quality_filter_stream,
     streaming_wordcount,
     windowed_event_counts,
@@ -18,6 +19,7 @@ __all__ = [
     "enrich_stream",
     "incremental_dedup_stream",
     "interval_join_streams",
+    "ohlc_stream",
     "quality_filter_stream",
     "run_to_batch",
     "sessionize_stream",

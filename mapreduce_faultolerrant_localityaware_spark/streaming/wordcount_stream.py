@@ -73,3 +73,46 @@ def quality_filter_stream(
 
     scored = quality_score(docs, text_col=text_col, id_col=id_col)
     return scored.filter(F.col("quality") >= threshold)
+
+
+def ohlc_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming OHLC bars: the SAME associative struct-min/max
+    aggregation as the batch ``temporal.resample_ohlc``, over
+    watermarked tumbling windows — because every per-bucket statistic
+    is an associative aggregate, the operator is stream-ready without
+    any reformulation (open/close via total-order (ts, id) struct
+    extrema, no first/last window functions, which streaming cannot
+    run).  State per key×window is one small struct; the watermark
+    bounds how many windows stay open.
+    """
+    s = F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"), F.col(value_col).alias("v")
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.round(F.min(s)["v"], 6).alias("open"),
+            F.round(F.max(s)["v"], 6).alias("close"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            key_col,
+            "open",
+            "close",
+            "low",
+            "high",
+            "n_events",
+        )
+    )
