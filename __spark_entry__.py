@@ -1069,6 +1069,20 @@ def _q_percentiles(spark, sf):
     )
 
 
+def _q_approx_percentiles(spark, sf):
+    """Mergeable quantile sketch (Greenwald-Khanna): the sketch family
+    companion to HLL approx_distinct — at 100 TB the exact percentile's
+    full sort-per-group is replaced by an associative bounded-memory
+    sketch that partial-aggregates map-side.  Rows-only check by
+    design (sketch internals differ across engines); the pytest
+    asserts the estimates land within the accuracy bound of exact."""
+    li = scan(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 6).alias("p50_approx"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)), 6).alias("price_p95_approx"),
+    )
+
+
 def _q_minmax_by(spark, sf):
     orders = scan(spark, sf, "orders")
     tiebreak = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
@@ -2175,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
+        "approx_percentiles": _q_approx_percentiles,
         "minmax_by": _q_minmax_by,
         "window_ntile": _q_window_ntile,
         "string_funcs": _q_string_funcs,

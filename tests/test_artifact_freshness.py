@@ -20,7 +20,15 @@ import __spark_entry__ as entry_mod
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # queries with no SQL oracle by design (rows-only in the driver gate)
-NO_ORACLE = {"approx_distinct", "ann_ivf_kmeans", "ann_pq", "ann_ivfpq"}
+NO_ORACLE = {
+    "approx_distinct",
+    "ann_ivf_kmeans",
+    "ann_pq",
+    "ann_ivfpq",
+    # GK quantile sketch: estimates are engine-specific by design;
+    # accuracy asserted against exact percentiles in pytest instead
+    "approx_percentiles",
+}
 
 
 def _latest(sf: str) -> str:

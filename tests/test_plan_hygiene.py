@@ -35,7 +35,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # against a label-inequality predicate (same shape as
            # ann_bruteforce); pagerank attaches the 1-row node count
            # as a broadcast cross join (same as tfidf's scalar)
-           "ann_hard_negatives", "graph_pagerank"}
+           "ann_hard_negatives", "graph_pagerank",
+           # ann_recall_report embeds ann_bruteforce's broadcast theta
+           # scoring; lm_score attaches its 1-row vocabulary size as a
+           # broadcast cross join (scalar attach, like tfidf/pagerank)
+           "ann_recall_report", "lm_score"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

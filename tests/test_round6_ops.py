@@ -364,3 +364,21 @@ def test_lm_score_repetitive_beats_novel(spark):
     # deterministic across runs (integer micro-unit sums)
     again = {r["doc_id"]: r["h_bits"] for r in corpus.lm_bigram_score(df).collect()}
     assert {k: v["h_bits"] for k, v in out.items()} == again
+
+
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    li = scan(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: (r["p50"], r["p95"]) for r in li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95")).collect()}
+    import __spark_entry__ as E
+    approx = {r["l_returnflag"]: (r["p50_approx"], r["price_p95_approx"])
+              for r in E.queries()["approx_percentiles"](spark, sf_dir).collect()}
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        # accuracy 10000 -> relative rank error 1/10000; values on these
+        # distributions stay within a loose 2% value tolerance
+        assert abs(a50 - e50) <= max(0.02 * e50, 1.0)
+        assert abs(a95 - e95) <= max(0.02 * e95, 1.0)
