@@ -287,6 +287,17 @@ def _q_join_part(spark, sf):
     )
 
 
+def _q_merge_upsert(spark, sf):
+    """MERGE INTO analog: latest-wins upsert of a modified delta into
+    the base corpus — one shuffle, no whole-table window sort."""
+    docs = scan(spark, sf, "documents")
+    base = docs.select("doc_id", "text", F.lit(1).cast("long").alias("version"))
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.upper("text").alias("text"), F.lit(2).cast("long").alias("version")
+    )
+    return relational.merge_upsert(base, delta, "doc_id", "version")
+
+
 def _q_join_null_safe(spark, sf):
     """Null-safe equality join (<=>): NULL keys match each other —
     the semantics dimension plain equi-joins silently drop.  Mapped to
@@ -2096,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_null_safe": _q_join_null_safe,
+        "merge_upsert": _q_merge_upsert,
         "window_rank": _q_window_rank,
         "window_running": _q_window_running,
         "rollup": _q_rollup,
@@ -2534,6 +2546,14 @@ def oracle_sql() -> dict[str, str]:
         "join_anti": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "merge_upsert": """
+            WITH base AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents),
+            delta AS (SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version
+                      FROM documents WHERE doc_id % 10 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+            SELECT doc_id, text, version FROM u
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
         """,
         "join_null_safe": """
             WITH s AS (SELECT s_suppkey, nullif(s_nationkey % 7, 0) AS grp FROM supplier)

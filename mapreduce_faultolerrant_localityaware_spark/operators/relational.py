@@ -255,3 +255,40 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """MERGE INTO semantics without a table format: latest-wins upsert
+    of ``delta`` into ``base`` — new keys insert, existing keys take
+    the row with the highest ``version_col`` (delta wins ties, the
+    MERGE convention).  The engine-side shape of every CDC/compaction
+    pipeline: at 100 TB this is ONE shuffle on the key — union both
+    sides, elect max-(version, is_delta) per key via an aggregate over
+    packed structs (map-side combinable — no window sort of the whole
+    table, which is what a row_number formulation would do).
+
+    Returns the merged snapshot with base's columns.
+    """
+    cols = base.columns
+    if set(cols) != set(delta.columns):
+        raise ValueError("base and delta must share a schema")
+    tag = lambda df, is_delta: df.select(
+        F.col(key),
+        F.struct(
+            F.col(version_col).alias("v"),
+            F.lit(is_delta).alias("d"),
+            F.struct(*[F.col(c) for c in cols]).alias("row"),
+        ).alias("packed"),
+    )
+    merged = (
+        tag(base, 0)
+        .unionByName(tag(delta, 1))
+        .groupBy(key)
+        .agg(F.max("packed").alias("w"))
+    )
+    return merged.select(*[F.col(f"w.row.{c}").alias(c) for c in cols])

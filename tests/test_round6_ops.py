@@ -382,3 +382,29 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
         # distributions stay within a loose 2% value tolerance
         assert abs(a50 - e50) <= max(0.02 * e50, 1.0)
         assert abs(a95 - e95) <= max(0.02 * e95, 1.0)
+
+
+def test_merge_upsert_latest_wins(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    base = spark.createDataFrame(
+        [(1, "old-a", 1), (2, "old-b", 5), (3, "only-base", 1)],
+        ["k", "payload", "version"],
+    )
+    delta = spark.createDataFrame(
+        [(1, "new-a", 2),        # higher version: wins
+         (2, "stale-b", 3),      # LOWER than base's 5: base wins
+         (4, "inserted", 1)],    # new key: inserts
+        ["k", "payload", "version"],
+    )
+    out = {r["k"]: (r["payload"], r["version"]) for r in
+           relational.merge_upsert(base, delta, "k", "version").collect()}
+    assert out == {1: ("new-a", 2), 2: ("old-b", 5), 3: ("only-base", 1), 4: ("inserted", 1)}
+    # tie on version: delta wins (MERGE convention)
+    delta_tie = spark.createDataFrame([(3, "delta-tie", 1)], ["k", "payload", "version"])
+    out2 = {r["k"]: r["payload"] for r in
+            relational.merge_upsert(base, delta_tie, "k", "version").collect()}
+    assert out2[3] == "delta-tie"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        relational.merge_upsert(base, delta.drop("version"), "k", "version")
