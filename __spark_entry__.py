@@ -999,6 +999,20 @@ def _q_events_zscore(spark, sf):
     return events_ops.zscore_outliers(scan(spark, sf, "events"))
 
 
+def _q_scd2_intervals(spark, sf):
+    """SCD2 history: per-user event updates become [valid_from,
+    valid_to) validity intervals (NULL = current)."""
+    ev = scan(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    out = temporal.scd2_intervals(ev, "user_id", attr_cols=["value"])
+    return out.select(
+        "user_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _q_resample_ohlc(spark, sf):
     """Per-(user, day) open/high/low/close downsampling with total
     (ts, event_id) ordering for deterministic open/close."""
@@ -2197,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
+        "scd2_intervals": _q_scd2_intervals,
         "events_zscore": _q_events_zscore,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
@@ -3465,6 +3480,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, round(value, 6) AS value, round(zraw, 6) AS z
             FROM z WHERE abs(zraw) > 2.0
+        """,
+        "scd2_intervals": """
+            SELECT user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current,
+                   round(value, 6) AS value
+            FROM events WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, value ASC)
         """,
         "resample_ohlc": """
             SELECT user_id,

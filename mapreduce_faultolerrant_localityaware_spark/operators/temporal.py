@@ -187,3 +187,38 @@ def resample_ohlc(
         F.round(F.max(value_col), 6).alias("high"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    attr_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: turn a stream of
+    keyed attribute updates into validity intervals — each update row
+    becomes ``[valid_from, valid_to)`` where valid_to is the NEXT
+    update's timestamp for that key (NULL = current row).  The
+    point-in-time join side every warehouse dimension needs.
+
+    One shuffle: lead() over the per-key event-time window; interval
+    construction is per-row.  Ties on ``ts`` order by the attribute
+    struct for determinism (same update twice collapses to a
+    zero-length interval rather than a random order).
+
+    Returns key, valid_from, valid_to, is_current + the attributes.
+    """
+    from pyspark.sql import Window
+
+    attrs = [F.col(c) for c in attr_cols]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.struct(*attrs).asc() if attrs else F.lit(1)
+    )
+    nxt = F.lead(ts_col).over(w)
+    return updates.select(
+        F.col(key_col),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        *attrs,
+    )

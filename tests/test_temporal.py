@@ -199,3 +199,30 @@ def test_resample_ohlc_deterministic_open_close(spark):
         10.0, 20.0, 5.0, 20.0, 4,
     )  # open = min (ts, id) -> event 1, not 2
     assert out[2]["n_events"] == 1
+
+
+def test_scd2_intervals_chain(spark):
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(days=3), 20.0),
+        (1, t0 + dt.timedelta(days=9), 30.0),
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sorted(
+        temporal.scd2_intervals(df, "user_id", attr_cols=["value"]).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    # intervals chain: each valid_to equals the next valid_from
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert not u1[0]["is_current"] and not u1[1]["is_current"]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
