@@ -2075,6 +2075,44 @@ def _q_triangle_count(spark, sf):
     return triangle_count(pairs)
 
 
+def _q_dedup_rep_pagerank(spark, sf):
+    """Centrality-elected canonical docs: connected components over
+    the SimHash near-dup graph + fixed-point PageRank; each cluster
+    keeps its highest-ranked member (tie → min id) — the upgrade over
+    min-id election that picks the doc most representative of the
+    cluster.  The candidate pipeline materializes ONCE (truncated
+    lineage) and feeds both the components loop and the rank loop."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        _truncate_lineage,
+        connected_components,
+        pagerank,
+    )
+
+    pairs = dedup.dedup_simhash_pairs(
+        scan(spark, sf, "documents"), max_hamming=3
+    ).select("doc_a", "doc_b")
+    pairs = _truncate_lineage(pairs)
+    labels = connected_components(pairs)
+    pr = pagerank(pairs, iters=5)
+    j = labels.join(pr, labels["doc_id"] == pr["node"]).select(
+        "doc_id", "cluster_id", "rank_micro"
+    )
+    rep = j.groupBy("cluster_id").agg(
+        (
+            F.max(F.struct(F.col("rank_micro"), (-F.col("doc_id")).alias("negid")))[
+                "negid"
+            ]
+            * -1
+        ).alias("rep_id")
+    )
+    return j.join(rep, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "rank_micro",
+        (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+    )
+
+
 def _q_graph_pagerank(spark, sf):
     """Integer fixed-point PageRank over the SimHash near-dup graph —
     bit-reproducible centrality for canonical-doc election."""
@@ -2268,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "triangle_count": _q_triangle_count,
         "graph_pagerank": _q_graph_pagerank,
+        "dedup_rep_pagerank": _q_dedup_rep_pagerank,
         "approx_distinct": _q_approx_distinct,
     }
 
@@ -2430,6 +2469,45 @@ def oracle_sql() -> dict[str, str]:
                    round(rank_micro / 1000000.0, 6) AS pr
             FROM r{pr_iters}
     """
+    # PageRank-elected representatives: the pagerank CTE chain plus a
+    # recursive min-label reachability over the SAME sym edges, and a
+    # per-cluster (rank, -id) argmax election — every fragment reused
+    # from the verified pagerank/clusters oracles so semantics can't
+    # drift.
+    dedup_rep_pagerank_sql = (
+        "WITH RECURSIVE " + simhash_pairs_ctes.replace("WITH ", "", 1)
+        + f""",
+            sym AS (SELECT DISTINCT s, d FROM (
+                SELECT doc_a AS s, doc_b AS d FROM cand
+                UNION ALL
+                SELECT doc_b AS s, doc_a AS d FROM cand) WHERE s <> d),
+            deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT s AS node, deg,
+                          CAST(floor(1000000.0 / n) AS BIGINT) AS rank_micro,
+                          CAST(floor(150000.0 / n) AS BIGINT) AS teleport
+                   FROM deg CROSS JOIN nn),
+            {pr_ctes_joined},
+            reach(id, r) AS (
+              SELECT s, s FROM sym
+              UNION
+              SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id
+            ),
+            labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+            rep AS (
+              SELECT l.cluster_id,
+                     (max(struct_pack(rm := p.rank_micro, negid := -l.doc_id))).negid
+                       * -1 AS rep_id
+              FROM labels l JOIN r{pr_iters} p ON p.node = l.doc_id
+              GROUP BY 1
+            )
+            SELECT l.doc_id, l.cluster_id, p.rank_micro,
+                   l.doc_id = rep.rep_id AS keep
+            FROM labels l
+            JOIN r{pr_iters} p ON p.node = l.doc_id
+            JOIN rep ON rep.cluster_id = l.cluster_id
+    """
+    )
     dedup_clusters_sql = "WITH RECURSIVE " + _SHINGLES_LOWER.replace("WITH ", "", 1) + f""",
             hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
             sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
@@ -4064,6 +4142,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": dedup_pipeline_sql,
         "dedup_clusters": dedup_clusters_sql,
         "graph_pagerank": graph_pagerank_sql,
+        "dedup_rep_pagerank": dedup_rep_pagerank_sql,
         # two-phase CC computes the SAME component-min labels, so the
         # same recursive-CTE oracle pins both implementations.
         "dedup_clusters_two_phase": dedup_clusters_sql,

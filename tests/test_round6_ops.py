@@ -408,3 +408,30 @@ def test_merge_upsert_latest_wins(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         relational.merge_upsert(base, delta.drop("version"), "k", "version")
+
+
+def test_dedup_rep_pagerank_elects_hub(spark):
+    """In a star-shaped duplicate cluster the hub (highest PageRank)
+    must be elected representative, NOT the min id."""
+    import __spark_entry__  # noqa: F401  (ensures module import works standalone)
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    # star with hub 5 (higher id than leaves: min-id election would
+    # pick 1, centrality picks 5)
+    edges = spark.createDataFrame([(5, i) for i in (1, 2, 3, 4)], ["doc_a", "doc_b"])
+    labels = connected_components(edges)
+    pr = pagerank(edges, iters=5)
+    j = labels.join(pr, labels["doc_id"] == pr["node"]).select(
+        "doc_id", "cluster_id", "rank_micro"
+    )
+    rep = j.groupBy("cluster_id").agg(
+        (F.max(F.struct(F.col("rank_micro"), (-F.col("doc_id")).alias("negid")))["negid"] * -1).alias("rep_id")
+    )
+    out = {r["doc_id"]: r for r in
+           j.join(rep, "cluster_id").withColumn("keep", F.col("doc_id") == F.col("rep_id")).collect()}
+    assert out[5]["keep"]
+    assert all(not out[i]["keep"] for i in (1, 2, 3, 4))
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3, 4, 5))  # min-label cluster id
