@@ -530,6 +530,49 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
 
+def _q_dedup_report(spark, sf):
+    """Per-source dedup observability: docs, distinct contents, and
+    duplicate rate — the audit run before/after any dedup pass (rates
+    that differ wildly by source localize the boilerplate)."""
+    docs = scan(spark, sf, "documents")
+    return (
+        docs.select("source", F.md5(F.lower(F.col("text"))).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct("h") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _q_keyword_contexts(spark, sf):
+    """KWIC concordance: every occurrence of a keyword with its
+    ±3-token context window — the inspection drill-down a data
+    curator runs on a flagged corpus."""
+    docs = scan(spark, sf, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.col("doc_id"), tk.alias("tk")).select(
+        "doc_id", "tk", F.posexplode("tk").alias("pos", "token")
+    )
+    hits = base.filter(F.col("token") == "data")
+    ctx = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("tk"),
+            F.greatest(F.col("pos") - 2, F.lit(1)),
+            F.col("pos") + 1 - F.greatest(F.col("pos") - 2, F.lit(1)) + 4,
+        ),
+    )
+    return hits.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), ctx.alias("context")
+    )
+
+
 def _q_dedup_substring(spark, sf):
     """Repeated-substring span report (Lee et al. 2021 fixed-window
     analog): per doc, the fraction of 8-token windows whose exact text
@@ -2204,6 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_substring": _q_dedup_substring,
+        "dedup_report": _q_dedup_report,
+        "keyword_contexts": _q_keyword_contexts,
         "dedup_editdist": _q_dedup_editdist,
         "dedup_chunks": _q_dedup_chunks,
         "dedup_incremental": _q_dedup_incremental,
@@ -3321,6 +3366,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN norm na ON na.doc_id = c.doc_a
             JOIN norm nb ON nb.doc_id = c.doc_b
             WHERE levenshtein(na.nt, nb.nt) <= 80
+        """,
+        "dedup_report": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_unique,
+                   round(1.0 - count(DISTINCT md5(lower(text))) * 1.0 / count(*), 6)
+                     AS dup_rate
+            FROM documents GROUP BY source
+        """,
+        "keyword_contexts": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            hits AS (
+              SELECT doc_id, tk, i
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, len(tk))) AS i
+                    FROM toks)
+              WHERE tk[i] = 'data'
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(tk[greatest(i-3, 1):i+3], ' ') AS context
+            FROM hits
         """,
         "dedup_substring": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
