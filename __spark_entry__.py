@@ -384,6 +384,12 @@ def _q_text_entropy(spark, sf):
     return textstats.entropy_score(scan(spark, sf, "documents"))
 
 
+def _q_chunk_overlap(spark, sf):
+    """Overlapping-window chunking for embedding/RAG prep (12-token
+    chunks, stride 8 → 4-token overlap)."""
+    return corpus.chunk_overlap(scan(spark, sf, "documents"), size=12, stride=8)
+
+
 def _q_lm_score(spark, sf):
     """Per-doc cross-entropy under the corpus's own smoothed bigram
     LM (perplexity-filter analog)."""
@@ -2227,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": _q_text_entropy,
         "tokens_to_ids": _q_tokens_to_ids,
         "lm_score": _q_lm_score,
+        "chunk_overlap": _q_chunk_overlap,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "scrub_text": _q_scrub_text,
@@ -3147,6 +3154,19 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
                          + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
             FROM base WHERE len(tk) > 0
+        """,
+        "chunk_overlap": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+            st AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk), 1), 8)) AS s
+              FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id,
+                   CAST(floor((s - 1) / 8) AS BIGINT) AS chunk_idx,
+                   array_to_string(tk[s:s+11], ' ') AS chunk,
+                   CAST(least(12, len(tk) - s + 1) AS BIGINT) AS n_tokens
+            FROM st
         """,
         "lm_score": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),

@@ -459,3 +459,57 @@ def lm_bigram_score(
             ).alias("h_bits"),
         )
     )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping-window chunking — the embedding/RAG preparation
+    step: split each document into ``size``-token chunks starting
+    every ``stride`` tokens (overlap = size - stride preserves
+    context across boundaries), plus a final shorter tail so no token
+    is dropped.  Each chunk carries its index and token count; the
+    downstream embedder treats (doc_id, chunk_idx) as the unit key.
+
+    Pure array arithmetic inside the row (sequence → slice → join):
+    zero shuffles — the chunk relation is born partitioned exactly
+    like its source, which is what lets a 100 TB corpus chunk as a
+    map-only stage in front of the embedding UDF.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    tk = tokens(text_col, lowercase=False)
+    n = F.size(tk)
+    # chunk start positions (1-based): 1, 1+stride, ... while start <= n;
+    # guard empty docs (sequence(1, 0) would descend)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(tk, s, size)).alias("chunk"),
+                F.least(F.lit(size), n - s + 1).alias("n_tokens"),
+            ),
+        ),
+        # drop windows that start past the end AND fully-overlapped
+        # tails: a start is valid if it is 1 or covers >= 1 NEW token
+        # beyond the previous chunk's end (prev start + size)
+        lambda c: c["n_tokens"] > 0,
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

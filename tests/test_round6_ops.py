@@ -435,3 +435,23 @@ def test_dedup_rep_pagerank_elects_hub(spark):
     assert out[5]["keep"]
     assert all(not out[i]["keep"] for i in (1, 2, 3, 4))
     assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3, 4, 5))  # min-label cluster id
+
+
+def test_chunk_overlap_windows(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    # 10 tokens, size=4, stride=3 -> starts 1,4,7,10
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    out = sorted(
+        corpus.chunk_overlap(df, size=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk"] for r in out] == ["a b c d", "d e f g", "g h i j", "j"]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    # every token is covered at least once
+    covered = set(" ".join(r["chunk"] for r in out).split())
+    assert covered == set("abcdefghij")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.chunk_overlap(df, size=4, stride=5)
