@@ -1043,6 +1043,26 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_retention_cohorts(spark, sf):
+    """Cohort retention: users grouped by first-activity day, counted
+    per (cohort, day-offset) — the product-analytics staple.  Two
+    aggregations over the same per-(user, day) distinct relation; the
+    cohort attach is an equi-join on user."""
+    ev = scan(spark, sf, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    j = act.join(first, "user_id").select(
+        "user_id",
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.datediff("day", "cohort").cast("long").alias("day_offset"),
+    )
+    return j.groupBy("cohort", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
 def _q_events_zscore(spark, sf):
     """Per-user z-score outliers with exact integer moment sums."""
     return events_ops.zscore_outliers(scan(spark, sf, "events"))
@@ -2303,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ohlc": _q_resample_ohlc,
         "scd2_intervals": _q_scd2_intervals,
         "events_zscore": _q_events_zscore,
+        "retention_cohorts": _q_retention_cohorts,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3623,6 +3644,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+            ),
+            first AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+                   CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN first USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_zscore": """
             WITH m AS (
