@@ -39,7 +39,9 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # ann_recall_report embeds ann_bruteforce's broadcast theta
            # scoring; lm_score attaches its 1-row vocabulary size as a
            # broadcast cross join (scalar attach, like tfidf/pagerank)
-           "ann_recall_report", "lm_score"}
+           "ann_recall_report", "lm_score",
+           # embeds graph_pagerank's 1-row node-count broadcast
+           "dedup_rep_pagerank"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
