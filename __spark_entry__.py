@@ -558,13 +558,12 @@ def _q_keyword_contexts(spark, sf):
     """KWIC concordance: every occurrence of a keyword with its
     ±3-token context window — the inspection drill-down a data
     curator runs on a flagged corpus."""
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as _tokens
+
     docs = scan(spark, sf, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda t: t != F.lit("")
-    )
-    base = docs.select(F.col("doc_id"), tk.alias("tk")).select(
-        "doc_id", "tk", F.posexplode("tk").alias("pos", "token")
-    )
+    base = docs.select(
+        F.col("doc_id"), _tokens("text", lowercase=True).alias("tk")
+    ).select("doc_id", "tk", F.posexplode("tk").alias("pos", "token"))
     hits = base.filter(F.col("token") == "data")
     ctx = F.concat_ws(
         " ",
