@@ -536,6 +536,12 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
 
+def _q_dedup_exact_keep_best(spark, sf):
+    """Exact dedup electing the longest copy per content group
+    (tie -> min id) instead of the arbitrary min id."""
+    return dedup.dedup_exact_keep_best(scan(spark, sf, "documents"))
+
+
 def _q_dedup_report(spark, sf):
     """Per-source dedup observability: docs, distinct contents, and
     duplicate rate — the audit run before/after any dedup pass (rates
@@ -2274,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_substring": _q_dedup_substring,
         "dedup_report": _q_dedup_report,
+        "dedup_exact_keep_best": _q_dedup_exact_keep_best,
         "keyword_contexts": _q_keyword_contexts,
         "dedup_editdist": _q_dedup_editdist,
         "dedup_chunks": _q_dedup_chunks,
@@ -3406,6 +3413,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN norm na ON na.doc_id = c.doc_a
             JOIN norm nb ON nb.doc_id = c.doc_b
             WHERE levenshtein(na.nt, nb.nt) <= 80
+        """,
+        "dedup_exact_keep_best": f"""
+            WITH h AS (
+              SELECT doc_id, md5({_NORM}) AS content_hash, length(text) AS len
+              FROM documents
+            ),
+            e AS (
+              SELECT content_hash,
+                     CAST(count(*) AS BIGINT) AS n_copies,
+                     (max(struct_pack(len := len, negid := -doc_id))).negid * -1 AS best_id
+              FROM h GROUP BY 1
+            )
+            SELECT h.doc_id, h.content_hash, e.n_copies,
+                   h.doc_id = e.best_id AS keep
+            FROM h JOIN e ON h.content_hash = e.content_hash
         """,
         "dedup_report": """
             SELECT source,

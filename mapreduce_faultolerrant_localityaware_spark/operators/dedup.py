@@ -822,3 +822,42 @@ def dedup_incremental_fuzzy(
             (F.coalesce("n_matches", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def dedup_exact_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup electing the BEST copy, not the arbitrary min-id
+    one: within each normalized-content group the representative is
+    the longest raw text (the most complete crawl of the page),
+    tie-broken by min id.  Production pipelines keep the best copy
+    because near-identical crawls differ in truncation/boilerplate
+    stripping, and the min-id copy is uncorrelated with quality.
+
+    Same scale shape as dedup_exact: the group key is the 32-byte
+    digest, the election is one packed-struct max aggregation
+    (map-side combinable; raw text length rides as an integer, the
+    text itself never joins the digest shuffle).
+
+    Returns ``doc_id, content_hash, n_copies, keep``.
+    """
+    h = docs.select(
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("content_hash"),
+        F.length(text_col).alias("len"),
+    )
+    elected = h.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        (
+            F.max(F.struct(F.col("len"), (-F.col(id_col)).alias("negid")))["negid"]
+            * -1
+        ).alias("best_id"),
+    )
+    return h.join(elected, "content_hash").select(
+        id_col,
+        "content_hash",
+        "n_copies",
+        (F.col(id_col) == F.col("best_id")).alias("keep"),
+    )

@@ -455,3 +455,21 @@ def test_chunk_overlap_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.chunk_overlap(df, size=4, stride=5)
+
+
+def test_dedup_exact_keep_best_longest_copy(spark):
+    rows = [
+        (1, "same   content here"),      # normalizes equal to 2/3; 19 chars
+        (2, "same content here"),        # 17 chars
+        (3, "same  content   here  "),   # 22 chars: longest -> keeper
+        (4, "unique document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.dedup_exact_keep_best(df).collect()}
+    assert out[3]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[1]["n_copies"] == 3
+    assert out[4]["keep"] and out[4]["n_copies"] == 1
+    # exact tie on length: min id wins
+    tie = spark.createDataFrame([(7, "x y"), (5, "x y")], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r["keep"] for r in dedup.dedup_exact_keep_best(tie).collect()}
+    assert out2 == {5: True, 7: False}
