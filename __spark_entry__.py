@@ -384,6 +384,12 @@ def _q_text_entropy(spark, sf):
     return textstats.entropy_score(scan(spark, sf, "documents"))
 
 
+def _q_zipf_fit(spark, sf):
+    """Zipf slope of the corpus token-frequency distribution (top-200,
+    deterministic in-array least squares)."""
+    return corpus.zipf_fit(scan(spark, sf, "documents"), top_n=200)
+
+
 def _q_chunk_overlap(spark, sf):
     """Overlapping-window chunking for embedding/RAG prep (12-token
     chunks, stride 8 → 4-token overlap)."""
@@ -2259,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_to_ids": _q_tokens_to_ids,
         "lm_score": _q_lm_score,
         "chunk_overlap": _q_chunk_overlap,
+        "zipf_fit": _q_zipf_fit,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "scrub_text": _q_scrub_text,
@@ -3181,6 +3188,36 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
                          + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6) AS quality
             FROM base WHERE len(tk) > 0
+        """,
+        "zipf_fit": f"""
+            WITH toks AS (SELECT unnest({_TOK_LOWER}) AS token FROM documents),
+            counts AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            top AS (SELECT token, n FROM counts
+                    ORDER BY n DESC, token ASC LIMIT 200),
+            packed AS (
+              SELECT list_sort(list(struct_pack(negn := -n, token := token))) AS a
+              FROM top
+            ),
+            pts AS (
+              SELECT len(a) AS np,
+                     list_transform(generate_series(1, len(a)), i -> ln(i)) AS xs,
+                     list_transform(generate_series(1, len(a)),
+                                    i -> ln(-a[i].negn)) AS ys,
+                     list_transform(generate_series(1, len(a)),
+                                    i -> ln(i) * ln(-a[i].negn)) AS xys,
+                     list_transform(generate_series(1, len(a)),
+                                    i -> ln(i) * ln(i)) AS x2s
+              FROM packed
+            )
+            SELECT CAST(np AS BIGINT) AS n_points,
+                   round((np * list_sum(xys) - list_sum(xs) * list_sum(ys))
+                         / (np * list_sum(x2s) - list_sum(xs) * list_sum(xs)), 6)
+                     AS slope,
+                   round((list_sum(ys)
+                          - (np * list_sum(xys) - list_sum(xs) * list_sum(ys))
+                            / (np * list_sum(x2s) - list_sum(xs) * list_sum(xs))
+                            * list_sum(xs)) / np, 6) AS intercept
+            FROM pts
         """,
         "chunk_overlap": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),

@@ -513,3 +513,62 @@ def chunk_overlap(
             F.col("c.n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: the
+    least-squares slope of ln(freq) vs ln(rank) for the top ``top_n``
+    tokens.  Natural language sits near slope -1; a corpus drifting
+    far from it flags template spam (too flat) or vocabulary collapse
+    (too steep) — a one-number corpus-health gauge.
+
+    Determinism discipline: the regression sums are folds over ONE
+    sorted in-row array (top-n counts collected, sorted (freq desc,
+    token asc), rank = array position), so summation order is fixed —
+    a row-wise aggregate over the 200 points would re-order the FP
+    additions run to run.  The only corpus-scale work is the token
+    count groupBy; the top-n cut is TakeOrderedAndProject and the fit
+    is arithmetic over a 200-element array on the driver-bound row.
+
+    Returns one row: ``n_points, slope, intercept`` (6 dp).
+    """
+    tk = ensure_parallelism(docs).select(
+        F.explode(tokens(text_col, lowercase=True)).alias("token")
+    )
+    counts = tk.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("n")).alias("negn"), F.col("token")))
+    )
+    packed = top.agg(arr.alias("a")).select(
+        F.zip_with(
+            "a",
+            F.sequence(F.lit(1), F.size("a")),
+            lambda s, r: F.struct(
+                F.log(r.cast("double")).alias("x"),
+                F.log((-s["negn"]).cast("double")).alias("y"),
+            ),
+        ).alias("pts")
+    )
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda acc, v: acc + v)
+
+    xs = F.transform("pts", lambda p: p["x"])
+    ys = F.transform("pts", lambda p: p["y"])
+    xys = F.transform("pts", lambda p: p["x"] * p["y"])
+    x2s = F.transform("pts", lambda p: p["x"] * p["x"])
+    n = F.size("pts").cast("double")
+    sx, sy, sxy, sx2 = fold(xs), fold(ys), fold(xys), fold(x2s)
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return packed.select(
+        F.size("pts").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

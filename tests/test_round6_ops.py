@@ -473,3 +473,21 @@ def test_dedup_exact_keep_best_longest_copy(spark):
     tie = spark.createDataFrame([(7, "x y"), (5, "x y")], ["doc_id", "text"])
     out2 = {r["doc_id"]: r["keep"] for r in dedup.dedup_exact_keep_best(tie).collect()}
     assert out2 == {5: True, 7: False}
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    """A synthetic corpus with freq(rank) ∝ rank^-1 must fit a slope
+    near -1; the flat corpus (all tokens equal) fits ~0."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    words = ["w%s" % chr(ord("a") + i) for i in range(20)]
+    zipf_text = " ".join(
+        " ".join([w] * max(1, int(100 / (r + 1)))) for r, w in enumerate(words)
+    )
+    df = spark.createDataFrame([(1, zipf_text)], ["doc_id", "text"])
+    out = corpus.zipf_fit(df, top_n=20).collect()[0]
+    assert out["n_points"] == 20
+    assert -1.25 <= out["slope"] <= -0.8
+    flat = spark.createDataFrame([(1, " ".join(words * 5))], ["doc_id", "text"])
+    out2 = corpus.zipf_fit(flat, top_n=20).collect()[0]
+    assert abs(out2["slope"]) < 0.01
