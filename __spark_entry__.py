@@ -1054,6 +1054,34 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_event_type_pairs(spark, sf):
+    """Market-basket co-occurrence: event-type pairs that appear for
+    the same user, with support counts.  Per-user distinct types are
+    tiny and bounded, so the in-row pair expansion is O(k²) of a
+    SMALL k — never a corpus-scale self-join."""
+    ev = scan(spark, sf, "events")
+    per_user = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts")),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        per_user.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def _q_retention_cohorts(spark, sf):
     """Cohort retention: users grouped by first-activity day, counted
     per (cohort, day-offset) — the product-analytics staple.  Two
@@ -2337,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "events_zscore": _q_events_zscore,
         "retention_cohorts": _q_retention_cohorts,
+        "event_type_pairs": _q_event_type_pairs,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3702,6 +3731,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "event_type_pairs": """
+            WITH per AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM per a JOIN per b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "retention_cohorts": """
             WITH act AS (
