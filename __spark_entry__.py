@@ -1054,6 +1054,66 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_profile_columns(spark, sf):
+    """Data-profiling report (the Deequ/Great-Expectations primitive):
+    per column — rows, nulls, distincts, min/max — in ONE pass per
+    table (a tagged union of per-column conditional aggregates, not a
+    scan per column)."""
+    li = scan(spark, sf, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate"]
+    per = [
+        li.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_dq_checks(spark, sf):
+    """Constraint-check report (data-quality gate): uniqueness,
+    non-null, referential integrity, and value-range checks each
+    yield (check, n_violations, passed) — the CI gate a lakehouse
+    table runs before publishing a snapshot."""
+    orders = scan(spark, sf, "orders")
+    cust = scan(spark, sf, "customer")
+    li = scan(spark, sf, "lineitem")
+    uniq = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    )
+    nn = orders.filter(F.col("o_custkey").isNull())
+    ri = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    )
+    rng = li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50))
+    checks = [
+        ("orders_pk_unique", uniq),
+        ("orders_custkey_not_null", nn),
+        ("orders_custkey_ref_customer", ri),
+        ("lineitem_quantity_in_range", rng),
+    ]
+    per = [
+        df.agg(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            (F.count(F.lit(1)) == 0).alias("passed"),
+        )
+        for name, df in checks
+    ]
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_event_type_pairs(spark, sf):
     """Market-basket co-occurrence: event-type pairs that appear for
     the same user, with support counts.  Per-user distinct types are
@@ -2366,6 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": _q_events_zscore,
         "retention_cohorts": _q_retention_cohorts,
         "event_type_pairs": _q_event_type_pairs,
+        "profile_columns": _q_profile_columns,
+        "dq_checks": _q_dq_checks,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3731,6 +3793,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "profile_columns": """
+            SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+                   CAST(max(l_orderkey) AS VARCHAR) AS max_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_partkey) AS BIGINT),
+                   CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_quantity) AS BIGINT),
+                   CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+            FROM lineitem
+        """,
+        "dq_checks": """
+            SELECT 'orders_pk_unique' AS "check",
+                   CAST(count(*) AS BIGINT) AS n_violations, count(*) = 0 AS passed
+            FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'orders_custkey_not_null', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM orders WHERE o_custkey IS NULL
+            UNION ALL
+            SELECT 'orders_custkey_ref_customer', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM orders WHERE NOT EXISTS
+              (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            UNION ALL
+            SELECT 'lineitem_quantity_in_range', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50
         """,
         "event_type_pairs": """
             WITH per AS (SELECT DISTINCT user_id, event_type FROM events)
