@@ -1054,6 +1054,79 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_incremental_agg(spark, sf):
+    """Incremental materialized-view maintenance: a per-key aggregate
+    maintained by MERGING the base snapshot's aggregate with the
+    delta's aggregate (full-outer coalesce of the algebraic parts) —
+    never re-scanning the base.  The oracle recomputes from scratch,
+    proving merge-equals-recompute."""
+    orders = scan(spark, sf, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    delta = orders.filter(F.col("o_orderdate") >= "1997-01-01")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+        )
+
+    a, b = agg(base), agg(delta)
+    merged = (
+        a.select("o_custkey", F.col("n").alias("n_a"), F.col("s").alias("s_a"))
+        .join(
+            b.select("o_custkey", F.col("n").alias("n_b"), F.col("s").alias("s_b")),
+            "o_custkey",
+            "full_outer",
+        )
+        .select(
+            "o_custkey",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            F.round(
+                F.coalesce("s_a", F.lit(0.0)) + F.coalesce("s_b", F.lit(0.0)), 2
+            ).alias("sum_price"),
+        )
+    )
+    return merged
+
+
+def _q_table_diff(spark, sf):
+    """Snapshot reconciliation: rows added / removed / changed /
+    unchanged between two versions of a table, decided by a full-outer
+    join on the key comparing content digests — the diff an auditor
+    runs after any rewrite (compaction, dedup, migration)."""
+    docs = scan(spark, sf, "documents")
+    old = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    # new snapshot: 1/10 docs rewritten, 1/20 dropped, synthetic adds
+    new = (
+        docs.filter(F.col("doc_id") % 20 != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 10 == 0, F.upper(F.col("text"))).otherwise(
+                    F.col("text")
+                )
+            ).alias("h"),
+        )
+        .unionByName(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), F.md5(F.col("text")).alias("h"))
+            .filter(F.col("doc_id") % 50 == 0)
+        )
+    )
+    j = old.select("doc_id", F.col("h").alias("h_old")).join(
+        new.select("doc_id", F.col("h").alias("h_new")), "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") == F.col("h_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
 def _q_profile_columns(spark, sf):
     """Data-profiling report (the Deequ/Great-Expectations primitive):
     per column — rows, nulls, distincts, min/max — in ONE pass per
@@ -2428,6 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pairs": _q_event_type_pairs,
         "profile_columns": _q_profile_columns,
         "dq_checks": _q_dq_checks,
+        "incremental_agg": _q_incremental_agg,
+        "table_diff": _q_table_diff,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3793,6 +3868,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "incremental_agg": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "table_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END) AS h
+              FROM documents WHERE doc_id % 20 <> 3
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text) FROM documents
+              WHERE (doc_id + 1000000) % 50 = 0
+            ),
+            j AS (SELECT o.h AS h_old, n.h AS h_new
+                  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+            SELECT CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        WHEN h_old = h_new THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM j GROUP BY 1
         """,
         "profile_columns": """
             SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
