@@ -1054,6 +1054,42 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_sample_topk_per_group(spark, sf):
+    """Deterministic fixed-k-per-group sample (reservoir analog): the
+    k smallest key-hashes per group — reproducible across runs and
+    engines, balanced across groups regardless of group size (the
+    eval-set construction rand() sampling can't do safely)."""
+    from pyspark.sql import Window
+
+    orders = scan(spark, sf, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderstatus").orderBy(h.asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "o_orderstatus",
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            "o_custkey",
+        )
+    )
+
+
+def _q_embedding_dim_ranges(spark, sf):
+    """Per-label embedding bounding boxes: element-wise min/max per
+    dimension — quantizer-init / drift-detection input, exact and
+    FP-order-free (min/max only, no sums)."""
+    emb = scan(spark, sf, "embeddings")
+    d = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return d.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
+
+
 def _q_incremental_agg(spark, sf):
     """Incremental materialized-view maintenance: a per-key aggregate
     maintained by MERGING the base snapshot's aggregate with the
@@ -2503,6 +2539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": _q_dq_checks,
         "incremental_agg": _q_incremental_agg,
         "table_diff": _q_table_diff,
+        "sample_topk_per_group": _q_sample_topk_per_group,
+        "embedding_dim_ranges": _q_embedding_dim_ranges,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
         "percentiles": _q_percentiles,
@@ -3868,6 +3906,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sample_topk_per_group": """
+            SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_custkey
+            FROM (
+              SELECT o_orderstatus, o_orderkey, o_custkey,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                         ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
+                                  o_orderkey ASC) AS rk
+              FROM orders
+            ) WHERE rk <= 5
+        """,
+        "embedding_dim_ranges": """
+            SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                   round(min(CAST(embedding[i] AS DOUBLE)), 6) AS lo,
+                   round(max(CAST(embedding[i] AS DOUBLE)), 6) AS hi
+            FROM (SELECT label, embedding,
+                         unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings)
+            GROUP BY 1, 2
         """,
         "incremental_agg": """
             SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
