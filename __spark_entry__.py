@@ -1054,6 +1054,26 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_period_over_period(spark, sf):
+    """Month-over-month revenue report: per-month totals with absolute
+    and percent change vs the previous month — one aggregation plus a
+    lag window over the TINY month relation (never over raw rows)."""
+    from pyspark.sql import Window
+
+    orders = scan(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 2).alias("pct_change"),
+    )
+
+
 def _q_sample_topk_per_group(spark, sf):
     """Deterministic fixed-k-per-group sample (reservoir analog): the
     k smallest key-hashes per group — reproducible across runs and
@@ -2540,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": _q_incremental_agg,
         "table_diff": _q_table_diff,
         "sample_topk_per_group": _q_sample_topk_per_group,
+        "period_over_period": _q_period_over_period,
         "embedding_dim_ranges": _q_embedding_dim_ranges,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
@@ -3906,6 +3927,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "period_over_period": """
+            WITH m AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta,
+                   round((revenue - lag(revenue) OVER (ORDER BY month))
+                         / lag(revenue) OVER (ORDER BY month) * 100, 2) AS pct_change
+            FROM m
         """,
         "sample_topk_per_group": """
             SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_custkey
