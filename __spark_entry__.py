@@ -1054,6 +1054,23 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_histogram_2d(spark, sf):
+    """2-D equi-width histogram (quantity × discount heatmap bins):
+    arithmetic binning on both axes in one partial-agged groupBy —
+    the density map behind every scatter-heatmap dashboard."""
+    li = scan(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+            F.floor(F.col("l_discount") * 100 / 2).cast("long").alias("disc_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
 def _q_period_over_period(spark, sf):
     """Month-over-month revenue report: per-month totals with absolute
     and percent change vs the previous month — one aggregation plus a
@@ -2561,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "sample_topk_per_group": _q_sample_topk_per_group,
         "period_over_period": _q_period_over_period,
+        "histogram_2d": _q_histogram_2d,
         "embedding_dim_ranges": _q_embedding_dim_ranges,
         "range_join": _q_range_join,
         "grouping_sets": _q_grouping_sets,
@@ -3927,6 +3945,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.prev_purchase_id,
                    round(r.prev_value, 6) AS prev_value
             FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "histogram_2d": """
+            SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+                   CAST(floor(l_discount * 100 / 2) AS BIGINT) AS disc_bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem GROUP BY 1, 2
         """,
         "period_over_period": """
             WITH m AS (
