@@ -404,8 +404,13 @@ def _q_lm_score(spark, sf):
 
 def _q_tokens_to_ids(spark, sf):
     """Vocabulary-indexed encoding: corpus top-V vocab, docs rewritten
-    as integer id arrays (0 = OOV)."""
-    return corpus.tokens_to_ids(scan(spark, sf, "documents"), vocab_size=200)
+    as integer id arrays (0 = OOV).  The library API
+    (corpus.tokens_to_ids) returns ids as array<bigint>; the QUERY
+    surface serializes it to a comma-joined string because the
+    external correctness gate canonicalizes rows via a pandas sort,
+    which cannot hash list-valued cells (round-6 driver artifact)."""
+    out = corpus.tokens_to_ids(scan(spark, sf, "documents"), vocab_size=200)
+    return out.withColumn("ids", F.array_join(F.col("ids").cast("array<string>"), ","))
 
 
 def _q_lang_id(spark, sf):
@@ -624,8 +629,11 @@ def _q_mixture_sample(spark, sf):
 
 
 def _q_embedding_quantize(spark, sf):
-    """Per-dimension symmetric int8 scalar quantization + dequant MAE."""
-    return similarity.embedding_quantize(scan(spark, sf, "embeddings"), dim=64)
+    """Per-dimension symmetric int8 scalar quantization + dequant MAE.
+    qvec is array<int> in the library API; serialized comma-joined
+    here so the external gate's pandas canonicalizer can hash it."""
+    out = similarity.embedding_quantize(scan(spark, sf, "embeddings"), dim=64)
+    return out.withColumn("qvec", F.array_join(F.col("qvec").cast("array<string>"), ","))
 
 
 def _q_streaming_join(spark, sf):
@@ -1576,10 +1584,13 @@ def _q_array_agg(spark, sf):
     collect_list/collect_set alone are order-nondeterministic across
     partitions; the sort makes the result engine-portable."""
     orders = scan(spark, sf, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    out = orders.groupBy("o_orderpriority").agg(
         F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # serialized (comma-joined) for the external gate's pandas
+    # canonicalizer, which cannot hash list-valued cells
+    return out.withColumn("statuses", F.array_join("statuses", ","))
 
 
 def _q_unpivot(spark, sf):
@@ -2970,12 +2981,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "merge_upsert": """
-            WITH base AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents),
-            delta AS (SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version
+            WITH base AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS version,
+                                 0 AS is_delta FROM documents),
+            delta AS (SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version,
+                             1 AS is_delta
                       FROM documents WHERE doc_id % 10 = 0),
             u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
             SELECT doc_id, text, version FROM u
-            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+            -- is_delta DESC tie-break pins the engine's delta-wins-on-
+            -- version-tie contract (round-6 advice: without it the
+            -- oracle would be nondeterministic if versions ever tied)
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY version DESC, is_delta DESC) = 1
         """,
         "join_null_safe": """
             WITH s AS (SELECT s_suppkey, nullif(s_nationkey % 7, 0) AS grp FROM supplier)
@@ -3474,6 +3491,9 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[s:s+11], ' ') AS chunk,
                    CAST(least(12, len(tk) - s + 1) AS BIGINT) AS n_tokens
             FROM st
+            -- keep a non-first chunk only if it covers >= 1 token past
+            -- the previous chunk's end: n_tokens > size - stride (4)
+            WHERE s = 1 OR least(12, len(tk) - s + 1) > 4
         """,
         "lm_score": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
@@ -3516,7 +3536,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_tokens,
-                   list(CAST(coalesce(tok_id, 0) AS BIGINT) ORDER BY pos) AS ids
+                   array_to_string(
+                     list(CAST(coalesce(tok_id, 0) AS BIGINT) ORDER BY pos),
+                     ',') AS ids
             FROM tkp LEFT JOIN vocab USING (token)
             GROUP BY doc_id
         """,
@@ -3630,7 +3652,8 @@ def oracle_sql() -> dict[str, str]:
                                      / 127.0) ORDER BY i),
                        (a, b) -> a + b) / 64.0 AS mae_raw
               FROM q GROUP BY vec_id)
-            SELECT vec_id, qvec, round(mae_raw, 6) AS mae FROM e
+            SELECT vec_id, array_to_string(qvec, ',') AS qvec,
+                   round(mae_raw, 6) AS mae FROM e
         """,
         "dedup_minhash": f"""
             {_SHINGLES_LOWER},
@@ -3687,8 +3710,10 @@ def oracle_sql() -> dict[str, str]:
             norm AS (SELECT doc_id, {_NORM} AS nt FROM documents)
             SELECT c.doc_a, c.doc_b,
                    CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS dist,
-                   round(1.0 - levenshtein(na.nt, nb.nt) * 1.0
-                               / greatest(length(na.nt), length(nb.nt)), 6) AS edit_sim
+                   CASE WHEN greatest(length(na.nt), length(nb.nt)) > 0
+                        THEN round(1.0 - levenshtein(na.nt, nb.nt) * 1.0
+                                    / greatest(length(na.nt), length(nb.nt)), 6)
+                        ELSE 1.0 END AS edit_sim
             FROM cand c
             JOIN norm na ON na.doc_id = c.doc_a
             JOIN norm nb ON nb.doc_id = c.doc_b
@@ -4238,7 +4263,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "array_agg": """
             SELECT o_orderpriority,
-                   list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                     AS statuses,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
         """,

@@ -499,9 +499,12 @@ def chunk_overlap(
             ),
         ),
         # drop windows that start past the end AND fully-overlapped
-        # tails: a start is valid if it is 1 or covers >= 1 NEW token
-        # beyond the previous chunk's end (prev start + size)
-        lambda c: c["n_tokens"] > 0,
+        # tails: a start is valid if it is the first chunk or covers
+        # >= 1 NEW token beyond the previous chunk's end — i.e.
+        # n_tokens > size - stride (prev chunk ends at s - stride +
+        # size - 1; this one ends at s + n_tokens - 1)
+        lambda c: (c["n_tokens"] > 0)
+        & ((c["chunk_idx"] == 0) | (c["n_tokens"] > size - stride)),
     )
     return (
         ensure_parallelism(docs)

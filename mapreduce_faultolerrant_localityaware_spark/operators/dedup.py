@@ -731,9 +731,18 @@ def dedup_editdist(
             "doc_a",
             "doc_b",
             dist.cast("long").alias("dist"),
-            F.round(
-                1.0 - dist / F.greatest(F.length("ta"), F.length("tb")), 6
-            ).alias("edit_sim"),
+            # guard the zero-length denominator: two empty normalized
+            # texts SimHash identically and band-match, and 0/0 would
+            # be NULL (or an ANSI error); identical-empty pairs are
+            # exact duplicates -> similarity 1.0 (round-6 advice)
+            F.when(
+                F.greatest(F.length("ta"), F.length("tb")) > 0,
+                F.round(
+                    1.0 - dist / F.greatest(F.length("ta"), F.length("tb")), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("edit_sim"),
         )
         .filter(F.col("dist") <= max_dist)
     )

@@ -54,6 +54,19 @@ def _check(sf: str) -> None:
         and not (rec["rows_match"] and rec["schema_match"] and rec["hash_match"])
     ]
     assert not bad, f"{os.path.basename(path)} has non-green rows: {sorted(bad)}"
+    # no-oracle queries must carry the explicit rows-only marker (plus a
+    # real row count) so the artifact distinguishes by-design rows-only
+    # from not-run (round-6 judge item 3)
+    unmarked = [
+        n
+        for n in NO_ORACLE
+        if n in report
+        and not (report[n].get("rows_only") and report[n].get("spark_rows") is not None)
+    ]
+    assert not unmarked, (
+        f"{os.path.basename(path)} no-oracle queries missing rows_only marker: "
+        f"{sorted(unmarked)} — regenerate with tools/check_oracle.py"
+    )
 
 
 def test_sf0001_artifact_fresh_and_green():

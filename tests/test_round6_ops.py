@@ -440,15 +440,25 @@ def test_dedup_rep_pagerank_elects_hub(spark):
 def test_chunk_overlap_windows(spark):
     from mapreduce_faultolerrant_localityaware_spark.operators import corpus
 
-    # 10 tokens, size=4, stride=3 -> starts 1,4,7,10
+    # 10 tokens, size=4, stride=3 -> starts 1,4,7,10; the start-10
+    # window ("j") is fully covered by the start-7 chunk ("g h i j"),
+    # so the fully-overlapped-tail filter drops it (round-6 advice)
     df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
     out = sorted(
         corpus.chunk_overlap(df, size=4, stride=3).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    assert [r["chunk"] for r in out] == ["a b c d", "d e f g", "g h i j", "j"]
-    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
-    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    assert [r["chunk"] for r in out] == ["a b c d", "d e f g", "g h i j"]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+    # a tail that DOES add a new token is kept: 11 tokens -> last
+    # chunk starts at 10 and covers "j k" (k is new)
+    df2 = spark.createDataFrame([(1, "a b c d e f g h i j k")], ["doc_id", "text"])
+    out2 = sorted(
+        corpus.chunk_overlap(df2, size=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk"] for r in out2] == ["a b c d", "d e f g", "g h i j", "j k"]
     # every token is covered at least once
     covered = set(" ".join(r["chunk"] for r in out).split())
     assert covered == set("abcdefghij")

@@ -99,7 +99,11 @@ def main():
         rec["spark_rows"] = len(srows)
         sql = oracles.get(name)
         if sql is None:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows)")
+            # explicit marker: rows-only by design (approximate/sketch
+            # queries with pytest accuracy bounds instead of a SQL
+            # oracle) — distinguishable in the artifact from not-run
+            rec["rows_only"] = True
+            print(f"SKIP {name}: no oracle, rows-only ({len(srows)} rows)")
             continue
         try:
             res = con.execute(sql)
