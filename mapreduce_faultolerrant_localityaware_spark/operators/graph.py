@@ -538,3 +538,111 @@ def pagerank(
         "rank_micro",
         F.round(F.col("rank_micro") / 1e6, 6).alias("pr"),
     )
+
+
+def pagerank_resumable(
+    pairs: DataFrame,
+    journal_dir: str,
+    iters: int = 5,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """DRIVER-crash-resumable PageRank: row-identical to
+    :func:`pagerank` (same integer fixed-point arithmetic), with every
+    power-iteration round journaled to ``journal_dir`` as committed
+    parquet so a fresh session resumes the loop where a dead driver
+    stopped — the same ``_SUCCESS``-marker protocol as
+    :func:`connected_components_resumable`, extending the reference's
+    master-replica recovery posture (master/recovery.go:222-273: the
+    replica replays ALL persisted phase state, not just one
+    algorithm's) to the second iterative operator.
+
+    Protocol: ``edges`` (symmetrized, distinct) journals once;
+    ``ranks_rNNNN`` journals per round carrying ``node, deg, teleport,
+    rank_micro`` — everything round N+1 needs, so resume never
+    re-derives degrees or the node count.  A kill mid-write leaves no
+    ``_SUCCESS`` marker and that round deterministically recomputes
+    from the previous committed one; because every step is integer
+    floor arithmetic, a resumed run is BIT-identical to an
+    uninterrupted one.  ``iters`` counts TOTAL rounds across all
+    attempts; a call over a finished journal is a pure replay (no new
+    rounds, no recompute of the committed prefix).
+
+    Returns ``node, rank_micro (bigint), pr (double, 6dp)``.
+    """
+    import os
+
+    spark = pairs.sparkSession
+
+    def _committed(path: str) -> bool:
+        # Hadoop FS API, not os.path: the journal may be s3a://+hdfs://
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        return p.getFileSystem(hconf).exists(p)
+
+    edges_path = os.path.join(journal_dir, "edges")
+    if not _committed(edges_path):
+        (
+            pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+    sym = spark.read.parquet(edges_path)
+
+    def _round_path(i: int) -> str:
+        return os.path.join(journal_dir, f"ranks_r{i:04d}")
+
+    last = None
+    for i in range(iters + 1):
+        if _committed(_round_path(i)):
+            last = i
+        else:
+            break
+    if last is None:
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+        (
+            deg.crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("s").alias("node"),
+                "deg",
+                F.floor(150000 / F.col("n")).cast("long").alias("teleport"),
+                F.floor(1000000 / F.col("n")).cast("long").alias("rank_micro"),
+            )
+            .write.mode("overwrite")
+            .parquet(_round_path(0))
+        )
+        last = 0
+    ranks = spark.read.parquet(_round_path(last))
+    for rnd in range(last + 1, iters + 1):
+        contrib = sym.join(
+            ranks.withColumnRenamed("node", "s"), "s"
+        ).select(F.col("d"), F.floor(F.col("rank_micro") / F.col("deg")).alias("c"))
+        summed = contrib.groupBy("d").agg(F.sum("c").alias("in_mass"))
+        (
+            ranks.join(summed, ranks["node"] == summed["d"], "left")
+            .select(
+                "node",
+                "deg",
+                "teleport",
+                (
+                    F.col("teleport")
+                    + F.floor(F.coalesce(F.col("in_mass"), F.lit(0)) * 85 / 100)
+                ).cast("long").alias("rank_micro"),
+            )
+            .write.mode("overwrite")
+            .parquet(_round_path(rnd))
+        )
+        # read back the committed round: the journal IS the lineage
+        # truncation, and a crash after this point resumes from
+        # exactly these files.
+        ranks = spark.read.parquet(_round_path(rnd))
+    return ranks.select(
+        "node",
+        "rank_micro",
+        F.round(F.col("rank_micro") / 1e6, 6).alias("pr"),
+    )
