@@ -1620,6 +1620,31 @@ def _q_split_assign(spark, sf):
     return corpus.split_assign(scan(spark, sf, "documents"))
 
 
+def _q_domain_cap(spark, sf):
+    """Per-source document cap (keep top-10 by n_chars per source) —
+    domain throttling for crawl corpora.  cap=10 < the 25 docs every
+    synthetic source carries, so the cap provably filters."""
+    return corpus.domain_cap(scan(spark, sf, "documents"), cap=10)
+
+
+def _q_shard_assign(spark, sf):
+    """Deterministic global shuffle into 16 training shards with a
+    stable in-shard position (md5 order)."""
+    return corpus.shard_assign(scan(spark, sf, "documents"), n_shards=16)
+
+
+def _q_ngram_coverage(spark, sf):
+    """Duplicate 8-gram coverage per doc — the corpus-level
+    boilerplate signal pair-wise dedup misses."""
+    return textstats.ngram_coverage(scan(spark, sf, "documents"), n=8)
+
+
+def _q_embedding_dim_stats(spark, sf):
+    """Per-dimension mean/var/min/max of the embedding table in
+    deterministic integer micro-units."""
+    return similarity.embedding_dim_stats(scan(spark, sf, "embeddings"), dim=64)
+
+
 def _q_window_first_last(spark, sf):
     from pyspark.sql import Window
 
@@ -2610,6 +2635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": _q_unpivot,
         "sample_hash": _q_sample_hash,
         "split_assign": _q_split_assign,
+        "domain_cap": _q_domain_cap,
+        "shard_assign": _q_shard_assign,
+        "ngram_coverage": _q_ngram_coverage,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "window_first_last": _q_window_first_last,
         "window_range_frame": _q_window_range_frame,
         "window_rows_frame": _q_window_rows_frame,
@@ -4294,6 +4323,67 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS src_rank FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents)
+            WHERE rk <= 10
+        """,
+        "shard_assign": """
+            WITH h AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS digest,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 16 AS shard
+              FROM documents)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY digest ASC, doc_id ASC) AS BIGINT) AS pos
+            FROM h
+        """,
+        "ngram_coverage": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                         || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+                         || ' ' || tk[i+7]) AS digest
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, greatest(len(tk)-7, 0))) AS i
+                    FROM toks)
+            ),
+            pop AS (SELECT digest, count(*) AS n_docs FROM sh GROUP BY 1),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM sh JOIN pop USING (digest) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+                   CASE WHEN coalesce(per.n_shingles, 0) > 0
+                        THEN round(per.n_dup / per.n_shingles, 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "embedding_dim_stats": """
+            WITH dims AS (
+              SELECT vec_id,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            a AS (
+              SELECT i, count(*) AS n, sum(xm) AS s,
+                     sum(CAST(floor(xm * xm / 1000) AS BIGINT)) AS q,
+                     min(xm) AS lo, max(xm) AS hi
+              FROM dims GROUP BY i)
+            SELECT CAST(i AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+                   round(s / n / 1e6, 6) AS mean,
+                   round(q * 1000 / n / 1e12 - (s / n / 1e6) * (s / n / 1e6), 6) AS var,
+                   round(lo / 1e6, 6) AS vmin,
+                   round(hi / 1e6, 6) AS vmax
+            FROM a
         """,
         "window_first_last": """
             SELECT event_id, user_id,

@@ -575,3 +575,77 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source document cap — the crawl-pipeline rule "keep at most
+    ``cap`` docs per domain", applied deterministically: within each
+    source, docs rank by ``quality_col`` DESC then ``id_col`` ASC (a
+    total order, so reruns and engines agree), and only ranks <= cap
+    survive.  Dolma/RefinedWeb-style domain throttling that stops one
+    mega-site from dominating the training mixture.
+
+    Scale shape: ONE hash exchange on the source key feeding a
+    per-partition sort (Spark's window row_number — no global sort).
+    Domain cardinality is huge (millions) and per-domain counts are
+    crawl-bounded, so partitions stay balanced; a genuinely
+    pathological mega-domain is exactly the case the cap EXISTS for,
+    and AQE skew-split handles its one oversized partition.  The full
+    row never shuffles — only (id, source, quality) ride the exchange;
+    callers re-attach text by joining the returned ids.
+
+    Returns ``id_col, source_col, quality_col, src_rank`` for kept
+    docs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    slim = ensure_parallelism(docs).select(id_col, source_col, quality_col)
+    return (
+        slim.withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("src_rank") <= cap)
+    )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that
+    turns a curated corpus into training shards: every doc gets a
+    shard (md5-bucket of its id: uniform, engine-portable, no RNG
+    state) and a stable position within that shard (rank of the md5
+    digest itself, tie-broken by id), so two runs — or two engines —
+    produce byte-identical shard manifests.  The md5 ordering IS the
+    shuffle: adjacent source rows scatter across and within shards,
+    which is what SGD wants and what a seeded ``.orderBy(rand())``
+    cannot reproduce across engines.
+
+    Scale shape: one exchange on the shard key, per-shard sort of
+    (digest, id) pairs only — never a global sort; writing shard files
+    is then ``partitionBy(shard)`` on exactly this frame.
+
+    Returns ``id_col, shard, pos``.
+    """
+    digest = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.asc("digest"), F.asc(id_col))
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), digest.alias("digest"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

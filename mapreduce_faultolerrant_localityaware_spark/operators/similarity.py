@@ -883,3 +883,64 @@ def ann_recall_report(
             F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-dimension distribution statistics of an embedding column —
+    the feature-health audit run before indexing or quantizing a
+    100 TB vector table (a dead dimension, a scale outlier, or a
+    shifted mean each break IVF/SQ8 assumptions, and each is visible
+    here).
+
+    Determinism discipline: means and variances over floats are
+    FP-accumulation-order-dependent, so every value is first cast to
+    integer MICRO-units (round(x*1e6)) and summed as bigints — partial
+    aggregation in any order produces the identical total, which is
+    what lets the output hash-match a SQL oracle.  Bounds check:
+    |x|<=~1 -> micro <= ~1e6, squared 1e12, * 1e8 rows = 1e20... so
+    sumsq uses micro*micro/1e3 (nano^2 -> femto) kept well inside
+    int64 for corpus sizes up to ~1e9 rows at |x|<=3.
+
+    One pass, d independent integer aggregates packed in arrays (the
+    same shape as :func:`embedding_quantize`'s scales pass — nothing
+    wider than 4·d bigints crosses the exchange), then one posexplode
+    of a single row to d output rows.
+
+    Returns ``dim (1-based), n, mean, var, vmin, vmax`` (6 dp).
+    """
+    if dim is None:
+        dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+        # micro^2 / 1000: keeps per-row magnitude <= ~1e9 for |x|<=~30
+        F.array(
+            *[
+                F.sum(F.floor(x_micro(i) * x_micro(i) / 1000)).alias(f"q{i}")
+                for i in range(dim)
+            ]
+        ).alias("q"),
+        F.array(*[F.min(x_micro(i)).alias(f"lo{i}") for i in range(dim)]).alias("lo"),
+        F.array(*[F.max(x_micro(i)).alias(f"hi{i}") for i in range(dim)]).alias("hi"),
+    )
+    exploded = agg.select(
+        "n", F.posexplode(F.arrays_zip("s", "q", "lo", "hi")).alias("i", "z")
+    )
+    mean = F.col("z.s") / F.col("n") / 1e6
+    # var = E[x^2] - E[x]^2, with E[x^2] rebuilt from the /1000 fixed
+    # point: q * 1000 / n / 1e12
+    var = F.col("z.q") * 1000 / F.col("n") / 1e12 - mean * mean
+    return exploded.select(
+        (F.col("i") + 1).cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(F.col("z.lo") / 1e6, 6).alias("vmin"),
+        F.round(F.col("z.hi") / 1e6, 6).alias("vmax"),
+    )

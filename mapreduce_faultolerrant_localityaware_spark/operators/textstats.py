@@ -197,3 +197,60 @@ def entropy_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.round(F.log2(n_tok) - s_micro / 1e6 / n_tok, 6).alias("entropy"),
         F.round(F.count(F.lit(1)) / n_tok, 6).alias("ttr"),
     )
+
+
+def ngram_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-n-gram coverage — the corpus-level quality signal the
+    Dolma/RefinedWeb pipelines threshold on: for each doc, the
+    fraction of its distinct word ``n``-grams that also occur in at
+    least one OTHER document.  High coverage means boilerplate /
+    template text even when no single pair of docs crosses a near-dup
+    threshold, which is exactly what per-pair dedup misses.
+
+    Scale shape: per-doc DISTINCT shingles digest to md5 in the scan
+    projection, so the two exchanges (digest popularity groupBy, then
+    the per-doc re-join) carry 32-byte digests only — never text.
+    Both aggregations partial-agg map-side; no candidate pair space
+    exists at all (this is an inverted-index statistic, not a join).
+
+    Returns ``id_col, n_shingles, n_dup, dup_frac`` for every doc
+    (docs shorter than ``n`` tokens report 0 shingles, dup_frac 0).
+    """
+    from ..functions.text import shingles, tokens
+
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(tokens(text_col, lowercase=True), n))
+            ).alias("shingle"),
+        )
+        .select(F.col(id_col), F.md5("shingle").alias("digest"))
+    )
+    pop = sh.groupBy("digest").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(pop, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    base = docs.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

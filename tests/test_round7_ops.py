@@ -36,3 +36,66 @@ def test_merge_upsert_delta_wins_version_tie(spark):
     out = merge_upsert(base, delta, key="doc_id", version_col="version").collect()
     assert len(out) == 1
     assert out[0]["text"] == "new"
+
+
+def test_domain_cap_enforces_per_source_limit(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [(i, f"s{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"]).withColumn(
+        "text", F.lit("x")
+    )
+    out = corpus.domain_cap(df, cap=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 4 for v in by_src.values())
+    # top-by-quality kept: source s0 has doc_ids 0,3,6.. with n_chars
+    # 100,97,94.. -> the 4 largest n_chars win
+    s0 = sorted(r["doc_id"] for r in by_src["s0"])
+    assert s0 == [0, 3, 6, 9]
+    assert all(1 <= r["src_rank"] <= 4 for r in out)
+
+
+def test_shard_assign_deterministic_and_dense(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus.shard_assign(df, 8).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus.shard_assign(df, 8).collect()}
+    assert a == b  # reruns identical (no RNG state)
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    # positions are dense 1..|shard| within each shard
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+    assert sum(len(v) for v in by_shard.values()) == 200
+
+
+def test_ngram_coverage_flags_copied_text(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, dup),
+        (2, dup),                      # exact copy: every 8-gram duplicated
+        (3, "one two three four five six seven eight nine ten"),  # unique
+        (4, "short doc"),              # < 8 tokens: zero shingles
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.ngram_coverage(df, n=8).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0 and out[3]["n_shingles"] == 3
+    assert out[4]["n_shingles"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_embedding_dim_stats_known_values(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    rows = [(1, [1.0, -2.0]), (2, [3.0, -2.0]), (3, [5.0, -2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["dim"]: r for r in similarity.embedding_dim_stats(df, dim=2).collect()}
+    assert out[1]["mean"] == 3.0 and out[1]["vmin"] == 1.0 and out[1]["vmax"] == 5.0
+    # population variance of {1,3,5} = 8/3
+    assert abs(out[1]["var"] - 8 / 3) < 1e-4
+    assert out[2]["mean"] == -2.0 and out[2]["var"] == 0.0
