@@ -358,6 +358,12 @@ def _q_minhash_signatures(spark, sf):
     return dedup.minhash_signatures(scan(spark, sf, "documents"))
 
 
+def _q_minhash_accuracy(spark, sf):
+    """MinHash estimator-quality audit: estimated vs true Jaccard on
+    every LSH candidate pair (tunes NUM_HASHES/BANDS empirically)."""
+    return dedup.minhash_accuracy_report(scan(spark, sf, "documents"))
+
+
 # ---- text analysis ----
 
 def _q_text_tokens(spark, sf):
@@ -2528,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": _q_window_lag,
         "sessionize": _q_sessionize,
         "minhash_signatures": _q_minhash_signatures,
+        "minhash_accuracy": _q_minhash_accuracy,
         "text_tokens": _q_text_tokens,
         "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
@@ -2705,6 +2712,10 @@ _MINHASH_HASHES = f"""
 """
 _MINHASH_AGGS = ", ".join(
     f"min((h1 + {i + 1} * h2) % {_M}) AS mh{i}" for i in range(dedup.NUM_HASHES)
+)
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+    for i in range(dedup.NUM_HASHES)
 )
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({expr}) AS band_sig FROM sig".format(
@@ -3704,6 +3715,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS docs_in_buckets,
                    CAST(sum(CASE WHEN n > {dedup.MAX_BUCKET_ALLPAIRS} THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
             FROM sizes WHERE n > 1 GROUP BY band ORDER BY band
+        """,
+        "minhash_accuracy": f"""
+            {_SHINGLES_LOWER},
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              GROUP BY 1, 2
+            ),
+            est AS (
+              SELECT c.doc_a, c.doc_b, ({_MH_MATCHES}) AS matches
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+            )
+            SELECT e.doc_a, e.doc_b,
+                   round(e.matches / 12.0, 6) AS est_sim,
+                   round(coalesce(i.i, 0) * 1.0
+                         / (za.sz + zb.sz - coalesce(i.i, 0)), 6) AS true_sim,
+                   round(abs(e.matches / 12.0
+                             - coalesce(i.i, 0) * 1.0
+                               / (za.sz + zb.sz - coalesce(i.i, 0))), 6) AS abs_err
+            FROM est e
+            LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+            JOIN szs za ON za.doc_id = e.doc_a
+            JOIN szs zb ON zb.doc_id = e.doc_b
         """,
         "dedup_simhash": f"""
             WITH {_SIMHASH_SIG_CTES}

@@ -66,6 +66,8 @@ HEADLINE = [
     "tokens_to_ids",
     "lm_score",
     "dedup_incremental_fuzzy",
+    "ngram_coverage",
+    "shard_assign",
 ]
 
 

@@ -630,22 +630,46 @@ def shard_assign(
     which is what SGD wants and what a seeded ``.orderBy(rand())``
     cannot reproduce across engines.
 
-    Scale shape: one exchange on the shard key, per-shard sort of
-    (digest, id) pairs only — never a global sort; writing shard files
-    is then ``partitionBy(shard)`` on exactly this frame.
+    Scale shape — the bucketed two-pass (same discipline as
+    mixture_sample): a naive ``row_number() OVER (PARTITION BY
+    shard)`` funnels each shard through ONE task (N/n_shards rows —
+    terabytes at 100 TB).  Instead the digest's first two hex chars
+    form a PREFIX bucket (256 per shard: lexicographic digest order ==
+    (bucket, digest) order by construction), pass 1 counts per
+    (shard, bucket) — n_shards·256 tiny rows, prefix-summed with a
+    window over that tiny frame — and pass 2 ranks within
+    (shard, bucket) (n_shards·256 parallel groups) and adds the
+    broadcast offset.  Only (digest, id) pairs ride the exchange;
+    writing shard files is then ``partitionBy(shard)`` on this frame.
 
     Returns ``id_col, shard, pos``.
     """
+    from pyspark.sql import Window
+
     digest = F.md5(F.col(id_col).cast("string"))
     shard = (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % n_shards).alias(
         "shard"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("shard").orderBy(F.asc("digest"), F.asc(id_col))
+    h = ensure_parallelism(docs).select(
+        F.col(id_col),
+        digest.alias("digest"),
+        shard,
+        F.substring(digest, 1, 2).alias("bucket"),
+    )
+    counts = h.groupBy("shard", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "shard",
+        "bucket",
+        (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
+    )
+    w_in = Window.partitionBy("shard", "bucket").orderBy(F.asc("digest"), F.asc(id_col))
     return (
-        ensure_parallelism(docs)
-        .select(F.col(id_col), digest.alias("digest"), shard)
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+        h.join(F.broadcast(offsets), ["shard", "bucket"])
+        .withColumn("pos", (F.row_number().over(w_in) + F.col("offset")).cast("long"))
         .select(id_col, "shard", "pos")
     )

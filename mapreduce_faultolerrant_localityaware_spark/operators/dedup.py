@@ -870,3 +870,62 @@ def dedup_exact_keep_best(
         "n_copies",
         (F.col(id_col) == F.col("best_id")).alias("keep"),
     )
+
+
+def minhash_accuracy_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket_allpairs: int = MAX_BUCKET_ALLPAIRS,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline — the dedup
+    analog of ann_recall_report: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of equal signature
+    components — the unbiased min-wise estimator) next to the TRUE
+    n-gram-set Jaccard and their absolute error.  This is how a
+    pipeline owner tunes NUM_HASHES/BANDS against a real corpus
+    instead of trusting the 1-(1-j^r)^b curve blindly.
+
+    Scale shape: identical to dedup_pipeline's verify stage — the
+    audit touches only the O(n) candidate pairs (both the 12-column
+    signatures and the distinct shingle sets attach by equi-join on
+    the pair ids), so its cost tracks the near-dup rate, not the
+    corpus size.  All arithmetic is integer-count division, exactly
+    portable to a SQL oracle.
+
+    Returns ``doc_a, doc_b, est_sim, true_sim, abs_err`` (6 dp).
+    """
+    cand = dedup_minhash_candidates(docs, text_col, id_col, max_bucket_allpairs)
+    sig = minhash_signatures(docs, text_col, id_col, n)
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    sh_sets = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col, lowercase=True), n)).alias("shs"),
+    )
+    j = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sh_sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sh_a")), "doc_a")
+        .join(sh_sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sh_b")), "doc_b")
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(NUM_HASHES)
+    )
+    est = matches / F.lit(float(NUM_HASHES))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    true = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(est, 6).alias("est_sim"),
+        F.round(true, 6).alias("true_sim"),
+        F.round(F.abs(est - true), 6).alias("abs_err"),
+    )

@@ -213,10 +213,16 @@ def ngram_coverage(
     threshold, which is exactly what per-pair dedup misses.
 
     Scale shape: per-doc DISTINCT shingles digest to md5 in the scan
-    projection, so the two exchanges (digest popularity groupBy, then
-    the per-doc re-join) carry 32-byte digests only — never text.
-    Both aggregations partial-agg map-side; no candidate pair space
-    exists at all (this is an inverted-index statistic, not a join).
+    projection, so every exchange carries 32-byte digests only —
+    never text.  The (id, digest) relation is explicitly repartitioned
+    by digest ONCE and that single exchange feeds BOTH consumers
+    (the popularity groupBy needs no further shuffle, and the
+    popularity⋈shingles join is already co-partitioned on digest), so
+    the corpus is tokenized/exploded exactly once — without the
+    explicit repartition Catalyst recomputes the whole scan+explode
+    map stage per consumer (verified in the plan: two `Scan parquet`
+    branches collapse to one).  No candidate pair space exists at all
+    (this is an inverted-index statistic, not a join).
 
     Returns ``id_col, n_shingles, n_dup, dup_frac`` for every doc
     (docs shorter than ``n`` tokens report 0 shingles, dup_frac 0).
@@ -225,6 +231,10 @@ def ngram_coverage(
 
     sh = (
         ensure_parallelism(docs)
+        # pre-seed the isnotnull(doc_id) the join side would infer:
+        # without it Catalyst adds the filter to ONE consumer branch
+        # only, diverging the subplans and killing exchange reuse
+        .filter(F.col(id_col).isNotNull())
         .select(
             F.col(id_col),
             F.explode(
@@ -232,8 +242,15 @@ def ngram_coverage(
             ).alias("shingle"),
         )
         .select(F.col(id_col), F.md5("shingle").alias("digest"))
+        .repartition("digest")
     )
-    pop = sh.groupBy("digest").agg(F.count(F.lit(1)).alias("n_docs"))
+    # count(doc_id) not count(*): referencing doc_id keeps this
+    # branch's projection identical to the join branch's, so both sit
+    # over the SAME digest exchange and ReuseExchange fires (count(*)
+    # lets Catalyst prune doc_id here, diverging the subplans — the
+    # exact exchange-reuse pitfall tfidf_top_terms documents).
+    # doc_id is never null, so the counts are equal.
+    pop = sh.groupBy("digest").agg(F.count(id_col).alias("n_docs"))
     per_doc = (
         sh.join(pop, "digest")
         .groupBy(id_col)

@@ -120,11 +120,6 @@ import subprocess
 import sys
 import textwrap
 
-PYSPARK_JARS = os.path.join(
-    os.path.dirname(sys.modules["pyspark"].__file__) if "pyspark" in sys.modules else "",
-    "jars",
-)
-
 
 def _compile_mocks3(tmp: str) -> str:
     import pyspark

@@ -99,3 +99,18 @@ def test_embedding_dim_stats_known_values(spark):
     # population variance of {1,3,5} = 8/3
     assert abs(out[1]["var"] - 8 / 3) < 1e-4
     assert out[2]["mean"] == -2.0 and out[2]["var"] == 0.0
+
+
+def test_minhash_accuracy_exact_copy_pair(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    rows = [(1, same), (2, same), (3, "totally different words here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           dedup.minhash_accuracy_report(df).collect()}
+    # identical docs: every signature component equal, true jaccard 1
+    r = out[(1, 2)]
+    assert r["est_sim"] == 1.0 and r["true_sim"] == 1.0 and r["abs_err"] == 0.0
+    # the unrelated doc never band-matches the pair
+    assert (1, 3) not in out and (2, 3) not in out
