@@ -1651,6 +1651,29 @@ def _q_embedding_dim_stats(spark, sf):
     return similarity.embedding_dim_stats(scan(spark, sf, "embeddings"), dim=64)
 
 
+def _q_bpe_train(spark, sf):
+    """BPE merge-rule training (20 merges) over the corpus vocabulary.
+    Iterative argmax loop — rows-only in the gate (same class as
+    ann_ivf_kmeans); exact-reference pytest pins the values."""
+    return corpus.bpe_train(scan(spark, sf, "documents"), n_merges=20)
+
+
+def _q_pmi_collocations(spark, sf):
+    """Top-100 collocations by PMI with a min-count-5 support floor."""
+    return corpus.pmi_collocations(scan(spark, sf, "documents"), k=100, min_count=5)
+
+
+def _q_modality_alignment(spark, sf):
+    """Text<->vector referential audit; the modulo filters make all
+    three statuses (matched/text_only/vector_only) non-empty on the
+    synthetic ids, which are otherwise perfectly aligned."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import multimodal as mm
+
+    docs = scan(spark, sf, "documents").filter(F.col("doc_id") % 10 != 0)
+    emb = scan(spark, sf, "embeddings").filter(F.col("vec_id") % 7 != 0)
+    return mm.modality_alignment(docs, emb)
+
+
 def _q_window_first_last(spark, sf):
     from pyspark.sql import Window
 
@@ -2643,6 +2666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "split_assign": _q_split_assign,
         "domain_cap": _q_domain_cap,
+        "pmi_collocations": _q_pmi_collocations,
+        "bpe_train": _q_bpe_train,
+        "modality_alignment": _q_modality_alignment,
         "shard_assign": _q_shard_assign,
         "ngram_coverage": _q_ngram_coverage,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -4370,6 +4396,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "pmi_collocations": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            uni AS (SELECT t AS w, count(*) AS c
+                    FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+            bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                   FROM (SELECT tk, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                         FROM toks)),
+            big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+                    HAVING count(*) >= 5),
+            ut AS (SELECT sum(c) AS u_total FROM uni),
+            bt AS (SELECT count(*) AS b_total FROM bg),
+            scored AS (
+              SELECT b.w1, b.w2, b.c12,
+                     ln((b.c12 / bt.b_total)
+                        / ((u1.c / ut.u_total) * (u2.c / ut.u_total))) AS pmi_raw
+              FROM big b
+              JOIN uni u1 ON u1.w = b.w1
+              JOIN uni u2 ON u2.w = b.w2, ut, bt)
+            SELECT w1, w2, c12 AS n_pair, round(pmi_raw, 6) AS pmi
+            FROM scored ORDER BY pmi_raw DESC, w1 ASC, w2 ASC LIMIT 100
+        """,
+        "modality_alignment": """
+            WITH d AS (SELECT doc_id AS dk FROM documents WHERE doc_id % 10 <> 0),
+            e AS (SELECT vec_id AS ek FROM embeddings WHERE vec_id % 7 <> 0),
+            j AS (SELECT dk, ek FROM d FULL OUTER JOIN e ON d.dk = e.ek),
+            c AS (SELECT CASE WHEN dk IS NOT NULL AND ek IS NOT NULL THEN 'matched'
+                              WHEN dk IS NOT NULL THEN 'text_only'
+                              ELSE 'vector_only' END AS status,
+                         count(*) AS n
+                  FROM j GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT status, n, round(n * 1.0 / total, 6) AS pct FROM c, t
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS src_rank FROM (

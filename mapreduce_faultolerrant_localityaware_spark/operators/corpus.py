@@ -673,3 +673,168 @@ def shard_assign(
         .withColumn("pos", (F.row_number().over(w_in) + F.col("offset")).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information — the
+    classic "which word pairs belong together" corpus statistic
+    (phrase detection for tokenizer/embedding vocab decisions):
+    ``pmi = ln( (c12/B) / ((c1/U)(c2/U)) )`` over adjacent lowercased
+    token bigrams, with a ``min_count`` support floor so rare-pair
+    noise (PMI's known failure mode) never ranks.
+
+    Shape at scale: unigram and bigram counts are two partial-agged
+    groupBys over in-array constructions (zero pre-agg shuffle); the
+    two scalar totals attach as 1-row broadcasts; c1/c2 attach by
+    equi-join on the word (vocabulary-sized sides, AQE-skew-safe);
+    ranking is TakeOrderedAndProject on the RAW pmi with (w1, w2)
+    tiebreak — never a global sort.
+
+    Returns ``w1, w2, n_pair, pmi`` (6 dp), pmi-desc.
+    """
+    from .relational import top_k
+
+    tk = tokens(text_col, lowercase=True)
+    base = ensure_parallelism(docs)
+    uni = (
+        base.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        base.select(F.explode(_bigrams(tk)).alias("bg"))
+        .select(
+            F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("bg", F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    u_total = uni.agg(F.sum("c").alias("u_total"))
+    b_total = (
+        base.select(F.explode(_bigrams(tk)).alias("bg"))
+        .agg(F.count(F.lit(1)).alias("b_total"))
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(u_total))
+        .crossJoin(F.broadcast(b_total))
+        .withColumn(
+            "pmi_raw",
+            F.log(
+                (F.col("c12") / F.col("b_total"))
+                / ((F.col("c1") / F.col("u_total")) * (F.col("c2") / F.col("u_total")))
+            ),
+        )
+    )
+    out = top_k(scored, k, F.desc("pmi_raw"), F.asc("w1"), F.asc("w2"))
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c12").alias("n_pair"),
+        F.round("pmi_raw", 6).alias("pmi"),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-pair-encoding merge training — the tokenizer-fitting loop
+    itself (Sennrich et al. 2016), distributed the way every real BPE
+    trainer is: ONE corpus pass builds the (word, freq) vocabulary,
+    and every merge iteration thereafter touches only that
+    vocabulary-sized frame — corpus size never matters again.
+
+    Per iteration: adjacent symbol pairs explode out of the in-row
+    symbol arrays weighted by word frequency, ONE partial-agged
+    groupBy ranks them, the argmax (count desc, pair asc — fully
+    deterministic) collects as the next merge rule (k driver-side
+    scalars — model parameters, the same exception as the k-means
+    centroids), and the rule applies back as an in-row greedy
+    left-to-right array fold (no shuffle).  The vocab frame is
+    lineage-truncated per round, so plan depth stays bounded for
+    large merge budgets.
+
+    No SQL oracle (iterative argmax — same class as ann_ivf_kmeans);
+    pinned instead by an exact in-test reference implementation.
+
+    Returns the merge table ``step, left, right, merged, pair_count``
+    (step 1-based, ``pair_count`` the weighted support of the merge);
+    fewer than ``n_merges`` rows if the corpus runs out of repeated
+    pairs.  No end-of-word marker is appended (whole-word tokens
+    already come from the whitespace/letter pre-tokenizer).
+    """
+    from .graph import _truncate_lineage
+
+    spark = docs.sparkSession
+    words = (
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(text_col, lowercase=True)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # symbols start as single characters: an in-row transform over the
+    # word (substring(w, i, 1)) -- no UDF, no explode
+    vocab = _truncate_lineage(
+        words.select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    merges: list[tuple] = []
+    prev = None
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best or best[0]["n"] < 2:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((step, a, b, a + b, n))
+        apply_merge = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        new_vocab = _truncate_lineage(vocab.select("freq", apply_merge.alias("syms")))
+        if prev is not None:
+            from .graph import _release_checkpoint
+
+            _release_checkpoint(prev)
+        prev = vocab
+        vocab = new_vocab
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    )

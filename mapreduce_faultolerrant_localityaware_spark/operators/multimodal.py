@@ -176,3 +176,38 @@ def phash_fingerprint(decoded: DataFrame) -> DataFrame:
     for b in bits[1:]:
         acc = acc + b
     return decoded.select(F.col("media_id"), acc.cast("long").alias("phash"))
+
+
+def modality_alignment(
+    docs: DataFrame,
+    emb: DataFrame,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Cross-modality referential audit: which documents have an
+    embedding row and which vectors are orphaned — the first check a
+    multimodal/RAG pipeline runs after an embedding batch job, since
+    a partial failure silently leaves text without vectors (retrieval
+    misses) or vectors without text (index bloat).
+
+    ONE full outer equi-join on the shared key, ids only (neither
+    text nor vectors ride the shuffle), then a 3-row aggregate:
+    ``matched`` / ``text_only`` / ``vector_only`` with corpus share.
+
+    Returns ``status, n, pct`` (pct of the union key space, 6 dp).
+    """
+    d = docs.select(F.col(doc_id).alias("dk"))
+    e = emb.select(F.col(vec_id).alias("ek"))
+    j = d.join(e, d["dk"] == e["ek"], "full_outer")
+    status = (
+        F.when(F.col("dk").isNotNull() & F.col("ek").isNotNull(), "matched")
+        .when(F.col("dk").isNotNull(), "text_only")
+        .otherwise("vector_only")
+    )
+    counts = j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "status", "n", F.round(F.col("n") / F.col("total"), 6).alias("pct")
+    )

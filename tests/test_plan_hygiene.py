@@ -41,7 +41,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # broadcast cross join (scalar attach, like tfidf/pagerank)
            "ann_recall_report", "lm_score",
            # embeds graph_pagerank's 1-row node-count broadcast
-           "dedup_rep_pagerank"}
+           "dedup_rep_pagerank",
+           # round 7: 1-row scalar attaches — pmi_collocations broadcasts
+           # its two corpus totals, modality_alignment its key-space total
+           # (same tfidf-style pattern, not cartesian hazards)
+           "pmi_collocations", "modality_alignment"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -114,3 +114,58 @@ def test_minhash_accuracy_exact_copy_pair(spark):
     assert r["est_sim"] == 1.0 and r["true_sim"] == 1.0 and r["abs_err"] == 0.0
     # the unrelated doc never band-matches the pair
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    """Exact in-test BPE reference (Sennrich-style, greedy left-to-right,
+    argmax count desc then pair asc, stop below support 2)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((step, a, b, a + b, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as _  # noqa: F401
+
+    texts = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest widest"),
+        (4, "widest widest low lower"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in corpus.bpe_train(df, n_merges=8).orderBy("step").collect()
+    ]
+    word_freqs = Counter(w for _, t in texts for w in t.split())
+    want = _bpe_reference(dict(word_freqs), 8)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    assert len(got) >= 5  # the corpus genuinely supports several merges
