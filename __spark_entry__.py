@@ -1658,6 +1658,18 @@ def _q_bpe_train(spark, sf):
     return corpus.bpe_train(scan(spark, sf, "documents"), n_merges=20)
 
 
+def _q_bpe_encode(spark, sf):
+    """Tokenizer fertility audit: train 10 BPE merges, encode the
+    corpus, report per-doc subwords-per-word.  Rows-only (depends on
+    the iterative trainer); exact-reference pytest pins values."""
+    docs = scan(spark, sf, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in corpus.bpe_train(docs, n_merges=10).orderBy("step").collect()
+    ]
+    return corpus.bpe_encode(docs, rules)
+
+
 def _q_pmi_collocations(spark, sf):
     """Top-100 collocations by PMI with a min-count-5 support floor."""
     return corpus.pmi_collocations(scan(spark, sf, "documents"), k=100, min_count=5)
@@ -2668,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "pmi_collocations": _q_pmi_collocations,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "modality_alignment": _q_modality_alignment,
         "shard_assign": _q_shard_assign,
         "ngram_coverage": _q_ngram_coverage,

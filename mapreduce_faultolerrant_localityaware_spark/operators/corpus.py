@@ -838,3 +838,69 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merge rules (from :func:`bpe_train`) to the
+    corpus and report per-doc subword statistics — the tokenizer
+    FERTILITY metric (subwords per word) every pretraining data audit
+    tracks: fertility drifting up on a source means the tokenizer fits
+    it badly and its effective token budget silently shrinks.
+
+    Scale shape mirrors a real tokenizer: merges apply on the DISTINCT
+    word vocabulary (vocabulary-sized frame, one in-row greedy fold
+    per rule, lineage-truncated every few rules), and the corpus then
+    BROADCAST-joins word → subword count — the 100 TB text never
+    re-tokenizes per rule.  ``merges`` is the driver-side rule list
+    (model parameters, like k-means centroids); pass
+    ``[(r["left"], r["right"]) for r in bpe_train(...).collect()]``.
+
+    Returns ``id_col, n_words, n_subwords, fertility`` (6 dp).
+    """
+    from .graph import _truncate_lineage
+
+    tk = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("w")
+    )
+    vocab = tk.select("w").distinct().select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    )
+    def _merge_fold(a: str, b: str):
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    for step, (a, b) in enumerate(merges, start=1):
+        apply_merge = F.aggregate(
+            "syms", F.array().cast("array<string>"), _merge_fold(a, b)
+        )
+        vocab = vocab.select("w", apply_merge.alias("syms"))
+        # keep the chained-fold expression tree codegen-sized: truncate
+        # the (small) vocab frame every 4 rules
+        if step % 4 == 0:
+            vocab = _truncate_lineage(vocab)
+    encoded = vocab.select("w", F.size("syms").alias("n_sub"))
+    per_doc = tk.join(F.broadcast(encoded), "w").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_words",
+        "n_subwords",
+        F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+    )

@@ -30,6 +30,8 @@ NO_ORACLE = {
     "approx_percentiles",
     # iterative argmax loop; exact-reference pytest pins the values
     "bpe_train",
+    # depends on the iterative trainer's rules; reference pytest
+    "bpe_encode",
 }
 
 

@@ -169,3 +169,43 @@ def test_bpe_train_matches_reference(spark):
     want = _bpe_reference(dict(word_freqs), 8)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
     assert len(got) >= 5  # the corpus genuinely supports several merges
+
+
+def test_bpe_encode_fertility_matches_reference(spark):
+    from collections import Counter
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    texts = [
+        (1, "low low lower"),
+        (2, "newest widest newest"),
+        (3, "low newest"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    rules = [
+        (r["left"], r["right"])
+        for r in corpus.bpe_train(df, n_merges=6).orderBy("step").collect()
+    ]
+    got = {r["doc_id"]: r for r in corpus.bpe_encode(df, rules).collect()}
+
+    # reference encode: replay the same greedy merges per word
+    def encode(word):
+        syms = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for doc_id, text in texts:
+        words = text.split()
+        n_sub = sum(len(encode(w)) for w in words)
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_subwords"] == n_sub, (doc_id, rules)
+        assert abs(got[doc_id]["fertility"] - n_sub / len(words)) < 1e-6
