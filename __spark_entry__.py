@@ -4417,10 +4417,10 @@ def oracle_sql() -> dict[str, str]:
             bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
                    FROM (SELECT tk, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
                          FROM toks)),
-            big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
-                    HAVING count(*) >= 5),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            big AS (SELECT * FROM bc WHERE c12 >= 5),
             ut AS (SELECT sum(c) AS u_total FROM uni),
-            bt AS (SELECT count(*) AS b_total FROM bg),
+            bt AS (SELECT sum(c12) AS b_total FROM bc),
             scored AS (
               SELECT b.w1, b.w2, b.c12,
                      ln((b.c12 / bt.b_total)

@@ -707,7 +707,7 @@ def pmi_collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    big = (
+    bcounts = (
         base.select(F.explode(_bigrams(tk)).alias("bg"))
         .select(
             F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"),
@@ -715,13 +715,12 @@ def pmi_collocations(
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= min_count)
     )
+    big = bcounts.filter(F.col("c12") >= min_count)
+    # both totals derive from the COUNT tables (vocabulary-sized), not
+    # from a second corpus pass — the bigram explode runs exactly once
     u_total = uni.agg(F.sum("c").alias("u_total"))
-    b_total = (
-        base.select(F.explode(_bigrams(tk)).alias("bg"))
-        .agg(F.count(F.lit(1)).alias("b_total"))
-    )
+    b_total = bcounts.agg(F.sum("c12").alias("b_total"))
     scored = (
         big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
