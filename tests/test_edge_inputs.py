@@ -184,3 +184,42 @@ def test_merge_schema_read(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "extra", "part"}
     assert df.count() == 10
     assert df.filter(F.col("extra").isNull()).count() == 5
+
+
+def test_round7_ops_on_nulls_and_empties(spark):
+    """Round-7 operators over null/empty/degenerate docs: no errors,
+    sane rows."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus, textstats
+
+    df = _docs(spark, [(1, None), (2, ""), (3, "  "), (4, "one two three")])
+
+    # ngram_coverage: every doc gets a row; degenerate docs report 0
+    cov = {r["doc_id"]: r for r in textstats.ngram_coverage(df, n=2).collect()}
+    assert set(cov) == {1, 2, 3, 4}
+    assert cov[1]["n_shingles"] == 0 and cov[1]["dup_frac"] == 0.0
+    assert cov[4]["n_shingles"] == 2
+
+    # shard_assign: every doc sharded exactly once, dense positions
+    sa = corpus.shard_assign(df, n_shards=4).collect()
+    assert len(sa) == 4 and len({r["doc_id"] for r in sa}) == 4
+
+    # bpe_train on a corpus with no repeated pairs: empty merge table
+    empty_rules = corpus.bpe_train(_docs(spark, [(1, "ab cd")]), n_merges=5)
+    assert empty_rules.count() == 0
+
+    # bpe_encode with an empty rule list: every word stays fully
+    # character-split, so n_subwords is the total letter count
+    enc = {r["doc_id"]: r for r in corpus.bpe_encode(df, []).collect()}
+    assert 4 in enc and enc[4]["n_subwords"] == len("onetwothree")
+    assert enc[4]["fertility"] == round(len("onetwothree") / 3, 6)
+
+
+def test_domain_cap_null_source(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [(1, None, 10), (2, None, 20), (3, "s", 30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = corpus.domain_cap(df, cap=1).collect()
+    # null source is its own group (groupBy semantics), capped like any
+    srcs = {r["source"]: r["doc_id"] for r in out}
+    assert srcs == {None: 2, "s": 3}
