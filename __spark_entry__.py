@@ -2524,6 +2524,15 @@ def _q_graph_bfs(spark, sf):
     return bfs_hops(pairs, seeds, max_hops=3)
 
 
+def _q_graph_kcore(spark, sf):
+    """Fixed-round 2-core peeling over the SimHash near-dup graph:
+    surviving nodes sit in densely boilerplated regions."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import kcore_peel
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return kcore_peel(pairs.select("doc_a", "doc_b"), k=2, rounds=4)
+
+
 def _q_approx_distinct(spark, sf):
     """HyperLogLog++ distinct estimation — approximate by design, so no
     value-exact SQL oracle (driver records the weaker rows-only check);
@@ -2721,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_two_phase": _q_dedup_clusters_two_phase,
         "triangle_count": _q_triangle_count,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_kcore": _q_graph_kcore,
         "dedup_rep_pagerank": _q_dedup_rep_pagerank,
         "approx_distinct": _q_approx_distinct,
     }
@@ -2854,6 +2864,20 @@ def oracle_sql() -> dict[str, str]:
             cand AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM raw
                      WHERE bit_count(xor(sim_a, sim_b)) <= 3)
     """
+    # k-core: 4 fixed peel rounds UNROLLED (mirrors graph.kcore_peel:
+    # degree groupBy + both-endpoints semi-join per round)
+    _kc_parts = []
+    _kc_prev = "ke0"
+    for _r in range(1, 5):
+        _kc_parts.append(f"kd{_r} AS (SELECT s, count(*) AS c FROM {_kc_prev} GROUP BY s)")
+        _kc_parts.append(f"kk{_r} AS (SELECT s FROM kd{_r} WHERE c >= 2)")
+        _kc_parts.append(
+            f"ke{_r} AS (SELECT e.s, e.d FROM {_kc_prev} e "
+            f"JOIN kk{_r} a ON e.s = a.s JOIN kk{_r} b ON e.d = b.s)"
+        )
+        _kc_prev = f"ke{_r}"
+    kcore_ctes = ",\n            ".join(_kc_parts)
+
     # PageRank: power iteration UNROLLED into r0..r5 CTEs (integer
     # micro-unit arithmetic mirrors graph.pagerank exactly — floor
     # divisions and integer sums, so the hash must match bit-for-bit)
@@ -3901,6 +3925,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM nodes) AS n_nodes,
                    (SELECT count(*) FROM edges) AS n_edges,
                    (SELECT n_triangles FROM tri) AS n_triangles
+        """,
+        "graph_kcore": f"""
+            {simhash_pairs_ctes},
+            ke0 AS (
+              SELECT doc_a AS s, doc_b AS d FROM cand WHERE doc_a <> doc_b
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM cand WHERE doc_a <> doc_b
+            ),
+            {kcore_ctes}
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS core_deg
+            FROM {_kc_prev} GROUP BY s
         """,
         "graph_bfs": f"""
             {simhash_pairs_ctes},

@@ -646,3 +646,52 @@ def pagerank_resumable(
         "rank_micro",
         F.round(F.col("rank_micro") / 1e6, 6).alias("pr"),
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair list — the
+    community-density structure of the near-dup graph: nodes that
+    survive repeated removal of degree-< k neighbors sit in densely
+    boilerplated regions (template farms, mirror clusters), exactly
+    the docs a curation pass down-weights first.
+
+    FIXED ``rounds`` of peeling rather than peel-to-convergence: both
+    engines run the identical unrollable computation, so the result is
+    deterministic AND SQL-oracle-checkable (the pagerank discipline;
+    real near-dup graphs converge in a handful of rounds, and a
+    converged round is a no-op so extra rounds are harmless).
+
+    Per round: ONE partial-agged degree groupBy + two semi-joins to
+    keep edges whose BOTH endpoints have degree >= k; the edge frame
+    is lineage-truncated per round (bounded plan depth, journaling
+    posture identical to the other iterative loops).  Shuffles carry
+    (node) / (node, node) ids only.
+
+    Returns ``node, core_deg`` for nodes still present after
+    ``rounds`` peels, with their degree in the surviving subgraph.
+    """
+    edges = _truncate_lineage(
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("s")
+        edges = _truncate_lineage(
+            edges.join(keep, "s", "left_semi").join(
+                keep.withColumnRenamed("s", "d"), "d", "left_semi"
+            )
+        )
+    return (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("s").alias("node"), F.col("core_deg").cast("long").alias("core_deg"))
+    )

@@ -209,3 +209,20 @@ def test_bpe_encode_fertility_matches_reference(spark):
         assert got[doc_id]["n_words"] == len(words)
         assert got[doc_id]["n_subwords"] == n_sub, (doc_id, rules)
         assert abs(got[doc_id]["fertility"] - n_sub / len(words)) < 1e-6
+
+
+def test_kcore_peel_known_structure(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import kcore_peel
+
+    # a 4-clique (2-core survivors) with a pendant chain hanging off it:
+    # the chain peels away over successive rounds, the clique stays
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(clique + chain, ["doc_a", "doc_b"])
+    out = {r["node"]: r["core_deg"] for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(d == 3 for d in out.values())  # clique degrees intact
+
+    # one round only: just the leaf (7) peels, the chain tail survives
+    one = {r["node"] for r in kcore_peel(df, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4, 5, 6}
