@@ -2524,6 +2524,20 @@ def _q_graph_bfs(spark, sf):
     return bfs_hops(pairs, seeds, max_hops=3)
 
 
+def _q_interval_merge(spark, sf):
+    """Gaps-and-islands interval coalescing: each event opens a
+    10-minute window keyed by user; overlapping/touching windows merge
+    (integer epoch-micro arithmetic for exact oracle parity)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import interval_merge
+
+    ev = scan(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("e"),
+    )
+    return interval_merge(ev)
+
+
 def _q_graph_kcore(spark, sf):
     """Fixed-round 2-core peeling over the SimHash near-dup graph:
     surviving nodes sit in densely boilerplated regions."""
@@ -2731,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
+        "interval_merge": _q_interval_merge,
         "dedup_rep_pagerank": _q_dedup_rep_pagerank,
         "approx_distinct": _q_approx_distinct,
     }
@@ -3925,6 +3940,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM nodes) AS n_nodes,
                    (SELECT count(*) FROM edges) AS n_edges,
                    (SELECT n_triangles FROM tri) AS n_triangles
+        """,
+        "interval_merge": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+              FROM events),
+            flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              IS NULL
+                          OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv),
+            islands AS (
+              SELECT user_id, s, e,
+                     CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS island
+              FROM flagged)
+            SELECT user_id, island, min(s) AS s, max(e) AS e,
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM islands GROUP BY user_id, island
         """,
         "graph_kcore": f"""
             {simhash_pairs_ctes},

@@ -222,3 +222,46 @@ def scd2_intervals(
         nxt.isNull().alias("is_current"),
         *attrs,
     )
+
+
+def interval_merge(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key — the classic
+    gaps-and-islands coalesce (session stitching, validity-range
+    compaction, on-call coverage): intervals sort by start within the
+    key, a new island begins whenever a start exceeds the running max
+    of prior ends (handles contained intervals, which a naive
+    lag(end) comparison misses), and each island collapses to its
+    span plus how many raw intervals merged into it.
+
+    ONE exchange on the key feeding both windows (same partitioning
+    and ordering → one sort, one window stage); the island id is a
+    running sum of new-island flags — no self-join, no explosion.
+    Interval arithmetic is integer (caller supplies epoch-micro
+    longs), so the oracle comparison is exact.
+
+    Returns ``key_col, island (long), s, e, n_merged`` — one row per
+    merged interval.
+    """
+    order = [F.asc(start_col), F.asc(end_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # running max of END over all PRIOR rows (exclude current)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_island = intervals.withColumn(
+        "island", F.sum(new_island).over(run).cast("long")
+    )
+    return with_island.groupBy(key_col, "island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    )

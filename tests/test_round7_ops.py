@@ -226,3 +226,23 @@ def test_kcore_peel_known_structure(spark):
     # one round only: just the leaf (7) peels, the chain tail survives
     one = {r["node"] for r in kcore_peel(df, k=2, rounds=1).collect()}
     assert one == {1, 2, 3, 4, 5, 6}
+
+
+def test_interval_merge_contained_and_touching(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import interval_merge
+
+    rows = [
+        # key "a": [0,10] contains [2,3]; [10,20] touches at the
+        # boundary (start == prev end -> merges, the island test is
+        # strict >); [25,30] stands alone
+        ("a", 0, 10), ("a", 2, 3), ("a", 10, 20), ("a", 25, 30),
+        # key "b": containment where a naive lag(e) would split:
+        # [0,100] then [1,2] then [3,4] — all one island
+        ("b", 0, 100), ("b", 1, 2), ("b", 3, 4),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "s", "e"])
+    out = {(r["user_id"], r["island"]): r for r in interval_merge(df).collect()}
+    a = sorted((k[1], v["s"], v["e"], v["n_merged"]) for k, v in out.items() if k[0] == "a")
+    assert a == [(1, 0, 20, 3), (2, 25, 30, 1)]
+    b = sorted((k[1], v["s"], v["e"], v["n_merged"]) for k, v in out.items() if k[0] == "b")
+    assert b == [(1, 0, 100, 3)]
