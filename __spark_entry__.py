@@ -530,6 +530,50 @@ def _q_lang_confusion(spark, sf):
     )
 
 
+def _q_quality_gate(spark, sf):
+    """Composite keep/drop filter verdict (length + quality +
+    repetition + entropy thresholds) with auditable reasons — the one
+    gate a pretraining pipeline actually applies."""
+    return textstats.quality_gate(scan(spark, sf, "documents"))
+
+
+def _q_pii_report(spark, sf):
+    """Per-source PII/link exposure: doc and match counts for emails
+    and URLs (emails counted on URL-scrubbed text, like scrub_text)."""
+    return textstats.pii_report(scan(spark, sf, "documents"))
+
+
+def _q_mixture_weights(spark, sf):
+    """Temperature-scaled (alpha=0.7) multinomial sampling weights per
+    source — the up-sampling factors for a balanced pretraining mix."""
+    return corpus.mixture_weights(scan(spark, sf, "documents"), alpha=0.7)
+
+
+def _q_split_leakage(spark, sf):
+    """Eval-integrity audit: LSH near-dup pairs crossing the
+    train/val/test boundary, counted per canonical split pair."""
+    return corpus.split_leakage_report(scan(spark, sf, "documents"))
+
+
+def _q_winsorize(spark, sf):
+    """Per-event-type percentile clamp (p05/p95 winsorization) of the
+    event value — robust outlier treatment before metric aggregation."""
+    ev = scan(spark, sf, "events")
+    return relational.winsorize(
+        ev, "value", ["event_type"], lower=0.05, upper=0.95, id_cols=["event_id"]
+    )
+
+
+def _q_graph_label_prop(spark, sf):
+    """Fixed-round deterministic label propagation over the SimHash
+    near-dup graph — community structure one level finer than
+    connected components."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import label_propagation
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return label_propagation(pairs.select("doc_a", "doc_b"), rounds=3)
+
+
 # ---- dedup ----
 
 def _q_dedup_exact(spark, sf):
@@ -2614,6 +2658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_filter": _q_length_filter,
         "pack_sequences": _q_pack_sequences,
         "mixture_report": _q_mixture_report,
+        "mixture_weights": _q_mixture_weights,
+        "quality_gate": _q_quality_gate,
+        "pii_report": _q_pii_report,
+        "split_leakage": _q_split_leakage,
+        "winsorize": _q_winsorize,
         "lang_confusion": _q_lang_confusion,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -2745,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
+        "graph_label_prop": _q_graph_label_prop,
         "interval_merge": _q_interval_merge,
         "dedup_rep_pagerank": _q_dedup_rep_pagerank,
         "approx_distinct": _q_approx_distinct,
@@ -2892,6 +2942,24 @@ def oracle_sql() -> dict[str, str]:
         )
         _kc_prev = f"ke{_r}"
     kcore_ctes = ",\n            ".join(_kc_parts)
+
+    # label propagation: 3 fixed synchronous rounds UNROLLED (mirrors
+    # graph.label_propagation: neighbor-label vote groupBy + argmax
+    # with (count desc, label asc) tie-break per round)
+    _lp_parts = ["l0 AS (SELECT DISTINCT s AS node, s AS label FROM le)"]
+    _lp_prev = "l0"
+    for _r in range(1, 4):
+        _lp_parts.append(
+            f"v{_r} AS (SELECT e.s, l.label, count(*) AS c "
+            f"FROM le e JOIN {_lp_prev} l ON l.node = e.d GROUP BY 1, 2)"
+        )
+        _lp_parts.append(
+            f"l{_r} AS (SELECT s AS node, label FROM ("
+            f"SELECT s, label, row_number() OVER (PARTITION BY s ORDER BY c DESC, label ASC) AS rn "
+            f"FROM v{_r}) WHERE rn = 1)"
+        )
+        _lp_prev = f"l{_r}"
+    labelprop_ctes = ",\n            ".join(_lp_parts)
 
     # PageRank: power iteration UNROLLED into r0..r5 CTEs (integer
     # micro-unit arithmetic mirrors graph.pagerank exactly — floor
@@ -3406,6 +3474,113 @@ def oracle_sql() -> dict[str, str]:
                    round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
                    round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
             FROM agg
+        """,
+        "mixture_weights": f"""
+            WITH agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({_TOK_LOWER})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1),
+            s AS (SELECT *, n_tokens * 1.0 / sum(n_tokens) OVER () AS p FROM agg),
+            w AS (SELECT *, CAST(round(pow(p, 0.7) * 1e9) AS BIGINT) AS wn FROM s)
+            SELECT source, n_docs, n_tokens,
+                   round(p, 6) AS token_share,
+                   round(wn * 1.0 / sum(wn) OVER (), 6) AS weight,
+                   round((wn * 1.0 / sum(wn) OVER ()) / p, 6) AS boost
+            FROM w
+        """,
+        "quality_gate": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOK_LOWER} AS tk,
+                     length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
+                     length(text) AS chars
+              FROM documents),
+            shing AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+              FROM base),
+            perrow AS (
+              SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(b.tk) > 0 AND b.chars > 0 THEN
+                       round(least(1.0,
+                         len(list_filter(b.tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(b.tk) * 2
+                         + (1.0 - (b.chars - b.letters) * 1.0 / b.chars) * 0.5), 6)
+                     END AS q,
+                     CASE WHEN len(s.sh) > 0
+                          THEN round(1 - len(list_distinct(s.sh)) / CAST(len(s.sh) AS DOUBLE), 6)
+                     END AS rep
+              FROM base b JOIN shing s ON s.doc_id = b.doc_id),
+            counts AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(tk) AS t FROM base)
+              GROUP BY 1, 2),
+            ent AS (
+              SELECT doc_id,
+                     round(log2(sum(cnt))
+                           - sum(CAST(round(cnt * log2(cnt) * 1e6) AS BIGINT))
+                             / 1e6 / sum(cnt), 6) AS ent
+              FROM counts GROUP BY doc_id),
+            gated AS (
+              SELECT p.doc_id, p.n_tokens,
+                     concat_ws(',',
+                       CASE WHEN p.n_tokens < 10 THEN 'too_short' END,
+                       CASE WHEN p.q < 0.5 THEN 'low_quality' END,
+                       CASE WHEN p.rep > 0.3 THEN 'repetitive' END,
+                       CASE WHEN e.ent < 2.0 THEN 'low_entropy' END) AS reasons
+              FROM perrow p LEFT JOIN ent e ON e.doc_id = p.doc_id)
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS INTEGER) AS passed,
+                   CASE WHEN reasons = '' THEN 'ok' ELSE reasons END AS reasons
+            FROM gated
+        """,
+        "pii_report": """
+            WITH p AS (
+              SELECT source,
+                     len(regexp_extract_all(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+                     len(regexp_extract_all(text, 'https?://[^\\s]+')) AS nu
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_email,
+                   CAST(sum(ne) AS BIGINT) AS n_emails,
+                   CAST(sum(CASE WHEN nu > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_url,
+                   CAST(sum(nu) AS BIGINT) AS n_urls
+            FROM p GROUP BY source
+        """,
+        "split_leakage": f"""
+            {_SHINGLES_LOWER},
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+            ),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                          WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT least(sa.split, sb.split) AS split_a,
+                   greatest(sa.split, sb.split) AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs p
+            JOIN sp sa ON sa.doc_id = p.doc_a
+            JOIN sp sb ON sb.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
+        "winsorize": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   round(e.value, 6) AS value,
+                   round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+            FROM events e JOIN b USING (event_type)
         """,
         "lang_confusion": """
             WITH base AS (SELECT doc_id, {TOKL} AS tk FROM documents),
@@ -3963,6 +4138,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, island, min(s) AS s, max(e) AS e,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM islands GROUP BY user_id, island
+        """,
+        "graph_label_prop": f"""
+            {simhash_pairs_ctes},
+            le AS (
+              SELECT doc_a AS s, doc_b AS d FROM cand WHERE doc_a <> doc_b
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM cand WHERE doc_a <> doc_b
+            ),
+            {labelprop_ctes}
+            SELECT node, CAST(label AS BIGINT) AS label FROM l3
         """,
         "graph_kcore": f"""
             {simhash_pairs_ctes},

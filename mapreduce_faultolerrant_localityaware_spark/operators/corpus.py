@@ -254,6 +254,52 @@ def mixture_report(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture re-weighting — the multinomial
+    sampling weights w_s ∝ p_s^alpha (p_s = source token share) that
+    multilingual/multi-domain pretraining uses to up-sample small
+    sources without letting any one source dominate (alpha=1 keeps the
+    natural mix, alpha→0 approaches uniform).
+
+    DETERMINISM: the normalizing sum runs over per-source INTEGER
+    nano-units (round(p^alpha·1e9) as BIGINT), because a double sum
+    over an unordered window is partial-order-sensitive; p_s itself is
+    a ratio of exact integer token counts, so the only doubles are one
+    pow per source row.
+
+    Scale shape: one map-side-combined groupBy(source) over the corpus
+    (|sources| rows out), then unpartitioned windows over that tiny
+    aggregate — same envelope as mixture_report.  Returns per source:
+    ``n_docs, n_tokens, token_share, weight, boost`` (boost =
+    weight/token_share, the relative over/under-sampling factor the
+    data loader applies)."""
+    from pyspark.sql import Window
+
+    agg = ensure_parallelism(docs).groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(text_col, lowercase=True))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    w_nano = F.round(F.pow(share, F.lit(alpha)) * 1e9).cast("long")
+    scored = agg.select(by, "n_docs", "n_tokens", share.alias("p"), w_nano.alias("wn"))
+    weight = F.col("wn") / F.sum("wn").over(w)
+    return scored.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / F.col("p"), 6).alias("boost"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     budget_tokens: int = 1500,
@@ -345,6 +391,49 @@ def split_assign(
         expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
     split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     return docs.select(F.col(key_col), bucket.alias("bucket"), split.alias("split"))
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple = (90, 5, 5),
+    names: tuple = ("train", "val", "test"),
+) -> DataFrame:
+    """Cross-split near-duplicate audit — the eval-integrity check a
+    training pipeline runs after splitting: MinHash-LSH candidate
+    pairs joined against the deterministic split assignment, counted
+    per (split, split) cell.  Off-diagonal cells are LEAKAGE — a val/
+    test doc that near-duplicates a train doc inflates eval scores;
+    the diagonal cells are ordinary intra-split redundancy.
+
+    Scale shape: the pair list is the existing bucketed LSH pipeline
+    (no all-pairs anywhere); the split side is a zero-shuffle md5
+    expression over (id), so the two id-equi-joins ship (id, split)
+    pairs only; the final groupBy outputs ≤ |splits|² rows.  Cells are
+    canonicalized (split_a ≤ split_b lexicographically) so the report
+    is orientation-independent.
+
+    Returns ``split_a, split_b, n_pairs``.
+    """
+    from .dedup import dedup_minhash_candidates
+
+    pairs = dedup_minhash_candidates(docs, text_col=text_col, id_col=id_col)
+    splits = split_assign(docs, weights=weights, names=names, key_col=id_col).select(
+        F.col(id_col), F.col("split")
+    )
+    j = (
+        pairs.join(splits.withColumnRenamed(id_col, "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(splits.withColumnRenamed(id_col, "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
 
 
 def tokens_to_ids(

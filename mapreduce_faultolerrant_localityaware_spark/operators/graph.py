@@ -648,6 +648,60 @@ def pagerank_resumable(
     )
 
 
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (community detection)
+    over an undirected pair list — the cheap community structure of
+    the near-dup graph, one granularity finer than connected
+    components (a giant star-expanded component splits into its dense
+    template clusters).
+
+    DETERMINISTIC by construction, which vanilla LPA is not: labels
+    init to the node id; each round every node adopts the most
+    frequent label among its NEIGHBORS (self excluded), ties broken by
+    the SMALLEST label; fixed ``rounds`` synchronous updates (the
+    pagerank/k-core discipline — both engines unroll the identical
+    computation, so a SQL oracle can pin every value).
+
+    Per round: ONE groupBy(node, neighbor-label) count with map-side
+    combine, then ONE groupBy(node) argmax via max(struct(count,
+    -label)) — shuffles carry (id, label, count) triples only; labels
+    are lineage-truncated per round (bounded plan depth).
+
+    Returns ``node, label`` for every node with at least one edge.
+    """
+    edges = _truncate_lineage(
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s"), F.col("label"))
+            .groupBy("s", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = _truncate_lineage(
+            votes.groupBy("s")
+            .agg(
+                (
+                    F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg")))["neg"] * -1
+                ).alias("label")
+            )
+            .select(F.col("s").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
 def kcore_peel(
     pairs: DataFrame,
     k: int = 2,

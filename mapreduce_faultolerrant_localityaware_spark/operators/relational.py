@@ -292,3 +292,41 @@ def merge_upsert(
         .agg(F.max("packed").alias("w"))
     )
     return merged.select(*[F.col(f"w.row.{c}").alias(c) for c in cols])
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group percentile clamping (winsorization) — the robust
+    outlier treatment a metrics/feature pipeline applies before
+    aggregation: values below the group's ``lower`` quantile rise to
+    it, values above ``upper`` drop to it.
+
+    Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), computed per group with ONE map-side
+    combinable aggregation over the group key — NOT a window over the
+    raw rows (a per-row percentile window re-sorts every partition).
+    The per-group bounds relation is |groups| rows, so Catalyst
+    broadcasts the join back onto the fact side: total cost is one
+    aggregate + one broadcast hash join, no fact-side shuffle.
+
+    Returns ``id_cols + group_cols`` with the original value and
+    ``value_w`` (both 6-dp rounded for cross-engine hash parity).
+    """
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("_lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("_hi"),
+    )
+    out = df.join(F.broadcast(bounds), list(group_cols))
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return out.select(
+        *id_cols,
+        *group_cols,
+        F.round(F.col(value_col), 6).alias(value_col),
+        F.round(clamped, 6).alias("value_w"),
+    )

@@ -199,6 +199,108 @@ def entropy_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    max_rep: float = 0.3,
+    min_entropy: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite keep/drop verdict — the single gate a pretraining
+    pipeline actually applies, combining the individual signals this
+    module computes: minimum length, heuristic prose quality,
+    3-gram repetition, and unigram entropy.  Every doc gets a row with
+    an auditable ``reasons`` string (fixed check order, comma-joined;
+    'ok' when all pass) — filters that silently drop rows are
+    undebuggable at corpus scale, so the gate REPORTS rather than
+    filters and the caller applies ``passed = 1``.
+
+    All threshold comparisons run on the 6-dp ROUNDED signal values —
+    the same values the per-signal queries publish — so the verdict is
+    bit-reproducible across engines (the oracle compares identically
+    rounded numbers, never raw doubles).
+
+    Scale shape: the per-row signals (length, quality, repetition) are
+    one codegen'd projection over the scan; entropy is the existing
+    explode → two-groupBy aggregation; one doc_id equi-join marries
+    them.  Nothing corpus-global, no windows, no pair space.
+    """
+    tk = tokens(text_col, lowercase=True)
+    n_tok = F.size(tk)
+    letters = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}]", ""))
+    sw = stopword_hits(tk, EN_STOPWORDS)
+    quality = F.when(
+        (n_tok > 0) & (F.length(text_col) > 0),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                sw / n_tok * 2
+                + (F.lit(1.0) - (F.length(text_col) - letters) / F.length(text_col)) * 0.5,
+            ),
+            6,
+        ),
+    )
+    from ..functions.text import shingles as _shingles
+
+    sh = _shingles(tk, 3)
+    rep = F.when(
+        F.size(sh) > 0,
+        F.round(1 - F.size(F.array_distinct(sh)) / F.size(sh).cast("double"), 6),
+    )
+    per_row = ensure_parallelism(docs).select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("q"),
+        rep.alias("rep"),
+    )
+    ent = entropy_score(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("entropy").alias("ent")
+    )
+    j = per_row.join(ent, id_col, "left")
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+        F.when(F.col("q") < min_quality, F.lit("low_quality")),
+        F.when(F.col("rep") > max_rep, F.lit("repetitive")),
+        F.when(F.col("ent") < min_entropy, F.lit("low_entropy")),
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (reasons == "").cast("int").alias("passed"),
+        F.when(reasons == "", F.lit("ok")).otherwise(reasons).alias("reasons"),
+    )
+
+
+def pii_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-source PII/link exposure audit — the aggregate view of
+    scrub_text's per-doc counts: how many documents in each source
+    carry emails/URLs and the total match counts.  The triage report
+    that decides which sources need the (expensive) scrubbing pass at
+    all.  Email counting runs on URL-scrubbed text exactly like
+    scrub_text, so the two surfaces always agree.
+
+    Scale shape: per-row regex counts fold into ONE map-side-combined
+    groupBy(source) — a |sources|-row output at any corpus size."""
+    url_scrubbed = F.regexp_replace(F.col(text_col), URL_RE, "<URL>")
+    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+    n_emails = F.size(F.regexp_extract_all(url_scrubbed, F.lit(EMAIL_RE), 0))
+    per_row = ensure_parallelism(docs).select(
+        F.col("source"),
+        n_emails.cast("long").alias("ne"),
+        n_urls.cast("long").alias("nu"),
+    )
+    return per_row.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("ne") > 0).cast("long")).alias("n_docs_email"),
+        F.sum("ne").alias("n_emails"),
+        F.sum((F.col("nu") > 0).cast("long")).alias("n_docs_url"),
+        F.sum("nu").alias("n_urls"),
+    )
+
+
 def ngram_coverage(
     docs: DataFrame,
     n: int = 8,
