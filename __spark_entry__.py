@@ -530,6 +530,21 @@ def _q_lang_confusion(spark, sf):
     )
 
 
+def _q_sentence_stats(spark, sf):
+    """Per-doc sentence segmentation stats (structural prose signal) —
+    in-row array expressions, zero shuffle."""
+    return textstats.sentence_stats(scan(spark, sf, "documents"))
+
+
+def _q_heavy_hitters(spark, sf):
+    """Bounded-memory frequent-token sketch (Misra-Gries mergeable
+    summaries): ≤k counters per partition, O(partitions·k) shuffle.
+    Counter state depends on partition layout, so rows-only in the
+    oracle gate; the pytest asserts the MG guarantee (every token with
+    true freq above the undercount bound is present, lb ≤ true)."""
+    return corpus.heavy_hitters(scan(spark, sf, "documents"), k=50)
+
+
 def _q_quality_gate(spark, sf):
     """Composite keep/drop filter verdict (length + quality +
     repetition + entropy thresholds) with auditable reasons — the one
@@ -2659,6 +2674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mixture_report": _q_mixture_report,
         "mixture_weights": _q_mixture_weights,
+        "sentence_stats": _q_sentence_stats,
+        "heavy_hitters": _q_heavy_hitters,
         "quality_gate": _q_quality_gate,
         "pii_report": _q_pii_report,
         "split_leakage": _q_split_leakage,
@@ -3532,6 +3549,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS INTEGER) AS passed,
                    CASE WHEN reasons = '' THEN 'ok' ELSE reasons END AS reasons
             FROM gated
+        """,
+        "sentence_stats": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[.!?]+'), x -> trim(x) <> '') AS sents
+              FROM documents),
+            wp AS (
+              SELECT doc_id, sents,
+                     list_transform(sents,
+                       x -> len(list_filter(regexp_split_to_array(trim(x), '\\s+'), t -> t <> ''))) AS words_per
+              FROM s)
+            SELECT doc_id,
+                   CAST(len(sents) AS BIGINT) AS n_sentences,
+                   CASE WHEN len(sents) > 0
+                        THEN round(list_sum(words_per) * 1.0 / len(sents), 6) END
+                     AS mean_sentence_words,
+                   CAST(CASE WHEN len(sents) > 0 THEN list_max(words_per) END AS BIGINT)
+                     AS max_sentence_words
+            FROM wp
         """,
         "pii_report": """
             WITH p AS (

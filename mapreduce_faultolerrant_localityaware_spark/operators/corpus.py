@@ -992,3 +992,55 @@ def bpe_encode(
         "n_subwords",
         F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
     )
+
+
+def heavy_hitters(docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Frequent-token estimation in BOUNDED memory — the Misra-Gries /
+    mergeable-summary sketch (Agarwal et al., "Mergeable Summaries",
+    PODS'12): each partition maintains at most ``k`` counters; when a
+    batch would overflow, every counter drops by the (k+1)-th largest
+    value and non-positive counters evict.  The per-partition
+    summaries merge with ONE tiny groupBy (≤ k rows per partition,
+    never the token stream), so at 100 TB the shuffle carries
+    O(partitions·k) rows where exact counting (vocab_top_tokens)
+    shuffles the whole vocabulary.
+
+    Counts are LOWER bounds with total undercount ≤ N_partition/(k+1)
+    per partition — every token with true frequency above Σ N_p/(k+1)
+    is GUARANTEED present (pytest-asserted; like the other sketches
+    this is rows-only in the oracle gate, since counter state depends
+    on partition layout).
+
+    The sketch runs in vectorized pandas over Arrow batches
+    (value_counts + indexed subtraction — no per-row Python), the same
+    Arrow-only discipline as the multimodal operators.
+
+    Returns ``rank, token, est_count`` for the top ``k`` surviving
+    tokens (rank by est_count desc, token asc).
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.explode(tokens(text_col, lowercase=True)).alias("token")
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            acc = acc.add(vc, fill_value=0) if len(acc) else vc.astype("int64")
+            if len(acc) > k:
+                thresh = acc.nlargest(k + 1).iloc[-1]
+                acc = acc[acc > thresh] - thresh
+        yield pd.DataFrame({"token": acc.index.astype(str), "lb": acc.astype("int64").values})
+
+    summaries = toks.mapInPandas(mg, schema="token string, lb bigint")
+    merged = summaries.groupBy("token").agg(F.sum("lb").alias("est_count"))
+    w = Window.partitionBy().orderBy(F.col("est_count").desc(), F.col("token").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", F.col("est_count").cast("long").alias("est_count"))
+    )

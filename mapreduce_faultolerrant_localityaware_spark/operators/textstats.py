@@ -199,6 +199,32 @@ def entropy_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def sentence_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc sentence segmentation stats — the structural quality
+    signal (docs with no sentence boundaries, or absurdly long/short
+    sentences, are lists/tables/logs, not prose).  Split on [.!?]+
+    runs, drop whitespace-only segments, count words per sentence —
+    all in-row array expressions on the codegen path, zero shuffle.
+
+    Returns ``doc_id, n_sentences, mean_sentence_words,
+    max_sentence_words`` (mean/max NULL for docs with no sentence)."""
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s) != F.lit("")
+    )
+    words_per = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"), lambda t: t != F.lit(""))),
+    )
+    n_sent = F.size(sents)
+    total_words = F.aggregate(words_per, F.lit(0), lambda a, x: a + x)
+    return docs.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        F.when(n_sent > 0, F.round(total_words / n_sent, 6)).alias("mean_sentence_words"),
+        F.when(n_sent > 0, F.array_max(words_per)).cast("long").alias("max_sentence_words"),
+    )
+
+
 def quality_gate(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -32,6 +32,9 @@ NO_ORACLE = {
     "bpe_train",
     # depends on the iterative trainer's rules; reference pytest
     "bpe_encode",
+    # Misra-Gries counters depend on partition layout; the MG
+    # guarantee is pytest-asserted instead
+    "heavy_hitters",
 }
 
 

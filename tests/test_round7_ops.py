@@ -353,3 +353,48 @@ def test_split_leakage_canonical_cells(spark):
     out = {(r["split_a"], r["split_b"]): r["n_pairs"]
            for r in corpus.split_leakage_report(df).collect()}
     assert out == {("train", "val"): 1}
+
+
+def test_sentence_stats_basic(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    rows = [
+        (1, "One two three. Four five! Six?"),
+        (2, "no terminator here at all"),
+        (3, "..."),
+        (4, "Word."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.sentence_stats(df).collect()}
+    assert out[1]["n_sentences"] == 3 and out[1]["mean_sentence_words"] == 2.0
+    assert out[1]["max_sentence_words"] == 3
+    assert out[2]["n_sentences"] == 1 and out[2]["mean_sentence_words"] == 5.0
+    assert out[3]["n_sentences"] == 0 and out[3]["mean_sentence_words"] is None
+    assert out[4]["n_sentences"] == 1 and out[4]["max_sentence_words"] == 1
+
+
+def test_heavy_hitters_mg_guarantee(spark):
+    """Misra-Gries contract on a skewed stream: every token whose true
+    frequency exceeds the total undercount bound survives, with
+    est_count a lower bound on (and within bound of) the truth."""
+    from collections import Counter
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    words = []
+    for i in range(40):  # 40 rare tokens x 5
+        words += [f"rare{i}"] * 5
+    words += ["alpha"] * 400 + ["beta"] * 300 + ["gamma"] * 200
+    docs = [(i, " ".join(words[i::10])) for i in range(10)]  # interleave across docs
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    k = 10
+    out = {r["token"]: r["est_count"] for r in corpus.heavy_hitters(df, k=k).collect()}
+    truth = Counter(words)
+    # per-partition undercount <= N_p/(k+1); summed bound over all partitions
+    bound = sum(truth.values()) / (k + 1)
+    for tok in ("alpha", "beta", "gamma"):
+        assert truth[tok] > bound
+        assert tok in out, f"{tok} (freq {truth[tok]}) missing; bound {bound}"
+        assert out[tok] <= truth[tok]
+        assert truth[tok] - out[tok] <= bound
+    assert len(out) <= k
