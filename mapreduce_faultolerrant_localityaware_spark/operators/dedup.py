@@ -119,7 +119,16 @@ def dedup_minhash_candidates(
 
     Output: (doc_a, doc_b) distinct, a < b.
     """
-    bands = minhash_bands(minhash_signatures(docs, text_col, id_col), id_col)
+    sig = minhash_signatures(docs, text_col, id_col)
+    return _lsh_pairs(sig, id_col, max_bucket_allpairs)
+
+
+def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket_allpairs: int) -> DataFrame:
+    """signature frame → candidate pairs: the banding + bucket-expand
+    tail of dedup_minhash_candidates, shared with compositions that
+    build signatures from an already-materialized shingle relation
+    (dedup_pipeline's single-pass prefix)."""
+    bands = minhash_bands(sig, id_col)
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -555,11 +564,42 @@ def dedup_pipeline(
     """
     from .graph import connected_components
 
-    cand = dedup_minhash_candidates(docs, text_col, id_col, max_bucket_allpairs)
-    sh_sets = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.array_distinct(shingles(tokens(text_col, lowercase=True), n)).alias("shs"),
+    # ONE corpus pass for BOTH the signature and the verify stages
+    # (the composition used to tokenize the corpus three times: once
+    # for minhash and once per verify join side).  Per-doc DISTINCT
+    # shingles digest to md5 in the scan projection — the digest is
+    # simultaneously the minhash hash source (h1/h2 are substrings of
+    # it, exactly as minhash_signatures computes them) and the
+    # verify-set element (set intersection on digests has identical
+    # cardinality to intersection on raw shingles) — and the
+    # (id, digest) relation repartitions by id ONCE so the signature
+    # aggregation and the verify-set rebuild sit on the SAME exchange
+    # (ReuseExchange; the ngram_coverage pattern, including the
+    # isNotNull pre-seed that keeps the join branch's subplan
+    # identical).  Exchanges downstream carry digests and ids only,
+    # never text.
+    sh = (
+        ensure_parallelism(docs)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(tokens(text_col, lowercase=True), n))
+            ).alias("shingle"),
+        )
+        .select(F.col(id_col), F.md5("shingle").alias("dg"))
+        .repartition(id_col)
     )
+    h1 = F.conv(F.substring("dg", 1, 15), 16, 10).cast("long") % MINHASH_MOD
+    h2 = F.conv(F.substring("dg", 16, 15), 16, 10).cast("long") % MINHASH_MOD
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min((h1 + F.lit(i + 1) * h2) % MINHASH_MOD).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    cand = _lsh_pairs(sig, id_col, max_bucket_allpairs)
+    sh_sets = sh.groupBy(id_col).agg(F.collect_set("dg").alias("shs"))
     j = (
         cand.join(sh_sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sh_a")), "doc_a")
         .join(sh_sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sh_b")), "doc_b")
