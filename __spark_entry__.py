@@ -762,6 +762,25 @@ def _q_ann_bruteforce(spark, sf):
     return similarity.ann_bruteforce(emb, queries_df, k=5)
 
 
+def _q_ann_filtered(spark, sf):
+    """Filtered vector search — PRE-filter semantics: the metadata
+    predicate (label % 2 = 0) prunes the corpus BEFORE scoring, so
+    top-k is exact over the filtered set (post-filtering a k-list can
+    return < k survivors).  Composition of the existing exact search
+    over a filtered scan; the predicate pushes down to parquet."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("label") % 2 == 0)
+    return similarity.ann_bruteforce(corpus, queries_df, k=5)
+
+
+def _q_embedding_outliers(spark, sf):
+    """Per-label centroid-distance outliers (top-5 farthest per class)
+    — embedding-space mislabel/off-distribution detection with
+    integer-micro deterministic centroids."""
+    return similarity.embedding_outliers(scan(spark, sf, "embeddings"), k=5)
+
+
 def _q_ann_recall_report(spark, sf):
     """Recall@5 of the IVF index vs exact brute force per query."""
     emb = scan(spark, sf, "embeddings")
@@ -2702,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
+        "ann_filtered": _q_ann_filtered,
+        "embedding_outliers": _q_embedding_outliers,
         "ann_hard_negatives": _q_ann_hard_negatives,
         "ann_recall_report": _q_ann_recall_report,
         "ann_ivf": _q_ann_ivf,
@@ -4296,6 +4317,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN e ea ON ea.vec_id = vec_a
             JOIN e eb ON eb.vec_id = vec_b
             WHERE {_COS.format(a='ea.v', b='eb.v')} >= 0.3
+        """,
+        "ann_filtered": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+            c AS (SELECT * FROM e WHERE label % 2 = 0),
+            scored AS (
+              SELECT query_id, c.vec_id AS neighbor_id,
+                     {_COS.format(a='qv', b='c.v')} AS cos_sim
+              FROM c CROSS JOIN q WHERE c.vec_id <> query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+        """,
+        "embedding_outliers": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            comps AS (
+              SELECT label, i AS pos,
+                     sum(CAST(round(v[i] * 1e6) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM e, unnest(generate_series(1, len(v))) AS t(i)
+              GROUP BY 1, 2),
+            cent AS (
+              SELECT label, list(s / 1e6 / n ORDER BY pos) AS cv
+              FROM comps GROUP BY label),
+            scored AS (
+              SELECT e.label, e.vec_id,
+                     round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                           i -> (v[i] - cv[i]) * (v[i] - cv[i])))), 6) AS dist
+              FROM e JOIN cent USING (label)),
+            ranked AS (
+              SELECT label, vec_id, dist,
+                     CAST(row_number() OVER (PARTITION BY label
+                          ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rk
+              FROM scored)
+            SELECT label, vec_id, dist, rk FROM ranked WHERE rk <= 5
         """,
         "ann_bruteforce": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

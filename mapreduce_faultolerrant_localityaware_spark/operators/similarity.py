@@ -944,3 +944,62 @@ def embedding_dim_stats(
         F.round(F.col("z.lo") / 1e6, 6).alias("vmin"),
         F.round(F.col("z.hi") / 1e6, 6).alias("vmax"),
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier detection: per label, the ``k`` vectors
+    farthest (L2) from their class centroid — mislabeled or off-
+    distribution examples, the embedding-side analog of quality_gate.
+
+    DETERMINISTIC centroids: per-dimension component sums accumulate
+    as integer micro-units (round(x·1e6) as BIGINT — double sums are
+    partial-order-sensitive under Spark's aggregation, integer sums
+    are exact), means derive from the exact integers, and the per-row
+    distance is a fixed-order in-row fold — so output hashes match a
+    SQL oracle bit-for-bit (the text_entropy/pagerank discipline).
+
+    Scale shape: centroids are ONE posexplode → groupBy(label, dim)
+    pass, partial-agged map-side, |labels|·d rows out; they reassemble
+    to arrays and BROADCAST-join back onto the corpus (no fact-side
+    shuffle); the final top-k is a window over each label partition.
+
+    Returns ``label, vec_id, dist, rk`` (dist 6-dp rounded).
+    """
+    v = _prep(emb, id_col, vec_col, extra=[label_col])
+    comps = (
+        v.select(label_col, F.posexplode("v").alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 1e6).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = (
+        comps.select(
+            label_col, "pos", (F.col("s") / 1e6 / F.col("n")).alias("c")
+        )
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(label_col, F.transform("pc", lambda x: x["c"]).alias("cv"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = v.join(F.broadcast(cent), label_col).select(
+        label_col, F.col(id_col), F.round(dist, 6).alias("dist")
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -398,3 +398,36 @@ def test_heavy_hitters_mg_guarantee(spark):
         assert out[tok] <= truth[tok]
         assert truth[tok] - out[tok] <= bound
     assert len(out) <= k
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    """A planted far-away vector must rank as its label's #1 outlier;
+    centroids are exact integer-micro means."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [(i, [1.0, 1.0], 0) for i in range(4)] + [(9, [100.0, -50.0], 0)] + [
+        (20, [0.0, 1.0], 1), (21, [0.0, 1.0], 1)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = embedding_outliers(df, k=2).collect()
+    top0 = [r for r in out if r["label"] == 0 and r["rk"] == 1][0]
+    assert top0["vec_id"] == 9
+    # symmetric label-1 pair: both at distance 0 from their centroid
+    l1 = {r["vec_id"]: r["dist"] for r in out if r["label"] == 1}
+    assert l1 == {20: 0.0, 21: 0.0}
+
+
+def test_ann_filtered_prefilter_semantics(spark):
+    """Pre-filtering prunes the corpus BEFORE top-k: every neighbor
+    satisfies the predicate and k survivors are still returned."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.similarity import ann_bruteforce
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = ann_bruteforce(df.filter(F.col("label") == 1), q, k=3).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] % 2 == 1 for r in out)
