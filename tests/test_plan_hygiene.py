@@ -29,6 +29,9 @@ from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 #: a Subquery node does, now visible as a 1-row BNLJ; ann_pq broadcasts
 #: the query side against a `!=` predicate like ann_bruteforce/ann_sq8)
 BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted",
+           # ann_filtered is ann_bruteforce over a filtered corpus —
+           # the same intended broadcast theta join (k-row query side)
+           "ann_filtered",
            "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8",
            "length_filter", "scalar_subquery", "tpch_q11", "tpch_q22", "ann_pq",
            # round 6: hard-negative mining broadcasts the query side
