@@ -68,6 +68,9 @@ HEADLINE = [
     "dedup_incremental_fuzzy",
     "ngram_coverage",
     "shard_assign",
+    "quality_gate",
+    "split_leakage",
+    "embedding_outliers",
 ]
 
 
