@@ -3523,7 +3523,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens,
                    round(p, 6) AS token_share,
                    round(wn * 1.0 / sum(wn) OVER (), 6) AS weight,
-                   round((wn * 1.0 / sum(wn) OVER ()) / p, 6) AS boost
+                   CASE WHEN p > 0
+                        THEN round((wn * 1.0 / sum(wn) OVER ()) / p, 6) END AS boost
             FROM w
         """,
         "quality_gate": f"""
@@ -3533,21 +3534,24 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS chars
               FROM documents),
             shing AS (
-              SELECT doc_id,
+              -- chained projection, NOT a doc_id self-join: a join
+              -- would drop NULL-id rows the Spark side keeps
+              SELECT doc_id, tk, letters, chars,
                      list_transform(generate_series(1, greatest(len(tk)-2, 0)),
                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
               FROM base),
             perrow AS (
-              SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
-                     CASE WHEN len(b.tk) > 0 AND b.chars > 0 THEN
+              SELECT doc_id,
+                     coalesce(CAST(len(tk) AS BIGINT), 0) AS n_tokens,
+                     CASE WHEN len(tk) > 0 AND chars > 0 THEN
                        round(least(1.0,
-                         len(list_filter(b.tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(b.tk) * 2
-                         + (1.0 - (b.chars - b.letters) * 1.0 / b.chars) * 0.5), 6)
+                         len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
+                         + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6)
                      END AS q,
-                     CASE WHEN len(s.sh) > 0
-                          THEN round(1 - len(list_distinct(s.sh)) / CAST(len(s.sh) AS DOUBLE), 6)
+                     CASE WHEN len(sh) > 0
+                          THEN round(1 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE), 6)
                      END AS rep
-              FROM base b JOIN shing s ON s.doc_id = b.doc_id),
+              FROM shing),
             counts AS (
               SELECT doc_id, t AS token, count(*) AS cnt
               FROM (SELECT doc_id, unnest(tk) AS t FROM base)
@@ -3636,8 +3640,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1)
             SELECT e.event_id, e.event_type,
                    round(e.value, 6) AS value,
-                   round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
-            FROM events e JOIN b USING (event_type)
+                   CASE WHEN e.value IS NOT NULL
+                        THEN round(least(greatest(e.value, b.lo), b.hi), 6)
+                   END AS value_w
+            FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
         """,
         "lang_confusion": """
             WITH base AS (SELECT doc_id, {TOKL} AS tk FROM documents),

@@ -296,7 +296,9 @@ def mixture_weights(
         "n_tokens",
         F.round("p", 6).alias("token_share"),
         F.round(weight, 6).alias("weight"),
-        F.round(weight / F.col("p"), 6).alias("boost"),
+        # a zero-token source has p = 0 (and weight 0): emit NULL
+        # boost explicitly rather than relying on engine 0/0 semantics
+        F.when(F.col("p") > 0, F.round(weight / F.col("p"), 6)).alias("boost"),
     )
 
 

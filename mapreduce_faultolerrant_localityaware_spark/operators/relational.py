@@ -315,18 +315,36 @@ def winsorize(
     broadcasts the join back onto the fact side: total cost is one
     aggregate + one broadcast hash join, no fact-side shuffle.
 
+    NULL handling: a NULL value stays NULL (least/greatest would
+    otherwise silently substitute the lower bound for an unknown
+    input), and NULL group keys join null-safely so no input row is
+    ever dropped — a per-row value transform must preserve row count.
+
     Returns ``id_cols + group_cols`` with the original value and
     ``value_w`` (both 6-dp rounded for cross-engine hash parity).
     """
+    from functools import reduce
+
     bounds = df.groupBy(*group_cols).agg(
         F.percentile(F.col(value_col), F.lit(lower)).alias("_lo"),
         F.percentile(F.col(value_col), F.lit(upper)).alias("_hi"),
     )
-    out = df.join(F.broadcast(bounds), list(group_cols))
-    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    # bounds derives from df, so the join is a self-join lineage-wise:
+    # alias both sides and use qualified refs throughout
+    f, b = df.alias("_f"), bounds.alias("_b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"_f.{c}").eqNullSafe(F.col(f"_b.{c}")) for c in group_cols],
+    )
+    out = f.join(F.broadcast(b), cond)
+    val = F.col(f"_f.{value_col}")
+    clamped = F.when(
+        val.isNotNull(),
+        F.least(F.greatest(val, F.col("_b._lo")), F.col("_b._hi")),
+    )
     return out.select(
-        *id_cols,
-        *group_cols,
-        F.round(F.col(value_col), 6).alias(value_col),
+        *[F.col(f"_f.{c}") for c in id_cols],
+        *[F.col(f"_f.{c}").alias(c) for c in group_cols],
+        F.round(val, 6).alias(value_col),
         F.round(clamped, 6).alias("value_w"),
     )

@@ -60,20 +60,39 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _composite_quality(text_col: str):
+    """The composite prose-quality expression (UNROUNDED) shared by
+    quality_score (which publishes it) and quality_gate (which
+    thresholds it) — one definition so the gate provably thresholds
+    the exact quantity the signal query publishes."""
+    tk = tokens(text_col, lowercase=True)
+    n_tok = F.size(tk)
+    letters = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}]", ""))
+    sw = stopword_hits(tk, EN_STOPWORDS)
+    stop_ratio = sw / n_tok
+    nonletter_ratio = (F.length(text_col) - letters) / F.length(text_col)
+    score = F.least(F.lit(1.0), stop_ratio * 2 + (F.lit(1.0) - nonletter_ratio) * 0.5)
+    return n_tok, letters, stop_ratio, nonletter_ratio, score
+
+
+def _rep_ratio(text_col: str, n: int = 3):
+    """(n_shingles, unrounded 1 − distinct/total) word n-gram
+    repetition — shared by repetition_ratio and quality_gate."""
+    from ..functions.text import shingles as _shingles
+
+    sh = _shingles(tokens(text_col, lowercase=True), n)
+    n_total = F.size(sh)
+    return n_total, 1 - F.size(F.array_distinct(sh)) / n_total.cast("double")
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality signals: mean token length, stopword ratio,
     non-letter (punct/digit/space) char ratio, and a composite score.
     The composite mirrors the usual pretraining-filter shape (bounded
     0..1, higher = more prose-like).
     """
-    tk = tokens(text_col, lowercase=True)
-    n_tok = F.size(tk)
-    letters = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}]", ""))
-    sw = stopword_hits(tk, EN_STOPWORDS)
+    n_tok, letters, stop_ratio, nonletter_ratio, score = _composite_quality(text_col)
     mean_len = letters / n_tok
-    stop_ratio = sw / n_tok
-    nonletter_ratio = (F.length(text_col) - letters) / F.length(text_col)
-    score = F.least(F.lit(1.0), stop_ratio * 2 + (F.lit(1.0) - nonletter_ratio) * 0.5)
     return ensure_parallelism(docs).filter(n_tok > 0).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -105,6 +124,17 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 
 
+def _pii_counts(text_col: str):
+    """(url_scrubbed, n_emails, n_urls) expressions shared by
+    scrub_text and pii_report — ONE definition of the 'URLs first,
+    emails counted on URL-scrubbed text' attribution rule, so the
+    per-doc and per-source surfaces agree by construction."""
+    url_scrubbed = F.regexp_replace(F.col(text_col), URL_RE, "<URL>")
+    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+    n_emails = F.size(F.regexp_extract_all(url_scrubbed, F.lit(EMAIL_RE), 0))
+    return url_scrubbed, n_emails, n_urls
+
+
 def scrub_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """PII/link scrubbing — the redaction pass of a training-data
     pipeline: count and replace emails and URLs with placeholder
@@ -112,9 +142,7 @@ def scrub_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     replaced first and emails are COUNTED on the URL-scrubbed text,
     so an address-shaped substring inside a URL is attributed to the
     URL only — counts always agree with the replacements."""
-    url_scrubbed = F.regexp_replace(F.col(text_col), URL_RE, "<URL>")
-    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
-    n_emails = F.size(F.regexp_extract_all(url_scrubbed, F.lit(EMAIL_RE), 0))
+    url_scrubbed, n_emails, n_urls = _pii_counts(text_col)
     clean = F.regexp_replace(url_scrubbed, EMAIL_RE, "<EMAIL>")
     return docs.select(
         F.col(id_col),
@@ -136,15 +164,13 @@ def repetition_ratio(
     from ..functions.text import shingles as _shingles
 
     sh = _shingles(tokens(text_col, lowercase=True), n)
-    n_total = F.size(sh)
+    n_total, rep = _rep_ratio(text_col, n)
     n_distinct = F.size(F.array_distinct(sh))
     return docs.select(
         F.col(id_col),
         n_total.cast("long").alias("n_shingles"),
         n_distinct.cast("long").alias("n_distinct"),
-        F.when(n_total > 0, F.round(1 - n_distinct / n_total.cast("double"), 6)).alias(
-            "rep_ratio"
-        ),
+        F.when(n_total > 0, F.round(rep, 6)).alias("rep_ratio"),
     )
 
 
@@ -253,31 +279,16 @@ def quality_gate(
     explode → two-groupBy aggregation; one doc_id equi-join marries
     them.  Nothing corpus-global, no windows, no pair space.
     """
-    tk = tokens(text_col, lowercase=True)
-    n_tok = F.size(tk)
-    letters = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}]", ""))
-    sw = stopword_hits(tk, EN_STOPWORDS)
-    quality = F.when(
-        (n_tok > 0) & (F.length(text_col) > 0),
-        F.round(
-            F.least(
-                F.lit(1.0),
-                sw / n_tok * 2
-                + (F.lit(1.0) - (F.length(text_col) - letters) / F.length(text_col)) * 0.5,
-            ),
-            6,
-        ),
-    )
-    from ..functions.text import shingles as _shingles
-
-    sh = _shingles(tk, 3)
-    rep = F.when(
-        F.size(sh) > 0,
-        F.round(1 - F.size(F.array_distinct(sh)) / F.size(sh).cast("double"), 6),
-    )
+    n_tok, _letters, _sr, _nr, score = _composite_quality(text_col)
+    quality = F.when((n_tok > 0) & (F.length(text_col) > 0), F.round(score, 6))
+    n_sh, rep_raw = _rep_ratio(text_col, 3)
+    rep = F.when(n_sh > 0, F.round(rep_raw, 6))
     per_row = ensure_parallelism(docs).select(
         F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
+        # NULL text yields NULL n_tokens; coalesce to 0 so the gate
+        # FAILS unreadable docs as too_short instead of passing the
+        # exact rows it can say nothing about
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
         quality.alias("q"),
         rep.alias("rep"),
     )
@@ -306,13 +317,12 @@ def pii_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     carry emails/URLs and the total match counts.  The triage report
     that decides which sources need the (expensive) scrubbing pass at
     all.  Email counting runs on URL-scrubbed text exactly like
-    scrub_text, so the two surfaces always agree.
+    scrub_text (the shared _pii_counts expressions — agreement by
+    construction, not by parallel edits).
 
     Scale shape: per-row regex counts fold into ONE map-side-combined
     groupBy(source) — a |sources|-row output at any corpus size."""
-    url_scrubbed = F.regexp_replace(F.col(text_col), URL_RE, "<URL>")
-    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
-    n_emails = F.size(F.regexp_extract_all(url_scrubbed, F.lit(EMAIL_RE), 0))
+    _scrubbed, n_emails, n_urls = _pii_counts(text_col)
     per_row = ensure_parallelism(docs).select(
         F.col("source"),
         n_emails.cast("long").alias("ne"),

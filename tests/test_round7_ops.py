@@ -381,9 +381,14 @@ def test_heavy_hitters_mg_guarantee(spark):
 
     from mapreduce_faultolerrant_localityaware_spark.operators import corpus
 
+    import string
+
     words = []
-    for i in range(40):  # 40 rare tokens x 5
-        words += [f"rare{i}"] * 5
+    # 40 DISTINCT rare letter-only tokens x 5 (the tokenizer splits on
+    # non-letters, so digit suffixes would collapse to one token)
+    for a in string.ascii_lowercase[:8]:
+        for b in string.ascii_lowercase[:5]:
+            words += [f"rare{a}{b}"] * 5
     words += ["alpha"] * 400 + ["beta"] * 300 + ["gamma"] * 200
     docs = [(i, " ".join(words[i::10])) for i in range(10)]  # interleave across docs
     df = spark.createDataFrame(docs, ["doc_id", "text"])
@@ -431,3 +436,42 @@ def test_ann_filtered_prefilter_semantics(spark):
     out = ann_bruteforce(df.filter(F.col("label") == 1), q, k=3).collect()
     assert len(out) == 3
     assert all(r["neighbor_id"] % 2 == 1 for r in out)
+
+
+def test_quality_gate_null_text_fails_too_short(spark):
+    """A NULL/unreadable doc must FAIL the gate (review finding: every
+    threshold on NULL is null, so it used to pass as 'ok')."""
+    from pyspark.sql import types as T
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, "")], schema)
+    out = {r["doc_id"]: r for r in textstats.quality_gate(df).collect()}
+    for i in (1, 2):
+        assert out[i]["passed"] == 0
+        assert out[i]["reasons"] == "too_short"
+        assert out[i]["n_tokens"] == 0
+
+
+def test_winsorize_null_value_and_null_group(spark):
+    """NULL values stay NULL (not clamped to the lower bound) and
+    NULL-group rows survive via the null-safe join."""
+    from pyspark.sql import types as T
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import winsorize
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", None), (4, None, 7.0), (5, None, 9.0)]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["event_id"]: r for r in
+           winsorize(df, "value", ["event_type"], 0.0, 1.0, id_cols=["event_id"]).collect()}
+    assert len(out) == 5  # no row dropped
+    assert out[3]["value_w"] is None
+    assert out[4]["event_type"] is None and out[4]["value_w"] == 7.0
