@@ -4057,10 +4057,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN sig sb ON sb.doc_id = c.doc_b
             )
             SELECT e.doc_a, e.doc_b,
-                   round(e.matches / 12.0, 6) AS est_sim,
+                   round(e.matches / {dedup.NUM_HASHES}.0, 6) AS est_sim,
                    round(coalesce(i.i, 0) * 1.0
                          / (za.sz + zb.sz - coalesce(i.i, 0)), 6) AS true_sim,
-                   round(abs(e.matches / 12.0
+                   round(abs(e.matches / {dedup.NUM_HASHES}.0
                              - coalesce(i.i, 0) * 1.0
                                / (za.sz + zb.sz - coalesce(i.i, 0))), 6) AS abs_err
             FROM est e

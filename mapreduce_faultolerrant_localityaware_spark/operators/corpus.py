@@ -259,7 +259,6 @@ def mixture_weights(
     alpha: float = 0.7,
     by: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Temperature-scaled mixture re-weighting — the multinomial
     sampling weights w_s ∝ p_s^alpha (p_s = source token share) that
@@ -759,8 +758,25 @@ def shard_assign(
         (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
     )
     w_in = Window.partitionBy("shard", "bucket").orderBy(F.asc("digest"), F.asc(id_col))
+    # null-safe join: a NULL id digests to NULL shard/bucket, and the
+    # (NULL, NULL) offsets group must still match so the row keeps a
+    # (NULL-shard) manifest entry instead of silently vanishing —
+    # matching the oracle's row_number over the NULL partition.
+    # offsets derives from h, so alias both sides (self-join lineage).
+    hf, of = h.alias("_h"), F.broadcast(offsets).alias("_o")
     return (
-        h.join(F.broadcast(offsets), ["shard", "bucket"])
+        hf.join(
+            of,
+            F.col("_h.shard").eqNullSafe(F.col("_o.shard"))
+            & F.col("_h.bucket").eqNullSafe(F.col("_o.bucket")),
+        )
+        .select(
+            F.col(f"_h.{id_col}").alias(id_col),
+            F.col("_h.shard").alias("shard"),
+            F.col("_h.digest").alias("digest"),
+            F.col("_h.bucket").alias("bucket"),
+            F.col("_o.offset").alias("offset"),
+        )
         .withColumn("pos", (F.row_number().over(w_in) + F.col("offset")).cast("long"))
         .select(id_col, "shard", "pos")
     )
@@ -771,7 +787,6 @@ def pmi_collocations(
     k: int = 100,
     min_count: int = 5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-``k`` collocations by pointwise mutual information — the
     classic "which word pairs belong together" corpus statistic
@@ -925,6 +940,15 @@ def bpe_train(
             _release_checkpoint(prev)
         prev = vocab
         vocab = new_vocab
+    # the returned frame is built from DRIVER-side scalars (the merge
+    # rules were collected per-iteration), so the surviving vocab
+    # checkpoints are dead weight — release them before returning
+    # (connected_components/pagerank discipline)
+    from .graph import _release_checkpoint
+
+    if prev is not None:
+        _release_checkpoint(prev)
+    _release_checkpoint(vocab)
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_count long"
     )
@@ -974,6 +998,9 @@ def bpe_encode(
 
         return fold
 
+    # superseded checkpoints release as soon as the next one lands;
+    # the LAST one must stay alive — the returned lazy frame reads it
+    prev_ck = None
     for step, (a, b) in enumerate(merges, start=1):
         apply_merge = F.aggregate(
             "syms", F.array().cast("array<string>"), _merge_fold(a, b)
@@ -983,6 +1010,11 @@ def bpe_encode(
         # the (small) vocab frame every 4 rules
         if step % 4 == 0:
             vocab = _truncate_lineage(vocab)
+            if prev_ck is not None:
+                from .graph import _release_checkpoint
+
+                _release_checkpoint(prev_ck)
+            prev_ck = vocab
     encoded = vocab.select("w", F.size("syms").alias("n_sub"))
     per_doc = tk.join(F.broadcast(encoded), "w").groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -996,7 +1028,7 @@ def bpe_encode(
     )
 
 
-def heavy_hitters(docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def heavy_hitters(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Frequent-token estimation in BOUNDED memory — the Misra-Gries /
     mergeable-summary sketch (Agarwal et al., "Mergeable Summaries",
     PODS'12): each partition maintains at most ``k`` counters; when a

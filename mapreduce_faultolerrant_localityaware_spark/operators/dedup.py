@@ -936,8 +936,13 @@ def minhash_accuracy_report(
 
     Returns ``doc_a, doc_b, est_sim, true_sim, abs_err`` (6 dp).
     """
-    cand = dedup_minhash_candidates(docs, text_col, id_col, max_bucket_allpairs)
+    # ONE signature build serves both candidate generation and the
+    # estimator columns — candidates therefore come from the SAME
+    # n-gram signatures being audited (a dedup_minhash_candidates call
+    # here would hardwire its own 3-gram signatures regardless of
+    # ``n``, auditing an estimator that never produced the pairs)
     sig = minhash_signatures(docs, text_col, id_col, n)
+    cand = _lsh_pairs(sig, id_col, max_bucket_allpairs)
     sa = sig.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],

@@ -196,12 +196,17 @@ def modality_alignment(
 
     Returns ``status, n, pct`` (pct of the union key space, 6 dp).
     """
-    d = docs.select(F.col(doc_id).alias("dk"))
-    e = emb.select(F.col(vec_id).alias("ek"))
+    # literal presence indicators, NOT key-nullness after the join: a
+    # docs row with a NULL id is unmatched with BOTH keys null, and
+    # key-based classification would count that text row as
+    # 'vector_only' (it has to fall somewhere) — the indicator is
+    # non-null exactly when the side's ROW is present.
+    d = docs.select(F.col(doc_id).alias("dk"), F.lit(1).alias("has_d"))
+    e = emb.select(F.col(vec_id).alias("ek"), F.lit(1).alias("has_e"))
     j = d.join(e, d["dk"] == e["ek"], "full_outer")
     status = (
-        F.when(F.col("dk").isNotNull() & F.col("ek").isNotNull(), "matched")
-        .when(F.col("dk").isNotNull(), "text_only")
+        F.when(F.col("has_d").isNotNull() & F.col("has_e").isNotNull(), "matched")
+        .when(F.col("has_d").isNotNull(), "text_only")
         .otherwise("vector_only")
     )
     counts = j.select(status.alias("status")).groupBy("status").agg(

@@ -913,7 +913,21 @@ def embedding_dim_stats(
     Returns ``dim (1-based), n, mean, var, vmin, vmax`` (6 dp).
     """
     if dim is None:
-        dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+        # probe one non-null vector; an empty table or all-null column
+        # cannot imply a dimensionality — fail with a clear message
+        # instead of IndexError/TypeError downstream
+        probe = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("n"))
+            .limit(1)
+            .collect()
+        )
+        if not probe or probe[0]["n"] is None:
+            raise ValueError(
+                "embedding_dim_stats: cannot infer dim from an empty or "
+                "all-NULL vector column; pass dim explicitly"
+            )
+        dim = probe[0]["n"]
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
     agg = emb.agg(

@@ -76,13 +76,14 @@ def _composite_quality(text_col: str):
 
 
 def _rep_ratio(text_col: str, n: int = 3):
-    """(n_shingles, unrounded 1 − distinct/total) word n-gram
-    repetition — shared by repetition_ratio and quality_gate."""
+    """(n_shingles, n_distinct, unrounded 1 − distinct/total) word
+    n-gram repetition — shared by repetition_ratio and quality_gate."""
     from ..functions.text import shingles as _shingles
 
     sh = _shingles(tokens(text_col, lowercase=True), n)
     n_total = F.size(sh)
-    return n_total, 1 - F.size(F.array_distinct(sh)) / n_total.cast("double")
+    n_distinct = F.size(F.array_distinct(sh))
+    return n_total, n_distinct, 1 - n_distinct / n_total.cast("double")
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -161,11 +162,7 @@ def repetition_ratio(
     pretraining quality filter (high ratio = the doc repeats itself).
     Entirely array-native (shingle → distinct → size inside the row):
     zero shuffle, codegen'd end to end."""
-    from ..functions.text import shingles as _shingles
-
-    sh = _shingles(tokens(text_col, lowercase=True), n)
-    n_total, rep = _rep_ratio(text_col, n)
-    n_distinct = F.size(F.array_distinct(sh))
+    n_total, n_distinct, rep = _rep_ratio(text_col, n)
     return docs.select(
         F.col(id_col),
         n_total.cast("long").alias("n_shingles"),
@@ -281,7 +278,7 @@ def quality_gate(
     """
     n_tok, _letters, _sr, _nr, score = _composite_quality(text_col)
     quality = F.when((n_tok > 0) & (F.length(text_col) > 0), F.round(score, 6))
-    n_sh, rep_raw = _rep_ratio(text_col, 3)
+    n_sh, _n_dist, rep_raw = _rep_ratio(text_col, 3)
     rep = F.when(n_sh > 0, F.round(rep_raw, 6))
     per_row = ensure_parallelism(docs).select(
         F.col(id_col),
@@ -311,7 +308,7 @@ def quality_gate(
     )
 
 
-def pii_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def pii_report(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
     """Per-source PII/link exposure audit — the aggregate view of
     scrub_text's per-doc counts: how many documents in each source
     carry emails/URLs and the total match counts.  The triage report
@@ -324,11 +321,11 @@ def pii_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     groupBy(source) — a |sources|-row output at any corpus size."""
     _scrubbed, n_emails, n_urls = _pii_counts(text_col)
     per_row = ensure_parallelism(docs).select(
-        F.col("source"),
+        F.col(by),
         n_emails.cast("long").alias("ne"),
         n_urls.cast("long").alias("nu"),
     )
-    return per_row.groupBy("source").agg(
+    return per_row.groupBy(by).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("ne") > 0).cast("long")).alias("n_docs_email"),
         F.sum("ne").alias("n_emails"),

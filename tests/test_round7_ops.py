@@ -475,3 +475,48 @@ def test_winsorize_null_value_and_null_group(spark):
     assert len(out) == 5  # no row dropped
     assert out[3]["value_w"] is None
     assert out[4]["event_type"] is None and out[4]["value_w"] == 7.0
+
+
+def test_shard_assign_null_id_keeps_row(spark):
+    """A NULL id must keep a (NULL-shard) manifest entry instead of
+    silently vanishing through the offsets equi-join (review fix)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    df = spark.createDataFrame([(i,) for i in range(20)] + [(None,)], schema)
+    out = corpus.shard_assign(df, n_shards=4).collect()
+    assert len(out) == 21
+    nulls = [r for r in out if r["doc_id"] is None]
+    assert len(nulls) == 1 and nulls[0]["shard"] is None and nulls[0]["pos"] == 1
+
+
+def test_modality_alignment_null_doc_id_is_text_only(spark):
+    """A docs row with NULL id is an unmatched TEXT row, not an
+    orphaned vector (review fix: presence indicators, not key
+    nullness)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.multimodal import (
+        modality_alignment,
+    )
+
+    dschema = T.StructType([T.StructField("doc_id", T.LongType())])
+    docs = spark.createDataFrame([(1,), (2,), (None,)], dschema)
+    emb = spark.createDataFrame([(1,), (9,)], T.StructType([T.StructField("vec_id", T.LongType())]))
+    out = {r["status"]: r["n"] for r in modality_alignment(docs, emb).collect()}
+    assert out == {"matched": 1, "text_only": 2, "vector_only": 1}
+
+
+def test_minhash_accuracy_respects_ngram_param(spark):
+    """Candidates must come from the SAME n-gram signatures being
+    audited (review fix): with n=5, two docs sharing only a 3-gram
+    pattern but no 5-gram band match produce no pair, and identical
+    docs still audit at est=true=1."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    df = spark.createDataFrame([(1, same), (2, same)], ["doc_id", "text"])
+    out = dedup.minhash_accuracy_report(df, n=5).collect()
+    assert len(out) == 1 and out[0]["est_sim"] == 1.0 and out[0]["true_sim"] == 1.0
