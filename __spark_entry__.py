@@ -545,6 +545,27 @@ def _q_heavy_hitters(spark, sf):
     return corpus.heavy_hitters(scan(spark, sf, "documents"), k=50)
 
 
+def _q_unicode_stats(spark, sf):
+    """Encoding-health audit: non-ASCII / C0-control / U+FFFD counts
+    per doc (mojibake detection) — zero-shuffle regex projection."""
+    return textstats.unicode_stats(scan(spark, sf, "documents"))
+
+
+def _q_decayed_sum(spark, sf):
+    """Recency-weighted per-user engagement: value · 0.5^(age/24h)
+    anchored at max(ts) — integer-micro deterministic contributions."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import decayed_sum
+
+    return decayed_sum(scan(spark, sf, "events"), half_life_hours=24.0)
+
+
+def _q_sample_weighted(spark, sf):
+    """Deterministic weighted downsampling: keep with probability
+    min(1, n_tokens/100) via an md5-uniform of the key — reproducible,
+    append-stable, engine-portable."""
+    return corpus.sample_weighted(scan(spark, sf, "documents"), scale_tokens=100)
+
+
 def _q_quality_gate(spark, sf):
     """Composite keep/drop filter verdict (length + quality +
     repetition + entropy thresholds) with auditable reasons — the one
@@ -2694,6 +2715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": _q_mixture_report,
         "mixture_weights": _q_mixture_weights,
         "sentence_stats": _q_sentence_stats,
+        "unicode_stats": _q_unicode_stats,
+        "decayed_sum": _q_decayed_sum,
+        "sample_weighted": _q_sample_weighted,
         "heavy_hitters": _q_heavy_hitters,
         "quality_gate": _q_quality_gate,
         "pii_report": _q_pii_report,
@@ -3593,6 +3617,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN len(sents) > 0 THEN list_max(words_per) END AS BIGINT)
                      AS max_sentence_words
             FROM wp
+        """,
+        "unicode_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+                   CAST(length(regexp_replace(text, '[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT) AS n_control,
+                   CAST(length(regexp_replace(text, '[^�]', '', 'g')) AS BIGINT) AS n_replacement,
+                   CASE WHEN length(text) > 0
+                        THEN round(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 1.0 / length(text), 6)
+                   END AS non_ascii_ratio
+            FROM documents
+        """,
+        "decayed_sum": """
+            WITH a AS (SELECT max(ts) AS anchor FROM events),
+            c AS (
+              SELECT user_id,
+                     CAST(round(value * pow(0.5,
+                          ((epoch_us(anchor) - epoch_us(ts)) / 3.6e9) / 24.0) * 1e6)
+                       AS BIGINT) AS c
+              FROM events, a)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(c) / 1e6, 6) AS decayed_value
+            FROM c GROUP BY user_id
+        """,
+        "sample_weighted": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len({_TOK_LOWER}) AS BIGINT) AS n_tokens,
+                     round(least(1.0, len({_TOK_LOWER}) / 100.0), 6) AS w,
+                     round(CAST(('0x' || substring(md5('sw:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0, 6) AS u
+              FROM documents)
+            SELECT doc_id, n_tokens, w, u FROM s WHERE u < w
         """,
         "pii_report": """
             WITH p AS (

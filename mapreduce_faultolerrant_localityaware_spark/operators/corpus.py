@@ -1078,3 +1078,40 @@ def heavy_hitters(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataF
         .filter(F.col("rank") <= k)
         .select("rank", "token", F.col("est_count").cast("long").alias("est_count"))
     )
+
+
+def sample_weighted(
+    docs: DataFrame,
+    scale_tokens: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted downsampling — keep each doc with
+    probability proportional to a per-doc weight (here: token count
+    capped at ``scale_tokens``, the "prefer substantial documents"
+    curation heuristic).  The accept test is ``u < w`` where ``u`` is
+    an md5-uniform of the KEY — a pure function, so the sample is
+    reproducible across runs/engines/layouts and stable under data
+    append, none of which ``.sample()``'s RNG gives.  (split_assign is
+    the unweighted sibling; this is the weighted generalization.)
+
+    Zero shuffle, one codegen'd projection + filter.
+
+    Returns kept docs: ``id_col, n_tokens, w, u`` (6 dp).
+    """
+    n_tok = F.size(tokens(text_col, lowercase=True))
+    w = F.least(F.lit(1.0), n_tok / F.lit(float(scale_tokens)))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sw:"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(w, 6).alias("w"),
+            F.round(u, 6).alias("u"),
+        )
+        .filter(F.col("u") < F.col("w"))
+    )

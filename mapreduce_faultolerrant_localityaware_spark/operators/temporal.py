@@ -265,3 +265,42 @@ def interval_merge(
         F.max(end_col).alias(end_col),
         F.count(F.lit(1)).cast("long").alias("n_merged"),
     )
+
+
+def decayed_sum(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed per-key aggregation — the
+    recency-weighted engagement/feature score every ranking and
+    feature-store pipeline computes: each event contributes
+    ``value · 0.5^(age/half_life)``, anchored at the dataset's max
+    timestamp (a deterministic anchor — wall-clock ``now()`` would
+    make reruns unreproducible).
+
+    DETERMINISM: the per-row decayed contribution rounds to integer
+    MICRO-units before the per-key sum (double addition is
+    partial-order-sensitive; integer sums are exact), the same
+    discipline as text_entropy/pagerank.
+
+    Scale shape: the anchor is a 1-row broadcast (scalar attach); the
+    aggregation is ONE map-side-combined groupBy(key).  Returns
+    ``key, n_events, decayed_value`` (6 dp).
+    """
+    anchor = events.agg(F.max(ts_col).alias("_anchor"))
+    age_h = (F.unix_micros(F.col("_anchor")) - F.unix_micros(F.col(ts_col))) / 3.6e9
+    contrib = F.round(
+        F.col(value_col) * F.pow(F.lit(0.5), age_h / half_life_hours) * 1e6
+    ).cast("long")
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .select(F.col(key_col), contrib.alias("c"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("c") / 1e6, 6).alias("decayed_value"),
+        )
+    )

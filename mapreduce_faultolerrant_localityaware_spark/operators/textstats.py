@@ -406,3 +406,37 @@ def ngram_coverage(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def unicode_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health audit — the mojibake/corruption signal a crawl
+    pipeline checks before trusting a source: per doc, counts of
+    non-ASCII characters, C0 control characters (excluding tab/LF/CR,
+    which prose legitimately contains), and U+FFFD replacement
+    characters (the smoking gun of a mis-decoded byte stream), plus
+    the non-ASCII ratio.
+
+    Counting is regex char-class removal + length, all on the codegen
+    path, zero shuffle.  (Counts are code-point-based on both engines
+    for BMP text; the synthetic corpus — like most crawl text after
+    encoding repair — is BMP-only.)
+
+    Returns ``doc_id, n_chars, n_non_ascii, n_control, n_replacement,
+    non_ascii_ratio`` (ratio 6 dp, NULL for empty docs).
+    """
+    n_chars = F.length(text_col)
+    n_non_ascii = F.length(F.regexp_replace(F.col(text_col), r"[\x00-\x7F]", ""))
+    # count control chars directly: remove everything that is NOT a
+    # C0 control (minus tab/LF/CR) and measure what remains
+    n_control = F.length(
+        F.regexp_replace(F.col(text_col), r"[^\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    n_repl = F.length(F.regexp_replace(F.col(text_col), "[^�]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_non_ascii.cast("long").alias("n_non_ascii"),
+        n_control.cast("long").alias("n_control"),
+        n_repl.cast("long").alias("n_replacement"),
+        F.when(n_chars > 0, F.round(n_non_ascii / n_chars, 6)).alias("non_ascii_ratio"),
+    )

@@ -520,3 +520,56 @@ def test_minhash_accuracy_respects_ngram_param(spark):
     df = spark.createDataFrame([(1, same), (2, same)], ["doc_id", "text"])
     out = dedup.minhash_accuracy_report(df, n=5).collect()
     assert len(out) == 1 and out[0]["est_sim"] == 1.0 and out[0]["true_sim"] == 1.0
+
+
+def test_unicode_stats_detects_mojibake(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    rows = [
+        (1, "plain ascii text"),
+        (2, "café naïve"),          # 2 non-ascii letters (é, ï)
+        (3, "bad �� bytes"),         # replacement chars
+        (4, "ctl\x01\x02chars\tok\n"),        # 2 control (tab/LF exempt)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.unicode_stats(df).collect()}
+    assert out[1]["n_non_ascii"] == 0 and out[1]["n_control"] == 0
+    assert out[2]["n_non_ascii"] == 2
+    assert out[3]["n_replacement"] == 2 and out[3]["n_non_ascii"] == 2
+    assert out[4]["n_control"] == 2
+
+
+def test_decayed_sum_halves_per_half_life(spark):
+    """Two events exactly one half-life apart: the older contributes
+    half the newer's value; the anchor is the max ts (deterministic)."""
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import decayed_sum
+
+    t0 = dt.datetime(2026, 1, 2, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 - dt.timedelta(hours=24), 10.0),
+        (2, t0 - dt.timedelta(hours=48), 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in decayed_sum(df, half_life_hours=24.0).collect()}
+    assert out[1]["decayed_value"] == 15.0  # 10 + 10/2
+    assert out[2]["decayed_value"] == 2.0   # 8 / 4
+    assert out[1]["n_events"] == 2
+
+
+def test_sample_weighted_props(spark):
+    """Long docs (w=1) always survive; rerun is identical; u is a pure
+    function of the id."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [(i, "word " * 150) for i in range(10)] + [(100 + i, "tiny doc") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: (r["w"], r["u"]) for r in corpus.sample_weighted(df).collect()}
+    b = {r["doc_id"]: (r["w"], r["u"]) for r in corpus.sample_weighted(df).collect()}
+    assert a == b
+    for i in range(10):
+        assert i in a and a[i][0] == 1.0  # w=1 -> u<1 always keeps
+    # short docs: w=0.02, most dropped
+    assert sum(1 for k in a if k >= 100) < 10
