@@ -48,7 +48,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # round 7: 1-row scalar attaches — pmi_collocations broadcasts
            # its two corpus totals, modality_alignment its key-space total
            # (same tfidf-style pattern, not cartesian hazards)
-           "pmi_collocations", "modality_alignment"}
+           "pmi_collocations", "modality_alignment",
+           # decayed_sum broadcasts its 1-row max-ts anchor (scalar
+           # attach, same shape as lm_score's vocabulary size)
+           "decayed_sum"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
