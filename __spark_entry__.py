@@ -633,6 +633,14 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
 
+def _q_simjoin_prefix(spark, sf):
+    """EXACT Jaccard similarity join via prefix filtering (AllPairs /
+    PPJoin): identical output to the exhaustive inverted-index join,
+    but only each doc's rarest-shingle prefix generates candidates —
+    the scale path for exact (non-LSH) similarity joins."""
+    return dedup.set_similarity_join_prefix(scan(spark, sf, "documents"), threshold=0.7)
+
+
 def _q_dedup_exact_keep_best(spark, sf):
     """Exact dedup electing the longest copy per content group
     (tie -> min id) instead of the arbitrary min id."""
@@ -2729,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "simjoin_prefix": _q_simjoin_prefix,
         "dedup_substring": _q_dedup_substring,
         "dedup_report": _q_dedup_report,
         "dedup_exact_keep_best": _q_dedup_exact_keep_best,
@@ -4317,6 +4326,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.8
+        """,
+        # prefix filtering is EXACT: the oracle is the exhaustive
+        # inverted-index join at the same threshold — identical rows.
+        "simjoin_prefix": f"""
+            {_SHINGLES_LOWER},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.7
         """,
         "dedup_embedding": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -974,3 +974,120 @@ def minhash_accuracy_report(
         F.round(true, 6).alias("true_sim"),
         F.round(F.abs(est - true), 6).alias("abs_err"),
     )
+
+
+def set_similarity_join_prefix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    AllPairs / PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08).  Returns every pair with n-gram-shingle Jaccard ≥
+    ``threshold`` — the same answer as the exhaustive inverted-index
+    join, but candidates are generated from each document's PREFIX
+    only.
+
+    Why this scales where the plain inverted-index join
+    (dedup_ngram_jaccard) needs its df-cap approximation: order every
+    document's shingle set by ascending global document frequency
+    (rarest first; ties broken by shingle value so the order is a
+    deterministic total order).  For a set of size s, any other set
+    with Jaccard ≥ t must share at least one of the first
+    p = s - ceil(t*s) + 1 shingles in that order — sharing only the
+    s - p tail shingles bounds the intersection below the threshold
+    (pigeonhole).  So only the p rarest shingles of each doc enter
+    the join; the high-df boilerplate shingles that cause quadratic
+    fan-out sit at the TAIL of the order and never become join keys.
+    Exactness is free: a length filter (t·|b| ≤ |a| ≤ |b|/t) prunes
+    further, and survivors are verified on their full shingle sets.
+
+    Shuffle shape at 100 TB: one distinct over (doc, shingle), one
+    df groupBy, one per-doc sort_array groupBy (no global rank — the
+    (df, shingle) struct IS the order key, so the canonical order
+    needs no single-partition window), an equi-join on prefix
+    shingles whose fan-out is bounded by design, and a verify join
+    shipping each candidate's shingle array once.
+
+    Reference anchor: the reference's only join-like machinery is the
+    shuffle route of core/map_reduce.go — this operator is part of the
+    dedup extension surface, not a port.
+    """
+    # guard against float ceil overshoot (ceil(t*s) must never exceed
+    # the exact rational ceiling, or the prefix loses legal pairs)
+    eps = 1e-9
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .withColumn("n_sh", F.size("ordered"))
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(eps)).cast("int")
+        + F.lit(1)
+    )
+    pref = per_doc.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len), lambda s: s["shingle"]
+            )
+        ).alias("pshingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, F.col("a.pshingle") == F.col("b.pshingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # length filter: J ≥ t ⇒ min ≥ t·max (epsilon keeps boundary pairs)
+        .filter(F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(threshold) - F.lit(eps))
+        .filter(F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(threshold) - F.lit(eps))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = per_doc.select(
+        F.col(id_col),
+        F.transform("ordered", lambda s: s["shingle"]).alias("sset"),
+        "n_sh",
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("sset").alias("sa"),
+                F.col("n_sh").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("sset").alias("sb"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -573,3 +573,98 @@ def test_sample_weighted_props(spark):
         assert i in a and a[i][0] == 1.0  # w=1 -> u<1 always keeps
     # short docs: w=0.02, most dropped
     assert sum(1 for k in a if k >= 100) < 10
+
+
+# ---- prefix-filtering exact similarity join (AllPairs/PPJoin) ----
+
+def _py_jaccard_pairs(rows, n=3, t=0.7):
+    """Pure-Python exhaustive oracle under the engine's tokenizer
+    semantics (lowercase, split on non-letter runs)."""
+    import re
+
+    sets = {}
+    for did, text in rows:
+        tk = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        sh = (
+            {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+            if len(tk) >= n
+            else set()
+        )
+        if sh:
+            sets[did] = sh
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= t:
+                out[(a, b)] = j
+    return out
+
+
+def test_simjoin_prefix_exact_vs_bruteforce(spark):
+    """Prefix filtering must return EXACTLY the exhaustive answer —
+    same pairs, same jaccard values — on a mixed corpus of near-dups,
+    unrelated docs, and length-mismatched docs."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+        (4, "totally different content about completely other topics here now"),
+        (5, "short doc only"),  # exactly one shingle
+        (6, "short doc only"),  # identical single-shingle doc
+        (7, "alpha beta gamma"),  # shares a shingle with 1 but tiny
+        (8, "the quick brown fox jumps over the lazy dog tonight"),
+        (9, "the quick brown fox jumps over the lazy cat tonight"),
+    ]
+    expected = _py_jaccard_pairs(rows, t=0.7)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.set_similarity_join_prefix(docs, threshold=0.7).collect()
+    }
+    assert got == expected
+    assert (1, 3) in got and got[(1, 3)] == 1.0  # exact dup
+    assert (5, 6) in got  # single-shingle identical pair survives the prefix math
+
+
+def test_simjoin_prefix_boilerplate_stays_exact(spark):
+    """Heavy shared boilerplate (the hot-key case that forces
+    dedup_ngram_jaccard's df-cap UNDER-estimate) must not change the
+    prefix join's answer: boilerplate shingles sit at the tail of the
+    df order and never generate candidates, yet verified jaccard still
+    counts them exactly."""
+    boiler = "all rights reserved contact us for terms of service today"
+    rows = [
+        (1, f"unique alpha beta gamma delta epsilon zeta content one {boiler}"),
+        (2, f"unique alpha beta gamma delta epsilon zeta content two {boiler}"),
+        (3, f"totally different words nothing shared with others xyz {boiler}"),
+    ] + [
+        (10 + i, f"filler doc number{i} padding{i} text{i} body{i} etc{i} {boiler}")
+        for i in range(8)
+    ]
+    for t in (0.3, 0.5):
+        expected = _py_jaccard_pairs(rows, t=t)
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.set_similarity_join_prefix(docs, threshold=t).collect()
+        }
+        assert got == expected
+
+
+def test_simjoin_prefix_edge_inputs(spark):
+    """Empty texts and sub-n-token docs produce no shingle set (not a
+    crash, not a spurious pair); an empty corpus yields zero rows."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"), (4, "a b c d e f g"), (5, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.set_similarity_join_prefix(docs, threshold=0.7).collect()
+    }
+    assert got == {(4, 5): 1.0}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.set_similarity_join_prefix(empty, threshold=0.7).count() == 0
