@@ -633,6 +633,13 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return dedup.dedup_ngram_jaccard(scan(spark, sf, "documents"), threshold=0.8)
 
 
+def _q_dedup_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (Hernández-Stolfo): compare only
+    docs within 4 positions of each other in normalized-prefix sort
+    order; bucketed two-pass global rank (no single-task sort)."""
+    return dedup.dedup_sorted_neighborhood(scan(spark, sf, "documents"))
+
+
 def _q_simjoin_prefix(spark, sf):
     """EXACT Jaccard similarity join via prefix filtering (AllPairs /
     PPJoin): identical output to the exhaustive inverted-index join,
@@ -2738,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simjoin_prefix": _q_simjoin_prefix,
+        "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "dedup_substring": _q_dedup_substring,
         "dedup_report": _q_dedup_report,
         "dedup_exact_keep_best": _q_dedup_exact_keep_best,
@@ -4326,6 +4334,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.8
+        """,
+        "dedup_sorted_neighborhood": f"""
+            {_SHINGLES_LOWER},
+            keyed AS (
+              SELECT doc_id, substring(coalesce({_NORM}, ''), 1, 24) AS k
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk
+              FROM keyed
+            ),
+            cand AS (
+              SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                              greatest(a.doc_id, b.doc_id) AS doc_b
+              FROM ranked a JOIN ranked b
+                ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
         """,
         # prefix filtering is EXACT: the oracle is the exhaustive
         # inverted-index join at the same threshold — identical rows.

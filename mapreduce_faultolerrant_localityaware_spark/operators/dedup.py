@@ -1091,3 +1091,107 @@ def set_similarity_join_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_sorted_neighborhood(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    window: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández & Stolfo,
+    SIGMOD'95): sort the corpus by a normalized-text prefix key, then
+    compare only records within ``window`` positions of each other in
+    the global sort order; survivors are verified on exact n-gram
+    Jaccard ≥ ``threshold``.  The third blocking family next to
+    LSH banding (probabilistic) and prefix filtering (exact):
+    sorted-neighborhood catches near-dups that share a PREFIX even
+    when token-set overlap alone would need a lower threshold, with a
+    candidate count linear in n (n·window pairs).
+
+    Scale shape — the global rank is the bucketed two-pass (same
+    discipline as shard_assign): a naive ``row_number() OVER (ORDER BY
+    key)`` funnels 100 TB through ONE task.  Instead the key's 2-char
+    prefix forms a bucket (lexicographic (bucket, key) order == key
+    order by construction), pass 1 counts per bucket (tiny frame,
+    prefix-summed with a single window over ≤256² rows), pass 2 ranks
+    within buckets in parallel and adds the broadcast offset.
+    Neighborhood pairing is then an equi-join on rank blocks of size
+    ``window`` (a pair ≤ window apart spans at most two adjacent
+    blocks, so each left row carries its block id and the successor's
+    — two join keys, no range join), and only candidate ids ride the
+    verify join.
+    """
+    from pyspark.sql import Window
+
+    key = F.substring(F.coalesce(normalized_text(text_col), F.lit("")), 1, key_len)
+    keyed = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), key.alias("k"))
+        .withColumn("bkt", F.substring(F.col("k"), 1, 2))
+    )
+    counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.select(
+        "bkt", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset")
+    )
+    w_in = Window.partitionBy("bkt").orderBy(F.asc("k"), F.asc(id_col))
+    kf, of = keyed.alias("_k"), F.broadcast(offsets).alias("_o")
+    ranked = (
+        kf.join(of, F.col("_k.bkt").eqNullSafe(F.col("_o.bkt")))
+        .select(
+            F.col(f"_k.{id_col}").alias(id_col),
+            F.col("_k.k").alias("k"),
+            F.col("_k.bkt").alias("bkt"),
+            F.col("_o.offset").alias("offset"),
+        )
+        .withColumn("rnk", F.row_number().over(w_in) - 1 + F.col("offset"))
+        .select(id_col, "rnk")
+    )
+    blk = F.floor(F.col("rnk") / window)
+    left = ranked.select(
+        F.col(id_col).alias("ia"),
+        F.col("rnk").alias("ra"),
+        F.explode(F.array(blk, blk + 1)).alias("jblk"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("ib"), F.col("rnk").alias("rb"), blk.alias("jblk")
+    )
+    cand = (
+        left.join(right, "jblk")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + window))
+        .select(
+            F.least("ia", "ib").alias("doc_a"), F.greatest("ia", "ib").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(tokens(text_col, lowercase=True), n)).alias("shs"),
+        )
+        .filter(F.size("shs") > 0)
+    )
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa")), "doc_a"
+        )
+        .join(
+            sets.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb")), "doc_b"
+        )
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sa") + F.size("sb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -668,3 +668,83 @@ def test_simjoin_prefix_edge_inputs(spark):
     assert got == {(4, 5): 1.0}
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.set_similarity_join_prefix(empty, threshold=0.7).count() == 0
+
+
+# ---- sorted-neighborhood dedup (Hernández-Stolfo SNM) ----
+
+def _py_snm_pairs(rows, key_len=24, w=4, n=3, t=0.5):
+    """Pure-Python oracle: global (normalized-prefix, id) sort rank,
+    pairs within w positions, exact shingle-Jaccard verify."""
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", (s or "").lower()).strip()
+
+    keyed = sorted((norm(txt)[:key_len], did) for did, txt in rows)
+    ranks = {did: i for i, (_, did) in enumerate(keyed)}
+    sets = {}
+    for did, text in rows:
+        tk = [x for x in re.split(r"[^a-z]+", (text or "").lower()) if x]
+        sh = (
+            {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+            if len(tk) >= n
+            else set()
+        )
+        if sh:
+            sets[did] = sh
+    out = {}
+    ids = sorted(ranks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if 0 < abs(ranks[a] - ranks[b]) <= w and a in sets and b in sets:
+                inter = len(sets[a] & sets[b])
+                j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+                if j >= t:
+                    out[(a, b)] = j
+    return out
+
+
+def test_snm_matches_python_oracle_across_buckets(spark):
+    """The bucketed two-pass rank must equal a true global sort rank:
+    keys here span several 2-char prefix buckets, include exact key
+    ties (id tie-break), and mixed whitespace needing normalization."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon common tail words here"),
+        (2, "alpha  beta gamma delta epsilon common tail words here"),  # same normalized key
+        (3, "alpha beta gamma delta DIFFERENT ending entirely other"),
+        (4, "bravo charlie delta echo foxtrot golf hotel india"),
+        (5, "bravo charlie delta echo foxtrot golf hotel juliet"),
+        (6, "zulu yankee xray whiskey victor uniform tango sierra"),
+        (7, "mike november oscar papa quebec romeo sierra tango"),
+        (8, "mike november oscar papa quebec romeo sierra uniform"),
+        (9, ""),  # empty key sorts first, has no shingles
+    ]
+    expected = _py_snm_pairs(rows)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_sorted_neighborhood(docs).collect()
+    }
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # normalization + adjacency
+
+
+def test_snm_window_bounds_and_null_text(spark):
+    """Docs > window positions apart never pair even if similar; NULL
+    text ranks like empty and never pairs (no shingle set)."""
+    # ids 1 and 20 share text but 6 filler docs sit between them in
+    # key order (window=4) — SNM must MISS the pair by design.
+    filler = [(10 + i, f"m{c} filler words number {c} padding here extra"
+               ) for i, c in enumerate("abcdef")]
+    rows = [(1, "aaa shared near dup text body one two three"),
+            (20, "zzz shared near dup text body one two three")] + filler
+    rows.append((99, None))
+    expected = _py_snm_pairs(rows)
+    assert (1, 20) not in expected
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_sorted_neighborhood(docs).collect()
+    }
+    assert got == expected
+    assert all(99 not in p for p in got)
