@@ -58,6 +58,8 @@ HEADLINE = [
     "resample_ffill",
     "dedup_chunks",
     "embedding_quantize",
+    "simjoin_prefix",
+    "dedup_sorted_neighborhood",
     "dedup_pipeline",
     "dedup_substring",
     "text_entropy",

@@ -1026,10 +1026,16 @@ def set_similarity_join_prefix(
         )
         .distinct()
     )
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df as a COUNT WINDOW over the shingle partition, not a separate
+    # groupBy + join-back: one exchange on shingle serves both the df
+    # computation and the (doc, shingle, df) attribution (same fusion
+    # as dedup_substring — the join-back shape re-shuffles sh a second
+    # time and splits the consumer tree).
+    from pyspark.sql import Window as _W
+
+    with_df = sh.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("shingle")))
     per_doc = (
-        sh.join(df, "shingle")
-        .groupBy(id_col)
+        with_df.groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
         .withColumn("n_sh", F.size("ordered"))
     )
