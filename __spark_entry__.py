@@ -4337,6 +4337,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_sorted_neighborhood": f"""
             {_SHINGLES_LOWER},
+            -- engine ships md5-derived 60-bit shingle hashes; hash with
+            -- the same expression so set intersection is identical by
+            -- construction (not just collision-improbably)
+            shh AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh
+            ),
             keyed AS (
               SELECT doc_id, substring(coalesce({_NORM}, ''), 1, 24) AS k
               FROM documents
@@ -4351,12 +4359,12 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked a JOIN ranked b
                 ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
             ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
             common AS (
               SELECT c.doc_a, c.doc_b, count(*) AS common
               FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              JOIN shh a ON a.doc_id = c.doc_a
+              JOIN shh b ON b.doc_id = c.doc_b AND b.h = a.h
               GROUP BY 1, 2
             )
             SELECT c.doc_a, c.doc_b,
@@ -4368,12 +4376,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # prefix filtering is EXACT: the oracle is the exhaustive
         # inverted-index join at the same threshold — identical rows.
+        # Both engines collapse shingles to the same md5-derived 60-bit
+        # long first, so intersection counts match by construction.
         "simjoin_prefix": f"""
             {_SHINGLES_LOWER},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shh AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

