@@ -90,6 +90,26 @@ def main() -> None:
     materialize(qs["sort_limit"](spark, sf_dir))
 
     warm_passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "3")))
+
+    # fixed synthetic calibration workload (data-independent: an
+    # aggregation over spark.range): its steady-state wall on an idle
+    # 32-thread host is stable run-to-run, so round-over-round query
+    # deltas can be normalized for external machine load — divide a
+    # query time by (calibration_sec of that run / calibration_sec of
+    # the reference run) before comparing rounds.
+    def calibrate() -> float:
+        cal = (
+            spark.range(0, 200_000_000, 1, 32)
+            .selectExpr("sum(id * 2654435761 % 1000003) AS s")
+        )
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(cal)
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    calibration = calibrate()
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -122,6 +142,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "warm_passes": warm_passes,
                 "warm_slower_than_cold": suspect,
+                "calibration_sec": calibration,
                 "sf": float(sf) if sf else None,
             }
         )
