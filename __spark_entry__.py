@@ -718,6 +718,16 @@ def _q_dedup_incremental_fuzzy(spark, sf):
     return dedup.dedup_incremental_fuzzy(base, delta, max_hamming=3)
 
 
+def _q_dedup_incremental_jaccard(spark, sf):
+    """EXACT-Jaccard incremental dedup: new batch (doc_id % 5 == 0)
+    vs the accepted corpus via AllPairs prefix filtering — the exact
+    counterpart of dedup_incremental_fuzzy on the same split."""
+    docs = scan(spark, sf, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.dedup_incremental_jaccard(base, delta, threshold=0.7)
+
+
 def _q_dedup_chunks(spark, sf):
     """Sub-document (chunk-level) exact dedup: C4-style line dedup over
     20-token chunks; docs reassembled from their surviving chunks."""
@@ -2754,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": _q_dedup_chunks,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
+        "dedup_incremental_jaccard": _q_dedup_incremental_jaccard,
         "graph_bfs": _q_graph_bfs,
         "key_skew_report": _q_key_skew_report,
         "mixture_sample": _q_mixture_sample,
@@ -4373,6 +4384,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+        """,
+        # exhaustive delta×base Jaccard — the prefix-filtered engine
+        # answer must match it exactly (same md5-long hashing)
+        "dedup_incremental_jaccard": f"""
+            {_SHINGLES_LOWER},
+            shh AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+            common AS (
+              SELECT d.doc_id AS did, b.doc_id AS bid, count(*) AS common
+              FROM shh d JOIN shh b ON d.h = b.h
+              WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+              GROUP BY 1, 2
+            ),
+            matches AS (
+              SELECT did, count(*) AS n_matches
+              FROM common c
+              JOIN sizes sd ON sd.doc_id = c.did
+              JOIN sizes sb ON sb.doc_id = c.bid
+              WHERE round(c.common * 1.0 / (sd.n_sh + sb.n_sh - c.common), 6) >= 0.7
+              GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+                   coalesce(m.n_matches, 0) = 0 AS keep
+            FROM documents LEFT JOIN matches m ON m.did = doc_id
+            WHERE doc_id % 5 = 0
         """,
         # prefix filtering is EXACT: the oracle is the exhaustive
         # inverted-index join at the same threshold — identical rows.

@@ -1227,3 +1227,127 @@ def dedup_sorted_neighborhood(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_incremental_jaccard(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT-Jaccard incremental dedup — the third member of the
+    incremental family: :func:`dedup_incremental` answers "byte-equal
+    to anything accepted?", :func:`dedup_incremental_fuzzy` answers
+    "SimHash-close?", this answers "n-gram-Jaccard ≥ t against the
+    accepted corpus?" with NO approximation, via the same AllPairs
+    prefix filtering as :func:`set_similarity_join_prefix`.
+
+    The prefix order is the BASE corpus's shingle document frequency
+    (delta-only shingles get df 0 and sort first — maximally rare by
+    the index's knowledge): exactly the posture of a maintained
+    inverted index, where the df statistics predate the new batch.
+    Prefix-filter completeness holds for ANY consistent total order,
+    so exactness is unaffected by the order being base-derived.
+
+    Scale shape: the base ships (id, 8-byte shingle hash) pairs and
+    per-doc hashed sets — integers only, independent of text volume;
+    candidates are delta-prefix × base-prefix equi-joins (never
+    base × base), and each batch touches the base index, not the base
+    text.  Returns one row per delta doc: ``doc_id, n_matches
+    (distinct base docs with jaccard ≥ t), keep``.
+    """
+    eps = 1e-9
+
+    def hashed(d: DataFrame) -> DataFrame:
+        return (
+            ensure_parallelism(d)
+            .select(
+                F.col(id_col),
+                F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("s"),
+            )
+            .select(
+                id_col,
+                F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+            .distinct()
+        )
+
+    bh, dh = hashed(base), hashed(delta)
+    dfb = bh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+
+    def ordered_sets(rel: DataFrame) -> DataFrame:
+        withdf = rel.join(dfb, "h", "left").withColumn(
+            "df", F.coalesce("df", F.lit(0))
+        )
+        return (
+            withdf.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+            .withColumn("n_sh", F.size("ordered"))
+        )
+
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(eps)).cast("int")
+        + F.lit(1)
+    )
+
+    def prefixes(per_doc: DataFrame, side: str) -> DataFrame:
+        return per_doc.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("n_sh").alias(f"{side}_n"),
+            F.explode(
+                F.transform(
+                    F.slice("ordered", F.lit(1), prefix_len), lambda s: s["h"]
+                )
+            ).alias("ph"),
+        )
+
+    cand = (
+        prefixes(ordered_sets(dh), "d")
+        .join(prefixes(ordered_sets(bh), "b"), "ph")
+        .filter(F.col("d_n") >= F.col("b_n") * F.lit(threshold) - F.lit(eps))
+        .filter(F.col("b_n") >= F.col("d_n") * F.lit(threshold) - F.lit(eps))
+        .select("d_id", "b_id")
+        .distinct()
+    )
+    dsets = dh.groupBy(id_col).agg(F.collect_set("h").alias("sset"))
+    bsets = bh.groupBy(id_col).agg(F.collect_set("h").alias("sset"))
+    matches = (
+        cand.join(
+            dsets.select(
+                F.col(id_col).alias("d_id"),
+                F.col("sset").alias("sd"),
+                F.size("sset").alias("nd"),
+            ),
+            "d_id",
+        )
+        .join(
+            bsets.select(
+                F.col(id_col).alias("b_id"),
+                F.col("sset").alias("sb"),
+                F.size("sset").alias("nb"),
+            ),
+            "b_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("sd", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("nd") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("d_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        delta.select(F.col(id_col))
+        .join(matches.withColumnRenamed("d_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+        .withColumn("keep", F.col("n_matches") == 0)
+    )

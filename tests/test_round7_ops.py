@@ -748,3 +748,51 @@ def test_snm_window_bounds_and_null_text(spark):
     }
     assert got == expected
     assert all(99 not in p for p in got)
+
+
+# ---- incremental exact-Jaccard dedup ----
+
+def test_incremental_jaccard_matches_bruteforce(spark):
+    """Each delta doc's n_matches must equal the exhaustive count of
+    base docs with shingle-Jaccard ≥ t; delta-delta near-dups never
+    count; shingle-less delta docs keep with 0 matches."""
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "totally different base content about other topics entirely"),
+    ]
+    delta_rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1, near 2
+        (11, "brand new unseen document with fresh vocabulary words"),
+        (12, "brand new unseen document with fresh vocabulary words"),  # delta-delta dup: not counted
+        (13, "hi"),  # no shingles
+    ]
+    import re
+
+    def sset(text):
+        tk = [x for x in re.split(r"[^a-z]+", text.lower()) if x]
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    t = 0.7
+    expected = {}
+    for did, dt in delta_rows:
+        sd = sset(dt)
+        cnt = 0
+        for bid, bt in base_rows:
+            sb = sset(bt)
+            if sd and sb:
+                inter = len(sd & sb)
+                if round(inter / (len(sd) + len(sb) - inter), 6) >= t:
+                    cnt += 1
+        expected[did] = cnt
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_matches"], r["keep"])
+        for r in dedup.dedup_incremental_jaccard(base, delta, threshold=t).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}  # every delta doc reported
+    for did, cnt in expected.items():
+        assert out[did] == (cnt, cnt == 0), (did, out[did], cnt)
+    assert out[10][0] >= 1 and not out[10][1]
+    assert out[12] == (0, True)  # delta-delta dup not counted against base
