@@ -1001,8 +1001,10 @@ def set_similarity_join_prefix(
     (pigeonhole).  So only the p rarest shingles of each doc enter
     the join; the high-df boilerplate shingles that cause quadratic
     fan-out sit at the TAIL of the order and never become join keys.
-    Exactness is free: a length filter (t·|b| ≤ |a| ≤ |b|/t) prunes
-    further, and survivors are verified on their full shingle sets.
+    Exactness is free: a length filter (t·|b| ≤ |a| ≤ |b|/t) and
+    PPJoin's positional filter (overlap upper bound from the first
+    common prefix position) prune further, and survivors are verified
+    on their full shingle sets.
 
     Shuffle shape at 100 TB: one distinct over (doc, shingle), one
     df groupBy, one per-doc sort_array groupBy (no global rank — the
@@ -1060,21 +1062,55 @@ def set_similarity_join_prefix(
     pref = per_doc.select(
         F.col(id_col),
         F.col("n_sh"),
-        F.explode(
+        F.posexplode(
             F.transform(F.slice("ordered", F.lit(1), prefix_len), lambda s: s["h"])
-        ).alias("pshingle"),
+        ).alias("pos", "pshingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (
+    matched = (
         a.join(b, F.col("a.pshingle") == F.col("b.pshingle"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         # length filter: J ≥ t ⇒ min ≥ t·max (epsilon keeps boundary pairs)
         .filter(F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(threshold) - F.lit(eps))
         .filter(F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(threshold) - F.lit(eps))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+            (F.col("a.pos") + 1).alias("ia"),
+            (F.col("b.pos") + 1).alias("ib"),
         )
-        .distinct()
+    )
+    # PPJoin positional filter (Xiao et al.): per pair, the FIRST
+    # common prefix element (min position on either side — common
+    # elements appear in the same relative order under the shared
+    # total order, so min(ia) and min(ib) name the same element,
+    # which prefix-filter completeness puts inside both prefixes)
+    # bounds the overlap: |A∩B| ≤ 1 + min(|A|-ia, |B|-ib).  Pairs
+    # whose bound cannot reach the J ≥ t overlap requirement
+    # c ≥ t(|A|+|B|)/(1+t) are dropped BEFORE the verify join ships
+    # their sets.  This replaces the plain distinct() with the same
+    # one-exchange groupBy, just carrying two mins.  Slack covers the
+    # 6-dp rounding of the verified jaccard.
+    overlap_needed = (
+        (F.lit(threshold) - F.lit(1e-6))
+        * (F.col("na") + F.col("nb"))
+        / F.lit(1.0 + threshold)
+    ) - F.lit(eps)
+    cand = (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("ia").alias("ia"),
+            F.min("ib").alias("ib"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"))
+            >= overlap_needed
+        )
+        .select("doc_a", "doc_b")
     )
     # verify sets come straight from sh (collect_set over the reused
     # (doc, h) exchange), NOT from per_doc: the verify branch then
