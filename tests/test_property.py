@@ -224,3 +224,44 @@ def test_split_assign_proportions_and_purity(spark, vals):
     sub = {r["doc_id"]: (r["bucket"], r["split"])
            for r in split_assign(spark.createDataFrame([(k,) for k in half], ["doc_id"])).collect()}
     assert all(full[k] == v for k, v in sub.items())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo"]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=18,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_simjoin_prefix_vs_bruteforce_property(spark, docs, threshold):
+    """Prefix filtering + PPJoin positional filter must stay EXACT —
+    identical pairs and jaccard values to the brute-force oracle — on
+    random small-vocab corpora (small vocab maximizes shared shingles,
+    including many docs with identical/near-identical shingle sets and
+    heavy df ties that stress the canonical-order tiebreak)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.dedup import (
+        set_similarity_join_prefix,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sets = {}
+    for i, toks in enumerate(docs):
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if sh:
+            sets[i] = sh
+    expect = {}
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= threshold:
+                expect[(a, b)] = j
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join_prefix(df, threshold=threshold).collect()
+    }
+    assert got == expect
