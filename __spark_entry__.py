@@ -718,6 +718,13 @@ def _q_dedup_incremental_fuzzy(spark, sf):
     return dedup.dedup_incremental_fuzzy(base, delta, max_hamming=3)
 
 
+def _q_cms_counts(spark, sf):
+    """Count-Min Sketch token counts with exact audit: the
+    order-independent sketch the oracle gate can fully hash-verify
+    (md5-derived buckets reproduce bit-identically in SQL)."""
+    return corpus.cms_counts(scan(spark, sf, "documents"), k=20)
+
+
 def _q_dedup_incremental_jaccard(spark, sf):
     """EXACT-Jaccard incremental dedup: new batch (doc_id % 5 == 0)
     vs the accepted corpus via AllPairs prefix filtering — the exact
@@ -2765,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
         "dedup_incremental_jaccard": _q_dedup_incremental_jaccard,
+        "cms_counts": _q_cms_counts,
         "graph_bfs": _q_graph_bfs,
         "key_skew_report": _q_key_skew_report,
         "mixture_sample": _q_mixture_sample,
@@ -4384,6 +4392,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+        """,
+        # full Count-Min Sketch replica: same md5-derived buckets, same
+        # min-over-rows estimate — a sketch the gate hash-verifies
+        "cms_counts": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            tok AS (SELECT unnest(tk) AS token FROM toks),
+            hs AS (
+              SELECT token,
+                     CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)
+                       % 1099511627776 AS h1,
+                     CAST(('0x' || substring(md5(token), 16, 15)) AS BIGINT)
+                       % 1099511627776 AS h2
+              FROM tok
+            ),
+            ex AS (
+              SELECT token, i AS row,
+                     ((h1 + i * h2) % 1099511627776) % 1024 AS bucket
+              FROM hs, (SELECT unnest([1, 2, 3, 4]) AS i)
+            ),
+            counters AS (SELECT row, bucket, count(*) AS cnt FROM ex GROUP BY 1, 2),
+            true_top AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS true_cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+              FROM tok GROUP BY token
+              QUALIFY rank <= 20
+            ),
+            tb AS (
+              SELECT DISTINCT t.rank, t.token, t.true_cnt, e.row, e.bucket
+              FROM true_top t JOIN ex e ON e.token = t.token
+            )
+            SELECT CAST(tb.rank AS BIGINT) AS rank, tb.token, tb.true_cnt,
+                   CAST(min(c.cnt) AS BIGINT) AS cms_est
+            FROM tb JOIN counters c ON c.row = tb.row AND c.bucket = tb.bucket
+            GROUP BY 1, 2, 3
         """,
         # exhaustive delta×base Jaccard — the prefix-filtered engine
         # answer must match it exactly (same md5-long hashing)

@@ -1115,3 +1115,106 @@ def sample_weighted(
         )
         .filter(F.col("u") < F.col("w"))
     )
+
+
+def cms_counts(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min Sketch token-frequency estimation (Cormode &
+    Muthukrishnan, J.Algorithms'05) with an exact-count audit — the
+    ORDER-INDEPENDENT counterpart of :func:`heavy_hitters`: Misra-Gries
+    counter state depends on partition layout (rows-only in the oracle
+    gate), but a CMS with fixed hash functions is a pure sum over the
+    stream, so both the counter table and every estimate are
+    deterministic and hash-matchable against a SQL oracle — a sketch
+    the correctness gate can fully verify.
+
+    Shape: one token pass → ``depth`` md5-derived bucket ids per
+    instance (Kirsch-Mitzenmacher g_i = h1 + i·h2, the same derivation
+    as MinHash) → partial-agged groupBy to a ``depth×width`` counter
+    table (tiny, broadcastable).  Estimates: est(token) = min over
+    rows of its bucket's counter — an OVER-count bound (est ≥ true,
+    pytest-asserted), within ε·N with probability 1-δ for
+    width=e/ε, depth=ln(1/δ).  At 100 TB the counter table is still
+    depth×width integers — the whole point of sketching the stream —
+    while the exact audit column (true_cnt) is the vocab-sized groupBy
+    a production pipeline would skip.
+
+    Returns the top-``k`` tokens by true count (tie → token asc):
+    ``rank, token, true_cnt, cms_est``.
+    """
+    from pyspark.sql import Window
+
+    M = 1 << 40
+    toks = ensure_parallelism(docs).select(
+        F.explode(tokens(text_col, lowercase=True)).alias("token")
+    )
+    h = F.md5("token")
+    hashed = toks.select(
+        "token",
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % M).alias("h1"),
+        (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % M).alias("h2"),
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                ((F.col("h1") + F.lit(i) * F.col("h2")) % M % width).alias("bucket"),
+            )
+            for i in range(1, depth + 1)
+        ]
+    )
+    ex = hashed.select("token", F.explode(buckets).alias("rb")).select(
+        "token", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    counters = ex.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no vocab-sized single-task sort); the rank window then
+    # runs over k rows only
+    w = Window.orderBy(F.col("true_cnt").desc(), F.col("token").asc())
+    true_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    # per-token buckets recomputed on the k-row side, then the tiny
+    # counter table broadcasts into the min-over-rows lookup
+    th = F.md5("token")
+    t1 = F.conv(F.substring(th, 1, 15), 16, 10).cast("long") % M
+    t2 = F.conv(F.substring(th, 16, 15), 16, 10).cast("long") % M
+    tb = true_top.select(
+        "rank",
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        ((t1 + F.lit(i) * t2) % M % width).alias("bucket"),
+                    )
+                    for i in range(1, depth + 1)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "rank", "token", "true_cnt",
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"),
+    )
+    return (
+        tb.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("rank", "token", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            "true_cnt",
+            "cms_est",
+        )
+    )

@@ -796,3 +796,44 @@ def test_incremental_jaccard_matches_bruteforce(spark):
         assert out[did] == (cnt, cnt == 0), (did, out[did], cnt)
     assert out[10][0] >= 1 and not out[10][1]
     assert out[12] == (0, True)  # delta-delta dup not counted against base
+
+
+# ---- Count-Min Sketch ----
+
+def test_cms_overcount_bound_and_exact_small(spark):
+    """CMS estimates must dominate true counts (est ≥ true always),
+    equal them when no bucket collisions occur (tiny vocab vs 4×1024
+    buckets), and the top-k rank/tiebreak must be deterministic."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import cms_counts
+
+    rows = [(1, "apple apple apple banana banana cherry"),
+            (2, "apple banana date date date date elderberry"),
+            (3, "fig grape apple")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in cms_counts(docs, k=10).collect()}
+    true = {"apple": 5, "banana": 3, "date": 4, "cherry": 1,
+            "elderberry": 1, "fig": 1, "grape": 1}
+    assert set(out) == set(true)
+    for tok, cnt in true.items():
+        assert out[tok]["true_cnt"] == cnt
+        assert out[tok]["cms_est"] >= cnt  # CMS never undercounts
+        # 7 distinct tokens vs 4096 buckets: collisions are
+        # md5-improbable, so estimates are exact here
+        assert out[tok]["cms_est"] == cnt
+    ranks = sorted((r["rank"], r["token"]) for r in out.values())
+    # rank order: count desc, token asc
+    assert [t for _, t in ranks] == ["apple", "date", "banana", "cherry",
+                                     "elderberry", "fig", "grape"]
+
+
+def test_cms_collisions_still_dominate(spark):
+    """With width=2 every token collides: estimates must still be ≥
+    true for every token (the one-sided CMS guarantee survives
+    adversarial width)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import cms_counts
+
+    rows = [(i, f"tok{i % 7} tok{i % 5} shared common") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cms_counts(docs, k=20, width=2).collect()
+    assert len(out) > 0
+    assert all(r["cms_est"] >= r["true_cnt"] for r in out)
