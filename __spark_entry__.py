@@ -718,6 +718,29 @@ def _q_dedup_incremental_fuzzy(spark, sf):
     return dedup.dedup_incremental_fuzzy(base, delta, max_hamming=3)
 
 
+def _q_lsh_recall_report(spark, sf):
+    """Pair-level LSH recall audit: of the TRUE near-dup pairs
+    (exact prefix-filtered Jaccard join, t=0.5), what fraction does
+    MinHash-LSH banding recover, binned by jaccard decile — the
+    empirical form of the 1-(1-j^r)^b guarantee, and the audit that
+    justifies using LSH candidates as the verify feed at 100 TB."""
+    docs = scan(spark, sf, "documents")
+    truth = dedup.set_similarity_join_prefix(docs, threshold=0.5)
+    cand = dedup.dedup_minhash_candidates(docs).withColumn("found", F.lit(1))
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return (
+        joined.groupBy(
+            (F.floor(F.col("jaccard") * 10) / 10).cast("double").alias("jbin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("found").alias("n_found"),
+            F.round(F.count("found") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("jbin")
+    )
+
+
 def _q_cms_counts(spark, sf):
     """Count-Min Sketch token counts with exact audit: the
     order-independent sketch the oracle gate can fully hash-verify
@@ -2773,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
         "dedup_incremental_jaccard": _q_dedup_incremental_jaccard,
         "cms_counts": _q_cms_counts,
+        "lsh_recall_report": _q_lsh_recall_report,
         "graph_bfs": _q_graph_bfs,
         "key_skew_report": _q_key_skew_report,
         "mixture_sample": _q_mixture_sample,
@@ -4392,6 +4416,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+        """,
+        # truth = exhaustive exact-jaccard pairs; cand = full MinHash
+        # banding replica; recall per jaccard decile
+        "lsh_recall_report": f"""
+            {_SHINGLES_LOWER},
+            shh AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT doc_a, doc_b,
+                     round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+            ),
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+            )
+            SELECT CAST(floor(t.jaccard * 10) / 10 AS DOUBLE) AS jbin,
+                   CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(count(c.doc_a) AS BIGINT) AS n_found,
+                   round(count(c.doc_a) * 1.0 / count(*), 6) AS recall
+            FROM truth t
+            LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+            GROUP BY 1 ORDER BY 1
         """,
         # full Count-Min Sketch replica: same md5-derived buckets, same
         # min-over-rows estimate — a sketch the gate hash-verifies

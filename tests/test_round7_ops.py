@@ -837,3 +837,29 @@ def test_cms_collisions_still_dominate(spark):
     out = cms_counts(docs, k=20, width=2).collect()
     assert len(out) > 0
     assert all(r["cms_est"] >= r["true_cnt"] for r in out)
+
+
+# ---- LSH recall audit ----
+
+def test_lsh_recall_report_invariants(spark):
+    """Exact duplicates band identically, so the jbin=1.0 row must
+    show recall 1.0; every bin shows n_found ≤ n_true with recall the
+    rounded ratio."""
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near dup
+        (4, "totally different content on some other subject entirely here"),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r["jbin"]: r for r in E.queries()["lsh_recall_report"](spark, td).collect()}
+    assert 1.0 in out and out[1.0]["recall"] == 1.0
+    for r in out.values():
+        assert r["n_found"] <= r["n_true"]
+        assert r["recall"] == round(r["n_found"] / r["n_true"], 6)
