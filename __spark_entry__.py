@@ -640,6 +640,15 @@ def _q_dedup_sorted_neighborhood(spark, sf):
     return dedup.dedup_sorted_neighborhood(scan(spark, sf, "documents"))
 
 
+def _q_dedup_snm_multikey(spark, sf):
+    """Multi-pass sorted-neighborhood (Hernández-Stolfo): prefix-key
+    pass UNION sorted-token-key pass — the order-insensitive second
+    key catches near-dups whose openings diverge; one shared verify."""
+    return dedup.dedup_sorted_neighborhood(
+        scan(spark, sf, "documents"), passes=("prefix", "sorted")
+    )
+
+
 def _q_simjoin_prefix(spark, sf):
     """EXACT Jaccard similarity join via prefix filtering (AllPairs /
     PPJoin): identical output to the exhaustive inverted-index join,
@@ -2786,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simjoin_prefix": _q_simjoin_prefix,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
+        "dedup_snm_multikey": _q_dedup_snm_multikey,
         "dedup_substring": _q_dedup_substring,
         "dedup_report": _q_dedup_report,
         "dedup_exact_keep_best": _q_dedup_exact_keep_best,
@@ -4403,6 +4413,57 @@ def oracle_sql() -> dict[str, str]:
                 ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
             ),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+            common AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS common
+              FROM cand c
+              JOIN shh a ON a.doc_id = c.doc_a
+              JOIN shh b ON b.doc_id = c.doc_b AND b.h = a.h
+              GROUP BY 1, 2
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+        """,
+        # two ranked orderings (normalized prefix + sorted-token
+        # prefix), window pairs unioned, one shared verify
+        "dedup_snm_multikey": f"""
+            {_SHINGLES_LOWER},
+            shh AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+            k1 AS (
+              SELECT doc_id, substring(coalesce({_NORM}, ''), 1, 24) AS k
+              FROM documents
+            ),
+            r1 AS (
+              SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk
+              FROM k1
+            ),
+            k2 AS (
+              SELECT doc_id,
+                     substring(coalesce(array_to_string(list_sort({_TOK_LOWER}), ' '),
+                                        ''), 1, 24) AS k
+              FROM documents
+            ),
+            r2 AS (
+              SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk
+              FROM k2
+            ),
+            cand AS (
+              SELECT DISTINCT least(x, y) AS doc_a, greatest(x, y) AS doc_b FROM (
+                SELECT a.doc_id AS x, b.doc_id AS y
+                FROM r1 a JOIN r1 b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+                UNION ALL
+                SELECT a.doc_id AS x, b.doc_id AS y
+                FROM r2 a JOIN r2 b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+              )
+            ),
             common AS (
               SELECT c.doc_a, c.doc_b, count(*) AS common
               FROM cand c

@@ -1149,41 +1149,14 @@ def set_similarity_join_prefix(
     )
 
 
-def dedup_sorted_neighborhood(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    key_len: int = 24,
-    window: int = 4,
-    n: int = 3,
-    threshold: float = 0.5,
+def _snm_window_pairs(
+    docs: DataFrame, key, id_col: str, window: int
 ) -> DataFrame:
-    """Sorted-neighborhood near-dup blocking (Hernández & Stolfo,
-    SIGMOD'95): sort the corpus by a normalized-text prefix key, then
-    compare only records within ``window`` positions of each other in
-    the global sort order; survivors are verified on exact n-gram
-    Jaccard ≥ ``threshold``.  The third blocking family next to
-    LSH banding (probabilistic) and prefix filtering (exact):
-    sorted-neighborhood catches near-dups that share a PREFIX even
-    when token-set overlap alone would need a lower threshold, with a
-    candidate count linear in n (n·window pairs).
-
-    Scale shape — the global rank is the bucketed two-pass (same
-    discipline as shard_assign): a naive ``row_number() OVER (ORDER BY
-    key)`` funnels 100 TB through ONE task.  Instead the key's 2-char
-    prefix forms a bucket (lexicographic (bucket, key) order == key
-    order by construction), pass 1 counts per bucket (tiny frame,
-    prefix-summed with a single window over ≤256² rows), pass 2 ranks
-    within buckets in parallel and adds the broadcast offset.
-    Neighborhood pairing is then an equi-join on rank blocks of size
-    ``window`` (a pair ≤ window apart spans at most two adjacent
-    blocks, so each left row carries its block id and the successor's
-    — two join keys, no range join), and only candidate ids ride the
-    verify join.
-    """
+    """One sorted-neighborhood pass: global rank by ``key`` (bucketed
+    two-pass — see dedup_sorted_neighborhood), then all id pairs within
+    ``window`` positions, as (doc_a < doc_b) rows."""
     from pyspark.sql import Window
 
-    key = F.substring(F.coalesce(normalized_text(text_col), F.lit("")), 1, key_len)
     keyed = (
         ensure_parallelism(docs)
         .select(F.col(id_col), key.alias("k"))
@@ -1216,14 +1189,71 @@ def dedup_sorted_neighborhood(
     right = ranked.select(
         F.col(id_col).alias("ib"), F.col("rnk").alias("rb"), blk.alias("jblk")
     )
-    cand = (
+    return (
         left.join(right, "jblk")
         .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + window))
         .select(
             F.least("ia", "ib").alias("doc_a"), F.greatest("ia", "ib").alias("doc_b")
         )
-        .distinct()
     )
+
+
+def dedup_sorted_neighborhood(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    window: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    passes: tuple = ("prefix",),
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández & Stolfo,
+    SIGMOD'95): sort the corpus by a normalized-text prefix key, then
+    compare only records within ``window`` positions of each other in
+    the global sort order; survivors are verified on exact n-gram
+    Jaccard ≥ ``threshold``.  The third blocking family next to
+    LSH banding (probabilistic) and prefix filtering (exact):
+    sorted-neighborhood catches near-dups that share a PREFIX even
+    when token-set overlap alone would need a lower threshold, with a
+    candidate count linear in n (n·window pairs).
+
+    ``passes`` is the classic multi-pass fix for single-key blindness
+    (Hernández-Stolfo run the method over several key orderings and
+    union the pairs): ``"prefix"`` keys on the normalized-text prefix;
+    ``"sorted"`` keys on the prefix of the SORTED token sequence —
+    order-insensitive, so near-dups whose openings diverge (prepended
+    boilerplate, reordered clauses) still sort adjacently.  Candidate
+    pairs union before one shared verify.
+
+    Scale shape — the global rank is the bucketed two-pass (same
+    discipline as shard_assign): a naive ``row_number() OVER (ORDER BY
+    key)`` funnels 100 TB through ONE task.  Instead the key's 2-char
+    prefix forms a bucket (lexicographic (bucket, key) order == key
+    order by construction), pass 1 counts per bucket (tiny frame,
+    prefix-summed with a single window over ≤256² rows), pass 2 ranks
+    within buckets in parallel and adds the broadcast offset.
+    Neighborhood pairing is then an equi-join on rank blocks of size
+    ``window`` (a pair ≤ window apart spans at most two adjacent
+    blocks, so each left row carries its block id and the successor's
+    — two join keys, no range join), and only candidate ids ride the
+    verify join.
+    """
+    keys = {
+        "prefix": F.substring(
+            F.coalesce(normalized_text(text_col), F.lit("")), 1, key_len
+        ),
+        "sorted": F.substring(
+            F.concat_ws(" ", F.sort_array(tokens(text_col, lowercase=True))),
+            1,
+            key_len,
+        ),
+    }
+    cand = None
+    for p in passes:
+        pairs = _snm_window_pairs(docs, keys[p], id_col, window)
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
     # md5→long shingle hashing via EXPLODE, not an in-row
     # transform(shingles(...), md5) lambda: higher-order lambdas run
     # interpreted (outside whole-stage codegen), and md5-per-element

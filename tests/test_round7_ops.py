@@ -863,3 +863,35 @@ def test_lsh_recall_report_invariants(spark):
     for r in out.values():
         assert r["n_found"] <= r["n_true"]
         assert r["recall"] == round(r["n_found"] / r["n_true"], 6)
+
+
+def test_snm_multikey_catches_prefix_divergent_dups(spark):
+    """A near-dup pair sharing a long tail but different openings
+    sorts far apart under the prefix key (pass 1 misses it) but
+    adjacent under the sorted-token key (pass 2 finds it); multikey
+    output must be a superset of single-key output."""
+    tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, f"aardvark opening {tail}"),
+        (2, f"zebra start {tail}"),  # same tail, opposite sort extreme
+    ] + [
+        # fillers strictly between 'aardvark…' and 'zebra…' in prefix
+        # order, > window apart
+        (10 + i, f"m{c} filler document body {c} unrelated content words here")
+        for i, c in enumerate("abcdefgh")
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood(docs, threshold=0.5).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_sorted_neighborhood(
+            docs, threshold=0.5, passes=("prefix", "sorted")
+        ).collect()
+    }
+    assert (1, 2) not in single  # 8 fillers separate them in prefix order
+    assert (1, 2) in multi  # sorted-token key puts them adjacent
+    assert multi[(1, 2)] >= 0.5
+    assert single <= set(multi)
