@@ -640,6 +640,13 @@ def _q_dedup_sorted_neighborhood(spark, sf):
     return dedup.dedup_sorted_neighborhood(scan(spark, sf, "documents"))
 
 
+def _q_simjoin_cosine(spark, sf):
+    """Weighted (TF-IDF) cosine similarity self-join with integer
+    fixed-point weights — exact int64 dots/norms make the score
+    bit-identical across engines."""
+    return dedup.simjoin_cosine(scan(spark, sf, "documents"), threshold=0.9)
+
+
 def _q_dedup_snm_multikey(spark, sf):
     """Multi-pass sorted-neighborhood (Hernández-Stolfo): prefix-key
     pass UNION sorted-token-key pass — the order-insensitive second
@@ -2796,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simjoin_prefix": _q_simjoin_prefix,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
         "dedup_snm_multikey": _q_dedup_snm_multikey,
+        "simjoin_cosine": _q_simjoin_cosine,
         "dedup_substring": _q_dedup_substring,
         "dedup_report": _q_dedup_report,
         "dedup_exact_keep_best": _q_dedup_exact_keep_best,
@@ -4426,6 +4434,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+        """,
+        # same centi-idf integer weights: int64 dots/norms are exact on
+        # both engines; one double division+sqrt at the end
+        "simjoin_cosine": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+            counts AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT h, count(*) AS df FROM counts GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            weighted AS (
+              SELECT c.doc_id, c.h, d.df,
+                     c.tf * CAST(round((ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                                       * 100.0) AS BIGINT) AS w
+              FROM counts c JOIN dfreq d ON d.h = c.h, n
+            ),
+            norms AS (SELECT doc_id, sum(w * w) AS n2 FROM weighted GROUP BY 1),
+            joinable AS (SELECT doc_id, h, w FROM weighted WHERE df <= 10000),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+              FROM joinable a JOIN joinable b
+                ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
+            FROM dots
+            JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b
+            WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.9
         """,
         # two ranked orderings (normalized prefix + sorted-token
         # prefix), window pairs unioned, one shared verify

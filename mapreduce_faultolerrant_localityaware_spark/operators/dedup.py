@@ -1417,3 +1417,95 @@ def dedup_incremental_jaccard(
         )
         .withColumn("keep", F.col("n_matches") == 0)
     )
+
+
+def simjoin_cosine(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_term_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """TF-IDF cosine similarity self-join — the WEIGHTED counterpart
+    of the Jaccard joins (Bayardo et al., WWW'07 setting): every doc
+    pair whose TF-IDF cosine ≥ ``threshold``, via an inverted-index
+    equi-join on shared terms.
+
+    Determinism is engineered with integer fixed point: idf is
+    quantized to CENTI-units (``round((ln((N+1)/(df+1)) + 1)·100)``
+    as int64) and weights are ``tf · idf_q``, so per-doc norms and
+    pair dot products are EXACT int64 sums — order-independent across
+    partitions and bit-identical in a SQL oracle — and the cosine is
+    one double division/sqrt at the end (IEEE-identical given
+    identical integer inputs), rounded to 6 dp.  Int64 headroom:
+    w ≤ tf·~10³, w² ≤ ~1e9·tf², far under 2⁶³ even for million-term
+    documents.  (The quantization DEFINES the semantics: both engines
+    score with centi-idf weights, so parity is exact, not approximate.)
+
+    Scale shape: one tokenize pass → (doc, term-hash, tf) counts with
+    the same tf>=1 exchange-reuse guard as tfidf_top_terms (df and
+    the weight join share one exchange); N attaches as a broadcast
+    1-row join; the pair join runs only over terms with document
+    frequency ≤ ``max_term_df`` — dropping a shared stopword-like
+    term only LOWERS the dot product (weights stay in the norms), so
+    like dedup_ngram_jaccard's cap it under-estimates conservatively,
+    and idf already makes such terms near-weightless.
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
+    )
+    counts = (
+        toks.select(
+            id_col,
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        counts.filter(F.col("tf") >= 1)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_q = F.round(
+        (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+        * F.lit(100.0)
+    ).cast("long")
+    weighted = (
+        counts.join(dfreq, "h")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "h",
+            "df",
+            (F.col("tf") * idf_q).alias("w"),
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    joinable = weighted.filter(F.col("df") <= max_term_df).select(id_col, "h", "w")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    dots = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
+    )

@@ -51,7 +51,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "pmi_collocations", "modality_alignment",
            # decayed_sum broadcasts its 1-row max-ts anchor (scalar
            # attach, same shape as lm_score's vocabulary size)
-           "decayed_sum"}
+           "decayed_sum",
+           # simjoin_cosine attaches its 1-row corpus count for idf
+           # (the same tfidf_top_terms scalar-broadcast pattern)
+           "simjoin_cosine"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -895,3 +895,51 @@ def test_snm_multikey_catches_prefix_divergent_dups(spark):
     assert (1, 2) in multi  # sorted-token key puts them adjacent
     assert multi[(1, 2)] >= 0.5
     assert single <= set(multi)
+
+
+# ---- TF-IDF cosine similarity join ----
+
+def test_simjoin_cosine_matches_numpy_oracle(spark):
+    """Engine cosine (centi-idf integer fixed point) must match a
+    pure-Python replica of the SAME quantized weights exactly, and
+    identical docs must score 1.0."""
+    import math
+    import re
+    from collections import Counter
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical
+        (3, "alpha beta gamma delta epsilon omega"),  # near
+        (4, "totally different words entirely here now"),
+    ]
+    N = len(rows)
+    tfs = {}
+    for did, text in rows:
+        toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+        tfs[did] = Counter(toks)
+    dfs = Counter(t for c in tfs.values() for t in c)
+    w = {
+        did: {
+            t: tf * round((math.log((N + 1.0) / (dfs[t] + 1.0)) + 1.0) * 100.0)
+            for t, tf in c.items()
+        }
+        for did, c in tfs.items()
+    }
+    def cos(a, b):
+        dot = sum(w[a][t] * w[b][t] for t in set(w[a]) & set(w[b]))
+        na = math.sqrt(sum(x * x for x in w[a].values()))
+        nb = math.sqrt(sum(x * x for x in w[b].values()))
+        return round(dot / (na * nb), 6)
+
+    expected = {
+        (a, b): cos(a, b)
+        for a in w for b in w if a < b and cos(a, b) >= 0.5
+    }
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in dedup.simjoin_cosine(docs, threshold=0.5).collect()
+    }
+    assert got == expected
+    assert got[(1, 2)] == 1.0
