@@ -4439,12 +4439,18 @@ def oracle_sql() -> dict[str, str]:
         # both engines; one double division+sqrt at the end
         "simjoin_cosine": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
-            tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+            -- shingles WITH multiplicity (no DISTINCT): tf-weighted
+            shm AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i
+                    FROM toks)
+            ),
             counts AS (
               SELECT doc_id,
-                     CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h,
+                     CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h,
                      CAST(count(*) AS BIGINT) AS tf
-              FROM tok GROUP BY 1, 2
+              FROM shm GROUP BY 1, 2
             ),
             dfreq AS (SELECT h, count(*) AS df FROM counts GROUP BY 1),
             n AS (SELECT count(*) AS n_docs FROM documents),
@@ -4455,10 +4461,9 @@ def oracle_sql() -> dict[str, str]:
               FROM counts c JOIN dfreq d ON d.h = c.h, n
             ),
             norms AS (SELECT doc_id, sum(w * w) AS n2 FROM weighted GROUP BY 1),
-            joinable AS (SELECT doc_id, h, w FROM weighted WHERE df <= 10000),
             dots AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
-              FROM joinable a JOIN joinable b
+              FROM weighted a JOIN weighted b
                 ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )

