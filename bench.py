@@ -60,6 +60,7 @@ HEADLINE = [
     "embedding_quantize",
     "simjoin_prefix",
     "dedup_sorted_neighborhood",
+    "simjoin_cosine",
     "dedup_pipeline",
     "dedup_substring",
     "text_entropy",
