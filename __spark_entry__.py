@@ -31,6 +31,7 @@ from mapreduce_faultolerrant_localityaware_spark.operators import (
     events as events_ops,
     multimodal,
     relational,
+    retrieval,
     similarity,
     temporal,
     textstats,
@@ -484,6 +485,15 @@ def _q_bigram_counts(spark, sf):
 
 def _q_contamination(spark, sf):
     return corpus.contamination_check(scan(spark, sf, "documents"))
+
+
+# fixed bag-of-words query for the BM25 surface: mid-frequency corpus
+# terms so idf spread is real (neither stopwords nor singletons).
+_BM25_TERMS = ["hash", "merge", "scan", "slow", "batch"]
+
+
+def _q_bm25_search(spark, sf):
+    return retrieval.bm25_topk(scan(spark, sf, "documents"), _BM25_TERMS, k=20)
 
 
 def _q_length_filter(spark, sf):
@@ -2781,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
+        "bm25_search": _q_bm25_search,
         "length_filter": _q_length_filter,
         "pack_sequences": _q_pack_sequences,
         "mixture_report": _q_mixture_report,
@@ -3833,6 +3844,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS n FROM grams
             GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100
         """,
+        "bm25_search": retrieval.bm25_oracle_sql(
+            _BM25_TERMS, k=20, k1=1.2, b=0.75, tok_sql=_TOK_LOWER
+        ),
         "contamination": f"""
             {_SHINGLES_LOWER},
             bench AS (SELECT * FROM sh WHERE doc_id % 50 = 0),

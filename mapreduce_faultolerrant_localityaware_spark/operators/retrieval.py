@@ -1,0 +1,156 @@
+"""Full-text retrieval operators — BM25 ranked search over a document
+corpus.  A training-data-pipeline extension beyond the reference
+surface (the reference's only text operator is the word count,
+core/map_reduce.go:543-560): corpus search is what powers benchmark
+decontamination review, targeted quality audits, and eval-set
+curation at crawl scale.
+
+Scale shape (the reason this module exists as written):
+
+  * The query term list is tiny and fixed, so per-document term
+    frequencies are computed INSIDE the token array with
+    ``size(filter(...))`` — no explode, no (doc, token) shuffle.
+    One corpus scan emits (doc_id, dl, tf_0..tf_m) rows.
+  * Corpus statistics (N, avgdl, per-term document frequency) are ONE
+    global single-row aggregate over that pass, attached back as a
+    broadcast 1-row join — the only exchange before the top-k.
+  * The final top-k is ``ORDER BY score LIMIT k`` which Spark plans
+    as TakeOrderedAndProject: per-partition heaps of k rows, never a
+    global sort.
+
+  Total cost at 100 TB: one scan + one scalar aggregate + one
+  broadcast + a k-row heap reduce.  Nothing is proportional to the
+  vocabulary and no shuffle carries more than one row per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for the bag-of-words query
+    ``terms`` (Robertson/Sparck-Jones idf with the +1 floor, the
+    Lucene form — always positive, so adding a matching term never
+    lowers a score).
+
+    Ranking compares RAW doubles with ``id_col`` as the tie-break, so
+    any two engines that agree on IEEE arithmetic produce the same
+    ordering; the emitted score is rounded to 6 dp for hash-stable
+    comparison.  Documents matching no term are dropped (score 0).
+
+    Returns (doc_id, n_terms_hit, score) sorted score desc, id asc.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    tk = tokens(text_col, lowercase=True)
+
+    # one in-array pass per term: tf_i = count of exact matches.  The
+    # factory pins the loop variable; a `term=t` default would make
+    # the lambda TWO-argument, which pyspark's higher-order-function
+    # binder reads as (element, index).
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(tk, _eq(t))).alias(f"tf_{i}") for i, t in enumerate(terms)
+    ]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tk).alias("dl"), *tf_cols
+    )
+    # single-row corpus stats: N, avgdl, df per term.  count(*) over
+    # the same pass (NOT a second scan) — exchange-free partial aggs.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    norm = 1.0 - b + b * F.col("dl") / F.col("avgdl")
+    contribs = []
+    hits = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        contribs.append(idf * tf * (k1 + 1.0) / (tf + k1 * norm))
+        hits.append(F.when(tf > 0, 1).otherwise(0))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_hit = hits[0]
+    for h in hits[1:]:
+        n_hit = n_hit + h
+    return (
+        scored.select(
+            "doc_id",
+            n_hit.cast("int").alias("n_terms_hit"),
+            score.alias("_raw"),
+        )
+        .where(F.col("n_terms_hit") > 0)
+        .orderBy(F.col("_raw").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "n_terms_hit", F.round("_raw", 6).alias("score"))
+    )
+
+
+def bm25_oracle_sql(terms: list[str], k: int, k1: float, b: float, tok_sql: str) -> str:
+    """DuckDB equivalent of :func:`bm25_topk`, built from the same
+    term list so the two stay in lock-step.  ``tok_sql`` is the shared
+    lowercase tokenizer expression over ``documents.text``.
+    """
+    tf_exprs = ",\n              ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n              ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * ({k1} + 1.0)"
+        f" / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    n_hit = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, len(tk) AS dl,
+              {tf_exprs}
+          FROM (SELECT doc_id, {tok_sql} AS tk FROM documents)
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+              {df_exprs}
+          FROM base
+        )
+        SELECT doc_id, CAST(n_hit AS INTEGER) AS n_terms_hit,
+               round(raw, 6) AS score
+        FROM (
+          SELECT doc_id, {n_hit} AS n_hit, {contrib} AS raw
+          FROM base, stats
+        ) WHERE n_hit > 0
+        ORDER BY raw DESC, doc_id ASC LIMIT {k}
+    """
+
+
+__all__ = ["bm25_topk", "bm25_oracle_sql"]

@@ -54,7 +54,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "decayed_sum",
            # simjoin_cosine attaches its 1-row corpus count for idf
            # (the same tfidf_top_terms scalar-broadcast pattern)
-           "simjoin_cosine"}
+           "simjoin_cosine",
+           # bm25_search attaches its 1-row corpus stats (N, avgdl,
+           # per-term df) as a broadcast scalar join
+           "bm25_search"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -944,3 +944,41 @@ def test_simjoin_cosine_matches_numpy_oracle(spark):
     }
     assert got == expected
     assert got[(1, 2)] == 1.0
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    """BM25 (Lucene idf form) against a from-scratch Python oracle on a
+    4-doc corpus, including the dl/avgdl length normalization and the
+    score-0 drop for non-matching docs."""
+    import math
+
+    rows = [
+        (1, "hash hash merge scan"),
+        (2, "hash table lookup"),
+        (3, "slow scan of the big table"),
+        (4, "nothing relevant at all"),
+    ]
+    terms, k1, b = ["hash", "merge", "scan"], 1.2, 0.75
+    toks = {d: t.split() for d, t in rows}
+    N = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            idf = math.log((N - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        return round(s, 6)
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import retrieval
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = retrieval.bm25_topk(docs, terms, k=10).collect()
+    assert [r["doc_id"] for r in got] == sorted(
+        [1, 2, 3], key=lambda d: (-score(d), d)
+    )
+    for r in got:
+        assert r["score"] == score(r["doc_id"])
+    assert {r["doc_id"]: r["n_terms_hit"] for r in got} == {1: 3, 2: 1, 3: 1}
