@@ -627,6 +627,38 @@ def _q_dedup_exact(spark, sf):
     return out.withColumn("n_dups", F.col("n_dups").cast("long"))
 
 
+def _q_dedup_url(spark, sf):
+    """URL-canonicalization dedup — the cheapest dedup in a crawl
+    pipeline (pure map expression + hash groupBy, no text shuffled).
+    The corpus has no URL column, so each doc derives a deterministic
+    MESSY url (six variants: host case, www., default ports, tracking
+    params, param order, fragments); variants 0-4 of the same
+    (source, doc_id%13) collapse to one https canonical, variant 5
+    stays distinct (http scheme preserved).  The oracle re-derives the
+    same mess and canonicalizes with portable regexps."""
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import canonical_url
+
+    docs = scan(spark, sf, "documents")
+    host = F.concat(F.col("source"), F.lit(".org"))
+    key = (F.col("doc_id") % 13).cast("string")
+    v = F.col("doc_id") % 6
+    stem = F.concat(F.lit("/docs/"), key)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, stem))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(host), stem, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), stem, F.lit("?utm_source=feed")))
+        .when(v == 3, F.concat(F.lit("https://"), host, stem, F.lit("?b=2&a=1")))
+        .when(v == 4, F.concat(F.lit("https://"), host, stem, F.lit("?a=1&b=2&utm_campaign=x#frag")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit(":80"), stem, F.lit("#top")))
+    )
+    return (
+        docs.select(F.col("doc_id"), canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
 def _q_dedup_minhash(spark, sf):
     return dedup.dedup_minhash_candidates(scan(spark, sf, "documents"))
 
@@ -2807,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": _q_winsorize,
         "lang_confusion": _q_lang_confusion,
         "dedup_exact": _q_dedup_exact,
+        "dedup_url": _q_dedup_url,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -4075,6 +4108,35 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(list_transform({_TOK_LOWER}, t -> md5(t)), 'min') AS min_token_hash,
                    list_aggregate(list_transform({_TOK_LOWER}, t -> md5(t)), 'max') AS max_token_hash
             FROM documents
+        """,
+        "dedup_url": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'https://' || source || '.org/docs/' || (doc_id % 13)
+                  WHEN 1 THEN 'HTTPS://WWW.' || upper(source || '.org') || '/docs/' || (doc_id % 13) || '/'
+                  WHEN 2 THEN 'https://' || source || '.org:443/docs/' || (doc_id % 13) || '?utm_source=feed'
+                  WHEN 3 THEN 'https://' || source || '.org/docs/' || (doc_id % 13) || '?b=2&a=1'
+                  WHEN 4 THEN 'https://' || source || '.org/docs/' || (doc_id % 13) || '?a=1&b=2&utm_campaign=x#frag'
+                  ELSE 'http://' || source || '.org:80/docs/' || (doc_id % 13) || '#top'
+                END AS url
+              FROM documents),
+            norm AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), '^www\.', '') AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM urls),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://' || host || path ||
+                CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canonical_url
+              FROM (SELECT *, array_to_string(list_sort(list_filter(str_split(q, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&') AS kept
+                    FROM norm))
+            SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM canon GROUP BY 1 HAVING count(*) >= 2
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS content_hash, min(doc_id) AS keep_id,

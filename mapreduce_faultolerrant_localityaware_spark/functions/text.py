@@ -68,3 +68,56 @@ def stopword_hits(tokens_col: Column, stopwords: tuple[str, ...]) -> Column:
     """Count of tokens (lowercased) that are in ``stopwords``."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     return F.size(F.filter(tokens_col, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+#: query params dropped by URL canonicalization — click-tracking ids
+#: that vary per visit without changing the resource.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization, entirely JVM-side
+    (``parse_url`` + array expressions — no Python, codegen'd):
+
+      * scheme and host lowercased; leading ``www.`` stripped
+      * port dropped (``parse_url(..., 'HOST')`` is port-less; the
+        engine's contract is default-port URLs — a crawler that must
+        preserve exotic ports would canonicalize AUTHORITY instead)
+      * fragment dropped; ONE trailing slash stripped from the path
+      * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``)
+        dropped; surviving params sorted byte-wise and rejoined, so
+        ``?b=2&a=1`` and ``?a=1&b=2`` collide
+
+    The scheme is PRESERVED (http ≠ https): scheme-folding merges
+    distinct resources on servers that serve different content per
+    scheme; callers who want it can lower upstream.
+
+    Dedup-by-URL is the cheapest dedup in a crawl pipeline — a pure
+    map expression followed by a hash groupBy, no text ever shuffled.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(u, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), r"/$", ""
+    )
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (p != F.lit(""))
+                & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )

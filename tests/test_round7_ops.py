@@ -982,3 +982,24 @@ def test_bm25_topk_matches_hand_computation(spark):
     for r in got:
         assert r["score"] == score(r["doc_id"])
     assert {r["doc_id"]: r["n_terms_hit"] for r in got} == {1: 3, 2: 1, 3: 1}
+
+
+def test_canonical_url_normalization(spark):
+    """Unit contract for canonical_url: case, www., default ports,
+    tracking params, param sort, trailing slash, fragment — and the
+    NON-goals (scheme preserved, distinct resources stay distinct)."""
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Foo.ORG:443/a/b/?b=2&utm_source=x&a=1#f", "https://foo.org/a/b?a=1&b=2"),
+        ("https://foo.org/a/b?a=1&b=2", "https://foo.org/a/b?a=1&b=2"),
+        ("http://foo.org:80/", "http://foo.org"),
+        ("https://foo.org/x?ref=tw&fbclid=abc&gclid=1", "https://foo.org/x"),
+        # scheme preserved: http and https do NOT collide
+        ("http://foo.org/x", "http://foo.org/x"),
+        # non-tracking params survive, sorted
+        ("https://foo.org/x?z=1&y=2", "https://foo.org/x?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
