@@ -1689,6 +1689,77 @@ def _q_string_funcs(spark, sf):
     )
 
 
+def _q_hash_funcs(spark, sf):
+    """Cryptographic digest surface — content addressing / cache keys.
+    md5 + sha256 are the portable pair (DuckDB lacks sha1/crc32;
+    Spark's xxhash64 seed differs per engine — both engine-only, so
+    excluded from the oracle-gated surface)."""
+    cust = scan(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_name"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_name"),
+        F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias("md5_composite"),
+    )
+
+
+def _q_bitwise_funcs(spark, sf):
+    """Bitwise expression surface — flag fields, shard masks, packed
+    ids (the id-packing trick every feed pipeline uses)."""
+    orders = scan(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(16)).alias("or16"),
+        k.bitwiseXOR(F.lit(255)).alias("xor255"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+def _q_regex_funcs(spark, sf):
+    """Regexp surface beyond the tokenizer: extract-all, count,
+    positional extract, replace, boolean match."""
+    docs = scan(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)\s+([a-z]+)", 2).alias("second_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\bs[a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_s_words"),
+        F.regexp_replace("text", r"\d+", "#").alias("digits_masked"),
+        F.col("text").rlike(r"\bhash\b").alias("mentions_hash"),
+    )
+
+
+def _q_url_funcs(spark, sf):
+    """parse_url component surface (PROTOCOL/HOST/PATH/QUERY/REF +
+    single-param lookup) over the same derived messy URLs the
+    dedup_url query uses; the oracle decomposes with regexps."""
+    docs = scan(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".org/docs/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("?a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&b=2#sec"),
+    )
+    u = url.alias("u")
+    return docs.select(
+        "doc_id",
+        F.parse_url(u, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("REF")).alias("fragment"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("a")).alias("param_a"),
+    )
+
+
 def _q_date_funcs(spark, sf):
     orders = scan(spark, sf, "orders")
     return orders.select(
@@ -2921,6 +2992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_by": _q_minmax_by,
         "window_ntile": _q_window_ntile,
         "string_funcs": _q_string_funcs,
+        "hash_funcs": _q_hash_funcs,
+        "bitwise_funcs": _q_bitwise_funcs,
+        "regex_funcs": _q_regex_funcs,
+        "url_funcs": _q_url_funcs,
         "date_funcs": _q_date_funcs,
         "math_funcs": _q_math_funcs,
         "array_funcs": _q_array_funcs,
@@ -5124,6 +5199,45 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 6) AS cdist
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "hash_funcs": """
+            SELECT c_custkey, md5(c_name) AS md5_name,
+                   sha256(c_name) AS sha256_name,
+                   md5(concat_ws('|', c_name, c_mktsegment)) AS md5_composite
+            FROM customer
+        """,
+        "bitwise_funcs": """
+            SELECT o_orderkey,
+                   o_orderkey & 255 AS low_byte,
+                   o_orderkey | 16 AS or16,
+                   xor(o_orderkey, 255) AS xor255,
+                   o_orderkey << 2 AS shl2,
+                   o_orderkey >> 2 AS shr2,
+                   CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+            FROM orders
+        """,
+        "regex_funcs": r"""
+            SELECT doc_id,
+                   regexp_extract(text, '([a-z]+)\s+([a-z]+)', 2) AS second_word,
+                   CAST(len(regexp_extract_all(text, '\bs[a-z]+')) AS BIGINT) AS n_s_words,
+                   regexp_replace(text, '\d+', '#', 'g') AS digits_masked,
+                   regexp_matches(text, '\bhash\b') AS mentions_hash
+            FROM documents
+        """,
+        "url_funcs": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://www.' || source || '.org/docs/' || (doc_id % 13)
+                       || '?a=' || (doc_id % 3) || '&b=2#sec' AS u
+              FROM documents)
+            SELECT doc_id,
+                   regexp_extract(u, '^([a-z]+)://', 1) AS scheme,
+                   regexp_extract(u, '^[a-z]+://([^/?#:]+)', 1) AS host,
+                   regexp_extract(u, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+                   regexp_extract(u, '\?([^#]*)', 1) AS query,
+                   regexp_extract(u, '#(.*)$', 1) AS fragment,
+                   regexp_extract(u, '[?&]a=([^&#]*)', 1) AS param_a
+            FROM urls
         """,
         "string_funcs": """
             SELECT c_custkey, upper(c_name) AS uname,
