@@ -487,6 +487,10 @@ def _q_contamination(spark, sf):
     return corpus.contamination_check(scan(spark, sf, "documents"))
 
 
+def _q_contamination_fuzzy(spark, sf):
+    return corpus.contamination_fuzzy(scan(spark, sf, "documents"))
+
+
 # fixed bag-of-words query for the BM25 surface: mid-frequency corpus
 # terms so idf spread is real (neither stopwords nor singletons).
 _BM25_TERMS = ["hash", "merge", "scan", "slow", "batch"]
@@ -2894,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
+        "contamination_fuzzy": _q_contamination_fuzzy,
         "bm25_search": _q_bm25_search,
         "length_filter": _q_length_filter,
         "pack_sequences": _q_pack_sequences,
@@ -3951,6 +3956,36 @@ def oracle_sql() -> dict[str, str]:
                             FROM toks))
             SELECT bigram, count(*) AS n FROM grams
             GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100
+        """,
+        "contamination_fuzzy": f"""
+            {_SHINGLES_LOWER},
+            hashed AS (SELECT doc_id, {_MINHASH_HASHES} FROM sh),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+            bands AS ({_BAND_SELECTS}),
+            bench_b AS (SELECT * FROM bands WHERE doc_id % 50 = 0),
+            train_b AS (
+              SELECT doc_id, band, band_sig FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY band, band_sig ORDER BY doc_id ASC) AS rn
+                FROM bands WHERE doc_id % 50 <> 0
+              ) WHERE rn <= 64),
+            cand AS (
+              SELECT DISTINCT q.doc_id AS bench_id, t.doc_id AS train_id
+              FROM bench_b q JOIN train_b t
+                ON q.band = t.band AND q.band_sig = t.band_sig),
+            est AS (
+              SELECT c.bench_id, ({_MH_MATCHES}) / CAST({dedup.NUM_HASHES} AS DOUBLE) AS est_j
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.bench_id
+              JOIN sig sb ON sb.doc_id = c.train_id),
+            per_bench AS (
+              SELECT bench_id, count(*) AS n_candidates, max(est_j) AS best_est
+              FROM est GROUP BY 1)
+            SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+                   round(coalesce(p.best_est, 0.0), 6) AS best_est,
+                   coalesce(p.best_est, 0.0) >= 0.5 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+            LEFT JOIN per_bench p ON d.doc_id = p.bench_id
         """,
         "bm25_search": retrieval.bm25_oracle_sql(
             _BM25_TERMS, k=20, k1=1.2, b=0.75, tok_sql=_TOK_LOWER

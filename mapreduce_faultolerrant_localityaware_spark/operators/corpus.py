@@ -1218,3 +1218,89 @@ def cms_counts(
             "cms_est",
         )
     )
+
+
+def contamination_fuzzy(
+    docs: DataFrame,
+    bench_mod: int = 50,
+    bucket_cap: int = 64,
+    est_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy companion
+    to :func:`contamination_check` (which only catches verbatim
+    shingle overlap).  Real eval leakage is usually lightly rewritten,
+    so production decontamination is MinHash-based: a benchmark doc is
+    flagged when any training doc lands in one of its LSH buckets with
+    a high signature-estimated Jaccard.
+
+    Scale shape: ONE signature pass over the whole corpus (the
+    bench/train split happens on the 12-integer signatures, never on
+    text), then a cross-side equi-join on (band, band_sig).  Hot
+    buckets (mass boilerplate) are capped DETERMINISTICALLY: each
+    bucket keeps its ``bucket_cap`` lowest train ids (row_number, both
+    engines agree), bounding the join fan-out at
+    ``bucket_cap × bench_bucket_size`` while keeping the flag
+    conservative-correct for any bucket whose cap survivors include a
+    near-dup.  Estimated Jaccard = matching minhash fraction — no
+    second text pass to verify (callers chain dedup_ngram_jaccard on
+    the flagged pairs when exact scores are needed).
+
+    Returns one row per benchmark doc: (doc_id, n_candidates,
+    best_est, contaminated) — clean docs report 0 / 0.0 / false.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import NUM_HASHES, minhash_bands, minhash_signatures
+
+    sig = minhash_signatures(docs, text_col, id_col)
+    bands = minhash_bands(sig, id_col)
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    bench_b = bands.where(is_bench)
+    cap_w = Window.partitionBy("band", "band_sig").orderBy(F.col(id_col).asc())
+    train_b = (
+        bands.where(~is_bench)
+        .withColumn("_rn", F.row_number().over(cap_w))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    cand = (
+        bench_b.alias("q")
+        .join(
+            train_b.alias("t"),
+            (F.col("q.band") == F.col("t.band"))
+            & (F.col("q.band_sig") == F.col("t.band_sig")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("bench_id"),
+            F.col(f"t.{id_col}").alias("train_id"),
+        )
+        .distinct()
+    )
+    matches = None
+    for i in range(NUM_HASHES):
+        m = F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = (
+        cand.join(sig.alias("sa"), F.col("bench_id") == F.col(f"sa.{id_col}"))
+        .join(sig.alias("sb"), F.col("train_id") == F.col(f"sb.{id_col}"))
+        .select(
+            "bench_id",
+            (matches.cast("double") / NUM_HASHES).alias("est_j"),
+        )
+    )
+    per_bench = est.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("est_j").alias("best_est"),
+    )
+    bench_ids = docs.where(is_bench).select(F.col(id_col).alias("bench_id"))
+    return (
+        bench_ids.join(per_bench, "bench_id", "left")
+        .select(
+            F.col("bench_id").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.round(F.coalesce("best_est", F.lit(0.0)), 6).alias("best_est"),
+            (F.coalesce("best_est", F.lit(0.0)) >= est_threshold).alias("contaminated"),
+        )
+    )

@@ -1003,3 +1003,25 @@ def test_canonical_url_normalization(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_contamination_fuzzy_flags_near_dup_leak(spark):
+    """A benchmark doc (id%50==0) that is a lightly-edited copy of a
+    training doc must flag contaminated with high estimated Jaccard; an
+    unrelated benchmark doc must report 0 candidates / false."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (0, base),                                   # bench: verbatim leak
+        (50, "completely unrelated words nothing in common whatsoever here"),
+        (1, base),                                   # train: the source doc
+        (2, "some other training text with its own distinct content words"),
+        (3, "yet another training document about entirely different things"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.contamination_fuzzy(docs).collect()}
+    assert set(out) == {0, 50}
+    assert out[0]["contaminated"] and out[0]["best_est"] == 1.0
+    assert out[0]["n_candidates"] >= 1
+    assert not out[50]["contaminated"] and out[50]["n_candidates"] == 0
