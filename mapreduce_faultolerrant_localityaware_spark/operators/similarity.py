@@ -67,60 +67,53 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 8,
+    train_per_centroid: int = 256,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over an embedding column — the
     coarse quantizer for IVF.  Returns k centroids (python lists; the
     model is k×d scalars — driver-sized by definition, like any ML
     model parameters).
 
-    Distributed shape: each iteration is ONE pass over the corpus —
-    assignment is a JVM-side expression (k squared-distance aggregates
-    against literal centroids, no Python in the loop), and the centroid
-    update is posexplode → groupBy(cell, dim) → avg, partial-agged
-    before the exchange.  Only k×d means are collected per iteration.
+    Distributed shape: the fit trains on a DETERMINISTIC sample of
+    ``k × train_per_centroid`` vectors (lowest id-hashes — ONE
+    TakeOrderedAndProject pass over the corpus: per-partition heaps,
+    k-row driver merge), the standard quantizer-training posture
+    (FAISS trains on ~256 points per centroid).  The sample is
+    collected once and Lloyd runs on the DRIVER in numpy: iteration
+    cost is bounded by the model, not the corpus, and — measured —
+    the previous cluster-side loop spent its time in Catalyst
+    re-analyzing literal-centroid expression trees every iteration
+    (~5 s per iteration at m=8×16 codes), not in data.  At 100 TB the
+    corpus is scanned exactly once here (sample draw); the caller's
+    corpus-wide assignment/encode stays cluster-side.
 
-    Determinism: init picks k evenly-spaced vectors in id order (no
-    RNG), and all arithmetic is double-precision index-order sums, so
-    repeated fits are bit-identical.
+    Determinism: init is the k lowest id-hash vectors (no RNG; a
+    prefix of the training sample), assignment ties break to the
+    lowest cell (argmin), and updates are numpy double reductions in
+    fixed sample order, so repeated fits are bit-identical.
     """
-    v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
+    import numpy as np
+
     if k <= 0:
         raise ValueError("kmeans_fit needs k > 0")
-    # the fit loop re-reads these vectors up to max_iter+1 times —
-    # persist so the source (100 TB of parquet upstream) is scanned
-    # ONCE and every Lloyd iteration reads the materialized columns.
-    v = v.persist()
-    try:
-        # deterministic pseudo-random seeds: k smallest id-hashes.
-        # orderBy + limit plans as TakeOrderedAndProject — per-partition
-        # top-k then a k-row merge on the driver, no global sort /
-        # single-partition window even at 100 TB.
-        init = v.orderBy(F.xxhash64("_id"), "_id").limit(k).select("v").collect()
-        if not init:
-            raise ValueError("kmeans_fit needs a non-empty corpus")
-        centroids = [list(r["v"]) for r in init]
-        k = len(centroids)
-
-        for _ in range(max_iter):
-            assigned = v.withColumn("cell", _nearest_cell(F.col("v"), centroids))
-            stats = (
-                assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-                .groupBy("cell", "pos")
-                .agg(F.avg("val").alias("mean"))
-                .collect()
-            )
-            new_centroids = [list(c) for c in centroids]  # empty cells keep old
-            by_cell: dict[int, dict[int, float]] = {}
-            for r in stats:
-                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mean"]
-            for cell, dims in by_cell.items():
-                new_centroids[cell] = [dims[i] for i in range(len(dims))]
-            if new_centroids == centroids:
-                break
-            centroids = new_centroids
-    finally:
-        v.unpersist()
-    return centroids
+    v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
+    rows = v.orderBy(F.xxhash64("_id"), "_id").limit(k * train_per_centroid).collect()
+    if not rows:
+        raise ValueError("kmeans_fit needs a non-empty corpus")
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    C = X[: min(k, len(X))].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        newC = C.copy()  # empty cells keep old
+        for c in range(len(C)):
+            members = X[cell == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return [[float(x) for x in c] for c in C]
 
 
 def _sqdist_to(vec, centroid: list[float]):
@@ -496,6 +489,7 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 8,
+    train_per_centroid: int = 256,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split d dims into ``m`` disjoint
     subspaces and fit ``n_codes`` centroids in EACH — m independent
@@ -503,53 +497,44 @@ def pq_fit(
     driver-sized model state, the standard 100-TB ANN serving format
     (a code is m bytes where the vector was 4·d).
 
-    All m Lloyd's fits advance JOINTLY — one corpus pass per iteration
-    regardless of m (see the loop comment), against the persisted
-    vectors so 100 TB of upstream parquet is scanned once.  Same
-    determinism guarantees as :func:`kmeans_fit` (id-hash seeding,
-    index-order double sums): repeated fits are bit-identical.
+    Like :func:`kmeans_fit`, the m sub-fits train on ONE deterministic
+    sample of ``n_codes × train_per_centroid`` lowest-id-hash vectors
+    (one TakeOrderedAndProject corpus pass, collected once) and run
+    Lloyd on the driver in numpy — the previous cluster-side joint
+    loop was Catalyst-bound (re-analyzing m×n_codes literal-centroid
+    expression trees per iteration, ~5 s/iteration at m=8), not
+    data-bound.  The corpus-wide pq_encode stays cluster-side.
+    Determinism: id-hash sample order, argmin low-index ties, numpy
+    double reductions in fixed sample order — repeated fits are
+    bit-identical.
     """
+    import numpy as np
+
     dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     ds = dim // m
-    v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v").persist()
-    try:
-        # JOINT Lloyd's: all m subspace fits advance in the SAME pass —
-        # one job per iteration total (assignment for every subspace is
-        # one array expression; the centroid update groups the exploded
-        # (pos, cell) pairs, pos encoding the subspace), instead of the
-        # m independent kmeans_fit loops' m jobs per iteration.  Same
-        # determinism: id-hash seeds, index-order double sums.
-        init = v.orderBy(F.xxhash64("_id"), "_id").limit(n_codes).select("v").collect()
-        if not init:
-            raise ValueError("pq_fit needs a non-empty corpus")
-        books = [[list(r["v"])[j * ds : (j + 1) * ds] for r in init] for j in range(m)]
+    v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
+    rows = v.orderBy(F.xxhash64("_id"), "_id").limit(n_codes * train_per_centroid).collect()
+    if not rows:
+        raise ValueError("pq_fit needs a non-empty corpus")
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    books = []
+    for j in range(m):
+        Xj = X[:, j * ds : (j + 1) * ds]
+        C = Xj[: min(n_codes, len(Xj))].copy()
         for _ in range(max_iter):
-            cells = F.array(
-                *[_nearest_cell(F.slice("v", j * ds + 1, ds), books[j]) for j in range(m)]
-            )
-            # two selects: a generator (posexplode) in the same projection
-            # as the nearest-cell struct expressions trips the analyzer's
-            # struct-field resolution (FIELD_NOT_FOUND on the d/cell
-            # struct), so assign first, then explode.
-            stats = (
-                v.select(cells.alias("cells"), "v")
-                .select("cells", F.posexplode("v").alias("pos", "val"))
-                .withColumn("j", F.floor(F.col("pos") / ds).cast("int"))
-                .withColumn("cell", F.element_at("cells", F.col("j") + 1))
-                .groupBy("pos", "j", "cell")
-                .agg(F.avg("val").alias("mean"))
-                .collect()
-            )
-            new_books = [[list(c) for c in book] for book in books]  # empty cells keep old
-            for r in stats:
-                new_books[r["j"]][r["cell"]][r["pos"] - r["j"] * ds] = r["mean"]
-            if new_books == books:
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            newC = C.copy()  # empty cells keep old
+            for c in range(len(C)):
+                members = Xj[cell == c]
+                if len(members):
+                    newC[c] = members.mean(axis=0)
+            if np.array_equal(newC, C):
                 break
-            books = new_books
-    finally:
-        v.unpersist()
+            C = newC
+        books.append([[float(x) for x in c] for c in C])
     return books
 
 
@@ -667,11 +652,15 @@ def ann_pq(
         (F.col("qnorm") > 0) & (F.col("rnorm2") > 0),
         adc_dot / (F.col("qnorm") * F.sqrt("rnorm2")),
     ).otherwise(F.lit(-2.0))
+    # qv stays OUT of the scored rows: the shortlist window shuffles
+    # |corpus|×|Q| rows, and carrying the 64-double query vector
+    # through that exchange multiplies its width ~20×; re-attach qv
+    # to the k·rerank survivors with a second broadcast of the tiny
+    # query side instead.
     shortlisted = (
         enc.join(F.broadcast(qside), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
-            "qv",
             F.col(id_col).alias("neighbor_id"),
             adc_cos.alias("adc_cos"),
         )
@@ -681,6 +670,7 @@ def ann_pq(
         shortlisted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k * rerank)
         .drop("rk", "adc_cos")
+        .join(F.broadcast(q), "query_id")
     )
     corpus = _prep(emb, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")
@@ -778,16 +768,20 @@ def ann_ivfpq(
         (F.col("qnorm") > 0) & (F.col("rnorm2") > 0),
         adc_dot / (F.col("qnorm") * F.sqrt("rnorm2")),
     ).otherwise(F.lit(-2.0))
+    # as in ann_pq: qv is NOT carried through the shortlist window
+    # exchange — re-attached to the k·rerank survivors via a second
+    # broadcast of the tiny query side.
     shortlisted = (
         enc.join(F.broadcast(qside), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "qv", F.col(id_col).alias("neighbor_id"), adc_cos.alias("adc_cos"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc_cos.alias("adc_cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
     shortlist = (
         shortlisted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k * rerank)
         .drop("rk", "adc_cos")
+        .join(F.broadcast(q), "query_id")
     )
     corpus = _prep(emb, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")
