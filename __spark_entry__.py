@@ -491,6 +491,10 @@ def _q_contamination_fuzzy(spark, sf):
     return corpus.contamination_fuzzy(scan(spark, sf, "documents"))
 
 
+def _q_dsir_weights(spark, sf):
+    return corpus.dsir_weights(scan(spark, sf, "documents"))
+
+
 # fixed bag-of-words query for the BM25 surface: mid-frequency corpus
 # terms so idf spread is real (neither stopwords nor singletons).
 _BM25_TERMS = ["hash", "merge", "scan", "slow", "batch"]
@@ -2899,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": _q_bigram_counts,
         "contamination": _q_contamination,
         "contamination_fuzzy": _q_contamination_fuzzy,
+        "dsir_weights": _q_dsir_weights,
         "bm25_search": _q_bm25_search,
         "length_filter": _q_length_filter,
         "pack_sequences": _q_pack_sequences,
@@ -3956,6 +3961,35 @@ def oracle_sql() -> dict[str, str]:
                             FROM toks))
             SELECT bigram, count(*) AS n FROM grams
             GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            grams AS (SELECT doc_id, doc_id % 50 = 0 AS is_target,
+                             tk[i] || ' ' || tk[i+1] AS bigram
+                      FROM (SELECT doc_id, tk,
+                                   unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                            FROM toks)),
+            feats AS (SELECT doc_id, is_target,
+                             CAST(('0x' || substring(md5(bigram), 1, 15)) AS BIGINT) % 4096 AS bucket
+                      FROM grams),
+            counts AS (SELECT bucket,
+                              sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                              sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+                       FROM feats GROUP BY 1),
+            totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+            tab AS (SELECT bucket,
+                           CAST(round((ln((ct + 1.0) / (tt + 4096.0))
+                                       - ln((cr + 1.0) / (tr + 4096.0))) * 1e6) AS BIGINT) AS lr_micro
+                    FROM counts, totals)
+            SELECT doc_id, n_feats, lr_sum_micro,
+                   avg_lr_micro, avg_lr_micro / 1e6 AS avg_log_ratio
+            FROM (
+              SELECT f.doc_id, count(*) AS n_feats,
+                     CAST(sum(lr_micro) AS BIGINT) AS lr_sum_micro,
+                     CAST(round(CAST(sum(lr_micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lr_micro
+              FROM feats f JOIN tab USING (bucket)
+              WHERE NOT is_target GROUP BY 1
+            )
         """,
         "contamination_fuzzy": f"""
             {_SHINGLES_LOWER},

@@ -1304,3 +1304,98 @@ def contamination_fuzzy(
             (F.coalesce("best_est", F.lit(0.0)) >= est_threshold).alias("contaminated"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_mod: int = 50,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-pool doc by how target-domain-like its hashed bigram
+    features are — avg log p_target(f)/p_raw(f) — then resample with
+    these weights (chain :func:`sample_weighted`).  Target docs are
+    ``doc_id % target_mod == 0`` (the same held-out-domain stand-in the
+    contamination checks use); the rest are the raw pool being scored.
+
+    Scale shape: one tokenize pass (bigrams built in-array) →
+    (doc, bucket) explode; the two n-gram distributions collapse to a
+    ``n_buckets``-row table (groupBy + 1-row side totals — bounded by
+    the bucket count, NEVER vocabulary), which joins back as a
+    BROADCAST; the per-doc sum is one map-side-combined groupBy.
+
+    Determinism: each bucket's log-ratio (Laplace-smoothed) rounds to
+    integer micro-units ONCE in the broadcast table, per-doc sums are
+    exact integer addition (associative — double sums would be
+    partial-agg-order-sensitive and hash-unstable), and only the final
+    avg divides back to a rounded double.
+    """
+    buck = (
+        F.conv(F.substring(F.md5(F.col("bigram")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+    feats = ensure_parallelism(docs).select(
+        F.col(id_col),
+        ((F.col(id_col) % target_mod) == 0).alias("is_target"),
+        F.explode(_bigrams(tokens(text_col, lowercase=True))).alias("bigram"),
+    ).select(id_col, "is_target", buck.alias("bucket"))
+    # (doc, bucket) occurrence counts FIRST: both downstream consumers
+    # (the bucket distributions and the per-doc scoring) read this one
+    # aggregation, so exchange reuse evaluates the tokenize → bigram →
+    # explode pipeline once (the tfidf_top_terms pattern) — and the
+    # shuffle carries one row per (doc, distinct bucket), not per
+    # bigram occurrence.
+    g = feats.groupBy(id_col, "is_target", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counts = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cnt"))).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    # log p_target/p_raw with add-one smoothing over n_buckets cells,
+    # frozen to integer micro-units in the (broadcast) bucket table.
+    ratio_micro = F.round(
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(float(n_buckets))))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(n_buckets))))
+        )
+        * 1e6
+    ).cast("long")
+    table = counts.join(F.broadcast(totals)).select(
+        "bucket", ratio_micro.alias("lr_micro")
+    )
+    # the raw side consumes the IDENTICAL g subplan (no filter): a
+    # `where(~is_target)` here would get pushed below the aggregation
+    # into the scan, making the two subtrees differ and killing
+    # exchange reuse — target rows instead zero out in the aggregate
+    # and drop on n_feats > 0 (raw docs always have n_feats >= 1).
+    raw = F.when(F.col("is_target"), F.lit(0)).otherwise(F.col("cnt"))
+    return (
+        g.join(F.broadcast(table), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(raw).alias("n_feats"),
+            F.sum(raw * F.col("lr_micro")).alias("lr_sum_micro"),
+        )
+        .where(F.col("n_feats") > 0)
+        .select(
+            F.col(id_col),
+            F.col("n_feats"),
+            F.col("lr_sum_micro"),
+            # round to integer micro FIRST: sum/n hits exact .5 halves
+            # (both engines round those away from zero on the exactly-
+            # representable double), whereas round(sum/n/1e6, 6) would
+            # re-multiply by 1e6 inside DuckDB's round and land a hair
+            # below the half — one observed 1-ulp mismatch at sf0.1.
+            F.round(F.col("lr_sum_micro") / F.col("n_feats"))
+            .cast("long")
+            .alias("avg_lr_micro"),
+        )
+        .withColumn("avg_log_ratio", F.col("avg_lr_micro") / 1e6)
+    )

@@ -1025,3 +1025,23 @@ def test_contamination_fuzzy_flags_near_dup_leak(spark):
     assert out[0]["contaminated"] and out[0]["best_est"] == 1.0
     assert out[0]["n_candidates"] >= 1
     assert not out[50]["contaminated"] and out[50]["n_candidates"] == 0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR sanity: a raw doc sharing its bigrams with the target
+    domain must out-score a raw doc with off-domain bigrams; target
+    docs themselves are not scored."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    target = "quantum flux capacitor resonance cascade drives the array"
+    rows = [
+        (0, target),                # target domain (doc_id % 50 == 0)
+        (50, target),               # target domain
+        (1, target),                # raw, perfectly on-domain
+        (2, "pizza recipes and gardening tips for the casual weekend"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.dsir_weights(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["avg_log_ratio"] > out[2]["avg_log_ratio"]
+    assert out[1]["avg_log_ratio"] > 0 > out[2]["avg_log_ratio"]
