@@ -591,6 +591,32 @@ def _q_quality_gate(spark, sf):
     return textstats.quality_gate(scan(spark, sf, "documents"))
 
 
+def _q_gopher_rules(spark, sf):
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1): word
+    bounds, mean word length, symbol/bullet/ellipsis ratios,
+    alpha-word fraction, required stopwords — signals + verdict.
+    Thresholds scaled to the short synthetic docs."""
+    return textstats.gopher_rules(
+        scan(spark, sf, "documents"), min_words=5, min_stop_hits=1
+    )
+
+
+def _q_c4_line_filter(spark, sf):
+    """C4 line-level cleaning report (Raffel et al. 2020 §2.2):
+    terminal-punctuation + min-words + javascript line rules, page
+    brace/lorem flags, kept verdict."""
+    return textstats.c4_line_filter(
+        scan(spark, sf, "documents"), min_line_words=3, min_kept_lines=1
+    )
+
+
+def _q_softdedup_weights(spark, sf):
+    """SoftDeDup commonness reweighting (He et al. 2024): per-doc
+    weight = reciprocal mean document-frequency of its 8-gram
+    shingles — the soft alternative to removal dedup."""
+    return corpus.softdedup_weights(scan(spark, sf, "documents"))
+
+
 def _q_pii_report(spark, sf):
     """Per-source PII/link exposure: doc and match counts for emails
     and URLs (emails counted on URL-scrubbed text, like scrub_text)."""
@@ -883,6 +909,15 @@ def _q_key_skew_report(spark, sf):
 
 def _q_dedup_embedding(spark, sf):
     return dedup.dedup_embedding_cosine(scan(spark, sf, "embeddings"), threshold=0.3)
+
+
+def _q_dedup_semantic(spark, sf):
+    """SemDeDup: k-means-cell-blocked cosine pairs.  Rows-only in the
+    gate (iterative fit); recall vs the exact all-pairs truth set is
+    pytest-pinned (tests/test_round7_ops.py)."""
+    return similarity.dedup_semantic(
+        scan(spark, sf, "embeddings"), threshold=0.3, n_cells=8
+    )
 
 
 def _q_lsh_bucket_stats(spark, sf):
@@ -2915,6 +2950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": _q_sample_weighted,
         "heavy_hitters": _q_heavy_hitters,
         "quality_gate": _q_quality_gate,
+        "gopher_rules": _q_gopher_rules,
+        "c4_line_filter": _q_c4_line_filter,
+        "softdedup_weights": _q_softdedup_weights,
         "pii_report": _q_pii_report,
         "split_leakage": _q_split_leakage,
         "winsorize": _q_winsorize,
@@ -2945,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "embedding_quantize": _q_embedding_quantize,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_semantic": _q_dedup_semantic,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -3824,6 +3863,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN len(sents) > 0 THEN list_max(words_per) END AS BIGINT)
                      AS max_sentence_words
             FROM wp
+        """,
+        "gopher_rules": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_ell3,
+                     length(text) - length(replace(text, '…', '')) AS n_ellu,
+                     {_TOK_LOWER} AS tk
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     CAST(coalesce(len(words), 0) AS BIGINT) AS n_words,
+                     CASE WHEN len(words) > 0
+                          THEN round(word_chars * 1.0 / len(words), 6) END AS mean_word_len,
+                     CASE WHEN len(words) > 0
+                          THEN round((n_hash + n_ell3 + n_ellu) * 1.0 / len(words), 6) END AS symbol_ratio,
+                     CASE WHEN len(lines) > 0
+                          THEN round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[•‣▪*-]'))) * 1.0 / len(lines), 6) END AS bullet_ratio,
+                     CASE WHEN len(lines) > 0
+                          THEN round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0 / len(lines), 6) END AS ellipsis_ratio,
+                     CASE WHEN len(words) > 0
+                          THEN round(len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}'))) * 1.0 / len(words), 6) END AS alpha_ratio,
+                     CAST(coalesce(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                                   s -> list_contains(tk, s))), 0) AS BIGINT) AS stop_hits
+              FROM base),
+            r AS (
+              SELECT *, concat_ws(',',
+                  CASE WHEN n_words < 5 THEN 'too_few_words' END,
+                  CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                  CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len' END,
+                  CASE WHEN symbol_ratio > 0.1 THEN 'symbols' END,
+                  CASE WHEN bullet_ratio > 0.9 THEN 'bullet_lines' END,
+                  CASE WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_lines' END,
+                  CASE WHEN alpha_ratio < 0.8 THEN 'low_alpha' END,
+                  CASE WHEN stop_hits < 1 THEN 'few_stopwords' END) AS rs
+              FROM sig)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+                   ellipsis_ratio, alpha_ratio, stop_hits,
+                   CAST(CASE WHEN rs = '' THEN 1 ELSE 0 END AS INT) AS passed,
+                   CASE WHEN rs = '' THEN 'ok' ELSE rs END AS reasons
+            FROM r
+        """,
+        "c4_line_filter": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+              FROM documents),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, l -> regexp_matches(l, '[.!?"]\\s*$')
+                         AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> '')) >= 3
+                         AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM base)
+            SELECT doc_id,
+                   CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(len(list_filter(
+                        regexp_split_to_array(array_to_string(kept, chr(10)), '\\s+'),
+                        w -> w <> '')), 0) AS BIGINT) AS n_clean_words,
+                   CAST(coalesce(CASE WHEN contains(text, chr(123)) THEN 1 ELSE 0 END, 0) AS INT) AS has_brace,
+                   CAST(coalesce(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END, 0) AS INT) AS has_lorem,
+                   CAST(CASE WHEN coalesce(len(kept), 0) >= 1
+                             AND NOT coalesce(contains(text, chr(123)), false)
+                             AND NOT coalesce(contains(lower(text), 'lorem ipsum'), false)
+                        THEN 1 ELSE 0 END AS INT) AS page_kept
+            FROM k
+        """,
+        "softdedup_weights": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                         || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+                         || ' ' || tk[i+7]) AS digest
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, greatest(len(tk)-7, 0))) AS i
+                    FROM toks)
+            ),
+            dfb AS (SELECT digest, count(*) AS df FROM sh GROUP BY 1),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(df) AS BIGINT) AS sum_df
+              FROM sh JOIN dfb USING (digest) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CASE WHEN coalesce(per.n_shingles, 0) > 0
+                        THEN round(per.sum_df * 1.0 / per.n_shingles, 6) END AS avg_df,
+                   CASE WHEN coalesce(per.n_shingles, 0) > 0
+                        THEN round(per.n_shingles * 1.0 / per.sum_df, 6)
+                        ELSE 1.0 END AS weight
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "unicode_stats": """
             SELECT doc_id,

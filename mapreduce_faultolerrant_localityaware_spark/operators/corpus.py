@@ -1399,3 +1399,69 @@ def dsir_weights(
         )
         .withColumn("avg_log_ratio", F.col("avg_lr_micro") / 1e6)
     )
+
+
+def softdedup_weights(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup reweighting (He et al. 2024): instead of REMOVING
+    near-duplicate documents, down-weight each doc by the corpus-wide
+    "commonness" of its word ``n``-grams — docs made of boilerplate
+    shingles train with proportionally less weight, docs of unique
+    prose keep weight 1.  The soft companion to the hard dedup ladder:
+    ``weight = n_shingles / Σ df(shingle)`` (the reciprocal of the
+    mean per-shingle document frequency, 1.0 when every shingle is
+    unique to the doc).
+
+    Scale shape: identical to :func:`~..operators.textstats
+    .ngram_coverage` — per-doc DISTINCT shingles digest to md5 in the
+    scan projection (exchanges carry 32-byte digests, never text), the
+    (id, digest) relation repartitions by digest ONCE feeding both the
+    df groupBy and the df⋈shingles join (exchange reuse), and the
+    per-doc mean is one map-side-combined groupBy.  Inverted-index
+    statistic — no candidate pair space.
+
+    Determinism: ``avg_df`` and ``weight`` are ratios of exact bigint
+    sums, rounded 6 dp — engine-portable by construction.
+    """
+    sh = (
+        ensure_parallelism(docs)
+        # pre-seed the join side's isnotnull inference so both
+        # consumers share one exchange (see ngram_coverage)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(tokens(text_col, lowercase=True), n))
+            ).alias("shingle"),
+        )
+        .select(F.col(id_col), F.md5("shingle").alias("digest"))
+        .repartition("digest")
+    )
+    df_tbl = sh.groupBy("digest").agg(F.count(id_col).alias("df"))
+    per_doc = (
+        sh.join(df_tbl, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(F.col("sum_df") / F.col("n_shingles"), 6),
+        ).alias("avg_df"),
+        # short docs (no shingles) carry full weight: nothing common
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(F.col("n_shingles") / F.col("sum_df"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("weight"),
+    )

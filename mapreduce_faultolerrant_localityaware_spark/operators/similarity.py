@@ -1011,3 +1011,80 @@ def embedding_outliers(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def dedup_semantic(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al.): fit a k-means
+    quantizer, block the corpus by its ``n_probe`` nearest cells, and
+    emit blocked pairs with cosine ≥ ``threshold`` — the curation step
+    that removes semantically-redundant documents a text-level
+    near-dup pass cannot see.  Callers chain
+    graph.connected_components + a keep-rule over the pairs, exactly
+    like the text dedup pipeline.
+
+    Scale shape: the fit is the bounded-sample driver fit
+    (:func:`kmeans_fit`); assignment is one corpus pass; the pair
+    space is an equi-join per cell (corpus²·n_probe²/n_cells
+    expected, the SemDeDup economics) instead of n², and pair dedup
+    happens on (id,id) BEFORE vectors re-attach, so the multi-probe
+    fan-out ships integers only.  Like every clustering-blocked
+    dedup, pairs whose probe sets never intersect are MISSED by
+    design — recall/cost knobs are n_cells and n_probe (the paper
+    dedups within k=50k clusters at web scale; multi-probe recovers
+    boundary-straddling pairs); the pytest pins recall vs the exact
+    all-pairs truth set on the test corpus.
+
+    Deterministic given the fit (no RNG anywhere), but iterative —
+    rows-only in the oracle gate, recall-bounded in pytest like the
+    other fitted-quantizer ops.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    centroids = kmeans_fit(
+        emb, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter
+    )
+    base = _prep(emb, id_col, vec_col)
+    probes = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_cell_dists(F.col("v"), centroids)), 1, n_probe
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    vecs = base.select(id_col, "v")
+    return (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")), "vec_a"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")), "vec_b"
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -428,6 +428,155 @@ def ngram_coverage(
     )
 
 
+#: The Gopher rules' required-stopword list (Rae et al. 2021 §A1.1):
+#: a doc must contain at least 2 of these to look like prose at all.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1) — the published
+    heuristic battery MassiveWeb was filtered with, and still the
+    de-facto first gate of web-scale pretraining pipelines: word-count
+    bounds, mean word length in [3,10], symbol-to-word ratio (#, …),
+    bullet-started / ellipsis-ended line fractions, fraction of words
+    with an alphabetic character, and required-stopword presence.
+
+    Like :func:`quality_gate`, the operator REPORTS rather than
+    filters: every doc gets its signal values plus ``passed`` and an
+    auditable fixed-order ``reasons`` string.  Threshold comparisons
+    run on the 6-dp rounded signals, so verdicts are bit-reproducible
+    across engines.
+
+    Scale shape: one codegen'd projection over the scan — words,
+    lines, and counts are all higher-order array expressions in-row;
+    zero shuffles, no UDFs.  Unreadable (NULL) docs fail as
+    ``too_few_words`` rather than silently passing.
+    """
+    from ..functions.text import tokens
+
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    # sum of word lengths == chars left after removing all whitespace
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    # symbol-to-word: '#' chars plus '...'/'…' ellipses per word
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell3 = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    n_ellu = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•‣▪*-]")))
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    tk = tokens(text_col, lowercase=True)
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(stops, lambda s: F.array_contains(tk, s)))
+
+    sig = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.coalesce(n_words, F.lit(0)).cast("long").alias("n_words"),
+        F.when(n_words > 0, F.round(word_chars / n_words, 6)).alias("mean_word_len"),
+        F.when(n_words > 0, F.round((n_hash + n_ell3 + n_ellu) / n_words, 6)).alias(
+            "symbol_ratio"
+        ),
+        F.when(n_lines > 0, F.round(n_bullet / n_lines, 6)).alias("bullet_ratio"),
+        F.when(n_lines > 0, F.round(n_ell_lines / n_lines, 6)).alias("ellipsis_ratio"),
+        F.when(n_words > 0, F.round(n_alpha / n_words, 6)).alias("alpha_ratio"),
+        F.coalesce(n_stop, F.lit(0)).cast("long").alias("stop_hits"),
+    )
+    # fixed check order; NULL signals contribute nothing (the doc
+    # already fails the word-count check that nulled them)
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words")),
+        F.when(F.col("n_words") > max_words, F.lit("too_many_words")),
+        F.when(
+            (F.col("mean_word_len") < min_word_len)
+            | (F.col("mean_word_len") > max_word_len),
+            F.lit("word_len"),
+        ),
+        F.when(F.col("symbol_ratio") > max_symbol_ratio, F.lit("symbols")),
+        F.when(F.col("bullet_ratio") > max_bullet_ratio, F.lit("bullet_lines")),
+        F.when(F.col("ellipsis_ratio") > max_ellipsis_ratio, F.lit("ellipsis_lines")),
+        F.when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("low_alpha")),
+        F.when(F.col("stop_hits") < min_stop_hits, F.lit("few_stopwords")),
+    )
+    return sig.select(
+        "*",
+        (reasons == "").cast("int").alias("passed"),
+        F.when(reasons == "", F.lit("ok")).otherwise(reasons).alias("reasons"),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 line-level cleaning report (Raffel et al. 2020, §2.2): a
+    line survives iff it ends in terminal punctuation (.!?"), has at
+    least ``min_line_words`` words, and doesn't mention 'javascript';
+    a page survives iff ≥ ``min_kept_lines`` lines survive and the
+    page contains neither '{' (code) nor 'lorem ipsum' (placeholder).
+
+    Reports per doc: line totals, survivors, the cleaned word count,
+    the page-level flags, and the final ``page_kept`` verdict — the
+    caller filters ``page_kept = 1`` and rebuilds the cleaned text
+    with the same kept-line predicate.
+
+    Scale shape: entirely in-row (nested higher-order array lambdas
+    on the codegen path), zero shuffles, no UDFs.
+    """
+    t = F.col(text_col)
+    word_count = lambda s: F.size(  # noqa: E731 — local expression builder
+        F.filter(F.split(s, r"\s+"), lambda w: w != F.lit(""))
+    )
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (word_count(l) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_kept = F.size(kept)
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(n_kept, F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(word_count(F.array_join(kept, "\n")), F.lit(0))
+        .cast("long")
+        .alias("n_clean_words"),
+        F.coalesce(has_brace.cast("int"), F.lit(0)).alias("has_brace"),
+        F.coalesce(has_lorem.cast("int"), F.lit(0)).alias("has_lorem"),
+        (
+            (F.coalesce(n_kept, F.lit(0)) >= min_kept_lines)
+            & ~F.coalesce(has_brace, F.lit(False))
+            & ~F.coalesce(has_lorem, F.lit(False))
+        )
+        .cast("int")
+        .alias("page_kept"),
+    )
+
+
 def unicode_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Encoding-health audit — the mojibake/corruption signal a crawl
     pipeline checks before trusting a source: per doc, counts of

@@ -35,6 +35,9 @@ NO_ORACLE = {
     # Misra-Gries counters depend on partition layout; the MG
     # guarantee is pytest-asserted instead
     "heavy_hitters",
+    # k-means-cell-blocked pairs depend on the iterative fit; recall
+    # vs the exact all-pairs truth set is pytest-pinned instead
+    "dedup_semantic",
 }
 
 

@@ -1045,3 +1045,116 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert set(out) == {1, 2}
     assert out[1]["avg_log_ratio"] > out[2]["avg_log_ratio"]
     assert out[1]["avg_log_ratio"] > 0 > out[2]["avg_log_ratio"]
+
+
+def test_dedup_semantic_recall_vs_exact(spark, sf_dir):
+    """SemDeDup cluster blocking: every emitted pair must be in the
+    exact all-pairs truth set (precision 1.0 — scoring is exact inside
+    a cell), and recall >= 0.6 at n_cells=8 on the test corpus (pairs
+    straddling cell boundaries are the documented miss mode)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.dedup_semantic(emb, threshold=0.3, n_cells=8).collect()
+    }
+    from pyspark.sql import functions as F
+    from mapreduce_faultolerrant_localityaware_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    truth = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.3)
+        .collect()
+    }
+    assert got <= truth
+    assert truth and len(got) / len(truth) >= 0.6
+
+
+def test_gopher_rules_signals_and_reasons(spark):
+    """Published-threshold behavior on constructed docs: a prose doc
+    passes; a bullet list fails bullet_lines; a symbol-heavy doc fails
+    the symbol ratio; NULL text fails as too_few_words."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs away with the bone that it found there today"
+    )
+    bullets = "\n".join(f"• item number {i} here now" for i in range(10))
+    symbols = "# " * 30
+    df = spark.createDataFrame(
+        [(1, prose), (2, bullets), (3, symbols), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.gopher_rules(df, min_words=5, min_stop_hits=1).collect()
+    }
+    assert out[1]["passed"] == 1 and out[1]["reasons"] == "ok"
+    assert out[1]["stop_hits"] >= 1
+    assert "bullet_lines" in out[2]["reasons"] and out[2]["passed"] == 0
+    assert out[2]["bullet_ratio"] == 1.0
+    assert "symbols" in out[3]["reasons"]
+    assert out[4]["n_words"] == 0 and "too_few_words" in out[4]["reasons"]
+
+
+def test_c4_line_filter_line_and_page_rules(spark):
+    """Line rules: terminal punctuation + min words + no 'javascript';
+    page rules: brace / lorem ipsum flags and the kept verdict."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    good = (
+        "This is a proper sentence with enough words.\n"
+        "Another complete line that also ends properly!\n"
+        "no terminal punctuation on this line\n"
+        "Too short.\n"
+        "Please enable javascript to view this page properly.\n"
+    )
+    braced = "A fine sentence that would otherwise pass easily. { code }"
+    df = spark.createDataFrame(
+        [(1, good), (2, braced), (3, "lorem ipsum dolor sit amet today.")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.c4_line_filter(
+            df, min_line_words=3, min_kept_lines=1
+        ).collect()
+    }
+    # doc 1: 5 non-blank lines; kept = the two proper sentences
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["n_clean_words"] == 15
+    assert out[1]["page_kept"] == 1 and out[1]["has_brace"] == 0
+    assert out[2]["has_brace"] == 1 and out[2]["page_kept"] == 0
+    assert out[3]["has_lorem"] == 1 and out[3]["page_kept"] == 0
+
+
+def test_softdedup_weights_downweight_common_shingles(spark):
+    """Two copies of the same text share every 8-gram (df=2 -> weight
+    0.5); a unique doc keeps weight 1.0; a short doc (no shingles) is
+    left at full weight with NULL avg_df."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    common = "one two three four five six seven eight nine ten eleven twelve"
+    unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, unique), (4, "too short")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in corpus.softdedup_weights(df).collect()}
+    assert out[1]["weight"] == 0.5 and out[1]["avg_df"] == 2.0
+    assert out[2]["weight"] == 0.5
+    assert out[3]["weight"] == 1.0 and out[3]["avg_df"] == 1.0
+    assert out[4]["n_shingles"] == 0 and out[4]["weight"] == 1.0
+    assert out[4]["avg_df"] is None
