@@ -610,6 +610,18 @@ def _q_c4_line_filter(spark, sf):
     )
 
 
+def _q_gopher_repetition(spark, sf):
+    """Gopher repetition battery (Rae et al. 2021 §A1.1): duplicate
+    line fraction/char mass + most-frequent-bigram char fraction."""
+    return textstats.gopher_repetition(scan(spark, sf, "documents"))
+
+
+def _q_ccnet_buckets(spark, sf):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): per-source
+    head/middle/tail thirds by bigram-LM cross-entropy."""
+    return corpus.ccnet_buckets(scan(spark, sf, "documents"))
+
+
 def _q_softdedup_weights(spark, sf):
     """SoftDeDup commonness reweighting (He et al. 2024): per-doc
     weight = reciprocal mean document-frequency of its 8-gram
@@ -2953,6 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_line_filter": _q_c4_line_filter,
         "softdedup_weights": _q_softdedup_weights,
+        "gopher_repetition": _q_gopher_repetition,
+        "ccnet_buckets": _q_ccnet_buckets,
         "pii_report": _q_pii_report,
         "split_leakage": _q_split_leakage,
         "winsorize": _q_winsorize,
@@ -3195,6 +3209,35 @@ _LANGS = list(textstats.LANG_MARKERS)
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
     return f"len(list_filter(tk, t -> list_contains([{words}], t)))"
+
+
+#: Shared DuckDB mirror of corpus.lm_bigram_score — used verbatim by
+#: the lm_score oracle and as the scoring CTE of ccnet_buckets.
+_LM_SCORE_SQL = f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            per AS (
+              SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+                SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                      FROM toks)
+              ) GROUP BY 1, 2, 3
+            ),
+            big AS (SELECT w1, w2, sum(cnt) AS c_big FROM per GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c_big) AS c_ctx FROM big GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT w2) AS v FROM big),
+            scored AS (
+              SELECT big.w1, big.w2,
+                     CAST(round(log2((c_big + 1.0) / (c_ctx + v)) * 1e6) AS BIGINT)
+                       AS lp_micro
+              FROM big JOIN ctx ON big.w1 = ctx.w1 CROSS JOIN vocab
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   round(-sum(cnt * lp_micro) / 1e6 / sum(cnt), 6) AS h_bits
+            FROM per JOIN scored ON per.w1 = scored.w1 AND per.w2 = scored.w2
+            GROUP BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3933,6 +3976,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS page_kept
             FROM k
         """,
+        "gopher_repetition": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+                     {_TOK_LOWER} AS tk
+              FROM documents),
+            sig AS (
+              SELECT doc_id, tk,
+                     CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines,
+                     CASE WHEN len(lines) > 0
+                          THEN round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 6) END AS dup_line_frac,
+                     list_sum(list_transform(lines, l -> length(l))) AS line_chars,
+                     list_sum(list_transform(list_distinct(lines),
+                         d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))) AS extra_chars,
+                     coalesce(length(array_to_string(tk, '')), 0) AS tok_chars
+              FROM base),
+            bg AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                    FROM base)),
+            cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, bg, c FROM cnt
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, bg ASC) = 1)
+            SELECT s.doc_id, s.n_lines, s.dup_line_frac,
+                   CASE WHEN s.line_chars > 0
+                        THEN round(s.extra_chars * 1.0 / s.line_chars, 6) END AS dup_line_char_frac,
+                   top.bg AS top_bigram,
+                   CASE WHEN s.tok_chars > 0 AND top.c IS NOT NULL
+                        THEN round(top.c * (length(top.bg) - 1) * 1.0 / s.tok_chars, 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM sig s LEFT JOIN top ON s.doc_id = top.doc_id
+        """,
         "softdedup_weights": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
             sh AS (
@@ -4310,30 +4388,18 @@ def oracle_sql() -> dict[str, str]:
             -- the previous chunk's end: n_tokens > size - stride (4)
             WHERE s = 1 OR least(12, len(tk) - s + 1) > 4
         """,
-        "lm_score": f"""
-            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
-            per AS (
-              SELECT doc_id, w1, w2, count(*) AS cnt FROM (
-                SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-                FROM (SELECT doc_id, tk,
-                             unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
-                      FROM toks)
-              ) GROUP BY 1, 2, 3
-            ),
-            big AS (SELECT w1, w2, sum(cnt) AS c_big FROM per GROUP BY 1, 2),
-            ctx AS (SELECT w1, sum(c_big) AS c_ctx FROM big GROUP BY 1),
-            vocab AS (SELECT count(DISTINCT w2) AS v FROM big),
-            scored AS (
-              SELECT big.w1, big.w2,
-                     CAST(round(log2((c_big + 1.0) / (c_ctx + v)) * 1e6) AS BIGINT)
-                       AS lp_micro
-              FROM big JOIN ctx ON big.w1 = ctx.w1 CROSS JOIN vocab
-            )
-            SELECT doc_id,
-                   CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-                   round(-sum(cnt * lp_micro) / 1e6 / sum(cnt), 6) AS h_bits
-            FROM per JOIN scored ON per.w1 = scored.w1 AND per.w2 = scored.w2
-            GROUP BY doc_id
+        "lm_score": _LM_SCORE_SQL,
+        "ccnet_buckets": f"""
+            WITH lm AS ({_LM_SCORE_SQL}),
+            j AS (
+              SELECT d.doc_id, d.source, lm.n_bigrams, lm.h_bits,
+                     ntile(3) OVER (PARTITION BY d.source
+                                    ORDER BY lm.h_bits ASC, d.doc_id ASC) AS tier
+              FROM documents d JOIN lm USING (doc_id))
+            SELECT doc_id, source, n_bigrams, h_bits, CAST(tier AS INT) AS tier,
+                   CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                             ELSE 'tail' END AS bucket
+            FROM j
         """,
         "tokens_to_ids": f"""
             WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),

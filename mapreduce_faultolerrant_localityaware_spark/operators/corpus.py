@@ -1465,3 +1465,46 @@ def softdedup_weights(
         .otherwise(F.lit(1.0))
         .alias("weight"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every doc by its LM score within its group (CCNet buckets per
+    language; here per ``by`` column) and split into head / middle /
+    tail thirds — the standard curriculum/selection signal ("train on
+    head+middle, drop tail").  The LM is the engine-native corpus
+    bigram model of :func:`lm_bigram_score` standing in for the
+    external KenLM.
+
+    Determinism: the ntile ordering is total — (h_bits, doc_id) — so
+    tier assignment is bit-stable across engines; h_bits itself is the
+    integer-micro deterministic score.
+
+    Scale shape: lm_bigram_score's one-explode-pass scoring plus one
+    window over (group, score) — at 100 TB the window is a per-group
+    sort of (id, score) pairs only, and the group key keeps partitions
+    independent.
+    """
+    from pyspark.sql import Window
+
+    scored = lm_bigram_score(docs, text_col=text_col, id_col=id_col)
+    src = docs.select(F.col(id_col), F.col(by))
+    j = src.join(scored, id_col)  # docs with >= 1 bigram
+    nt = F.ntile(3).over(
+        Window.partitionBy(by).orderBy(F.asc("h_bits"), F.asc(id_col))
+    )
+    return j.select(
+        F.col(id_col),
+        F.col(by),
+        F.col("n_bigrams"),
+        F.col("h_bits"),
+        nt.alias("tier"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), nt
+        ).alias("bucket"),
+    )

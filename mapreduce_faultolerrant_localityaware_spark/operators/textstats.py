@@ -577,6 +577,81 @@ def c4_line_filter(
     )
 
 
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, the half of
+    the battery :func:`gopher_rules` doesn't cover): duplicate-LINE
+    fraction, the character mass sitting in repeated line occurrences,
+    and the character fraction claimed by the single most frequent
+    word bigram — the signals that catch listings/boilerplate a
+    distinct-n-gram ratio (:func:`repetition_ratio`) misses.
+
+    Definitions (deterministic, engine-portable):
+    ``dup_line_frac`` = 1 − distinct/total non-blank lines;
+    ``dup_line_char_frac`` = chars in occurrences BEYOND each line's
+    first, over total line chars; ``top_bigram_frac`` = (top-bigram
+    count × its word chars) / total token chars, tie-broken by
+    lexicographically smallest bigram.
+
+    Scale shape: the line signals are in-row array expressions (the
+    per-doc O(lines²) occurrence count is bounded by doc size, like
+    the edit-distance verifier); the top-bigram is the linear
+    explode → partial-agged (doc,bigram) count → per-doc top-1 window
+    — one shuffle carrying (id, bigram) pairs, no pair space.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles, tokens
+
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != F.lit(""))
+    nl = F.size(lines)
+    dl = F.array_distinct(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    extra_chars = F.aggregate(
+        dl,
+        F.lit(0).cast("long"),
+        lambda a, d: a
+        + (F.size(F.filter(lines, lambda x: x == d)) - 1) * F.length(d),
+    )
+    tk = tokens(text_col, lowercase=True)
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.coalesce(nl, F.lit(0)).cast("long").alias("n_lines"),
+        F.when(nl > 0, F.round(1 - F.size(dl) / nl, 6)).alias("dup_line_frac"),
+        F.when(line_chars > 0, F.round(extra_chars / line_chars, 6)).alias(
+            "dup_line_char_frac"
+        ),
+        F.length(F.concat_ws("", tk)).cast("long").alias("tok_chars"),
+        tk.alias("tk"),
+    )
+    cnt = (
+        base.select(F.col(id_col), F.explode(shingles(F.col("tk"), 2)).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("bg"))
+    top = cnt.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return base.drop("tk").join(top.drop("rk"), id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.col("bg").alias("top_bigram"),
+        F.when(
+            (F.col("tok_chars") > 0) & F.col("c").isNotNull(),
+            F.round(F.col("c") * (F.length("bg") - 1) / F.col("tok_chars"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def unicode_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Encoding-health audit — the mojibake/corruption signal a crawl
     pipeline checks before trusting a source: per doc, counts of

@@ -57,7 +57,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "simjoin_cosine",
            # bm25_search attaches its 1-row corpus stats (N, avgdl,
            # per-term df) as a broadcast scalar join
-           "bm25_search"}
+           "bm25_search",
+           # ccnet_buckets embeds lm_bigram_score and inherits its
+           # 1-row vocabulary-size broadcast
+           "ccnet_buckets"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

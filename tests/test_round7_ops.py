@@ -1158,3 +1158,54 @@ def test_softdedup_weights_downweight_common_shingles(spark):
     assert out[3]["weight"] == 1.0 and out[3]["avg_df"] == 1.0
     assert out[4]["n_shingles"] == 0 and out[4]["weight"] == 1.0
     assert out[4]["avg_df"] is None
+
+
+def test_gopher_repetition_line_and_bigram_signals(spark):
+    """Constructed docs pin the definitions: a doc of 3 identical lines
+    (of 4) has dup_line_frac 0.5 and the repeated chars counted beyond
+    first occurrences; a 'spam spam spam' doc's top bigram claims all
+    token chars; a clean doc reports zeros."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    repeated = "same line here\nsame line here\nsame line here\nunique one"
+    spammy = "spam spam spam spam spam"
+    clean = "all words differ here today"
+    df = spark.createDataFrame(
+        [(1, repeated), (2, spammy), (3, clean), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.gopher_repetition(df).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.5  # 2 distinct of 4
+    # 2 extra occurrences of the 14-char line over 52 total line chars
+    assert out[1]["dup_line_char_frac"] == round(28 / 52, 6)
+    assert out[2]["top_bigram"] == "spam spam"
+    # 4 occurrences x 8 bigram word-chars over 20 token chars
+    assert out[2]["top_bigram_frac"] == round(4 * 8 / 20, 6)
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] <= 0.5
+    assert out[4]["n_lines"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_ccnet_buckets_orders_by_lm_score(spark):
+    """Within each source the head tier must hold the lowest h_bits
+    and tail the highest, with every tier non-empty on 9+ docs."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = []
+    # 9 docs in one source: 3 natural-ish, 3 middling, 3 shuffled-rare
+    for i in range(9):
+        base = "the cat sat on the mat and the dog ran"
+        if i % 3 == 1:
+            base = "cat the on sat mat the and dog the ran"
+        if i % 3 == 2:
+            base = f"zq{i} xv{i} qk{i} jw{i} vz{i} kx{i} wj{i} zz{i}"
+        rows.append((i, "web", base + f" tail{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = corpus.ccnet_buckets(df).collect()
+    assert len(out) == 9
+    tiers = {}
+    for r in out:
+        tiers.setdefault(r["bucket"], []).append(r["h_bits"])
+        assert r["tier"] in (1, 2, 3)
+    assert set(tiers) == {"head", "middle", "tail"}
+    assert max(tiers["head"]) <= min(tiers["tail"])
