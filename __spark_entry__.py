@@ -1844,6 +1844,60 @@ def _q_math_funcs(spark, sf):
     )
 
 
+def _q_stats_agg(spark, sf):
+    """Statistical-moment aggregate coverage — per-group variance,
+    stddev, skewness, excess kurtosis, and correlation.  Built-in
+    stddev/skewness/corr are FP-accumulation-order-dependent (hash
+    -unstable across engines), so the moments come from EXACT bigint
+    power sums (Σx..Σx⁴, Σxy — quantity ≤ 50 and discount-cents ≤ 10
+    keep Σx⁴ far inside bigint) and only the final closed-form
+    population formulas divide into doubles, identically on both
+    engines.  One map-side-combined groupBy — the partial-agg shape of
+    any moment sketch at 100 TB."""
+    li = scan(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    q, d = F.col("q"), F.col("d")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+        F.sum(d).alias("t1"),
+        F.sum(d * d).alias("t2"),
+        F.sum(q * d).alias("sxy"),
+    )
+    n = F.col("n")
+    mq = F.col("s1") / n
+    vq = F.col("s2") / n - mq * mq
+    sdq = F.sqrt(vq)
+    md = F.col("t1") / n
+    vd = F.col("t2") / n - md * md
+    skew = (F.col("s3") / n - 3 * mq * (F.col("s2") / n) + 2 * mq * mq * mq) / (
+        sdq * sdq * sdq
+    )
+    kurt = (
+        F.col("s4") / n
+        - 4 * mq * (F.col("s3") / n)
+        + 6 * mq * mq * (F.col("s2") / n)
+        - 3 * mq * mq * mq * mq
+    ) / (vq * vq) - 3
+    corr = (F.col("sxy") / n - mq * md) / (sdq * F.sqrt(vd))
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(mq, 6).alias("mean_qty"),
+        F.round(vq, 6).alias("var_qty"),
+        F.round(sdq, 6).alias("stddev_qty"),
+        F.round(skew, 6).alias("skew_qty"),
+        F.round(kurt, 6).alias("kurt_qty"),
+        F.round(corr, 6).alias("corr_qty_disc"),
+    )
+
+
 def _q_array_funcs(spark, sf):
     from mapreduce_faultolerrant_localityaware_spark.functions import vectors
 
@@ -3061,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_funcs": _q_url_funcs,
         "date_funcs": _q_date_funcs,
         "math_funcs": _q_math_funcs,
+        "stats_agg": _q_stats_agg,
         "array_funcs": _q_array_funcs,
         "posexplode_tokens": _q_posexplode_tokens,
         "conditional_agg": _q_conditional_agg,
@@ -5529,6 +5584,34 @@ def oracle_sql() -> dict[str, str]:
                    last_day(o_orderdate) AS month_end,
                    CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002
             FROM orders
+        """,
+        "stats_agg": """
+            WITH b AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(round(l_discount * 100) AS BIGINT) AS d
+              FROM lineitem),
+            g AS (
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                     sum(q) AS s1, sum(q*q) AS s2, sum(q*q*q) AS s3,
+                     sum(q*q*q*q) AS s4, sum(d) AS t1, sum(d*d) AS t2,
+                     sum(q*d) AS sxy
+              FROM b GROUP BY 1)
+            SELECT l_returnflag, n,
+                   round(s1 / n, 6) AS mean_qty,
+                   round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_qty,
+                   round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_qty,
+                   round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                         / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                            * sqrt(s2 / n - (s1 / n) * (s1 / n))
+                            * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skew_qty,
+                   round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                         / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS kurt_qty,
+                   round((sxy / n - (s1 / n) * (t1 / n))
+                         / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                            * sqrt(t2 / n - (t1 / n) * (t1 / n))), 6) AS corr_qty_disc
+            FROM g
         """,
         "math_funcs": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
