@@ -591,6 +591,25 @@ def _q_quality_gate(spark, sf):
     return textstats.quality_gate(scan(spark, sf, "documents"))
 
 
+def _q_quality_logit(spark, sf):
+    """Classifier-family quality scoring: deterministic logistic model
+    over the shared quality/repetition/entropy signals (fixed
+    documented weights standing in for trained coefficients)."""
+    return textstats.quality_logit(scan(spark, sf, "documents"))
+
+
+def _q_pii_extended(spark, sf):
+    """Extended PII exposure: emails, URLs, phones, IPv4 literals per
+    doc, counted under scrub_text's URL-first attribution rule."""
+    return textstats.pii_extended(scan(spark, sf, "documents"))
+
+
+def _q_html_clean(spark, sf):
+    """Crawl-side HTML cleaning: tag strip + core entity decode +
+    whitespace collapse, digest-only output posture."""
+    return textstats.html_clean(scan(spark, sf, "documents"))
+
+
 def _q_gopher_rules(spark, sf):
     """Gopher quality-rule battery (Rae et al. 2021 §A1.1): word
     bounds, mean word length, symbol/bullet/ellipsis ratios,
@@ -3017,6 +3036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "quality_gate": _q_quality_gate,
         "gopher_rules": _q_gopher_rules,
+        "quality_logit": _q_quality_logit,
+        "pii_extended": _q_pii_extended,
+        "html_clean": _q_html_clean,
         "c4_line_filter": _q_c4_line_filter,
         "softdedup_weights": _q_softdedup_weights,
         "gopher_repetition": _q_gopher_repetition,
@@ -3264,6 +3286,45 @@ _LANGS = list(textstats.LANG_MARKERS)
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
     return f"len(list_filter(tk, t -> list_contains([{words}], t)))"
+
+
+#: Shared DuckDB mirror of textstats._doc_signals — the per-doc
+#: (n_tokens, q, rep, ent) CTE chain used by the quality_gate and
+#: quality_logit oracles (one definition, like the Spark helper).
+_DOC_SIGNALS_SQL = f"""base AS (
+              SELECT doc_id, {_TOK_LOWER} AS tk,
+                     length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
+                     length(text) AS chars
+              FROM documents),
+            shing AS (
+              -- chained projection, NOT a doc_id self-join: a join
+              -- would drop NULL-id rows the Spark side keeps
+              SELECT doc_id, tk, letters, chars,
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+              FROM base),
+            perrow AS (
+              SELECT doc_id,
+                     coalesce(CAST(len(tk) AS BIGINT), 0) AS n_tokens,
+                     CASE WHEN len(tk) > 0 AND chars > 0 THEN
+                       round(least(1.0,
+                         len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
+                         + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6)
+                     END AS q,
+                     CASE WHEN len(sh) > 0
+                          THEN round(1 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE), 6)
+                     END AS rep
+              FROM shing),
+            counts AS (
+              SELECT doc_id, t AS token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(tk) AS t FROM base)
+              GROUP BY 1, 2),
+            ent AS (
+              SELECT doc_id,
+                     round(log2(sum(cnt))
+                           - sum(CAST(round(cnt * log2(cnt) * 1e6) AS BIGINT))
+                             / 1e6 / sum(cnt), 6) AS ent
+              FROM counts GROUP BY doc_id)"""
 
 
 #: Shared DuckDB mirror of corpus.lm_bigram_score — used verbatim by
@@ -3896,40 +3957,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "quality_gate": f"""
-            WITH base AS (
-              SELECT doc_id, {_TOK_LOWER} AS tk,
-                     length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
-                     length(text) AS chars
-              FROM documents),
-            shing AS (
-              -- chained projection, NOT a doc_id self-join: a join
-              -- would drop NULL-id rows the Spark side keeps
-              SELECT doc_id, tk, letters, chars,
-                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
-                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
-              FROM base),
-            perrow AS (
-              SELECT doc_id,
-                     coalesce(CAST(len(tk) AS BIGINT), 0) AS n_tokens,
-                     CASE WHEN len(tk) > 0 AND chars > 0 THEN
-                       round(least(1.0,
-                         len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','with','for','was'], t))) * 1.0 / len(tk) * 2
-                         + (1.0 - (chars - letters) * 1.0 / chars) * 0.5), 6)
-                     END AS q,
-                     CASE WHEN len(sh) > 0
-                          THEN round(1 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE), 6)
-                     END AS rep
-              FROM shing),
-            counts AS (
-              SELECT doc_id, t AS token, count(*) AS cnt
-              FROM (SELECT doc_id, unnest(tk) AS t FROM base)
-              GROUP BY 1, 2),
-            ent AS (
-              SELECT doc_id,
-                     round(log2(sum(cnt))
-                           - sum(CAST(round(cnt * log2(cnt) * 1e6) AS BIGINT))
-                             / 1e6 / sum(cnt), 6) AS ent
-              FROM counts GROUP BY doc_id),
+            WITH {_DOC_SIGNALS_SQL},
             gated AS (
               SELECT p.doc_id, p.n_tokens,
                      concat_ws(',',
@@ -3961,6 +3989,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN len(sents) > 0 THEN list_max(words_per) END AS BIGINT)
                      AS max_sentence_words
             FROM wp
+        """,
+        "quality_logit": f"""
+            WITH {_DOC_SIGNALS_SQL},
+            z AS (
+              -- tenth-of-micro BIGINT weighted sum (see the Spark
+              -- docstring: a rounded double sum straddles half-way
+              -- 7th-decimal boundaries and HALF_UP diverges)
+              SELECT p.doc_id, p.n_tokens,
+                     (CAST(-30 AS BIGINT) * 1000000
+                      + 30 * CAST(round(coalesce(p.q, 0) * 1e6) AS BIGINT)
+                      + 15 * (1000000 - CAST(round(coalesce(p.rep, 1.0) * 1e6) AS BIGINT))
+                      + 5 * CAST(round(coalesce(e.ent, 0) * 1e6) AS BIGINT)) / 1e7 AS z
+              FROM perrow p LEFT JOIN ent e ON e.doc_id = p.doc_id),
+            sc AS (
+              SELECT doc_id, n_tokens, z,
+                     round(1.0 / (1.0 + exp(-z)), 6) AS score
+              FROM z)
+            SELECT doc_id, n_tokens, z, score,
+                   CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
+            FROM sc
+        """,
+        "pii_extended": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS scrub
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(scrub,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+                     CAST(len(regexp_extract_all(scrub,
+                          '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS BIGINT) AS n_phones,
+                     CAST(len(regexp_extract_all(scrub,
+                          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4
+              FROM b)
+            SELECT doc_id, n_emails, n_urls, n_phones, n_ipv4,
+                   CAST(CASE WHEN n_emails + n_urls + n_phones + n_ipv4 > 0
+                        THEN 1 ELSE 0 END AS INT) AS has_pii
+            FROM c
+        """,
+        "html_clean": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(
+                         regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean
+              FROM documents)
+            SELECT doc_id, n_tags, md5(clean) AS clean_md5,
+                   CAST(length(clean) AS BIGINT) AS clean_len
+            FROM b
         """,
         "gopher_rules": f"""
             WITH base AS (

@@ -262,6 +262,36 @@ def sentence_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _doc_signals(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, q, rep, ent) — the 6-dp rounded per-doc quality
+    signals shared by quality_gate (thresholds) and quality_logit
+    (weights): one definition so both consumers provably read the
+    exact quantities the per-signal queries publish."""
+    n_tok, _letters, _sr, _nr, score = _composite_quality(text_col)
+    quality = F.when((n_tok > 0) & (F.length(text_col) > 0), F.round(score, 6))
+    rep = F.when(
+        F.col("_nt") > 0,
+        F.round(1 - F.col("_nd") / F.col("_nt").cast("double"), 6),
+    )
+    sized = _rep_sizes(
+        ensure_parallelism(docs), text_col, 3,
+        extra=[F.col(id_col), F.col(text_col)],
+    )
+    per_row = sized.select(
+        F.col(id_col),
+        # NULL text yields NULL n_tokens; coalesce to 0 so the gate
+        # FAILS unreadable docs as too_short instead of passing the
+        # exact rows it can say nothing about
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
+        quality.alias("q"),
+        rep.alias("rep"),
+    )
+    ent = entropy_score(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("entropy").alias("ent")
+    )
+    return per_row.join(ent, id_col, "left")
+
+
 def quality_gate(
     docs: DataFrame,
     min_tokens: int = 10,
@@ -290,29 +320,7 @@ def quality_gate(
     explode → two-groupBy aggregation; one doc_id equi-join marries
     them.  Nothing corpus-global, no windows, no pair space.
     """
-    n_tok, _letters, _sr, _nr, score = _composite_quality(text_col)
-    quality = F.when((n_tok > 0) & (F.length(text_col) > 0), F.round(score, 6))
-    rep = F.when(
-        F.col("_nt") > 0,
-        F.round(1 - F.col("_nd") / F.col("_nt").cast("double"), 6),
-    )
-    sized = _rep_sizes(
-        ensure_parallelism(docs), text_col, 3,
-        extra=[F.col(id_col), F.col(text_col)],
-    )
-    per_row = sized.select(
-        F.col(id_col),
-        # NULL text yields NULL n_tokens; coalesce to 0 so the gate
-        # FAILS unreadable docs as too_short instead of passing the
-        # exact rows it can say nothing about
-        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tokens"),
-        quality.alias("q"),
-        rep.alias("rep"),
-    )
-    ent = entropy_score(docs, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.col("entropy").alias("ent")
-    )
-    j = per_row.join(ent, id_col, "left")
+    j = _doc_signals(docs, text_col, id_col)
     reasons = F.concat_ws(
         ",",
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
@@ -683,4 +691,117 @@ def unicode_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         n_control.cast("long").alias("n_control"),
         n_repl.cast("long").alias("n_replacement"),
         F.when(n_chars > 0, F.round(n_non_ascii / n_chars, 6)).alias("non_ascii_ratio"),
+    )
+
+
+def quality_logit(
+    docs: DataFrame,
+    bias: float = -3.0,
+    w_quality: float = 3.0,
+    w_nonrep: float = 1.5,
+    w_entropy: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring — the classifier-filter family
+    (fastText quality models, DCLM/FineWeb-Edu educational scorers)
+    as a deterministic logistic model over the engine's own signals:
+    ``z = bias + w_quality·q + w_nonrep·(1−rep) + w_entropy·ent``,
+    ``score = σ(z)``.  The weights are a documented fixed stand-in
+    for externally-trained coefficients (swap in real ones without
+    touching the plan); unreadable signals contribute zero, so a NULL
+    doc scores σ(bias).
+
+    Determinism: the 6-dp rounded shared signals
+    (:func:`_doc_signals`) lift to exact micro-unit integers and the
+    weighted sum runs in BIGINT tenth-of-micro units (weights are
+    0.1-granular by contract), so z is the same bigint/1e7 double on
+    every engine — a plain ``round(Σ wᵢxᵢ, 6)`` lands exactly on
+    half-way 7th-decimal boundaries and HALF_UP diverges on the
+    binary representation (measured: ~1 doc in 100).  The only
+    transcendental is one exp() on that identical argument.
+
+    Scale shape: identical to quality_gate — one codegen'd signal
+    projection + the entropy aggregation + one doc_id equi-join; the
+    logit itself is free.
+    """
+    b10, wq10, wr10, we10 = (
+        int(round(w * 10)) for w in (bias, w_quality, w_nonrep, w_entropy)
+    )
+    j = _doc_signals(docs, text_col, id_col)
+    qm = F.round(F.coalesce(F.col("q"), F.lit(0.0)) * 1e6).cast("long")
+    repm = F.round(F.coalesce(F.col("rep"), F.lit(1.0)) * 1e6).cast("long")
+    entm = F.round(F.coalesce(F.col("ent"), F.lit(0.0)) * 1e6).cast("long")
+    z = (
+        F.lit(b10) * 1_000_000
+        + F.lit(wq10) * qm
+        + F.lit(wr10) * (F.lit(1_000_000) - repm)
+        + F.lit(we10) * entm
+    ) / F.lit(1e7)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    return (
+        j.withColumn("z", z)
+        .withColumn("score", score)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            "z",
+            "score",
+            (F.col("score") >= 0.5).cast("int").alias("label"),
+        )
+    )
+
+
+#: parity-safe PII patterns (identical semantics in Java regex and
+#: RE2): NANP-style phone numbers and dotted-quad IPv4 literals.
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_extended(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Extended per-doc PII exposure: emails, URLs, phone numbers, and
+    IPv4 literals.  Phones and IPs are counted on the URL-scrubbed
+    text — the same attribution rule scrub_text established (a digit
+    run inside a URL belongs to the URL, not to a phone count).  Pure
+    per-row regex counting on the codegen path, zero shuffle."""
+    url_scrubbed, n_emails, n_urls = _pii_counts(text_col)
+    n_phones = F.size(F.regexp_extract_all(url_scrubbed, F.lit(PHONE_RE), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(url_scrubbed, F.lit(IPV4_RE), 0))
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        ((n_emails + n_urls + n_phones + n_ipv4) > 0)
+        .cast("int")
+        .alias("has_pii"),
+    )
+
+
+def html_clean(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Crawl-side HTML cleaning: strip tags, decode the five core
+    entities, collapse whitespace — the minimal text-extraction pass
+    between raw crawl HTML and every quality/dedup operator upstream.
+    Emits the tag count plus md5/length of the cleaned text (the
+    digest posture of scrub_text: downstream exchanges never need the
+    text itself).  Pure per-row regex chain, codegen'd, zero shuffle."""
+    t = F.col(text_col)
+    n_tags = F.size(F.regexp_extract_all(t, F.lit(r"<[^>]+>"), 0))
+    stripped = F.regexp_replace(t, r"<[^>]+>", " ")
+    decoded = stripped
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        n_tags.cast("long").alias("n_tags"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
     )

@@ -1209,3 +1209,59 @@ def test_ccnet_buckets_orders_by_lm_score(spark):
         assert r["tier"] in (1, 2, 3)
     assert set(tiers) == {"head", "middle", "tail"}
     assert max(tiers["head"]) <= min(tiers["tail"])
+
+
+def test_quality_logit_monotone_and_null_doc(spark):
+    """Higher-quality prose must score higher than repetitive junk;
+    a NULL doc scores sigmoid(bias) with zero signal contributions
+    except the nonrep term's default."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    prose = (
+        "the cat sat on the mat and the dog ran in the park with a "
+        "ball that it found under the old tree near the river bank"
+    )
+    junk = "spam spam spam spam spam spam spam spam spam spam"
+    df = spark.createDataFrame(
+        [(1, prose), (2, junk), (3, None)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_logit(df).collect()}
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["label"] == 1
+    assert 0.0 < out[3]["score"] < 0.5  # sigmoid(-3) ~ 0.047
+    for r in out.values():
+        assert 0.0 <= r["score"] <= 1.0
+
+
+def test_pii_extended_counts_and_url_attribution(spark):
+    """Phones/IPs inside URLs are attributed to the URL, not
+    double-counted; plain phones and dotted quads are counted."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 or +1 555 987 6543 from 10.0.0.1"),
+            (2, "see https://x.io/555-123-4567 only"),
+            (3, "no pii at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.pii_extended(df).collect()}
+    assert out[1]["n_phones"] == 2 and out[1]["n_ipv4"] == 1
+    assert out[1]["has_pii"] == 1
+    assert out[2]["n_urls"] == 1 and out[2]["n_phones"] == 0
+    assert out[3]["has_pii"] == 0
+
+
+def test_html_clean_strips_tags_and_decodes_entities(spark):
+    """Tag count, entity decode (&amp; last so &amp;lt; stays &lt;),
+    and whitespace collapse are all pinned by length."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import textstats
+
+    html = "<p>a &amp; b</p>\n\n<div class='x'>c &lt; d</div>"
+    df = spark.createDataFrame([(1, html), (2, "plain  text")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.html_clean(df).collect()}
+    assert out[1]["n_tags"] == 4
+    # "a & b c < d" = 11 chars
+    assert out[1]["clean_len"] == 11
+    assert out[2]["n_tags"] == 0 and out[2]["clean_len"] == len("plain text")
