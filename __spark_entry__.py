@@ -951,6 +951,15 @@ def _q_dedup_semantic(spark, sf):
     )
 
 
+def _q_dedup_semantic_pipeline(spark, sf):
+    """End-to-end SemDeDup: cell-blocked pairs -> connected components
+    -> min-id representative.  Rows-only (fitted quantizer); component
+    semantics pytest-pinned against a driver-side union-find."""
+    return similarity.dedup_semantic_pipeline(
+        scan(spark, sf, "embeddings"), threshold=0.3, n_cells=8
+    )
+
+
 def _q_lsh_bucket_stats(spark, sf):
     out = dedup.lsh_bucket_stats(scan(spark, sf, "documents"))
     return out.select(
@@ -3074,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_semantic": _q_dedup_semantic,
+        "dedup_semantic_pipeline": _q_dedup_semantic_pipeline,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,

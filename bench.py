@@ -74,6 +74,14 @@ HEADLINE = [
     "quality_gate",
     "split_leakage",
     "embedding_outliers",
+    # round-7 continuation headliners: retrieval, data selection,
+    # soft dedup, fuzzy decontamination, and the filter batteries
+    "bm25_search",
+    "dsir_weights",
+    "softdedup_weights",
+    "contamination_fuzzy",
+    "gopher_rules",
+    "quality_logit",
 ]
 
 

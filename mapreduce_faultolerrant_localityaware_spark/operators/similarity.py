@@ -1088,3 +1088,54 @@ def dedup_semantic(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_semantic_pipeline(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 4,
+    cc_max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end SemDeDup: :func:`dedup_semantic` candidate pairs →
+    connected components → min-id representative election — the
+    embedding-space mirror of the text `dedup_pipeline` (same output
+    contract: every corpus row labelled, ``keep`` = is-representative,
+    singletons their own cluster).
+
+    Scale shape inherits both composed stages: the pair space is
+    cell-blocked (never n²) and shipped as ids only, and
+    connected_components eagerly checkpoints the edge list before its
+    first round, so the fit→assign→pair prefix executes exactly ONCE
+    regardless of propagation rounds.  Rows-only in the gate (fitted
+    quantizer); the component semantics are pytest-pinned against a
+    driver-side union-find over the same pairs.
+    """
+    from .graph import connected_components
+
+    pairs = dedup_semantic(
+        emb, threshold, n_cells, n_probe, id_col, vec_col, max_iter
+    )
+    labels = connected_components(
+        pairs, src="vec_a", dst="vec_b", max_iter=cc_max_iter
+    ).select(F.col("doc_id").alias(id_col), "cluster_id")
+    clus = (
+        emb.select(F.col(id_col))
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = clus.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cluster")
+    )
+    return clus.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("n_cluster"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("keep"),
+    )

@@ -38,6 +38,8 @@ NO_ORACLE = {
     # k-means-cell-blocked pairs depend on the iterative fit; recall
     # vs the exact all-pairs truth set is pytest-pinned instead
     "dedup_semantic",
+    # composes dedup_semantic; components pytest-pinned vs union-find
+    "dedup_semantic_pipeline",
 }
 
 

@@ -60,7 +60,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "bm25_search",
            # ccnet_buckets embeds lm_bigram_score and inherits its
            # 1-row vocabulary-size broadcast
-           "ccnet_buckets"}
+           "ccnet_buckets",
+           # dsir_weights attaches its two 1-row distribution totals
+           # (target/raw bigram mass) as broadcast scalars
+           "dsir_weights"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

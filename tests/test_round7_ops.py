@@ -1265,3 +1265,42 @@ def test_html_clean_strips_tags_and_decodes_entities(spark):
     # "a & b c < d" = 11 chars
     assert out[1]["clean_len"] == 11
     assert out[2]["n_tags"] == 0 and out[2]["clean_len"] == len("plain text")
+
+
+def test_dedup_semantic_pipeline_matches_union_find(spark, sf_dir):
+    """The pipeline's components must equal a driver-side union-find
+    over the SAME pairs, every corpus row must be labelled, and keep
+    must mark exactly the min-id member of each cluster."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.dedup_semantic(emb, threshold=0.3, n_cells=8).collect()
+    out = similarity.dedup_semantic_pipeline(
+        emb, threshold=0.3, n_cells=8
+    ).collect()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["vec_a"]), find(r["vec_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    n_vec = emb.count()
+    assert len(out) == n_vec
+    by_id = {r["vec_id"]: r for r in out}
+    for vid, r in by_id.items():
+        assert r["cluster_id"] == find(vid) if vid in parent else r["cluster_id"] == vid
+        assert r["keep"] == (1 if r["cluster_id"] == vid else 0)
+    # cluster sizes agree with the union-find partition
+    from collections import Counter
+
+    uf_sizes = Counter(find(v) for v in by_id)
+    for vid, r in by_id.items():
+        assert r["n_cluster"] == uf_sizes[r["cluster_id"]]
