@@ -265,3 +265,79 @@ def test_simjoin_prefix_vs_bruteforce_property(spark, docs, threshold):
         for r in set_similarity_join_prefix(df, threshold=threshold).collect()
     }
     assert got == expect
+
+
+# ---- softdedup_weights vs a Counter reference ----
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_docs_small = st.lists(
+    st.lists(_word, min_size=0, max_size=8), min_size=1, max_size=8
+)
+
+
+@_slow
+@given(docs=_docs_small)
+def test_softdedup_weights_matches_counter_reference(spark, docs):
+    """weight = n_distinct_shingles / Σ df(shingle) exactly, for
+    arbitrary small corpora at n=2 (rich shared-shingle structure)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import (
+        softdedup_weights,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in softdedup_weights(df, n=2).collect()}
+
+    shingle_sets = {
+        i: {tuple(ws[j : j + 2]) for j in range(len(ws) - 1)}
+        for i, ws in enumerate(docs)
+    }
+    df_counts = Counter(sh for s in shingle_sets.values() for sh in s)
+    for i, ws in enumerate(docs):
+        s = shingle_sets[i]
+        assert got[i]["n_shingles"] == len(s)
+        if s:
+            sum_df = sum(df_counts[sh] for sh in s)
+            assert got[i]["avg_df"] == round(sum_df / len(s), 6)
+            assert got[i]["weight"] == round(len(s) / sum_df, 6)
+        else:
+            assert got[i]["avg_df"] is None and got[i]["weight"] == 1.0
+
+
+# ---- gopher_repetition vs a pure-Python reference ----
+
+_line = st.sampled_from(
+    ["same line here", "other text now", "third one", "x y", ""]
+)
+_line_docs = st.lists(
+    st.lists(_line, min_size=0, max_size=8), min_size=1, max_size=6
+)
+
+
+@_slow
+@given(docs=_line_docs)
+def test_gopher_repetition_lines_match_python_reference(spark, docs):
+    """dup_line_frac and dup_line_char_frac computed in Python over
+    the same non-blank-line definition must match exactly."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    for i, ls in enumerate(docs):
+        lines = [l for l in ls if l.strip() != ""]
+        assert got[i]["n_lines"] == len(lines)
+        if lines:
+            assert got[i]["dup_line_frac"] == round(
+                1 - len(set(lines)) / len(lines), 6
+            )
+            total = sum(len(l) for l in lines)
+            extra = sum(
+                (lines.count(d) - 1) * len(d) for d in set(lines)
+            )
+            if total > 0:
+                assert got[i]["dup_line_char_frac"] == round(extra / total, 6)
+        else:
+            assert got[i]["dup_line_frac"] is None
