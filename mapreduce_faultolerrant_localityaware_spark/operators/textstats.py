@@ -383,8 +383,10 @@ def ngram_coverage(
     popularity⋈shingles join is already co-partitioned on digest), so
     the corpus is tokenized/exploded exactly once — without the
     explicit repartition Catalyst recomputes the whole scan+explode
-    map stage per consumer (verified in the plan: two `Scan parquet`
-    branches collapse to one).  No candidate pair space exists at all
+    map stage per consumer (verified at runtime: the executed
+    adaptive plan carries a `ReusedExchange` for the second branch;
+    the INITIAL plan still prints both — see PLANS.md header).  No
+    candidate pair space exists at all
     (this is an inverted-index statistic, not a join).
 
     Returns ``id_col, n_shingles, n_dup, dup_frac`` for every doc
