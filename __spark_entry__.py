@@ -2967,6 +2967,16 @@ def _q_graph_kcore(spark, sf):
     return kcore_peel(pairs.select("doc_a", "doc_b"), k=2, rounds=4)
 
 
+def _q_graph_common_neighbors(spark, sf):
+    """Common-neighbors / Adamic-Adar link prediction over the SimHash
+    near-dup graph: shared-neighbor evidence for pairs no band matched
+    directly (shared low-degree neighbors weigh most)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import common_neighbors
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return common_neighbors(pairs.select("doc_a", "doc_b"))
+
+
 def _q_approx_distinct(spark, sf):
     """HyperLogLog++ distinct estimation — approximate by design, so no
     value-exact SQL oracle (driver records the weaker rows-only check);
@@ -3203,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "graph_pagerank": _q_graph_pagerank,
         "graph_kcore": _q_graph_kcore,
+        "graph_common_neighbors": _q_graph_common_neighbors,
         "graph_label_prop": _q_graph_label_prop,
         "interval_merge": _q_interval_merge,
         "dedup_rep_pagerank": _q_dedup_rep_pagerank,
@@ -4913,6 +4924,36 @@ def oracle_sql() -> dict[str, str]:
             ),
             {labelprop_ctes}
             SELECT node, CAST(label AS BIGINT) AS label FROM l3
+        """,
+        "graph_common_neighbors": f"""
+            {simhash_pairs_ctes},
+            sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM cand WHERE doc_a <> doc_b
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM cand WHERE doc_a <> doc_b
+            ),
+            deg AS (SELECT d AS n, count(*) AS deg FROM sym GROUP BY 1),
+            rays AS (
+              SELECT sym.d AS n, sym.s AS a,
+                     CASE WHEN deg.deg >= 2
+                          THEN CAST(round(1e6 / ln(deg.deg)) AS BIGINT)
+                          ELSE 0 END AS aa_micro
+              FROM sym JOIN deg ON deg.n = sym.d
+            ),
+            w AS (
+              SELECT l.a AS a, r.a AS b, l.aa_micro
+              FROM rays l JOIN rays r ON l.n = r.n AND l.a < r.a
+            ),
+            sc AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+                     round(sum(aa_micro) / 1e6, 6) AS adamic_adar
+              FROM w GROUP BY 1, 2 HAVING count(*) >= 1
+            ),
+            es AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM sym)
+            SELECT sc.a AS node_a, sc.b AS node_b, sc.n_common, sc.adamic_adar,
+                   CAST(CASE WHEN es.a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                     AS already_linked
+            FROM sc LEFT JOIN es ON es.a = sc.a AND es.b = sc.b
         """,
         "graph_kcore": f"""
             {simhash_pairs_ctes},

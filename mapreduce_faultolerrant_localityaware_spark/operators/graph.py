@@ -749,3 +749,70 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("core_deg"))
         .select(F.col("s").alias("node"), F.col("core_deg").cast("long").alias("core_deg"))
     )
+
+
+def common_neighbors(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbors / Adamic-Adar link prediction over the
+    near-dup graph: for every node pair sharing >= ``min_common``
+    neighbors, the shared-neighbor count and the Adamic-Adar score
+    Σ 1/ln(deg(n)) — the classic "these two docs are probably dups
+    even though no band matched them" second-pass signal (a shared
+    low-degree neighbor is strong evidence; a shared hub is weak).
+
+    Determinism: each center contributes CAST(round(1e6/ln(deg)) AS
+    BIGINT) micro-units, summed exactly — the lm_score discipline; a
+    shared neighbor always has deg >= 2 (edges to both endpoints), so
+    ln never sees 1.  ``already_linked`` flags pairs that are edges
+    themselves (link prediction scores the others).
+
+    Scale shape: the wedge enumeration is triangle_count's one
+    self-equi-join on the center node — fan-out is Σ deg(n)², bounded
+    in dedup graphs because LSH bucket caps bound degrees; the final
+    groupBy(a,b) is partial-agged.  No all-pairs space.
+    """
+    sym = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = sym.groupBy("d").agg(F.count(F.lit(1)).alias("deg"))
+    # per-center micro contribution, attached once to the (n -> a) rays
+    rays = sym.select(F.col("d").alias("n"), F.col("s").alias("a")).join(
+        deg.select(
+            F.col("d").alias("n"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(1e6 / F.log(F.col("deg").cast("double"))).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("aa_micro"),
+        ),
+        "n",
+    )
+    wedges = (
+        rays.alias("l")
+        .join(
+            rays.select(F.col("n"), F.col("a").alias("b")).alias("r"), "n"
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(F.sum("aa_micro") / 1e6, 6).alias("adamic_adar"),
+    ).filter(F.col("n_common") >= min_common)
+    edge_set = sym.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct().withColumn("already_linked", F.lit(1))
+    return scored.join(edge_set, ["a", "b"], "left").select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "n_common",
+        "adamic_adar",
+        F.coalesce("already_linked", F.lit(0)).alias("already_linked"),
+    )

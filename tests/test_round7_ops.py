@@ -1304,3 +1304,26 @@ def test_dedup_semantic_pipeline_matches_union_find(spark, sf_dir):
     uf_sizes = Counter(find(v) for v in by_id)
     for vid, r in by_id.items():
         assert r["n_cluster"] == uf_sizes[r["cluster_id"]]
+
+
+def test_common_neighbors_path_and_triangle(spark):
+    """Path 1-2-3: endpoints share center 2 (deg 2), Adamic-Adar
+    1/ln(2), not already linked.  Triangle 4-5-6: every pair shares
+    one neighbor and is already an edge."""
+    import math
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        common_neighbors,
+    )
+
+    edges = [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {(r["node_a"], r["node_b"]): r for r in common_neighbors(df).collect()}
+    r13 = out[(1, 3)]
+    assert r13["n_common"] == 1 and r13["already_linked"] == 0
+    assert r13["adamic_adar"] == round(round(1e6 / math.log(2)) / 1e6, 6)
+    for pair in [(4, 5), (5, 6), (4, 6)]:
+        assert out[pair]["n_common"] == 1
+        assert out[pair]["already_linked"] == 1
+    # no spurious pairs beyond the path endpoints and triangle sides
+    assert set(out) == {(1, 3), (4, 5), (5, 6), (4, 6)}
