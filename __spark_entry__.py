@@ -960,6 +960,13 @@ def _q_dedup_semantic_pipeline(spark, sf):
     )
 
 
+def _q_rp_project_audit(spark, sf):
+    """Johnson-Lindenstrauss random-projection audit: d=64 -> k=16 via
+    a content-addressed ±1/√k sign matrix; per adjacent-id pair the
+    original vs projected L2 distance and distortion."""
+    return similarity.rp_project_audit(scan(spark, sf, "embeddings"))
+
+
 def _q_lsh_bucket_stats(spark, sf):
     out = dedup.lsh_bucket_stats(scan(spark, sf, "documents"))
     return out.select(
@@ -3094,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_semantic": _q_dedup_semantic,
         "dedup_semantic_pipeline": _q_dedup_semantic_pipeline,
+        "rp_project_audit": _q_rp_project_audit,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -4924,6 +4932,33 @@ def oracle_sql() -> dict[str, str]:
             ),
             {labelprop_ctes}
             SELECT node, CAST(label AS BIGINT) AS label FROM l3
+        """,
+        "rp_project_audit": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            p AS (
+              SELECT vec_id, v,
+                     list_transform(generate_series(0, 15), j ->
+                       list_reduce(
+                         list_transform(generate_series(1, 64), i ->
+                           v[i] * CASE WHEN strpos('02468ace', md5(j || ':' || (i-1))[1]) > 0
+                                  THEN 1.0 ELSE -1.0 END),
+                         (a, b) -> a + b) * 0.25) AS y
+              FROM v),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     sqrt(list_reduce(list_transform(generate_series(1, 64),
+                          i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+                          (x, y2) -> x + y2)) AS d_orig,
+                     sqrt(list_reduce(list_transform(generate_series(1, 16),
+                          i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])),
+                          (x, y2) -> x + y2)) AS d_proj
+              FROM p a JOIN p b ON b.vec_id = a.vec_id + 1)
+            SELECT vec_a, vec_b, round(d_orig, 6) AS d_orig,
+                   round(d_proj, 6) AS d_proj,
+                   CASE WHEN d_orig > 0
+                        THEN round(abs(d_proj / d_orig - 1), 6) END AS distortion
+            FROM pairs
         """,
         "graph_common_neighbors": f"""
             {simhash_pairs_ctes},

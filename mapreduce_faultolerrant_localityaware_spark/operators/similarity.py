@@ -1139,3 +1139,91 @@ def dedup_semantic_pipeline(
         F.col("n_cluster"),
         (F.col(id_col) == F.col("cluster_id")).cast("int").alias("keep"),
     )
+
+
+def rp_project_audit(
+    emb: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit — the
+    dimensionality-reduction step an embedding pipeline takes before
+    sharding an index, VALIDATED the way JL promises: project d→``k``
+    with a deterministic ±1/√k sign matrix and report, per adjacent
+    id pair, original vs projected L2 distance and the distortion
+    ``|d_proj/d_orig − 1|``.  Aggregate the distortion column to
+    decide whether k is high enough before committing the projection
+    corpus-wide.
+
+    Determinism: the sign matrix is content-addressed — sign(j,i) =
+    parity of the first hex digit of md5("j:i") — so both engines
+    rebuild the identical matrix with no RNG and no shipped state;
+    each projected coordinate is one fixed-order fold over the
+    vector (Spark ``aggregate`` and DuckDB ``list_sum ∘
+    list_transform`` both fold left-to-right, so the doubles agree
+    bit-for-bit before the final 6-dp round).
+
+    Scale shape: the projection is a per-row expression (k in-row
+    folds, zero shuffle); the audit pairs adjacent ids with ONE
+    equi-join on id+1 — a linear, deterministic pair sample, not a
+    pair space.  At 100 TB the same projection expression writes the
+    reduced corpus; the audit runs on any slice.
+    """
+    import hashlib
+
+    base = _prep(emb, id_col, vec_col)
+    d = len(base.select("v").first()["v"])
+    inv_sqrt_k = 1.0 / (k ** 0.5)
+    # content-addressed ±1 signs, identical to the oracle's md5 rule
+    signs = [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, sgn: x * sgn,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * inv_sqrt_k
+            for j in range(k)
+        ]
+    )
+    pv = base.select(F.col(id_col), F.col("v"), proj.alias("y"))
+    a = pv.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    b = pv.select(
+        (F.col(id_col) - 1).alias("vec_a"),
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    dist = lambda u, w: F.sqrt(  # noqa: E731 — local expression builder
+        F.aggregate(
+            F.zip_with(u, w, lambda x, z: (x - z) * (x - z)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    d_orig = dist(F.col("va"), F.col("vb"))
+    d_proj = dist(F.col("ya"), F.col("yb"))
+    return a.join(b, "vec_a").select(
+        "vec_a",
+        "vec_b",
+        F.round(d_orig, 6).alias("d_orig"),
+        F.round(d_proj, 6).alias("d_proj"),
+        F.when(d_orig > 0, F.round(F.abs(d_proj / d_orig - 1), 6)).alias(
+            "distortion"
+        ),
+    )

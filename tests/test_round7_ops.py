@@ -1327,3 +1327,23 @@ def test_common_neighbors_path_and_triangle(spark):
         assert out[pair]["already_linked"] == 1
     # no spurious pairs beyond the path endpoints and triangle sides
     assert set(out) == {(1, 3), (4, 5), (5, 6), (4, 6)}
+
+
+def test_rp_project_audit_jl_distortion_bounded(spark, sf_dir):
+    """JL with k=16 on unit-ish 64-d vectors: per-pair distortion is
+    reported, the MEAN distortion over the corpus stays under 0.35
+    (E|d_proj/d_orig - 1| ~ sqrt(2/(pi k)) ~ 0.2 for k=16), and the
+    projection is deterministic across runs."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.rp_project_audit(emb).collect()
+    assert rows
+    ds = [r["distortion"] for r in rows if r["distortion"] is not None]
+    assert ds and sum(ds) / len(ds) < 0.35
+    again = {
+        (r["vec_a"], r["vec_b"]): r["d_proj"]
+        for r in similarity.rp_project_audit(emb).collect()
+    }
+    for r in rows:
+        assert again[(r["vec_a"], r["vec_b"])] == r["d_proj"]
