@@ -1353,6 +1353,13 @@ def _q_resample_ffill(spark, sf):
     return temporal.resample_ffill(scan(spark, sf, "events"))
 
 
+def _q_resample_interp(spark, sf):
+    """Linear-interpolation resampling onto the hourly per-key grid:
+    gap buckets get prev + (next-prev)*dt_ratio between surrounding
+    observations; integer-micro observations for determinism."""
+    return temporal.resample_interp(scan(spark, sf, "events"))
+
+
 def _q_asof_join(spark, sf):
     ev = scan(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
@@ -3137,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
+        "resample_interp": _q_resample_interp,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3804,6 +3812,49 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY user_id ORDER BY bucket
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
             FROM j
+        """,
+        "resample_interp": """
+            WITH per AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(round(value * 1e6) AS BIGINT)) AS vm
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                       FROM per GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+                     FROM bounds),
+            g AS (SELECT grid.user_id, grid.bucket, per.n, per.vm
+                  FROM grid LEFT JOIN per
+                  ON per.user_id = grid.user_id AND per.bucket = grid.bucket),
+            w AS (
+              SELECT user_id, bucket, n, vm,
+                     last_value(vm IGNORE NULLS) OVER wb AS prev_v,
+                     epoch_us(last_value(CASE WHEN vm IS NOT NULL THEN bucket END
+                              IGNORE NULLS) OVER wb) AS prev_t,
+                     first_value(vm IGNORE NULLS) OVER wf AS next_v,
+                     epoch_us(first_value(CASE WHEN vm IS NOT NULL THEN bucket END
+                              IGNORE NULLS) OVER wf) AS next_t,
+                     epoch_us(bucket) AS t
+              FROM g
+              WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY bucket
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+                   CAST(CASE WHEN vm IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed,
+                   -- snap to integer micro first: midpoints land on
+                   -- exact x.5 micro where a direct 6-dp HALF_UP
+                   -- diverges on the binary double (see Spark side)
+                   round(CAST(round(
+                         CASE WHEN vm IS NOT NULL THEN CAST(vm AS DOUBLE)
+                              WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                              WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                              ELSE prev_v + (next_v - prev_v)
+                                   * ((t - prev_t) / (next_t - prev_t))
+                         END) AS BIGINT) / 1e6, 6) AS v_interp
+            FROM w
         """,
         "streaming_sliding": """
             WITH g AS (

@@ -304,3 +304,81 @@ def decayed_sum(
             F.round(F.sum("c") / 1e6, 6).alias("decayed_value"),
         )
     )
+
+
+def resample_interp(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample onto a regular per-key grid with LINEAR INTERPOLATION —
+    the gap-fill a numeric sensor/metric series wants where
+    :func:`resample_ffill` would step: a missing bucket gets
+    ``prev + (next − prev)·Δt_ratio`` between its surrounding
+    observations; leading gaps back-fill, trailing gaps carry forward.
+
+    Determinism: per-bucket observations are integer micro-unit sums
+    (each event's value rounds to micro ONCE, then exact bigint
+    addition — a double sum would be partial-agg-order-sensitive),
+    the Δt ratio is a ratio of integer epoch-micros, and only the
+    final interpolation expression touches doubles — identical
+    structure on both engines.
+
+    Scale shape: identical to resample_ffill — partial-agged
+    (key, bucket) observations, per-key bounded grid explode, and two
+    frames over one per-key sort (Spark evaluates the preceding and
+    following frames in one window stage).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    per = events.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("vm"),
+    )
+    bounds = per.groupBy(key_col).agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence("mn", "mx", F.expr(f"INTERVAL 1 {unit.upper()}"))).alias(
+            "bucket"
+        ),
+    )
+    j = grid.join(per, [key_col, "bucket"], "left")
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("vm").isNotNull(), F.col("bucket"))
+    prev_v = F.last("vm", ignorenulls=True).over(wb)
+    prev_t = F.unix_micros(F.last(obs_ts, ignorenulls=True).over(wb))
+    next_v = F.first("vm", ignorenulls=True).over(wf)
+    next_t = F.unix_micros(F.first(obs_ts, ignorenulls=True).over(wf))
+    t = F.unix_micros(F.col("bucket"))
+    interp = (
+        F.when(F.col("vm").isNotNull(), F.col("vm").cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .otherwise(
+            prev_v + (next_v - prev_v) * ((t - prev_t) / (next_t - prev_t))
+        )
+    )
+    # snap the interpolated double back to INTEGER micro before the
+    # publish division: a midpoint between observations of odd micro
+    # difference lands exactly on x.5 micro, where a direct 6-dp
+    # round's HALF_UP diverges between engines on the binary double —
+    # round-to-int first is exact-half-aware on both (away from zero)
+    return j.select(
+        key_col,
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        (F.col("vm").isNotNull()).cast("int").alias("observed"),
+        F.round(F.round(interp).cast("long") / 1e6, 6).alias("v_interp"),
+    )

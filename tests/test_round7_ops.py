@@ -1347,3 +1347,33 @@ def test_rp_project_audit_jl_distortion_bounded(spark, sf_dir):
     }
     for r in rows:
         assert again[(r["vec_a"], r["vec_b"])] == r["d_proj"]
+
+
+def test_resample_interp_linear_and_edges(spark):
+    """Constructed hourly series: a 2-gap interpolates at 1/3 and 2/3,
+    leading gaps back-fill, trailing gaps carry forward, observed
+    buckets pass through exactly."""
+    from datetime import datetime
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import (
+        resample_interp,
+    )
+
+    rows = [
+        # user 1: obs at h0 (v=3.0) and h3 (v=9.0); h1,h2 interpolate
+        (1, datetime(2024, 1, 1, 0, 30), 3.0),
+        (1, datetime(2024, 1, 1, 3, 15), 9.0),
+        # user 2: single obs — degenerate grid of one bucket
+        (2, datetime(2024, 1, 1, 5, 0), 7.5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r["user_id"], r["bucket"]): r for r in resample_interp(df).collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")]["v_interp"] == 3.0
+    assert out[(1, "2024-01-01 01:00:00")]["v_interp"] == 5.0
+    assert out[(1, "2024-01-01 01:00:00")]["observed"] == 0
+    assert out[(1, "2024-01-01 02:00:00")]["v_interp"] == 7.0
+    assert out[(1, "2024-01-01 03:00:00")]["v_interp"] == 9.0
+    assert out[(2, "2024-01-01 05:00:00")]["v_interp"] == 7.5
+    assert len([k for k in out if k[0] == 1]) == 4
