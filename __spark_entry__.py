@@ -1353,6 +1353,38 @@ def _q_resample_ffill(spark, sf):
     return temporal.resample_ffill(scan(spark, sf, "events"))
 
 
+def _q_asof_join_nearest(spark, sf):
+    """Nearest-in-time as-of: each click takes the temporally closer
+    of its previous and next purchase (tie -> backward)."""
+    ev = scan(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = temporal.asof_join_nearest(
+        clicks, purchases, on=["user_id"], payload=["purchase_id", "purchase_value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("matched_ts"),
+        "direction",
+    )
+
+
+def _q_group_mode(spark, sf):
+    """Per-group categorical MODE with deterministic tiebreak (count
+    desc, value asc) — built-in mode() is partition-order-dependent."""
+    return relational.group_mode(
+        scan(spark, sf, "orders"), keys=["o_orderstatus"], col="o_orderpriority"
+    )
+
+
 def _q_resample_interp(spark, sf):
     """Linear-interpolation resampling onto the hourly per-key grid:
     gap buckets get prev + (next-prev)*dt_ratio between surrounding
@@ -3145,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
         "resample_interp": _q_resample_interp,
+        "asof_join_nearest": _q_asof_join_nearest,
+        "group_mode": _q_group_mode,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3812,6 +3846,50 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY user_id ORDER BY bucket
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
             FROM j
+        """,
+        "asof_join_nearest": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+                  FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT l.event_id, r.purchase_id AS b_id, r.purchase_value AS b_val,
+                         r.ts AS b_ts
+                  FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+            f AS (SELECT l.event_id, r.purchase_id AS f_id, r.purchase_value AS f_val,
+                         r.ts AS f_ts
+                  FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+            j AS (
+              SELECT l.event_id, l.user_id, l.ts, b.b_id, b.b_val, b.b_ts,
+                     f.f_id, f.f_val, f.f_ts,
+                     CASE WHEN f.f_id IS NULL THEN true
+                          WHEN b.b_id IS NULL THEN false
+                          ELSE epoch_us(l.ts) - epoch_us(b.b_ts)
+                               <= epoch_us(f.f_ts) - epoch_us(l.ts) END AS take_b
+              FROM l LEFT JOIN b ON b.event_id = l.event_id
+                     LEFT JOIN f ON f.event_id = l.event_id
+              WHERE b.b_id IS NOT NULL OR f.f_id IS NOT NULL)
+            SELECT event_id, user_id,
+                   CASE WHEN take_b THEN b_id ELSE f_id END AS purchase_id,
+                   round(CASE WHEN take_b THEN b_val ELSE f_val END, 6) AS purchase_value,
+                   strftime(CASE WHEN take_b THEN b_ts ELSE f_ts END,
+                            '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+                   CASE WHEN take_b THEN 'backward' ELSE 'forward' END AS direction
+            FROM j
+        """,
+        "group_mode": """
+            WITH c AS (
+              SELECT o_orderstatus, o_orderpriority AS v, count(*) AS n
+              FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+            top AS (
+              SELECT o_orderstatus, v, n FROM c
+              QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY n DESC, v ASC) = 1),
+            pk AS (
+              SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_total,
+                     CAST(count(*) AS BIGINT) AS n_distinct
+              FROM c GROUP BY 1)
+            SELECT t.o_orderstatus, t.v AS mode_value,
+                   CAST(t.n AS BIGINT) AS n_mode, pk.n_total, pk.n_distinct
+            FROM top t JOIN pk USING (o_orderstatus)
         """,
         "resample_interp": """
             WITH per AS (

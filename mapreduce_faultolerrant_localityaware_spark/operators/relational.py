@@ -348,3 +348,46 @@ def winsorize(
         F.round(val, 6).alias(value_col),
         F.round(clamped, 6).alias("value_w"),
     )
+
+
+def group_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Per-group MODE with a deterministic tiebreak (highest count,
+    then lexicographically smallest value) — the categorical summary
+    built-in ``mode()`` can't give portably (its tie choice is
+    engine-/partition-order-dependent).  Also reports the mode's
+    count, the group total, and the distinct-value count.
+
+    Scale shape: one partial-agged groupBy(keys, col) — cardinality
+    bounded by the value domain, not rows — then a per-key top-1
+    window over those counts.  NULL values are excluded (a NULL mode
+    is not actionable; the total still counts all rows via the
+    separate keys-only aggregate)."""
+    from pyspark.sql import Window
+
+    klist = list(keys)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*klist, col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*klist).orderBy(F.desc("n"), F.asc(col))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    per_key = counts.groupBy(*klist).agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return top.join(per_key, klist).select(
+        *klist,
+        F.col(col).alias("mode_value"),
+        F.col("n").cast("long").alias("n_mode"),
+        "n_total",
+        "n_distinct",
+    )

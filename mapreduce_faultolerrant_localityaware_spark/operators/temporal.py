@@ -382,3 +382,57 @@ def resample_interp(
         (F.col("vm").isNotNull()).cast("int").alias("observed"),
         F.round(F.round(interp).cast("long") / 1e6, 6).alias("v_interp"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Nearest-in-time as-of join: each left row takes whichever of
+    its backward and forward candidates is temporally closer (tie →
+    backward) — the "closest reading" lookup sensor reconciliation
+    wants where a directional as-of silently prefers stale data.
+    Inner semantics like the directional variants: left rows with no
+    match in EITHER direction are dropped.  Left rows must be unique
+    (the two candidate sets re-join on the full left row).
+
+    Adds ``matched_ts`` and ``direction`` ('backward'/'forward') to
+    the payload.  Scale shape: exactly two of the one-shuffle
+    union+window passes (:func:`asof_join`) plus one equi-join on the
+    left identity — still never a per-row range join.
+    """
+    keys = list(on)
+    payload = (
+        list(payload)
+        if payload is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+    r2 = right.withColumn("__rts", F.col(right_ts))
+    pay2 = payload + ["__rts"]
+    lcols = list(left.columns)
+    b = asof_join(left, r2, keys, left_ts, right_ts, pay2, direction="backward")
+    f = asof_join(left, r2, keys, left_ts, right_ts, pay2, direction="forward")
+    b = b.select(*lcols, *[F.col(c).alias(f"__b_{c}") for c in pay2])
+    f = f.select(*lcols, *[F.col(c).alias(f"__f_{c}") for c in pay2])
+    j = b.join(f, lcols, "full_outer")
+    t = F.unix_micros(F.col(left_ts))
+    d_b = t - F.unix_micros(F.col("__b___rts"))
+    d_f = F.unix_micros(F.col("__f___rts")) - t
+    take_b = F.col("__f___rts").isNull() | (
+        F.col("__b___rts").isNotNull() & (d_b <= d_f)
+    )
+    return j.select(
+        *lcols,
+        *[
+            F.when(take_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in payload
+        ],
+        F.when(take_b, F.col("__b___rts"))
+        .otherwise(F.col("__f___rts"))
+        .alias("matched_ts"),
+        F.when(take_b, F.lit("backward")).otherwise(F.lit("forward")).alias("direction"),
+    )

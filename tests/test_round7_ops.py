@@ -1377,3 +1377,55 @@ def test_resample_interp_linear_and_edges(spark):
     assert out[(1, "2024-01-01 03:00:00")]["v_interp"] == 9.0
     assert out[(2, "2024-01-01 05:00:00")]["v_interp"] == 7.5
     assert len([k for k in out if k[0] == 1]) == 4
+
+
+def test_asof_join_nearest_picks_closer_side(spark):
+    """Left at t=10 with rights at t=7 and t=12 takes the forward
+    (distance 2 < 3); at t=9 takes backward (2 < 3); exact tie takes
+    backward; one-sided rows fall back to the only candidate."""
+    from datetime import datetime
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    base = datetime(2024, 1, 1)
+
+    def t(m):
+        return base.replace(minute=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(9)), (3, 1, t(5)), (4, 2, t(1))],
+        ["event_id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(7), 100), (1, t(12), 200), (2, t(3), 300)],
+        ["key", "ts", "payload"],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join_nearest(
+            left, right, on=["key"], payload=["payload"]
+        ).collect()
+    }
+    assert out[1]["payload"] == 200 and out[1]["direction"] == "forward"
+    assert out[2]["payload"] == 100 and out[2]["direction"] == "backward"
+    assert out[3]["payload"] == 100 and out[3]["direction"] == "forward"
+    assert out[4]["payload"] == 300 and out[4]["direction"] == "forward"
+
+
+def test_group_mode_tiebreak_and_counts(spark):
+    """On a 2-2 tie the lexicographically smaller value wins; totals
+    and distinct counts exclude NULLs from the mode race."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        group_mode,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"), ("h", None), ("h", "z")],
+        ["k", "v"],
+    )
+    out = {r["k"]: r for r in group_mode(df, keys=["k"], col="v").collect()}
+    assert out["g"]["mode_value"] == "a" and out["g"]["n_mode"] == 2
+    assert out["g"]["n_total"] == 5 and out["g"]["n_distinct"] == 3
+    assert out["h"]["mode_value"] == "z" and out["h"]["n_total"] == 1
