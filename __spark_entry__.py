@@ -841,6 +841,19 @@ def _q_dedup_incremental_fuzzy(spark, sf):
     return dedup.dedup_incremental_fuzzy(base, delta, max_hamming=3)
 
 
+def _q_streaming_fuzzy_dedup(spark, sf):
+    """Streaming SimHash near-dup feed: delta docs (doc_id % 5 == 0)
+    STREAM in and band-match the static accepted corpus; each pair is
+    emitted once via the stateless first-matching-band rule, so the
+    query runs append-mode with zero streaming state."""
+    delta = streaming_ops.stream_table(spark, sf, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    base = scan(spark, sf, "documents").where(F.col("doc_id") % 5 != 0)
+    out = streaming_ops.fuzzy_dedup_stream(delta, base, max_hamming=3)
+    return streaming_ops.run_to_batch(out, spark, output_mode="append")
+
+
 def _q_lsh_recall_report(spark, sf):
     """Pair-level LSH recall audit: of the TRUE near-dup pairs
     (exact prefix-filtered Jaccard join, t=0.5), what fraction does
@@ -3130,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": _q_dedup_chunks,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
+        "streaming_fuzzy_dedup": _q_streaming_fuzzy_dedup,
         "dedup_incremental_jaccard": _q_dedup_incremental_jaccard,
         "cms_counts": _q_cms_counts,
         "lsh_recall_report": _q_lsh_recall_report,
@@ -4946,6 +4960,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_matches, 0) = 0 AS keep
             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) dd
             LEFT JOIN matches ON matches.delta_id = dd.doc_id
+        """,
+        "streaming_fuzzy_dedup": f"""
+            WITH {_SIMHASH_SIG_CTES},
+            bands AS (
+              SELECT doc_id, simhash, i AS band, (simhash >> (8 * i)) & 65535 AS bv
+              FROM sig, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BANDS - 2})) AS i)
+            )
+            SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id,
+                   CAST(bit_count(xor(d.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM bands d JOIN bands b ON d.band = b.band AND d.bv = b.bv
+            WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+              AND bit_count(xor(d.simhash, b.simhash)) <= 3
         """,
         "dedup_editdist": f"""
             {simhash_pairs_ctes},

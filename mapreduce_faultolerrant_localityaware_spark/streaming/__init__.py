@@ -1,6 +1,7 @@
 from .enrich_stream import (
     dedup_stream,
     enrich_stream,
+    fuzzy_dedup_stream,
     incremental_dedup_stream,
     interval_join_streams,
     sliding_event_counts,
@@ -17,6 +18,7 @@ from .wordcount_stream import (
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "fuzzy_dedup_stream",
     "incremental_dedup_stream",
     "interval_join_streams",
     "ohlc_stream",

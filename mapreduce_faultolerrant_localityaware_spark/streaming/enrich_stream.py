@@ -145,3 +145,78 @@ def incremental_dedup_stream(
             F.count(F.lit(1)).alias("n_delta"),
         )
     )
+
+
+def fuzzy_dedup_stream(
+    delta: DataFrame,
+    base: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``dedup_incremental_fuzzy``: a STREAM of new
+    documents SimHash-matches against the STATIC accepted corpus,
+    emitting every (delta, base) near-dup pair within ``max_hamming``
+    — and it is fully STATELESS, so it runs in append mode with zero
+    streaming state: instead of a stateful pair-distinct, each pair is
+    emitted exactly once by keeping only its FIRST matching band,
+    which is computable IN-ROW from the two fingerprints already on
+    the joined row (an array of per-band equality bits +
+    array_position).  The aggregation the batch operator runs on top
+    (per-delta match counts) is the consumer's one-liner; the stream's
+    job is the match feed.
+
+    Scale shape: per-row fingerprints on both sides (simhash's
+    zero-shuffle expression), the static base collapses to
+    (band, key, id, fingerprint) integers behind an aggregation
+    barrier and BROADCASTS per micro-batch (base refreshes are picked
+    up live), and the 16-bit adjacent-band keys bound bucket fan-out
+    exactly as in the batch operator.
+    """
+    from ..operators.dedup import SIMHASH_BANDS, simhash
+
+    if max_hamming > 3:
+        raise ValueError(
+            "pair-band candidate generation is complete only for max_hamming <= 3"
+        )
+
+    def bands_of(sig, side):
+        return sig.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("simhash").alias(f"{side}_sim"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(65535))
+                        for i in range(SIMHASH_BANDS - 1)
+                    ]
+                )
+            ).alias("band", "bv"),
+        )
+
+    base_sig = simhash(base, text_col=text_col, id_col=id_col).groupBy(id_col).agg(
+        F.max("simhash").alias("simhash")
+    )
+    bb = bands_of(base_sig, "base")
+    db = bands_of(simhash(delta, text_col=text_col, id_col=id_col), "delta")
+    j = db.join(F.broadcast(bb), ["band", "bv"])
+    hamming = F.bit_count(F.col("delta_sim").bitwiseXOR(F.col("base_sim")))
+    band_eq = F.array(
+        *[
+            (
+                F.shiftright("delta_sim", 8 * i).bitwiseAND(F.lit(65535))
+                == F.shiftright("base_sim", 8 * i).bitwiseAND(F.lit(65535))
+            ).cast("int")
+            for i in range(SIMHASH_BANDS - 1)
+        ]
+    )
+    first_band = F.array_position(band_eq, 1) - 1
+    return (
+        j.filter(hamming <= max_hamming)
+        .filter(F.col("band") == first_band)
+        .select(
+            "delta_id",
+            "base_id",
+            hamming.cast("long").alias("hamming"),
+        )
+    )

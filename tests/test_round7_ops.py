@@ -1429,3 +1429,35 @@ def test_group_mode_tiebreak_and_counts(spark):
     assert out["g"]["mode_value"] == "a" and out["g"]["n_mode"] == 2
     assert out["g"]["n_total"] == 5 and out["g"]["n_distinct"] == 3
     assert out["h"]["mode_value"] == "z" and out["h"]["n_total"] == 1
+
+
+def test_streaming_fuzzy_dedup_matches_batch_operator(spark, sf_dir):
+    """Aggregating the streaming pair feed per delta doc must
+    reproduce dedup_incremental_fuzzy's n_matches exactly (the stream
+    is the match feed; the batch op is its consumer aggregate)."""
+    from mapreduce_faultolerrant_localityaware_spark import streaming as streaming_ops
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    delta_b = docs.filter(F.col("doc_id") % 5 == 0)
+    base_b = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = {
+        r["doc_id"]: r["n_matches"]
+        for r in dedup.dedup_incremental_fuzzy(base_b, delta_b, max_hamming=3).collect()
+    }
+
+    delta_s = streaming_ops.stream_table(spark, str(sf_dir), "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    feed = streaming_ops.run_to_batch(
+        streaming_ops.fuzzy_dedup_stream(delta_s, base_b, max_hamming=3),
+        spark,
+        output_mode="append",
+    ).collect()
+    pairs = {(r["delta_id"], r["base_id"]) for r in feed}
+    assert len(pairs) == len(feed)  # first-band rule emits each pair once
+    from collections import Counter
+
+    stream_counts = Counter(p[0] for p in pairs)
+    for did, n in batch.items():
+        assert stream_counts.get(did, 0) == n
