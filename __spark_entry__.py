@@ -1390,6 +1390,13 @@ def _q_asof_join_nearest(spark, sf):
     )
 
 
+def _q_twap(spark, sf):
+    """Per-user daily time-weighted average (each observation holds
+    until the next; last carries to the bucket edge) vs the plain
+    mean — integer milli/millisecond arithmetic for determinism."""
+    return temporal.time_weighted_avg(scan(spark, sf, "events"))
+
+
 def _q_group_mode(spark, sf):
     """Per-group categorical MODE with deterministic tiebreak (count
     desc, value asc) — built-in mode() is partition-order-dependent."""
@@ -3193,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": _q_resample_interp,
         "asof_join_nearest": _q_asof_join_nearest,
         "group_mode": _q_group_mode,
+        "twap": _q_twap,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3888,6 +3896,24 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
                    CASE WHEN take_b THEN 'backward' ELSE 'forward' END AS direction
             FROM j
+        """,
+        "twap": """
+            WITH s AS (
+              SELECT user_id, date_trunc('day', ts) AS bucket,
+                     CAST(round(value * 1000) AS BIGINT) AS vmil,
+                     CAST(floor((epoch_us(coalesce(
+                            lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                           ORDER BY ts, event_id),
+                            date_trunc('day', ts) + INTERVAL 1 DAY))
+                          - epoch_us(ts)) / 1000) AS BIGINT) AS dur_ms
+              FROM events)
+            SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CASE WHEN sum(dur_ms) > 0
+                        THEN round(sum(vmil * dur_ms) / sum(dur_ms) / 1000, 6)
+                   END AS twap,
+                   round(sum(vmil) / count(*) / 1000, 6) AS plain_avg
+            FROM s GROUP BY user_id, bucket
         """,
         "group_mode": """
             WITH c AS (

@@ -436,3 +436,73 @@ def asof_join_nearest(
         .alias("matched_ts"),
         F.when(take_b, F.lit("backward")).otherwise(F.lit("forward")).alias("direction"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    unit: str = "day",
+) -> DataFrame:
+    """Time-weighted average per key per ``unit`` bucket — the
+    irregular-series summarizer (TimescaleDB ``time_weight``) a plain
+    AVG gets wrong: each observation holds its value until the next
+    one (last-observation-carried-forward), so its weight is the time
+    until the next observation in the bucket (the last one carries to
+    the bucket edge).  Burst-then-quiet series stop over-counting the
+    burst.
+
+    Determinism: values lift to milli-unit integers ONCE, durations
+    to millisecond integers (micro values × microsecond durations
+    would overflow bigint on day buckets), the weighted sum is exact
+    bigint arithmetic, and one final double division publishes 6 dp —
+    a double Σ(v·dt) would be partial-order-sensitive.
+
+    Scale shape: one (key, bucket)-partitioned window for the lead
+    timestamp (ordered (ts, id) — total order), then one
+    partial-agged groupBy.  No grid explode, no pair space.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    w = Window.partitionBy(key_col, "bucket").orderBy(ts_col, id_col)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    bucket_end = F.col("bucket") + F.expr(f"INTERVAL 1 {unit.upper()}")
+    dur_ms = F.floor(
+        (
+            F.unix_micros(F.coalesce(nxt, bucket_end))
+            - F.unix_micros(F.col(ts_col))
+        )
+        / 1000
+    ).cast("long")
+    staged = events.select(
+        F.col(key_col),
+        bucket.alias("bucket"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.round(F.col(value_col) * 1000).cast("long").alias("vmil"),
+    ).select(
+        key_col,
+        "bucket",
+        "vmil",
+        dur_ms.alias("dur_ms"),
+    )
+    return staged.groupBy(key_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.when(
+            F.sum("dur_ms") > 0,
+            F.round(
+                F.sum(F.col("vmil") * F.col("dur_ms"))
+                / F.sum("dur_ms")
+                / 1000,
+                6,
+            ),
+        ).alias("twap"),
+        F.round(F.sum("vmil") / F.count(F.lit(1)) / 1000, 6).alias("plain_avg"),
+    ).select(
+        key_col,
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "twap",
+        "plain_avg",
+    )

@@ -1461,3 +1461,29 @@ def test_streaming_fuzzy_dedup_matches_batch_operator(spark, sf_dir):
     stream_counts = Counter(p[0] for p in pairs)
     for did, n in batch.items():
         assert stream_counts.get(did, 0) == n
+
+
+def test_twap_weights_by_holding_time(spark):
+    """One observation of 10.0 held 18h then 1.0 held 6h: TWAP is
+    0.75*10 + 0.25*1 = 7.75 while the plain mean says 5.5; a lone
+    observation holds to the bucket edge (twap == its value)."""
+    from datetime import datetime
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0), 10.0),
+        (2, 1, datetime(2024, 1, 1, 18, 0), 1.0),
+        (3, 2, datetime(2024, 1, 2, 6, 0), 4.5),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        (r["user_id"], r["day"]): r for r in time_weighted_avg(df).collect()
+    }
+    r1 = out[(1, "2024-01-01")]
+    assert r1["n_events"] == 2
+    assert r1["twap"] == 7.75 and r1["plain_avg"] == 5.5
+    r2 = out[(2, "2024-01-02")]
+    assert r2["twap"] == 4.5 and r2["n_events"] == 1
