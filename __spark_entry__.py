@@ -1390,6 +1390,13 @@ def _q_asof_join_nearest(spark, sf):
     )
 
 
+def _q_events_cusum(spark, sf):
+    """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
+    computed exactly via prefix-sum minus running-min, integer micro
+    arithmetic throughout."""
+    return events_ops.cusum_drift(scan(spark, sf, "events"), threshold=50.0)
+
+
 def _q_twap(spark, sf):
     """Per-user daily time-weighted average (each observation holds
     until the next; last carries to the bucket edge) vs the plain
@@ -3201,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": _q_asof_join_nearest,
         "group_mode": _q_group_mode,
         "twap": _q_twap,
+        "events_cusum": _q_events_cusum,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3896,6 +3904,33 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
                    CASE WHEN take_b THEN 'backward' ELSE 'forward' END AS direction
             FROM j
+        """,
+        "events_cusum": """
+            WITH vm AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 1e6) AS BIGINT) AS vm
+              FROM events),
+            m AS (SELECT user_id,
+                         CAST(floor(sum(vm) / count(*)) AS BIGINT) AS mean_m
+                  FROM vm GROUP BY 1),
+            s AS (
+              SELECT vm.user_id,
+                     sum(vm.vm - m.mean_m) OVER (
+                       PARTITION BY vm.user_id ORDER BY vm.ts, vm.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                     vm.ts, vm.event_id
+              FROM vm JOIN m USING (user_id)),
+            c AS (
+              SELECT user_id,
+                     s - least(0, min(s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_m
+              FROM s)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(max(cusum_m) / 1e6, 6) AS max_cusum,
+                   CAST(CASE WHEN max(cusum_m) > 50000000 THEN 1 ELSE 0 END AS INT)
+                     AS drift
+            FROM c GROUP BY user_id
         """,
         "twap": """
             WITH s AS (

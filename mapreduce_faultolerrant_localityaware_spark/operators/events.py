@@ -159,3 +159,58 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > threshold)
         .select(id_col, key_col, F.round(value_col, 6).alias(value_col), F.round("z", 6).alias("z"))
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    threshold: float = 50.0,
+    slack: float = 0.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key CUSUM upward-drift detection — the sequential
+    change-point monitor (Page 1954) a metrics pipeline runs to catch
+    "this key's values shifted" that a z-score on single points
+    misses.  ``C_t = max(0, C_{t-1} + (x_t − mean_k − slack))``,
+    drift flagged when any ``C_t`` exceeds ``threshold``.
+
+    The recursion is NOT a window fold: ``C_t = S_t − min(0,
+    min_{i≤t} S_i)`` for the deviation prefix sum ``S`` — so two
+    stock window functions (running sum, running min) compute the
+    exact recursive statistic.  All arithmetic is integer micro-units
+    (values and the per-key mean lift once; the mean uses floor
+    division so it is exact), making every ``C_t`` bigint-exact.
+
+    Scale shape: one partial-agged per-key mean, broadcast back by
+    equi-join, one (key)-partitioned window pass ordered (ts, id),
+    one final groupBy.  No collect, no recursion, no pair space.
+    """
+    vm = F.round(F.col(value_col) * 1e6).cast("long")
+    staged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), vm.alias("vm")
+    )
+    means = staged.groupBy(key_col).agg(
+        F.floor(F.sum("vm") / F.count(F.lit(1))).cast("long").alias("mean_m")
+    )
+    slack_m = int(round(slack * 1e6))
+    thr_m = int(round(threshold * 1e6))
+    j = staged.join(means, key_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = F.sum(F.col("vm") - F.col("mean_m") - F.lit(slack_m)).over(w)
+    # two projections: a window function cannot nest inside another,
+    # but both share the same (key, ts, id) sort so Spark plans ONE
+    # exchange + sort and stacks the second window on the first
+    pre = j.select(F.col(key_col), F.col(ts_col), F.col(id_col), s.alias("s"))
+    run = pre.select(
+        F.col(key_col),
+        (F.col("s") - F.least(F.lit(0), F.min("s").over(w))).alias("cusum_m"),
+    )
+    return run.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("cusum_m") / 1e6, 6).alias("max_cusum"),
+        (F.max("cusum_m") > thr_m).cast("int").alias("drift"),
+    )

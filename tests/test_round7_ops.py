@@ -1487,3 +1487,41 @@ def test_twap_weights_by_holding_time(spark):
     assert r1["twap"] == 7.75 and r1["plain_avg"] == 5.5
     r2 = out[(2, "2024-01-02")]
     assert r2["twap"] == 4.5 and r2["n_events"] == 1
+
+
+def test_cusum_drift_identity_matches_recursion(spark):
+    """The prefix-sum-minus-running-min identity must equal the
+    textbook max(0, C+dev) recursion on a constructed shifted series,
+    and flag the drift while a stable series stays unflagged."""
+    from datetime import datetime, timedelta
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        cusum_drift,
+    )
+
+    base = datetime(2024, 1, 1)
+    # user 1: 10 values at 1.0 then 10 at 21.0 -> mean 11, big drift
+    vals1 = [1.0] * 10 + [21.0] * 10
+    # user 2: alternating around its mean -> tiny cusum
+    vals2 = [5.0, 7.0] * 10
+    rows = []
+    eid = 0
+    for u, vals in ((1, vals1), (2, vals2)):
+        for i, v in enumerate(vals):
+            rows.append((eid, u, base + timedelta(minutes=i), v))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in cusum_drift(df, threshold=50.0).collect()}
+
+    def ref_max_cusum(vals):
+        mean = sum(int(round(v * 1e6)) for v in vals) // len(vals)
+        c, mx = 0, 0
+        for v in vals:
+            c = max(0, c + int(round(v * 1e6)) - mean)
+            mx = max(mx, c)
+        return round(mx / 1e6, 6)
+
+    assert out[1]["max_cusum"] == ref_max_cusum(vals1)
+    assert out[1]["drift"] == 1
+    assert out[2]["max_cusum"] == ref_max_cusum(vals2)
+    assert out[2]["drift"] == 0
