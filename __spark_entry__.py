@@ -1390,6 +1390,19 @@ def _q_asof_join_nearest(spark, sf):
     )
 
 
+def _q_bloom_semi_audit(spark, sf):
+    """Bloom semi-join reduction audit: lineitem probed against a
+    16384-bit/3-hash filter of URGENT order keys; reports pass counts
+    vs the exact semi join and the false-positive rate."""
+    li = scan(spark, sf, "lineitem")
+    urgent = scan(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return relational.bloom_semi_audit(
+        li, urgent, fact_key="l_orderkey", build_key="o_orderkey"
+    )
+
+
 def _q_events_cusum(spark, sf):
     """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
     computed exactly via prefix-sum minus running-min, integer micro
@@ -3209,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_mode": _q_group_mode,
         "twap": _q_twap,
         "events_cusum": _q_events_cusum,
+        "bloom_semi_audit": _q_bloom_semi_audit,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3904,6 +3918,47 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
                    CASE WHEN take_b THEN 'backward' ELSE 'forward' END AS direction
             FROM j
+        """,
+        "bloom_semi_audit": """
+            WITH build AS (
+              SELECT o_orderkey AS k FROM orders
+              WHERE o_orderpriority = '1-URGENT'),
+            pos AS (
+              SELECT unnest([
+                CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 16384,
+                CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 8)) AS BIGINT) % 16384,
+                CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 17, 8)) AS BIGINT) % 16384
+              ]) AS p FROM build),
+            words AS (
+              SELECT CAST(p // 32 AS BIGINT) AS word,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              FROM pos GROUP BY 1),
+            probe AS (
+              SELECT l_orderkey AS pk,
+                CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16384 AS p0,
+                CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 9, 8)) AS BIGINT) % 16384 AS p1,
+                CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 17, 8)) AS BIGINT) % 16384 AS p2
+              FROM lineitem),
+            flagged AS (
+              SELECT probe.pk,
+                     CAST(CASE WHEN
+                       coalesce(w0.bits, 0) & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INT)) <> 0
+                       AND coalesce(w1.bits, 0) & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT)) <> 0
+                       AND coalesce(w2.bits, 0) & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT)) <> 0
+                     THEN 1 ELSE 0 END AS INT) AS bloom_pass
+              FROM probe
+              LEFT JOIN words w0 ON w0.word = p0 // 32
+              LEFT JOIN words w1 ON w1.word = p1 // 32
+              LEFT JOIN words w2 ON w2.word = p2 // 32),
+            ex AS (SELECT DISTINCT k AS pk, 1 AS is_exact FROM build)
+            SELECT CAST(count(*) AS BIGINT) AS n_fact,
+                   CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+                   CAST(sum(coalesce(is_exact, 0)) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN bloom_pass = 1 AND coalesce(is_exact, 0) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                   round(sum(CASE WHEN bloom_pass = 1 AND coalesce(is_exact, 0) = 0
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS fp_rate
+            FROM flagged LEFT JOIN ex ON ex.pk = flagged.pk
         """,
         "events_cusum": """
             WITH vm AS (

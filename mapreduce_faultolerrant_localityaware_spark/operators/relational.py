@@ -391,3 +391,113 @@ def group_mode(
         "n_total",
         "n_distinct",
     )
+
+
+def bloom_semi_audit(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    m_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Explicit Bloom-filter semi-join reduction with false-positive
+    accounting — the map-side shuffle reducer a 100 TB fact⋈dim plan
+    leans on (AQE injects one automatically; this operator makes the
+    mechanism first-class and MEASURES it): build a deterministic
+    m-bit/k-hash Bloom over the build keys, probe the fact side
+    entirely in-row, and report how many fact rows the filter passes
+    vs the exact semi-join — fp_rate is the shuffle you'd still carry
+    for nothing.
+
+    Determinism: bit positions come from md5(key) hex substrings (the
+    engine's content-addressed hashing discipline); the filter packs
+    into ``m_bits/32`` 32-bit words held in ONE array row (bit 63
+    issues avoided by construction), aggregated with bit_or — an
+    associative, order-free reduction — and broadcast as a 1-row
+    cross join.  Probe is element_at + bit test per hash: pure
+    codegen, zero probe-side shuffle before the filter.
+
+    Returns one audit row: ``n_fact, n_bloom_pass, n_exact,
+    n_false_pos, fp_rate``.
+    """
+    n_words = m_bits // 32
+
+    def positions(key_col):
+        h = F.md5(F.col(key_col).cast("string"))
+        return [
+            (
+                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+
+    bits = (
+        build.select(F.explode(F.array(*positions(build_key))).alias("pos"))
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            # shiftleft's bit count must be a column here, which the
+            # python wrapper doesn't accept — SQL expression instead
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    # pack the sparse word table into one dense array row (absent
+    # words are 0): aggregate to a word->bits map first (lambdas and
+    # aggregates cannot nest), then densify in a second projection
+    packed = bits.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("word"), F.col("bits"))))
+        ).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+    probe = (
+        fact.select(F.col(fact_key).alias("pk"))
+        .select(
+            "pk", *[p.alias(f"p{i}") for i, p in enumerate(positions("pk"))]
+        )
+        .crossJoin(F.broadcast(packed))
+    )
+    tests = [
+        (
+            F.element_at(F.col("bloom"), ((F.col(f"p{i}") / 32).cast("int") + 1))
+            .bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 32 AS INT))")
+            )
+            != 0
+        )
+        for i in range(k)
+    ]
+    passed_expr = tests[0]
+    for t in tests[1:]:
+        passed_expr = passed_expr & t
+    flagged = probe.select(F.col("pk"), passed_expr.cast("int").alias("bloom_pass"))
+    exact_keys = build.select(F.col(build_key).alias("pk")).distinct().withColumn(
+        "is_exact", F.lit(1)
+    )
+    j = flagged.join(F.broadcast(exact_keys), "pk", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+        F.sum(F.coalesce("is_exact", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(
+            (F.col("bloom_pass") == 1).cast("long")
+            * (F.coalesce("is_exact", F.lit(0)) == 0).cast("long")
+        ).alias("n_false_pos"),
+    ).select(
+        "n_fact",
+        "n_bloom_pass",
+        "n_exact",
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.round(F.col("n_false_pos") / F.col("n_fact"), 6).alias("fp_rate"),
+    )

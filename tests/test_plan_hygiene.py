@@ -63,7 +63,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "ccnet_buckets",
            # dsir_weights attaches its two 1-row distribution totals
            # (target/raw bigram mass) as broadcast scalars
-           "dsir_weights"}
+           "dsir_weights",
+           # bloom_semi_audit broadcasts its 1-row packed filter array
+           # (the whole point: probe side never shuffles)
+           "bloom_semi_audit"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -1525,3 +1525,27 @@ def test_cusum_drift_identity_matches_recursion(spark):
     assert out[1]["drift"] == 1
     assert out[2]["max_cusum"] == ref_max_cusum(vals2)
     assert out[2]["drift"] == 0
+
+
+def test_bloom_semi_audit_no_false_negatives(spark, sf_dir):
+    """A Bloom filter admits false positives but NEVER false
+    negatives: every exact-semi-join row must pass the filter, and
+    the measured fp_rate stays well under the m/n design point."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    r = relational.bloom_semi_audit(
+        li, urgent, fact_key="l_orderkey", build_key="o_orderkey"
+    ).collect()[0]
+    # exact matches are a subset of bloom passes (no false negatives)
+    exact_rows = li.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "semi",
+    ).count()
+    assert r["n_bloom_pass"] == exact_rows + r["n_false_pos"]
+    assert r["n_bloom_pass"] >= exact_rows
+    assert r["fp_rate"] < 0.2
