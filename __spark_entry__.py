@@ -1403,6 +1403,54 @@ def _q_bloom_semi_audit(spark, sf):
     )
 
 
+def _q_rrf_fusion(spark, sf):
+    """Hybrid retrieval: BM25 top-50 and embedding-cosine top-50
+    (query = vec 0) fused by reciprocal-rank 1/(60+rank); both
+    shortlists are heap top-k, the fuse join is 50x50 rows."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.retrieval import rrf_fuse
+
+    docs = scan(spark, sf, "documents")
+    emb = scan(spark, sf, "embeddings")
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, k=50)
+    sem = (
+        similarity.ann_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
+    )
+    return rrf_fuse(lex, sem, k=20)
+
+
+def _q_pareto_front(spark, sf):
+    """2-D skyline data selection: docs non-dominated on (token
+    length, lexical-diversity microunits) — aggregate to distinct
+    metric points, then one running-max window; no pairwise test."""
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens as tokens_fn
+    from mapreduce_faultolerrant_localityaware_spark.operators.selection import pareto_front
+
+    docs = scan(spark, sf, "documents")
+    tk = tokens_fn("text", lowercase=True)
+    pts = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("x"),
+        F.size(F.array_distinct(tk)).cast("long").alias("nd"),
+    ).filter(F.col("x") > 0).select(
+        "doc_id", "x", F.expr("nd * 1000000L div x").alias("y")
+    )
+    return pareto_front(pts, "x", "y", "doc_id")
+
+
+def _q_ngram_novelty(spark, sf):
+    """Per-doc trigram novelty vs earlier corpus: md5-long shingle
+    keys, first-seen via one min-aggregate exchange, integer-micro
+    novelty ratio."""
+    return corpus.ngram_novelty(scan(spark, sf, "documents"), n=3)
+
+
+def _q_mad_outliers(spark, sf):
+    """Per-event-type median/MAD robust outlier profile over exact
+    cent-scaled integers (bit-stable medians at q=0.5)."""
+    return events_ops.mad_outliers(scan(spark, sf, "events"), threshold=3.0)
+
+
 def _q_events_cusum(spark, sf):
     """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
     computed exactly via prefix-sum minus running-min, integer micro
@@ -3223,6 +3271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": _q_twap,
         "events_cusum": _q_events_cusum,
         "bloom_semi_audit": _q_bloom_semi_audit,
+        "rrf_fusion": _q_rrf_fusion,
+        "pareto_front": _q_pareto_front,
+        "ngram_novelty": _q_ngram_novelty,
+        "mad_outliers": _q_mad_outliers,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3959,6 +4011,80 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN bloom_pass = 1 AND coalesce(is_exact, 0) = 0
                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS fp_rate
             FROM flagged LEFT JOIN ex ON ex.pk = flagged.pk
+        """,
+        "rrf_fusion": f"""
+            WITH bm AS (SELECT doc_id, score FROM ({retrieval.bm25_oracle_sql(
+                _BM25_TERMS, k=50, k1=1.2, b=0.75, tok_sql=_TOK_LOWER)})),
+            lex AS (SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+                    FROM bm),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sems AS (
+              SELECT e.vec_id AS doc_id, {_COS.format(a='qv', b='e.v')} AS cos_sim
+              FROM e CROSS JOIN (SELECT v AS qv FROM e WHERE vec_id = 0)
+              WHERE e.vec_id <> 0
+              ORDER BY cos_sim DESC, doc_id ASC LIMIT 50
+            ),
+            sem AS (SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
+                    FROM sems),
+            fused AS (
+              SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, lex_rank, sem_rank,
+                     COALESCE(1.0 / (60 + lex_rank), 0) +
+                     COALESCE(1.0 / (60 + sem_rank), 0) AS raw
+              FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+            )
+            SELECT doc_id, lex_rank, sem_rank, round(raw, 9) AS rrf
+            FROM fused ORDER BY raw DESC, doc_id ASC LIMIT 20
+        """,
+        "pareto_front": f"""
+            WITH toks AS (SELECT doc_id, {_TOK_LOWER} AS tk FROM documents),
+            pts AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS x,
+                     (CAST(len(list_distinct(tk)) AS BIGINT) * 1000000)
+                       // CAST(len(tk) AS BIGINT) AS y
+              FROM toks WHERE len(tk) > 0
+            ),
+            grp AS (SELECT x, y, count(*) AS n_docs, min(doc_id) AS rep_id
+                    FROM pts GROUP BY x, y)
+            SELECT x, y, n_docs, rep_id FROM grp f
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.x >= f.x AND q.y >= f.y AND (q.x > f.x OR q.y > f.y)
+            )
+            ORDER BY x
+        """,
+        "ngram_novelty": f"""
+            {_SHINGLES_LOWER},
+            shh AS (SELECT DISTINCT doc_id,
+                      CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+                    FROM sh),
+            first AS (SELECT h, min(doc_id) AS first_id FROM shh GROUP BY h)
+            SELECT s.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   (CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000000) // count(*) AS novelty_micro
+            FROM shh s JOIN first f USING (h)
+            GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        "mad_outliers": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+                  FROM c GROUP BY 1),
+            d AS (SELECT c.event_type, cents, med, abs(cents - med) AS dev
+                  FROM c JOIN m USING (event_type)),
+            m2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                   FROM d GROUP BY 1)
+            SELECT d.event_type, count(*) AS n_events,
+                   round(max(med) / 100, 6) AS median_value,
+                   round(max(mad) / 100, 6) AS mad_value,
+                   CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM d JOIN m2 USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type
         """,
         "events_cusum": """
             WITH vm AS (

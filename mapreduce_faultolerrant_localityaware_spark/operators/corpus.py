@@ -1508,3 +1508,64 @@ def ccnet_buckets(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), nt
         ).alias("bucket"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (by ascending ``id_col``): the fraction of a doc's distinct
+    word n-grams whose first corpus occurrence is this doc.  The
+    streaming-ingest curation signal — a crawl batch whose novelty
+    collapses toward 0 is re-crawling what the corpus already holds
+    (the "epochs of repeated data" measurement from the data-mixing
+    literature), and per-doc novelty is the keep/drop knob.
+
+    Distributed shape: shingles collapse to 60-bit md5-derived longs
+    in the scan projection (8-byte shuffle keys, same posture as the
+    simjoin/SNM verify paths, dedup.py's measured string→long win);
+    "first occurrence" is ONE aggregate exchange on the shingle hash
+    (min doc id — Spark's partial agg ships one (hash, min) pair per
+    partition, so the exchange is bounded by vocabulary, not corpus);
+    the join back to per-doc rows reuses the same hash key.  No text
+    ever shuffles and nothing is quadratic.
+
+    Returns (doc_id, n_shingles, n_novel, novelty_micro) for docs with
+    at least one shingle; novelty_micro = n_novel*1e6 div n_shingles —
+    integer floor-division microunits, bit-stable across engines.
+    """
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
+        )
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("h").agg(F.min(id_col).alias("first_id"))
+    return (
+        sh.join(first, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000L div n_shingles").alias("novelty_micro"),
+        )
+        .orderBy(id_col)
+    )

@@ -214,3 +214,52 @@ def cusum_drift(
         F.round(F.max("cusum_m") / 1e6, 6).alias("max_cusum"),
         (F.max("cusum_m") > thr_m).cast("int").alias("drift"),
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier profile via median absolute deviation —
+    the heavy-tail-safe sibling of :func:`zscore_outliers` (mean/std
+    are themselves dragged by the outliers they're meant to flag; the
+    median/MAD pair has a 50% breakdown point, the standard robust
+    monitor for metric streams).
+
+    DETERMINISM: values are fixed-point (2 dp), so cent-scaled longs
+    are exact; the exact ``percentile`` of integers at q=0.5 is either
+    an integer or a .5 midpoint — both exactly representable — and the
+    absolute deviations inherit that, so median, MAD, and every
+    ``dev > 3*MAD`` comparison are bit-identical across engines (no
+    float-sum order sensitivity anywhere).
+
+    One exchange: both medians are window aggregates over the same key
+    partition (Spark plans one Exchange feeding two Window nodes), and
+    the final rollup groups by the already-co-located key.
+
+    Returns (key, n_events, median_value, mad_value, n_outliers)
+    ordered by key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    base = events.select(
+        F.col(key_col), F.round(F.col(value_col) * 100).cast("long").alias("cents")
+    )
+    d = base.withColumn("med", F.percentile("cents", F.lit(0.5)).over(w))
+    d = d.withColumn("dev", F.abs(F.col("cents") - F.col("med")))
+    d = d.withColumn("mad", F.percentile("dev", F.lit(0.5)).over(w))
+    return (
+        d.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med") / 100.0, 6).alias("median_value"),
+            F.round(F.max("mad") / 100.0, 6).alias("mad_value"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(threshold) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy(key_col)
+    )

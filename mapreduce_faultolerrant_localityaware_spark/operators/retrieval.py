@@ -25,7 +25,7 @@ Scale shape (the reason this module exists as written):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -153,4 +153,57 @@ def bm25_oracle_sql(terms: list[str], k: int, k1: float, b: float, tok_sql: str)
     """
 
 
-__all__ = ["bm25_topk", "bm25_oracle_sql"]
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int = 20,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking —
+    the standard hybrid-retrieval combiner (Cormack et al., the
+    1/(c+rank) form every production RAG stack uses to merge BM25
+    with embedding search without score calibration).
+
+    ``lexical`` must carry (id_col, score) and ``semantic``
+    (id_col, cos_sim); each side is ranked independently by
+    (score DESC, id ASC) — a total order, so ranks are deterministic
+    — and fused with a FULL OUTER join: a document present in only
+    one list still scores 1/(c+rank) from that list.
+
+    Scale shape: both inputs are top-``depth`` shortlists (bounded by
+    the caller), so ranking is a single in-memory sort of ≤depth rows
+    per side and the fuse join is trivially broadcastable.  Nothing
+    here is proportional to the corpus — the heavy lifting happened
+    in the two retrievers, each of which is one scan + one heap top-k.
+
+    Returns (doc_id, lex_rank, sem_rank, rrf) — top-``k`` by
+    (rrf DESC, doc_id ASC), ranks NULL where a side missed the doc.
+    RRF scores are sums of exact binary rationals' IEEE quotients, so
+    both engines agree bit-for-bit; rounded to 9 dp for the hash gate.
+    """
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))
+    ws = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    lex = lexical.select(
+        id_col, F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    sem = semantic.select(
+        id_col, F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    fused = lex.join(sem, id_col, "full_outer").select(
+        id_col,
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("_raw"),
+    )
+    return (
+        fused.orderBy(F.desc("_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "lex_rank", "sem_rank", F.round("_raw", 9).alias("rrf"))
+    )
+
+
+__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse"]

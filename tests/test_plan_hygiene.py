@@ -66,7 +66,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "dsir_weights",
            # bloom_semi_audit broadcasts its 1-row packed filter array
            # (the whole point: probe side never shuffles)
-           "bloom_semi_audit"}
+           "bloom_semi_audit",
+           # rrf_fusion embeds bm25_topk (1-row corpus-stats broadcast)
+           # and ann_bruteforce (broadcast theta scoring) — both
+           # individually whitelisted shapes
+           "rrf_fusion"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

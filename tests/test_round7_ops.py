@@ -1549,3 +1549,107 @@ def test_bloom_semi_audit_no_false_negatives(spark, sf_dir):
     assert r["n_bloom_pass"] == exact_rows + r["n_false_pos"]
     assert r["n_bloom_pass"] >= exact_rows
     assert r["fp_rate"] < 0.2
+
+
+# -------------------------------------------------- selection / fusion
+
+
+def test_pareto_front_dominance_exact(spark):
+    """Brute-force dominance check on a hand-set: the window rewrite
+    must emit exactly the non-dominated points, counting duplicate
+    metric points together (duplicates do not dominate each other)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.selection import pareto_front
+
+    pts = [
+        # (id, x, y)
+        (1, 10, 100),
+        (2, 10, 100),   # duplicate of the corner point — both counted
+        (3, 10, 90),    # dominated (same x, lower y)
+        (4, 20, 80),
+        (5, 30, 50),
+        (6, 25, 50),    # dominated by (30, 50)
+        (7, 5, 120),
+        (8, 30, 50),    # duplicate of (30, 50)
+    ]
+    df = spark.createDataFrame(pts, ["doc_id", "x", "y"])
+    out = {(r["x"], r["y"]): (r["n_docs"], r["rep_id"]) for r in pareto_front(df).collect()}
+    # brute force oracle
+    expect = {}
+    for i, x, y in pts:
+        dominated = any(
+            (qx >= x and qy >= y and (qx > x or qy > y)) for _, qx, qy in pts
+        )
+        if not dominated:
+            n, rep = expect.get((x, y), (0, i))
+            expect[(x, y)] = (n + 1, min(rep, i))
+    assert out == expect
+    # front is strictly decreasing in y as x increases
+    rows = sorted(out)
+    ys = [out_y for _, out_y in rows]
+    assert ys == sorted(ys, reverse=True)
+
+
+def test_rrf_fuse_hand_ranks(spark):
+    """Fused scores must equal 1/(c+rank) sums with NULL ranks for
+    one-sided docs and (rrf DESC, id ASC) ordering."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 5.0), (11, 4.0), (12, 3.0)], ["doc_id", "score"]
+    )
+    sem = spark.createDataFrame(
+        [(11, 0.9), (13, 0.8)], ["doc_id", "cos_sim"]
+    )
+    rows = rrf_fuse(lex, sem, k=10, c=60).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[11]["lex_rank"] == 2 and by_id[11]["sem_rank"] == 1
+    assert abs(by_id[11]["rrf"] - round(1 / 62 + 1 / 61, 9)) < 1e-12
+    assert by_id[10]["sem_rank"] is None
+    assert abs(by_id[10]["rrf"] - round(1 / 61, 9)) < 1e-12
+    assert by_id[13]["lex_rank"] is None
+    # doc 11 (both lists) outranks every single-list doc
+    assert rows[0]["doc_id"] == 11
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    """Doc ordering pins novelty: the earliest doc is 100% novel, an
+    exact duplicate later is 0% novel, a half-overlap is fractional."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"  -> both first here
+            (2, "a b c d"),        # exact dup -> 0 novel
+            (3, "a b c x y z"),    # "a b c" seen; 3 new of 4
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in corpus.ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty_micro"] == 1_000_000
+    assert out[2]["novelty_micro"] == 0
+    assert out[3]["n_shingles"] == 4 and out[3]["n_novel"] == 3
+    assert out[3]["novelty_micro"] == 750_000
+
+
+def test_mad_outliers_exact_median(spark):
+    """Median/MAD on a known set: values (1..5, 100) per one key ->
+    med=3.5, deviations (2.5,1.5,.5,.5,1.5,96.5) -> mad=1.5; only 100
+    (dev 96.5 > 4.5) flags."""
+    from datetime import datetime
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "t", float(v), "{}")
+        for i, v in enumerate([1, 2, 3, 4, 5, 100])
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = events_ops.mad_outliers(df, threshold=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["median_value"] == 3.5
+    assert r["mad_value"] == 1.5
+    assert r["n_outliers"] == 1
+    assert r["n_events"] == 6
