@@ -1451,6 +1451,16 @@ def _q_mad_outliers(spark, sf):
     return events_ops.mad_outliers(scan(spark, sf, "events"), threshold=3.0)
 
 
+def _q_mmr_diversify(spark, sf):
+    """Greedy MMR re-ranking of the cosine top-32 shortlist for vec 0
+    (lam=0.7): cluster-side shortlist, driver-side bounded greedy.
+    Rows-only (greedy has no SQL form); pytest-pinned vs a pure-python
+    reference."""
+    return similarity.mmr_diversify(
+        scan(spark, sf, "embeddings"), query_id=0, shortlist=32, k=8, lam=0.7
+    )
+
+
 def _q_events_cusum(spark, sf):
     """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
     computed exactly via prefix-sum minus running-min, integer micro
@@ -3275,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": _q_pareto_front,
         "ngram_novelty": _q_ngram_novelty,
         "mad_outliers": _q_mad_outliers,
+        "mmr_diversify": _q_mmr_diversify,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,

@@ -1227,3 +1227,75 @@ def rp_project_audit(
             "distortion"
         ),
     )
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    query_id: int = 0,
+    shortlist: int = 32,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell/Goldstein):
+    from the cosine top-``shortlist`` of ``query_id``, greedily pick
+    ``k`` items maximizing lam·rel(c) − (1−lam)·max_sim(c, selected) —
+    the standard diversification pass between retrieval and a RAG
+    context window (near-duplicate passages waste the token budget).
+
+    Distributed shape: relevance shortlisting is the cluster-side
+    :func:`ann_bruteforce` heap top-k; the greedy loop — inherently
+    sequential, k·shortlist dot products on a model-sized set — runs
+    on the driver over the collected shortlist (bounded by
+    ``shortlist``, never by the corpus, the same k-row-collect posture
+    as the k-means/PQ codebook fits).
+
+    Determinism: shortlist membership/order comes from the rounded-6
+    cosine with id tiebreak; greedy ties break to the lower id; numpy
+    double dot products in fixed shortlist order.  Rows-only in the
+    oracle gate (greedy selection has no closed SQL form); pinned in
+    pytest against an independent pure-python reference.
+
+    Returns (rank, vec_id, relevance, marginal) — selection order,
+    relevance = cosine to the query, marginal = the MMR objective at
+    pick time (rank 1's marginal is lam·rel by convention).
+    """
+    import numpy as np
+
+    short = ann_bruteforce(
+        emb, emb.filter(F.col(id_col) == query_id), k=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("neighbor_id").alias("_id"), "cos_sim")
+    vecs = _prep(emb, id_col, vec_col).withColumnRenamed(id_col, "_id")
+    rows = (
+        short.join(vecs, "_id")
+        .orderBy(F.desc("cos_sim"), F.asc("_id"))
+        .collect()
+    )  # ≤ shortlist rows — bounded by the parameter, not the data
+    ids = [r["_id"] for r in rows]
+    rel = [float(r["cos_sim"]) for r in rows]
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms[:, None]
+    sims = Xn @ Xn.T  # shortlist×shortlist, model-sized
+    selected: list[int] = []
+    out = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        best_i, best_obj = None, None
+        for i in remaining:
+            penalty = max((sims[i][j] for j in selected), default=0.0)
+            obj = lam * rel[i] - (1.0 - lam) * penalty
+            # strict > keeps the earliest (lowest-id, shortlist order)
+            # candidate on ties
+            if best_obj is None or obj > best_obj:
+                best_i, best_obj = i, obj
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out.append((rank, ids[best_i], round(rel[best_i], 6), round(float(best_obj), 6)))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out, "rank INT, vec_id BIGINT, relevance DOUBLE, marginal DOUBLE"
+    )

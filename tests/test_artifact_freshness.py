@@ -40,6 +40,9 @@ NO_ORACLE = {
     "dedup_semantic",
     # composes dedup_semantic; components pytest-pinned vs union-find
     "dedup_semantic_pipeline",
+    # greedy sequential selection has no closed SQL form; pinned in
+    # pytest against a pure-python MMR reference
+    "mmr_diversify",
 }
 
 

@@ -1653,3 +1653,46 @@ def test_mad_outliers_exact_median(spark):
     assert r["mad_value"] == 1.5
     assert r["n_outliers"] == 1
     assert r["n_events"] == 6
+
+
+def test_mmr_diversify_matches_pure_python_reference(spark, sf_dir):
+    """Independent MMR reference: recompute shortlist + greedy in
+    python from the raw parquet and demand identical selection."""
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    emb = scan(spark, sf_dir, "embeddings")
+    got = similarity.mmr_diversify(emb, query_id=0, shortlist=16, k=6, lam=0.7).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    q = X[ids == 0][0]
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    qn = q / (np.sqrt(q @ q) or 1.0)
+    cos = np.round(Xn @ qn, 6)
+    cand = [(float(-cos[i]), int(ids[i]), i) for i in range(len(ids)) if ids[i] != 0]
+    cand.sort()
+    short = cand[:16]
+    rel = [-c for c, _, _ in short]
+    sidx = [i for _, _, i in short]
+    sims = Xn[sidx] @ Xn[sidx].T
+    sel, rem, expect = [], list(range(16)), []
+    for rank in range(1, 7):
+        best, bobj = None, None
+        for i in rem:
+            pen = max((sims[i][j] for j in sel), default=0.0)
+            obj = 0.7 * rel[i] - 0.3 * pen
+            if bobj is None or obj > bobj:
+                best, bobj = i, obj
+        sel.append(best)
+        rem.remove(best)
+        expect.append((rank, short[best][1], round(rel[best], 6), round(float(bobj), 6)))
+    assert [(r["rank"], r["vec_id"], r["relevance"], r["marginal"]) for r in got] == expect
+    # diversification actually changed the order vs plain relevance
+    # (guards against a degenerate lam that makes MMR a no-op ranking)
+    assert [v for _, v, _, _ in expect[1:]] != [short[i][1] for i in range(1, 6)]
