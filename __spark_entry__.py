@@ -1461,6 +1461,49 @@ def _q_mmr_diversify(spark, sf):
     )
 
 
+def _q_markov_transitions(spark, sf):
+    """First-order Markov next-event model: one user-window exchange
+    produces (cur, next) pairs, a domain-sized groupBy counts them,
+    conditional P(next|cur) from a window over the tiny aggregate."""
+    return events_ops.markov_transitions(scan(spark, sf, "events"))
+
+
+def _q_embedding_centroids(spark, sf):
+    """Per-label centroid profile: integer-micro component sums packed
+    in one array-aggregate per label (d bigints across the exchange),
+    posexploded to (label, dim) rows."""
+    return similarity.embedding_centroids(scan(spark, sf, "embeddings"))
+
+
+def _q_embedding_covariance(spark, sf):
+    """Exact d×d covariance via per-Arrow-batch integer Gram products
+    (numpy X'X inside each partition) + one (i,j)-keyed d²-row
+    aggregation — shuffle volume independent of corpus size."""
+    return similarity.embedding_covariance(scan(spark, sf, "embeddings"))
+
+
+def _q_pca_project(spark, sf):
+    """Top-4 principal-component scores: cluster-side exact covariance,
+    driver-side d×d eigh (model-sized), broadcast projection applied
+    as a JVM fixed-order fold.  Rows-only (eigendecomposition has no
+    SQL form); pinned in pytest against a pure-numpy reference."""
+    return similarity.pca_project(scan(spark, sf, "embeddings"), k=4)
+
+
+def _q_quantile_normalize(spark, sf):
+    """Within-language quantile normalization of a quality signal:
+    percent_rank + equi-depth decile off one window exchange — the
+    rank calibration applied before any cross-slice keep threshold."""
+    return corpus.quantile_normalize(scan(spark, sf, "documents"))
+
+
+def _q_unigram_kl(spark, sf):
+    """Per-source KL(slice ‖ corpus) over unigram distributions,
+    add-one smoothed; one tokenize pass, integer-nano term rounding
+    before the sum for hash-stable determinism."""
+    return corpus.unigram_kl(scan(spark, sf, "documents"))
+
+
 def _q_events_cusum(spark, sf):
     """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
     computed exactly via prefix-sum minus running-min, integer micro
@@ -3286,6 +3329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "mad_outliers": _q_mad_outliers,
         "mmr_diversify": _q_mmr_diversify,
+        "markov_transitions": _q_markov_transitions,
+        "embedding_centroids": _q_embedding_centroids,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_project": _q_pca_project,
+        "quantile_normalize": _q_quantile_normalize,
+        "unigram_kl": _q_unigram_kl,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4096,6 +4145,88 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_outliers
             FROM d JOIN m2 USING (event_type)
             GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        "markov_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS cur_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              FROM events),
+            c AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+                  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT cur_type, next_type, n,
+                   round(n / sum(n) OVER (PARTITION BY cur_type), 6) AS p
+            FROM c ORDER BY cur_type, next_type
+        """,
+        "embedding_centroids": """
+            WITH dims AS (
+              SELECT label,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+            SELECT label, CAST(i AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(xm) / count(*) / 1e6, 6) AS centroid
+            FROM dims GROUP BY label, i ORDER BY label, dim
+        """,
+        "embedding_covariance": """
+            WITH m AS (
+              SELECT vec_id,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e3) AS BIGINT) AS xm,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            p AS (
+              SELECT a.i AS i, b.i AS j, sum(a.xm * b.xm) AS sxy
+              FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2),
+            s AS (SELECT i, sum(xm) AS si FROM m GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM embeddings)
+            SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+                   round((sxy - sa.si * sb.si / n.n) / n.n / 1e6, 6) AS cov
+            FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN n
+            ORDER BY i, j
+        """,
+        "quantile_normalize": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+                   round(percent_rank() OVER (
+                     PARTITION BY lang ORDER BY n_chars), 6) AS pr,
+                   CAST(ntile(10) OVER (
+                     PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+            FROM documents ORDER BY doc_id
+        """,
+        "unigram_kl": f"""
+            WITH tok AS (SELECT source AS grp, unnest({_TOK}) AS t FROM documents),
+            sc AS (SELECT grp, t, count(*) AS cs FROM tok GROUP BY 1, 2),
+            ccnt AS (SELECT t, sum(cs) AS cc FROM sc GROUP BY 1),
+            tt AS (SELECT grp, sum(cs) AS ns, count(*) AS types FROM sc GROUP BY 1),
+            nv AS (SELECT sum(cc) AS nc, count(*) AS v FROM ccnt),
+            ccln AS (
+              SELECT t, cc, nc, v,
+                     CAST(round(ln((cc + 1.0) / (nc + v)) * 1e9) AS BIGINT)
+                       AS lnpc_nano
+              FROM ccnt CROSS JOIN nv),
+            lall AS (SELECT max(nc) AS nc, max(v) AS v,
+                            sum(lnpc_nano) AS l_all_nano FROM ccln),
+            terms AS (
+              SELECT sc.grp, tt.ns, tt.types, ccln.lnpc_nano,
+                     CAST(round(
+                       ((sc.cs + 1.0) / (tt.ns + ccln.v))
+                       * (ln((sc.cs + 1.0) / (tt.ns + ccln.v))
+                          - ln((ccln.cc + 1.0) / (ccln.nc + ccln.v))) * 1e9)
+                       AS BIGINT) AS term_nano
+              FROM sc JOIN ccln USING (t) JOIN tt USING (grp)),
+            ps AS (
+              SELECT grp, max(ns) AS ns, max(types) AS types,
+                     sum(term_nano) AS in_support_nano,
+                     sum(lnpc_nano) AS l_slice_nano
+              FROM terms GROUP BY grp)
+            SELECT grp AS source, CAST(ns AS BIGINT) AS n_tokens,
+                   CAST(types AS BIGINT) AS n_types,
+                   round(in_support_nano / 1e9
+                         + (1.0 / (ns + lall.v))
+                           * ((lall.v - types) * ln(1.0 / (ns + lall.v))
+                              - (lall.l_all_nano - l_slice_nano) / 1e9), 6) AS kl
+            FROM ps CROSS JOIN lall ORDER BY source
         """,
         "events_cusum": """
             WITH vm AS (

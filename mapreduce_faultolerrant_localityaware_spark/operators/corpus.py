@@ -1569,3 +1569,136 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Quantile-normalize a per-document quality signal WITHIN each
+    group: percent-rank of ``score_col`` inside ``group_col`` plus the
+    equi-depth bucket (decile by default).  This is how heterogeneous
+    quality scores become comparable across languages/sources before a
+    global keep-fraction is applied — raw thresholds systematically
+    starve low-resource slices, per-group ranks don't.
+
+    One exchange (the group partition); rank and ntile share the same
+    window sort.  percent_rank is an exact integer ratio
+    ((rank-1)/(n-1)) rounded at the edge — deterministic under ties
+    because ties share a rank by definition.
+
+    Returns (doc_id, <group_col>, score, pr, bucket) ordered by doc_id.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col).cast("long").alias("score"),
+    )
+    w_rank = Window.partitionBy(group_col).orderBy("score")
+    w_tile = Window.partitionBy(group_col).orderBy("score", id_col)
+    return (
+        base.withColumn("pr", F.round(F.percent_rank().over(w_rank), 6))
+        .withColumn("bucket", F.ntile(buckets).over(w_tile).cast("long"))
+        .orderBy(id_col)
+    )
+
+
+def unigram_kl(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-slice distribution drift: exact KL(slice ‖ corpus) over the
+    add-one-smoothed unigram token distributions — the cheap monitor
+    that catches a crawl source going off-distribution (spam bursts,
+    language flips, boilerplate floods) long before a model does.
+
+    Both distributions are smoothed over the SAME support (the corpus
+    vocabulary V): p̂(t|slice) = (cs+1)/(ns+|V|), p̂(t|corpus) =
+    (cc+1)/(nc+|V|) — each sums to exactly 1 over V, so KL ≥ 0 holds
+    (Gibbs), unlike support-truncated approximations that can go
+    negative near identical distributions.
+
+    Scale shape: ONE tokenize pass feeds both count tables (the corpus
+    table derives from the slice table, never a second text pass), and
+    the Σ_{t∉slice} tail — |V|−m identical zero-count terms per slice —
+    is folded ANALYTICALLY from three aggregates (corpus Σln p̂c, the
+    slice's Σln p̂c over its own support, and the type counts) instead
+    of materializing |V|·|slices| rows.  Everything that shuffles is
+    (token, count) pairs.
+
+    DETERMINISM: counts are exact integers; each in-support term and
+    each ln p̂c is rounded to integer NANO units before summation
+    (exact bigint accumulation in any partial-agg order, dsir-style);
+    the analytic tail is a scalar double expression over those exact
+    integers.
+
+    Returns (source, n_tokens, n_types, kl) ordered by source.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    slice_counts = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("cs"))
+    corpus_counts = slice_counts.groupBy("t").agg(F.sum("cs").alias("cc"))
+    totals = slice_counts.groupBy("grp").agg(
+        F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("types")
+    )
+    # 1-row corpus scalars: total token count, vocab size |V|, and the
+    # Σ_{t∈V} ln p̂c normalizer for the analytic zero-count tail.
+    # ln p̂c needs nc and |V| first, so fold in two exact steps: ship
+    # (cc) once, compute ln with the grand totals attached as columns.
+    nc_v = corpus_counts.agg(
+        F.sum("cc").alias("nc"), F.count(F.lit(1)).alias("v")
+    )
+    cc_ln = corpus_counts.join(F.broadcast(nc_v)).select(
+        "t",
+        "cc",
+        "nc",
+        "v",
+        F.round(
+            F.log((F.col("cc") + 1.0) / (F.col("nc") + F.col("v"))) * 1e9
+        ).cast("long").alias("lnpc_nano"),
+    )
+    l_all = cc_ln.agg(
+        F.max("nc").alias("nc"),
+        F.max("v").alias("v"),
+        F.sum("lnpc_nano").alias("l_all_nano"),
+    )
+    j = (
+        slice_counts.join(cc_ln.select("t", "cc", "nc", "v", "lnpc_nano"), "t")
+        .join(F.broadcast(totals), "grp")
+    )
+    ps = (F.col("cs") + 1.0) / (F.col("ns") + F.col("v"))
+    pc = (F.col("cc") + 1.0) / (F.col("nc") + F.col("v"))
+    # per-term contribution in integer NANO units: ps ~ 1/|V|, so micro
+    # would quantize small terms to zero; nano keeps 3 guard digits
+    # while Σ|terms| ≤ ~1e9·|V| stays far inside int64
+    term_nano = F.round(ps * (F.log(ps) - F.log(pc)) * 1e9).cast("long")
+    per_slice = j.groupBy("grp").agg(
+        F.max("ns").alias("ns"),
+        F.max("types").alias("types"),
+        F.sum(term_nano).alias("in_support_nano"),
+        F.sum("lnpc_nano").alias("l_slice_nano"),
+    )
+    out = per_slice.join(F.broadcast(l_all))
+    # Σ_{t∉slice} p0·ln(p0/p̂c) with p0 = 1/(ns+|V|), folded from the
+    # exact integer aggregates: (|V|−m)·p0·ln p0 − p0·(L_all − L_slice)
+    p0 = 1.0 / (F.col("ns") + F.col("v"))
+    tail = p0 * (
+        (F.col("v") - F.col("types")) * F.log(p0)
+        - (F.col("l_all_nano") - F.col("l_slice_nano")) / 1e9
+    )
+    return (
+        out.select(
+            F.col("grp").alias(group_col),
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.col("types").cast("long").alias("n_types"),
+            F.round(F.col("in_support_nano") / 1e9 + tail, 6).alias("kl"),
+        )
+        .orderBy(group_col)
+    )

@@ -263,3 +263,47 @@ def mad_outliers(
         )
         .orderBy(key_col)
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (current type → next type) pair, the observed
+    count and the conditional probability P(next | current) — the
+    journey model behind next-action prediction and funnel-drop
+    analysis.
+
+    Shape at scale: ONE window exchange on the user key produces the
+    (cur, nxt) pairs; the pair counting is a partial-agged groupBy on
+    a domain-sized key space (|types|²), and the row-count denominator
+    attaches via a window over that TINY aggregate — never a second
+    pass over raw events.
+
+    DETERMINISM: probabilities are exact integer ratios rounded at the
+    edge (round(n/total, 6)); counts are exact.
+
+    Returns (cur_type, next_type, n, p) ordered by (cur_type,
+    next_type).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("cur_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("cur_type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wt), 6))
+        .orderBy("cur_type", "next_type")
+    )

@@ -1299,3 +1299,229 @@ def mmr_diversify(
     return spark.createDataFrame(
         out, "rank INT, vec_id BIGINT, relevance DOUBLE, marginal DOUBLE"
     )
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    dim: int | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid profile of an embedding table — the cluster
+    summary consumed by SemDeDup-style pruning, IVF coarse-quantizer
+    seeding, and domain-drift dashboards (compare this month's source
+    centroids against last month's).
+
+    Same determinism discipline as :func:`embedding_dim_stats`:
+    components become integer micro-units before summation, so the
+    per-label sums are exact bigints (partial-agg order-insensitive)
+    and the output hash-matches a SQL oracle.  Shape at scale: one
+    partial-agged groupBy carrying d bigints per label — nothing the
+    size of the data crosses the exchange — then one posexplode of the
+    |labels| aggregate rows into |labels|·d output rows.
+
+    Returns (label, dim (1-based), n, centroid) ordered by (label, dim).
+    """
+    if dim is None:
+        probe = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("n"))
+            .limit(1)
+            .collect()
+        )
+        if not probe or probe[0]["n"] is None:
+            raise ValueError(
+                "embedding_centroids: cannot infer dim from an empty or "
+                "all-NULL vector column; pass dim explicitly"
+            )
+        dim = probe[0]["n"]
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
+    agg = emb.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+    )
+    return agg.select(
+        F.col(label_col),
+        "n",
+        F.posexplode("s").alias("i", "sm"),
+    ).select(
+        F.col(label_col),
+        (F.col("i") + 1).cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sm") / F.col("n") / 1e6, 6).alias("centroid"),
+    ).orderBy(label_col, "dim")
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact d×d covariance matrix of an embedding column, computed
+    the way a 100 TB vector table demands: per-Arrow-batch integer
+    Gram products (numpy ``X.T @ X`` — BLAS inside each partition, d²
+    bigints out) summed by one tiny (i,j)-keyed aggregation, plus the
+    d-vector of component sums from a second single-row aggregate.
+    Nothing proportional to the row count ever crosses an exchange —
+    the shuffle volume is d² rows regardless of corpus size.
+
+    DETERMINISM: components are rounded to integer MILLI-units on the
+    JVM side (Spark ``round`` = half-away-from-zero, matching the
+    DuckDB oracle) BEFORE entering Python, so the numpy matmul is an
+    exact int64 computation and partial sums commute.  Overflow head-
+    room: |x|≤~30 → |xm|≤3e4, product ≤ 9e8, safe to ~1e10 rows in
+    int64.  Precision: milli-quantization bounds the covariance error
+    at ~1e-3·E|x| — the determinism/precision trade is documented, and
+    callers needing tighter values can rescale.
+
+    cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n on the quantized values, exact
+    integer arithmetic until the final division.
+
+    Returns (i, j, cov) for the upper triangle i ≤ j (1-based),
+    ordered by (i, j).
+    """
+    import pandas as pd
+
+    if dim is None:
+        probe = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("n"))
+            .limit(1)
+            .collect()
+        )
+        if not probe or probe[0]["n"] is None:
+            raise ValueError(
+                "embedding_covariance: cannot infer dim from an empty or "
+                "all-NULL vector column; pass dim explicitly"
+            )
+        dim = probe[0]["n"]
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    milli = emb.select(
+        F.transform(v, lambda x: F.round(x * 1e3).cast("long")).alias("xm")
+    )
+
+    def gram(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(r) for r in pdf["xm"]], dtype=np.int64)
+            acc += X.T @ X
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu + 1, "j": ju + 1, "s": acc[iu, ju]}
+        )
+
+    pair_sums = (
+        milli.mapInPandas(gram, "i INT, j INT, s LONG")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("sxy"))
+    )
+    x_m = lambda i: F.element_at(F.col("xm"), i + 1)
+    marg = milli.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(x_m(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+    )
+    # 1-row marginal attaches via broadcast; cov from exact integers
+    out = pair_sums.join(F.broadcast(marg))
+    cov = (
+        F.col("sxy")
+        - F.element_at("s", F.col("i")) * F.element_at("s", F.col("j")) / F.col("n")
+    ) / F.col("n") / 1e6
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(cov, 6).alias("cov"),
+    ).orderBy("i", "j")
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components —
+    the dimensionality-reduction pass in front of cheap clustering,
+    visualization, and drift monitors over a 100 TB vector corpus.
+
+    Distributed shape: the d×d covariance comes from
+    :func:`embedding_covariance` (batch-local integer Gram, d²-row
+    shuffle); the eigendecomposition runs on the DRIVER over that d×d
+    matrix (model-sized — the same bounded-collect posture as the
+    k-means/PQ codebook fits); the projection is then a broadcast
+    matrix applied per row with a JVM-side fixed-order fold (aggregate
+    over zip_with) — no Python in the per-row path.
+
+    DETERMINISM: the covariance is exact (integer arithmetic), numpy
+    ``eigh`` on identical doubles is deterministic, and each
+    eigenvector's sign is canonicalized (largest-|component| made
+    positive, index tiebreak).  Rows-only in the oracle gate (an
+    eigendecomposition has no SQL form); variance-explained and
+    reconstruction pinned in pytest against a pure-numpy reference.
+
+    Returns (vec_id, pc (1-based), score) — ``k`` rows per vector.
+    """
+    import numpy as np
+
+    if dim is None:
+        probe = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("n"))
+            .limit(1)
+            .collect()
+        )
+        if not probe or probe[0]["n"] is None:
+            raise ValueError(
+                "pca_project: cannot infer dim from an empty or all-NULL "
+                "vector column; pass dim explicitly"
+            )
+        dim = probe[0]["n"]
+    cov_rows = embedding_covariance(emb, dim=dim, vec_col=vec_col).collect()
+    C = np.zeros((dim, dim), dtype=np.float64)
+    for r in cov_rows:  # d² driver rows — model-sized, not data-sized
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(-vals, kind="stable")[:k]
+    comps = []
+    for idx in order:
+        u = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(np.round(u, 9))))  # first max |u_i|
+        if u[pivot] < 0:
+            u = -u
+        comps.append([round(float(x), 9) for x in u])
+
+    # centroid (for mean-centering) from the same exact integer sums
+    x_micro = lambda i: F.round(
+        F.element_at(F.slice(F.col(vec_col).cast("array<double>"), 1, dim), i + 1) * 1e6
+    ).cast("long")
+    m = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)],
+    ).collect()[0]
+    mean = [m[f"s{i}"] / m["n"] / 1e6 for i in range(dim)]
+
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    centered = F.zip_with(
+        v, F.array(*[F.lit(mi) for mi in mean]), lambda x, mu: x - mu
+    )
+    rows = []
+    for p, u in enumerate(comps, start=1):
+        score = F.aggregate(
+            F.zip_with(centered, F.array(*[F.lit(c) for c in u]), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        rows.append(
+            F.struct(F.lit(p).cast("long").alias("pc"), F.round(score, 6).alias("score"))
+        )
+    return (
+        emb.select(F.col(id_col), F.explode(F.array(*rows)).alias("z"))
+        .select(id_col, F.col("z.pc").alias("pc"), F.col("z.score").alias("score"))
+        .orderBy(id_col, "pc")
+    )

@@ -43,6 +43,10 @@ NO_ORACLE = {
     # greedy sequential selection has no closed SQL form; pinned in
     # pytest against a pure-python MMR reference
     "mmr_diversify",
+    # eigendecomposition has no SQL form; covariance input is oracle-
+    # gated (embedding_covariance) and the projection is pytest-pinned
+    # against a pure-numpy reference
+    "pca_project",
 }
 
 

@@ -70,7 +70,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # rrf_fusion embeds bm25_topk (1-row corpus-stats broadcast)
            # and ann_bruteforce (broadcast theta scoring) — both
            # individually whitelisted shapes
-           "rrf_fusion"}
+           "rrf_fusion",
+           # embedding_covariance / pca_project attach the 1-row
+           # (n, component-sums) marginal as a broadcast scalar join
+           # (tfidf-style attach); unigram_kl its 1-row corpus total
+           "embedding_covariance", "pca_project", "unigram_kl"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -1696,3 +1696,165 @@ def test_mmr_diversify_matches_pure_python_reference(spark, sf_dir):
     # diversification actually changed the order vs plain relevance
     # (guards against a degenerate lam that makes MMR a no-op ranking)
     assert [v for _, v, _, _ in expect[1:]] != [short[i][1] for i in range(1, 6)]
+
+
+def test_markov_transitions_tiny_sequence(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:01:00"),
+        (3, 1, "a", "2024-01-01 00:02:00"),
+        (4, 2, "a", "2024-01-01 00:00:00"),
+        (5, 2, "b", "2024-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["cur_type"], r["next_type"]): (r["n"], r["p"])
+        for r in events_ops.markov_transitions(df).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_markov_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    out = events_ops.markov_transitions(scan(spark, sf_dir, "events"))
+    sums = out.groupBy("cur_type").agg(F.sum("p").alias("sp")).collect()
+    assert sums and all(abs(r["sp"] - 1.0) < 1e-4 for r in sums)
+
+
+def test_embedding_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    emb = scan(spark, sf_dir, "embeddings")
+    got = similarity.embedding_centroids(emb).collect()
+    rows = emb.select("label", "embedding").collect()
+    def half_away(x):  # Spark/DuckDB round(): half away from zero
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            half_away(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        )
+    for g in got:
+        vs = by_label[g["label"]]
+        expect = sum(v[g["dim"] - 1] for v in vs) / len(vs) / 1e6
+        assert g["n"] == len(vs)
+        assert abs(g["centroid"] - half_away(expect * 1e6) / 1e6) < 1e-9
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    emb = scan(spark, sf_dir, "embeddings")
+    got = similarity.embedding_covariance(emb).collect()
+    rows = emb.select("embedding").collect()
+    # same milli quantization as the operator (half-away-from-zero on
+    # doubles; np.round is banker's, so go through the sign trick)
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64) * 1e3
+    Xq = np.sign(X) * np.floor(np.abs(X) + 0.5)
+    n = len(Xq)
+    S = Xq.sum(axis=0)
+    G = Xq.T @ Xq
+    d = Xq.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for r in got[:200]:
+        i, j = r["i"] - 1, r["j"] - 1
+        expect = (G[i, j] - S[i] * S[j] / n) / n / 1e6
+        assert abs(r["cov"] - round(expect, 6)) < 1e-9, (i, j)
+
+
+def test_pca_project_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    emb = scan(spark, sf_dir, "embeddings")
+    got = similarity.pca_project(emb, k=3).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    Xf = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    # covariance from the same milli quantization as the operator
+    Xm = Xf * 1e3
+    Xq = np.sign(Xm) * np.floor(np.abs(Xm) + 0.5)
+    n, d = Xq.shape
+    S = Xq.sum(axis=0)
+    C = np.zeros((d, d))
+    G = Xq.T @ Xq
+    for i in range(d):
+        for j in range(i, d):
+            C[i, j] = C[j, i] = round((G[i, j] - S[i] * S[j] / n) / n / 1e6, 6)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(-vals, kind="stable")[:3]
+    # mean from exact micro sums (operator's centering)
+    Sm = np.sign(Xf * 1e6) * np.floor(np.abs(Xf * 1e6) + 0.5)
+    mean = Sm.sum(axis=0) / n / 1e6
+    Xc = Xf - mean
+    expect = {}
+    for p, idx in enumerate(order, start=1):
+        u = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(np.round(u, 9))))
+        if u[pivot] < 0:
+            u = -u
+        u = np.array([round(float(x), 9) for x in u])
+        for vid, x in zip(ids, Xc):
+            # fixed-order fold like the JVM aggregate
+            acc = 0.0
+            for t in (x * u):
+                acc += t
+            expect[(vid, p)] = round(acc, 6)
+    for r in got:
+        assert abs(r["score"] - expect[(r["vec_id"], r["pc"])]) < 2e-6, (
+            r["vec_id"], r["pc"])
+    # top PC explains at least as much variance as the next ones
+    assert vals[order[0]] >= vals[order[1]] >= vals[order[2]]
+
+
+def test_quantile_normalize_single_row_group(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "it", 7)],
+        "doc_id LONG, lang STRING, n_chars LONG",
+    )
+    got = {r["doc_id"]: (r["pr"], r["bucket"]) for r in corpus.quantile_normalize(df).collect()}
+    assert got[3] == (0.0, 1)          # singleton group: pr 0, bucket 1
+    assert got[1] == (0.0, 1) and got[2] == (1.0, 2)
+
+
+def test_unigram_kl_zero_for_identical_slices(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a", "alpha beta gamma"), (2, "b", "alpha beta gamma")],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    out = corpus.unigram_kl(df, group_col="source").collect()
+    assert len(out) == 2
+    for r in out:
+        # identical slice and corpus distributions (same support, same
+        # smoothing) -> KL exactly 0 up to the nano quantization
+        assert 0.0 <= r["kl"] < 1e-4
+        assert r["n_tokens"] == 3 and r["n_types"] == 3
+
+
+def test_unigram_kl_nonnegative_and_flags_drift(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    out = corpus.unigram_kl(scan(spark, sf_dir, "documents")).collect()
+    assert out and all(r["kl"] >= 0.0 for r in out)
