@@ -1504,6 +1504,23 @@ def _q_unigram_kl(spark, sf):
     return corpus.unigram_kl(scan(spark, sf, "documents"))
 
 
+def _q_events_regression(spark, sf):
+    """Per-event-type OLS trend (slope cents/min, intercept, r²):
+    exact bigint sufficient statistics over centered integer minutes,
+    double only in the final ratios."""
+    return events_ops.group_regression(scan(spark, sf, "events"))
+
+
+def _q_corr_matrix(spark, sf):
+    """Pairwise Pearson correlations of the lineitem numeric columns:
+    one partial-agged pass carrying 15 exact-integer sums, pairs
+    exploded from the single aggregate row."""
+    return relational.corr_matrix(
+        scan(spark, sf, "lineitem"),
+        [("l_quantity", 100), ("l_extendedprice", 1), ("l_discount", 100), ("l_tax", 100)],
+    )
+
+
 def _q_events_cusum(spark, sf):
     """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
     computed exactly via prefix-sum minus running-min, integer micro
@@ -3335,6 +3352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": _q_pca_project,
         "quantile_normalize": _q_quantile_normalize,
         "unigram_kl": _q_unigram_kl,
+        "events_regression": _q_events_regression,
+        "corr_matrix": _q_corr_matrix,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3581,6 +3600,43 @@ _LM_SCORE_SQL = f"""
             FROM per JOIN scored ON per.w1 = scored.w1 AND per.w2 = scored.w2
             GROUP BY doc_id
 """
+
+
+def _corr_matrix_sql() -> str:
+    """Generated mirror of relational.corr_matrix over the lineitem
+    numeric columns — same integer scales, same double-expression
+    shapes, pairs via UNION ALL off the single aggregate row."""
+    cols = [("l_quantity", 100), ("l_extendedprice", 1), ("l_discount", 100), ("l_tax", 100)]
+    k = len(cols)
+    xs = ", ".join(
+        f"CAST(round({c} * {s}) AS BIGINT) AS x{i}" for i, (c, s) in enumerate(cols)
+    )
+    sums = ["count(*) AS n"]
+    for i in range(k):
+        sums.append(f"sum(x{i}) AS s{i}")
+        for j in range(i, k):
+            sums.append(f"sum(x{i} * x{j}) AS q{i}_{j}")
+    arms = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            cov = (f"(CAST(n AS DOUBLE) * CAST(q{i}_{j} AS DOUBLE)"
+                   f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))")
+            vi = (f"(CAST(n AS DOUBLE) * CAST(q{i}_{i} AS DOUBLE)"
+                  f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))")
+            vj = (f"(CAST(n AS DOUBLE) * CAST(q{j}_{j} AS DOUBLE)"
+                  f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))")
+            arms.append(
+                f"SELECT '{cols[i][0]}' AS col_x, '{cols[j][0]}' AS col_y, "
+                f"CAST(n AS BIGINT) AS n, "
+                f"round(CASE WHEN {vi} > 0 AND {vj} > 0 "
+                f"THEN {cov} / sqrt({vi} * {vj}) END, 6) AS corr FROM a"
+            )
+    return (
+        f"WITH b AS (SELECT {xs} FROM lineitem), "
+        f"a AS (SELECT {', '.join(sums)} FROM b) "
+        + " UNION ALL ".join(arms)
+        + " ORDER BY col_x, col_y"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4145,6 +4201,35 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_outliers
             FROM d JOIN m2 USING (event_type)
             GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        "corr_matrix": _corr_matrix_sql(),
+        "events_regression": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor((epoch_us(ts) - min(epoch_us(ts)) OVER (
+                       PARTITION BY event_type)) / 60000000) AS BIGINT) AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events),
+            a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+                  FROM b GROUP BY event_type),
+            d AS (SELECT event_type, n,
+                         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+                         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+                         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+                         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                  FROM a)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN varx_n > 0 THEN cov_n / varx_n END, 6) AS slope,
+                   round(CASE WHEN varx_n > 0 THEN
+                     (syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE) / 100.0
+                   END, 6) AS intercept,
+                   round(CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+                     (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
+            FROM d ORDER BY event_type
         """,
         "markov_transitions": """
             WITH pairs AS (

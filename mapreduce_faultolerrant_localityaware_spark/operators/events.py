@@ -307,3 +307,65 @@ def markov_transitions(
         counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wt), 6))
         .orderBy("cur_type", "next_type")
     )
+
+
+def group_regression(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend: regress the metric on
+    time within each key — slope (cents/minute), intercept, and r² —
+    the per-segment trend extraction behind burn-rate alerts and
+    metric forecasting.
+
+    DETERMINISM: the five OLS sufficient statistics (Σx, Σy, Σxx, Σxy,
+    Σyy) accumulate as exact bigints over integer MINUTES (centered on
+    the per-key minimum, which bounds x by the dataset's time span,
+    not the epoch — Σxx stays ≪ int64 for ~1e9-row keys over years)
+    and integer CENTS; only the final slope/r² ratios are computed in
+    double, each operand cast from an exact integer, so both engines
+    see identical IEEE inputs.
+
+    One exchange: the per-key min(ts) window and the final groupBy
+    share the key partitioning (Exchange → Window → HashAggregate, no
+    second shuffle).
+
+    Returns (key, n, slope, intercept, r2) ordered by key; slope/r²
+    NULL for keys with zero time variance.
+    """
+    w = Window.partitionBy(key_col)
+    mins = F.min(F.unix_micros(F.col(ts_col))).over(w)
+    base = events.select(
+        F.col(key_col),
+        F.floor((F.unix_micros(F.col(ts_col)) - mins) / 60_000_000).alias("x"),
+        F.round(F.col(value_col) * 100).cast("long").alias("y"),
+    )
+    agg = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # all combinations in double over exact integer inputs (long*long
+    # would overflow at n·Σxy scale; double products are deterministic
+    # IEEE ops on identical operands in both engines)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov_n = n * F.col("sxy").cast("double") - sx * sy
+    varx_n = n * F.col("sxx").cast("double") - sx * sx
+    vary_n = n * F.col("syy").cast("double") - sy * sy
+    slope = cov_n / varx_n  # cents per minute
+    intercept = (sy - slope * sx) / n / 100.0  # back to value units
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return agg.select(
+        F.col(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(varx_n > 0, slope), 6).alias("slope"),
+        F.round(F.when(varx_n > 0, intercept), 6).alias("intercept"),
+        F.round(F.when((varx_n > 0) & (vary_n > 0), r2), 6).alias("r2"),
+    ).orderBy(key_col)

@@ -501,3 +501,68 @@ def bloom_semi_audit(
         F.col("n_false_pos").cast("long").alias("n_false_pos"),
         F.round(F.col("n_false_pos") / F.col("n_fact"), 6).alias("fp_rate"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols_scales: list[tuple[str, int]],
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    feature-redundancy audit run before model training or index
+    selection (two 0.99-correlated columns carry one signal).
+
+    ``cols_scales`` maps each column to an integer scale factor: every
+    value becomes round(x·scale) as a bigint, so ALL sufficient
+    statistics (Σxᵢ, Σxᵢxⱼ for i ≤ j) are exact integer sums — one
+    partial-agged pass, (k² + 3k)/2 + 1 bigints per partition across
+    the exchange, nothing proportional to the row count.  Scales are
+    the caller's overflow budget: pick scale so |x·scale| ≤ ~1e6 and
+    Σx² stays inside int64 up to ~1e6·rows (document per dataset).
+
+    Pearson r is scale-invariant, so the integer quantization only
+    perturbs values below the chosen precision; the final ratio runs
+    in double over exact-integer operands (deterministic IEEE inputs
+    on both engines).
+
+    Returns (col_x, col_y, n, corr) for i < j pairs, ordered.
+    """
+    k = len(cols_scales)
+    xm = [
+        F.round(F.col(c) * F.lit(s)).cast("long").alias(f"x{i}")
+        for i, (c, s) in enumerate(cols_scales)
+    ]
+    base = df.select(*xm)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"x{i}")).alias(f"s{i}"))
+        for j in range(i, k):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"q{i}_{j}"))
+    one = base.agg(*aggs)
+    n = F.col("n").cast("double")
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            si, sj = F.col(f"s{i}").cast("double"), F.col(f"s{j}").cast("double")
+            cov_n = n * F.col(f"q{i}_{j}").cast("double") - si * sj
+            vi_n = n * F.col(f"q{i}_{i}").cast("double") - si * si
+            vj_n = n * F.col(f"q{j}_{j}").cast("double") - sj * sj
+            r = cov_n / F.sqrt(vi_n * vj_n)
+            pairs.append(
+                F.struct(
+                    F.lit(cols_scales[i][0]).alias("col_x"),
+                    F.lit(cols_scales[j][0]).alias("col_y"),
+                    F.round(
+                        F.when((vi_n > 0) & (vj_n > 0), r), 6
+                    ).alias("corr"),
+                )
+            )
+    return (
+        one.select("n", F.explode(F.array(*pairs)).alias("z"))
+        .select(
+            F.col("z.col_x").alias("col_x"),
+            F.col("z.col_y").alias("col_y"),
+            F.col("n").cast("long").alias("n"),
+            F.col("z.corr").alias("corr"),
+        )
+        .orderBy("col_x", "col_y")
+    )

@@ -1858,3 +1858,76 @@ def test_unigram_kl_nonnegative_and_flags_drift(spark, sf_dir):
 
     out = corpus.unigram_kl(scan(spark, sf_dir, "documents")).collect()
     assert out and all(r["kl"] >= 0.0 for r in out)
+
+
+def test_group_regression_recovers_exact_line(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    # y = 2.5 + 0.03*x_minutes, exact on the cent grid -> r2 == 1
+    rows = [
+        (i, 1, "a", f"2024-01-01 00:{i:02d}:00", 2.5 + 0.03 * i) for i in range(10)
+    ] + [(100 + i, 1, "b", f"2024-01-01 00:{i:02d}:00", 7.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_type"]: r for r in events_ops.group_regression(df).collect()}
+    assert got["a"]["slope"] == 3.0          # cents per minute
+    assert got["a"]["intercept"] == 2.5
+    assert got["a"]["r2"] == 1.0
+    # constant series: slope 0, zero y-variance -> r2 NULL
+    assert got["b"]["slope"] == 0.0 and got["b"]["r2"] is None
+
+
+def test_group_regression_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    ev = scan(spark, sf_dir, "events")
+    got = {r["event_type"]: r for r in events_ops.group_regression(ev).collect()}
+    rows = ev.select("event_type", "ts", "value").collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+    for k, rs in by_key.items():
+        us = np.array([int(r["ts"].timestamp() * 1e6) for r in rs], dtype=np.int64)
+        x = (us - us.min()) // 60_000_000
+        y = np.array([round(r["value"] * 100) for r in rs], dtype=np.float64)
+        slope, intercept = np.polyfit(x.astype(np.float64), y, 1)
+        assert abs(got[k]["slope"] - slope) < 1e-3
+        assert abs(got[k]["intercept"] - intercept / 100.0) < 1e-2
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    li = scan(spark, sf_dir, "lineitem")
+    spec = [("l_quantity", 100), ("l_extendedprice", 1), ("l_discount", 100), ("l_tax", 100)]
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in relational.corr_matrix(li, spec).collect()}
+    pdf = li.select(*[c for c, _ in spec]).toPandas()
+    M = np.stack(
+        [np.sign(pdf[c] * s) * np.floor(np.abs(pdf[c] * s) + 0.5) for c, s in spec]
+    )
+    R = np.corrcoef(M)
+    for i in range(len(spec)):
+        for j in range(i + 1, len(spec)):
+            key = (spec[i][0], spec[j][0])
+            assert abs(got[key] - R[i, j]) < 1e-4, key
+
+
+def test_corr_matrix_perfect_and_anti_correlation(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + 1), float(-i), 5.0) for i in range(20)],
+        "a DOUBLE, b DOUBLE, c DOUBLE, d DOUBLE",
+    )
+    spec = [("a", 100), ("b", 100), ("c", 100), ("d", 100)]
+    got = {(r["col_x"], r["col_y"]): r["corr"] for r in relational.corr_matrix(df, spec).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("a", "d")] is None  # zero-variance column -> NULL
