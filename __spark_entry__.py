@@ -1300,6 +1300,30 @@ def _q_streaming_incremental_dedup(spark, sf):
     return streaming_ops.run_to_batch(out, spark, output_mode="complete")
 
 
+def _q_streaming_late_data(spark, sf):
+    """True watermark late-data semantics, deterministically replayed:
+    three pinned-order micro-batches (evens → the global-max row →
+    odds), so the odd half's old rows are dropped against the
+    two-batches-back watermark (Spark 3.4+ late-filter lag) and only
+    windows the final watermark passed are emitted (append mode).
+    Both cutoffs are pure functions of the input — the oracle rebuilds
+    the surviving set exactly (streaming/late_data.py)."""
+    ev = scan(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    in_dir = streaming_ops.stage_three_batch_input(spark, ev)
+    schema = spark.read.parquet(in_dir).schema
+    agg = streaming_ops.late_window_counts(
+        spark, in_dir, schema, window_len="1 hour", delay="1 hour"
+    )
+    out = streaming_ops.run_to_batch(agg, spark, output_mode="append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
 def _q_streaming_enrich(spark, sf):
     """Stream-static broadcast join under the batch oracle gate:
     append-mode (stateless) — each micro-batch's joined rows
@@ -3354,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_kl": _q_unigram_kl,
         "events_regression": _q_events_regression,
         "corr_matrix": _q_corr_matrix,
+        "streaming_late_data": _q_streaming_late_data,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4035,6 +4060,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS word, count(*) AS count
             FROM (SELECT unnest({_TOK}) AS t FROM documents)
             GROUP BY t
+        """,
+        "streaming_late_data": """
+            WITH ev AS (SELECT event_id, ts, event_type,
+                               CAST(round(value * 100) AS BIGINT) AS cents
+                        FROM events),
+            mx AS (SELECT max(ts) AS maxts FROM ev),
+            w1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm
+                   FROM ev, mx WHERE event_id % 2 = 0 AND ts < maxts),
+            w2 AS (SELECT maxts - INTERVAL 1 HOUR AS wm FROM mx),
+            kept AS (
+              SELECT ev.* FROM ev, mx
+              WHERE ts = maxts OR (event_id % 2 = 0 AND ts < maxts)
+              UNION ALL
+              SELECT ev.* FROM ev, mx, w1
+              WHERE event_id % 2 <> 0 AND ts < maxts
+                AND date_trunc('hour', ts) + INTERVAL 1 HOUR > w1.wm)
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM kept, w2
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w2.wm
+            GROUP BY 1, 2, 3
         """,
         "streaming_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -6,6 +6,7 @@ from .enrich_stream import (
     interval_join_streams,
     sliding_event_counts,
 )
+from .late_data import late_window_counts, stage_three_batch_input
 from .materialize import run_to_batch, stream_table
 from .sessionize_stream import sessionize_stream
 from .wordcount_stream import (
@@ -21,11 +22,13 @@ __all__ = [
     "fuzzy_dedup_stream",
     "incremental_dedup_stream",
     "interval_join_streams",
+    "late_window_counts",
     "ohlc_stream",
     "quality_filter_stream",
     "run_to_batch",
     "sessionize_stream",
     "sliding_event_counts",
+    "stage_three_batch_input",
     "stream_table",
     "streaming_wordcount",
     "windowed_event_counts",
