@@ -1545,6 +1545,19 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_dedup_overlap_matrix(spark, sf):
+    """Cross-source duplicate overlap matrix: digest-only shuffle,
+    per-digest source lists expanded in-row (|sources|² max), the
+    dump-vs-dump overlap audit run before row-level dedup."""
+    return dedup.dedup_overlap_matrix(scan(spark, sf, "documents"))
+
+
+def _q_interarrival_stats(spark, sf):
+    """Per-user inter-arrival profile (exact integer-second mean,
+    median, max) off one shared user-window exchange."""
+    return events_ops.interarrival_stats(scan(spark, sf, "events"))
+
+
 def _q_events_cusum(spark, sf):
     """Per-user CUSUM upward-drift monitor: recursive max(0, C+dev)
     computed exactly via prefix-sum minus running-min, integer micro
@@ -3379,6 +3392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_regression": _q_events_regression,
         "corr_matrix": _q_corr_matrix,
         "streaming_late_data": _q_streaming_late_data,
+        "dedup_overlap_matrix": _q_dedup_overlap_matrix,
+        "interarrival_stats": _q_interarrival_stats,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4279,6 +4294,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN varx_n > 0 AND vary_n > 0 THEN
                      (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
             FROM d ORDER BY event_type
+        """,
+        "dedup_overlap_matrix": f"""
+            WITH ds AS (SELECT DISTINCT md5({_NORM}) AS h, source AS src
+                        FROM documents)
+            SELECT a.src AS source_a, b.src AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM ds a JOIN ds b ON a.h = b.h AND a.src <= b.src
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "interarrival_stats": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)))
+                       / 1000000) AS BIGINT) AS gap_s
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(sum(gap_s) / count(*), 6) AS mean_gap_s,
+                   quantile_cont(gap_s, 0.5) AS median_gap_s,
+                   CAST(max(gap_s) AS BIGINT) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "markov_transitions": """
             WITH pairs AS (

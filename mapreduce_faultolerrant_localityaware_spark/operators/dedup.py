@@ -1567,3 +1567,57 @@ def simjoin_cosine(
         .filter(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )
+
+
+def dedup_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate overlap matrix: for every source pair
+    (a <= b), how many distinct normalized-content digests appear in
+    BOTH — the audit that tells you which crawl dumps/mirrors are
+    re-serving each other's content before you pay to dedup them
+    row-by-row (CommonCrawl dumps overlap 30-60% snapshot-to-snapshot;
+    the matrix is what decides which dumps to drop wholesale).
+
+    Scale shape: text collapses to (digest, source) DISTINCT pairs in
+    one hash aggregate (digest-only shuffle, never text); per digest
+    the source list is domain-bounded (#sources), so the in-row pair
+    expansion is |sources|² at worst per digest — never a corpus-sized
+    join.  The diagonal (a = b) counts digests with ≥ 1 copy in that
+    source, so the matrix is also the per-source distinct-content
+    inventory.
+
+    Returns (source_a, source_b, n_shared) for a <= b, ordered.
+    """
+    ds = (
+        docs.select(
+            F.md5(normalized_text(text_col)).alias("content_hash"),
+            F.col(source_col).alias("src"),
+        )
+        .distinct()
+    )
+    per_digest = ds.groupBy("content_hash").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs")
+    )
+    # in-row a<=b pair expansion over the domain-sized source list
+    pairs = per_digest.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice("srcs", i + 1, F.size("srcs") - i),
+                        lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )

@@ -369,3 +369,45 @@ def group_regression(
         F.round(F.when(varx_n > 0, intercept), 6).alias("intercept"),
         F.round(F.when((varx_n > 0) & (vary_n > 0), r2), 6).alias("r2"),
     ).orderBy(key_col)
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival-time profile: gap count, exact mean,
+    exact median, and max gap in whole seconds — the activity-rhythm
+    signal behind engagement scoring and bot detection (humans are
+    bursty; schedulers are metronomes).
+
+    DETERMINISM: gaps are floor-integer seconds from exact microsecond
+    differences; the mean comes from an exact bigint sum and the
+    median from the exact ``percentile`` of integers at q=0.5 (an
+    integer or a .5 midpoint, both exactly representable — the
+    mad_outliers posture).  No float accumulation anywhere.
+
+    One exchange: lag and the final groupBy share the user partition.
+
+    Returns (user_id, n_gaps, mean_gap_s, median_gap_s, max_gap_s)
+    for users with ≥ 2 events, ordered by user.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    g = events.select(
+        F.col(user_col),
+        F.floor(
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)))
+            / 1_000_000
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        g.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(F.sum("gap_s") / F.count(F.lit(1)), 6).alias("mean_gap_s"),
+            (F.percentile("gap_s", F.lit(0.5)) * 1.0).alias("median_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy(user_col)
+    )

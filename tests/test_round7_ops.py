@@ -1931,3 +1931,45 @@ def test_corr_matrix_perfect_and_anti_correlation(spark):
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == -1.0
     assert got[("a", "d")] is None  # zero-variance column -> NULL
+
+
+def test_dedup_overlap_matrix_tiny(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "a"),
+            (2, "Same   TEXT", "b"),   # normalizes identically -> shared a/b
+            (3, "same text", "a"),     # second copy in a: still ONE digest
+            (4, "unique one", "a"),
+            (5, "unique two", "c"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in dedup.dedup_overlap_matrix(df).collect()}
+    assert got == {
+        ("a", "a"): 2,  # diagonal = distinct digests present in a
+        ("a", "b"): 1,
+        ("b", "b"): 1,
+        ("c", "c"): 1,
+    }
+
+
+def test_interarrival_stats_exact(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "a", "2024-01-01 00:00:10"),
+        (3, 1, "a", "2024-01-01 00:00:40"),   # gaps 10, 30
+        (4, 2, "a", "2024-01-01 00:00:00"),   # single event: no gaps
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in events_ops.interarrival_stats(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r["n_gaps"], r["mean_gap_s"], r["median_gap_s"], r["max_gap_s"]) == (
+        2, 20.0, 20.0, 30)
