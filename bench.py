@@ -82,6 +82,12 @@ HEADLINE = [
     "contamination_fuzzy",
     "gopher_rules",
     "quality_logit",
+    # round-7 late additions: the integer-Gram covariance (mapInPandas
+    # BLAS shape), the analytic-tail KL drift monitor, and the
+    # single-pass correlation matrix
+    "embedding_covariance",
+    "unigram_kl",
+    "corr_matrix",
 ]
 
 
