@@ -1545,6 +1545,20 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_session_stats(spark, sf):
+    """Session-level rollup (count, exact duration, value) in ONE
+    exchange: the rollup groups by a superset of sessionize's window
+    key, so the data is already co-located."""
+    return events_ops.session_stats(scan(spark, sf, "events"), gap_minutes=30)
+
+
+def _q_active_users(spark, sf):
+    """DAU + exact rolling 7-day WAU: distinct (user, day) pairs
+    first, then a bounded 7-way fan-out on the pair table — never a
+    self-join or a distinct-over-window on raw events."""
+    return events_ops.active_users(scan(spark, sf, "events"), window_days=7)
+
+
 def _q_dedup_overlap_matrix(spark, sf):
     """Cross-source duplicate overlap matrix: digest-only shuffle,
     per-digest source lists expanded in-row (|sources|² max), the
@@ -3394,6 +3408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": _q_streaming_late_data,
         "dedup_overlap_matrix": _q_dedup_overlap_matrix,
         "interarrival_stats": _q_interarrival_stats,
+        "session_stats": _q_session_stats,
+        "active_users": _q_active_users,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4294,6 +4310,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN varx_n > 0 AND vary_n > 0 THEN
                      (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
             FROM d ORDER BY event_type
+        """,
+        "session_stats": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM l)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000)
+                        AS BIGINT) AS duration_s,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "active_users": """
+            WITH pairs AS (SELECT DISTINCT user_id AS u,
+                                  date_trunc('day', ts) AS d FROM events),
+            dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+                    FROM pairs GROUP BY 1),
+            fan AS (SELECT u, d + off * INTERVAL 1 DAY AS wd
+                    FROM pairs, (SELECT unnest(generate_series(0, 6)) AS off)),
+            wau AS (SELECT wd AS d, CAST(count(DISTINCT u) AS BIGINT) AS wau
+                    FROM fan GROUP BY 1)
+            SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau
+            FROM dau JOIN wau USING (d) ORDER BY day
         """,
         "dedup_overlap_matrix": f"""
             WITH ds AS (SELECT DISTINCT md5({_NORM}) AS h, source AS src

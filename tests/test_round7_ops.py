@@ -1973,3 +1973,38 @@ def test_interarrival_stats_exact(spark):
     r = got[1]
     assert (r["n_gaps"], r["mean_gap_s"], r["median_gap_s"], r["max_gap_s"]) == (
         2, 20.0, 20.0, 30)
+
+
+def test_session_stats_tiny(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:00", 1.00),
+        (2, 1, "a", "2024-01-01 00:10:00", 2.00),   # same session (10 min)
+        (3, 1, "a", "2024-01-01 01:00:00", 0.50),   # 50 min gap -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["user_id"], r["session_id"]): r for r in events_ops.session_stats(df).collect()}
+    s1, s2 = got[(1, 1)], got[(1, 2)]
+    assert (s1["n_events"], s1["duration_s"], s1["sum_cents"]) == (2, 600, 300)
+    assert (s2["n_events"], s2["duration_s"], s2["sum_cents"]) == (1, 0, 50)
+
+
+def test_active_users_rolling_window(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (1, 10, "a", "2024-01-01 12:00:00"),
+        (2, 11, "a", "2024-01-01 13:00:00"),
+        (3, 10, "a", "2024-01-03 09:00:00"),
+        (4, 12, "a", "2024-01-09 09:00:00"),  # day1 users out of the 7d window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["day"]: (r["dau"], r["wau"]) for r in events_ops.active_users(df).collect()}
+    assert got["2024-01-01"] == (2, 2)
+    assert got["2024-01-03"] == (1, 2)   # window Dec 28..Jan 3: users {10, 11}
+    assert got["2024-01-09"] == (1, 2)   # window Jan 3..9: users {10, 12}
