@@ -1545,6 +1545,20 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_split_stratified_exact(spark, sf):
+    """Exact-count stratified split: per-stratum rank over an
+    md5-keyed total order, proportions hit to ±1 row (hash splits
+    drift ~1/sqrt(n) and can starve tiny strata)."""
+    return corpus.split_stratified_exact(scan(spark, sf, "documents"))
+
+
+def _q_psi_drift(spark, sf):
+    """Population Stability Index, first vs second half of the time
+    range: reference-decile bins from exact integer percentiles,
+    add-half smoothed terms, ln only over exact ratios."""
+    return events_ops.psi_drift(scan(spark, sf, "events"), n_bins=10)
+
+
 def _q_session_stats(spark, sf):
     """Session-level rollup (count, exact duration, value) in ONE
     exchange: the rollup groups by a superset of sessionize's window
@@ -3410,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": _q_interarrival_stats,
         "session_stats": _q_session_stats,
         "active_users": _q_active_users,
+        "split_stratified_exact": _q_split_stratified_exact,
+        "psi_drift": _q_psi_drift,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4310,6 +4326,54 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN varx_n > 0 AND vary_n > 0 THEN
                      (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
             FROM d ORDER BY event_type
+        """,
+        "split_stratified_exact": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN (rn - 1) * 100 / n < 80 THEN 'train'
+                        WHEN (rn - 1) * 100 / n < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r ORDER BY doc_id
+        """,
+        "psi_drift": """
+            WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                              epoch_us(ts) AS t FROM events),
+            mid AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2) AS BIGINT)
+                      AS tmid FROM b),
+            tagged AS (SELECT c, t < tmid AS is_ref FROM b, mid),
+            e AS (SELECT quantile_cont(c, 0.1) AS e0, quantile_cont(c, 0.2) AS e1,
+                         quantile_cont(c, 0.3) AS e2, quantile_cont(c, 0.4) AS e3,
+                         quantile_cont(c, 0.5) AS e4, quantile_cont(c, 0.6) AS e5,
+                         quantile_cont(c, 0.7) AS e6, quantile_cont(c, 0.8) AS e7,
+                         quantile_cont(c, 0.9) AS e8
+                  FROM tagged WHERE is_ref),
+            binned AS (
+              SELECT 1 + CAST(c > e0 AS INT) + CAST(c > e1 AS INT)
+                       + CAST(c > e2 AS INT) + CAST(c > e3 AS INT)
+                       + CAST(c > e4 AS INT) + CAST(c > e5 AS INT)
+                       + CAST(c > e6 AS INT) + CAST(c > e7 AS INT)
+                       + CAST(c > e8 AS INT) AS bin,
+                     is_ref
+              FROM tagged, e),
+            counts AS (
+              SELECT bin,
+                     sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                     sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cmp
+              FROM binned GROUP BY 1),
+            tot AS (SELECT sum(n_ref) AS tr, sum(n_cmp) AS tc FROM counts)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cmp AS BIGINT) AS n_cmp,
+                   round(((n_cmp + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
+                         * (ln((n_cmp + 0.5) / (tc + 5.0))
+                            - ln((n_ref + 0.5) / (tr + 5.0))), 6) AS psi_term
+            FROM counts, tot ORDER BY bin
         """,
         "session_stats": """
             WITH l AS (

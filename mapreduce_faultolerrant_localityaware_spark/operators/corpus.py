@@ -1702,3 +1702,49 @@ def unigram_kl(
         )
         .orderBy(group_col)
     )
+
+
+def split_stratified_exact(
+    docs: DataFrame,
+    weights: tuple = (80, 10, 10),
+    names: tuple = ("train", "val", "test"),
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-count stratified split: within EACH stratum the split sizes
+    hit the requested proportions to ±1 row, unlike the hash split
+    (:func:`split_assign`) whose per-stratum fractions drift ~1/√n —
+    fatal for tiny strata (a 40-doc language can land 0 val docs under
+    hashing).  The trade: assignment depends on the stratum's CONTENT
+    (rank within the stratum), so adding data reshuffles assignments —
+    use hash splits for incremental corpora, exact splits for frozen
+    evaluation pools.
+
+    DETERMINISM: rows rank within their stratum by (md5(id), id) — a
+    content-independent total order — and the split is a pure function
+    of (rank-1)/n vs the cumulative weights: floor boundaries, largest
+    split absorbs the remainder.  One exchange (the stratum window);
+    the count attaches via the same window, no second pass.
+
+    Returns (doc_id, <group_col>, split) ordered by doc_id.
+    """
+    from pyspark.sql import Window
+
+    if len(weights) != len(names) or sum(weights) != 100:
+        raise ValueError("weights must match names and sum to 100")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    wn = Window.partitionBy(group_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        ((F.row_number().over(w) - 1) * 100 / F.count(F.lit(1)).over(wn)).alias("pct"),
+    )
+    cut = 0
+    expr = None
+    for wt, nm in zip(weights[:-1], names[:-1]):
+        cut += wt
+        cond = F.col("pct") < cut
+        expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
+    split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    return base.select(id_col, group_col, split.alias("split")).orderBy(id_col)

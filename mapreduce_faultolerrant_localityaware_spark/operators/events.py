@@ -492,3 +492,69 @@ def active_users(
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau")
         .orderBy("day")
     )
+
+
+
+def psi_drift(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the time range — THE standard production drift monitor for numeric
+    features (credit-risk lineage: PSI < 0.1 stable, 0.1–0.25 watch,
+    > 0.25 shifted).  Bins are the REFERENCE half's deciles, so the
+    reference distribution is uniform by construction and the index
+    measures how far the comparison half escapes those bins.
+
+    Scale + determinism shape: the midpoint and the decile edges come
+    from exact integer-cent aggregates (percentile-of-integers is a
+    .5-midpoint-safe exact value); binning is a map-side comparison
+    against the broadcast 1-row edge array; the PSI terms use exact
+    integer counts with add-half smoothing, ln only in the final
+    per-bin expression over exact ratios.
+
+    Returns one row per bin (bin, n_ref, n_cmp, psi_term) plus exact
+    counts, ordered by bin; total PSI = sum of psi_term (left to the
+    reader/alert so bins stay auditable).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(cents.alias("c"), us.alias("t"))
+    # exact integer midpoint of the observed time range (1-row agg)
+    bounds = base.agg(
+        F.min("t").alias("t0"),
+        F.max("t").alias("t1"),
+    ).select((F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).alias("tmid"))
+    tagged = base.join(F.broadcast(bounds)).select(
+        "c", (F.col("t") < F.col("tmid")).alias("is_ref")
+    )
+    # reference-decile edges: exact percentiles of integer cents
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = (
+        tagged.filter("is_ref")
+        .agg(*[F.percentile("c", F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)])
+    )
+    both = tagged.join(F.broadcast(edges))
+    bin_expr = F.lit(1)
+    for i in range(len(qs)):
+        bin_expr = bin_expr + (F.col("c") > F.col(f"e{i}")).cast("int")
+    binned = both.select(bin_expr.alias("bin"), "is_ref")
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cmp"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cmp").alias("tc")
+    )
+    j = counts.join(F.broadcast(tot))
+    # add-half smoothing keeps empty bins finite; ratios over exact ints
+    pr = (F.col("n_ref") + 0.5) / (F.col("tr") + 0.5 * n_bins)
+    pc = (F.col("n_cmp") + 0.5) / (F.col("tc") + 0.5 * n_bins)
+    return j.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_ref").cast("long"),
+        F.col("n_cmp").cast("long"),
+        F.round((pc - pr) * (F.log(pc) - F.log(pr)), 6).alias("psi_term"),
+    ).orderBy("bin")

@@ -74,7 +74,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # embedding_covariance / pca_project attach the 1-row
            # (n, component-sums) marginal as a broadcast scalar join
            # (tfidf-style attach); unigram_kl its 1-row corpus total
-           "embedding_covariance", "pca_project", "unigram_kl"}
+           "embedding_covariance", "pca_project", "unigram_kl",
+           # psi_drift attaches three 1-row scalars (time midpoint,
+           # decile edges, totals) as broadcast cross joins
+           "psi_drift"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

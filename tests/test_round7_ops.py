@@ -2008,3 +2008,54 @@ def test_active_users_rolling_window(spark):
     assert got["2024-01-01"] == (2, 2)
     assert got["2024-01-03"] == (1, 2)   # window Dec 28..Jan 3: users {10, 11}
     assert got["2024-01-09"] == (1, 2)   # window Jan 3..9: users {10, 12}
+
+
+def test_split_stratified_exact_proportions(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    docs = scan(spark, sf_dir, "documents")
+    out = corpus.split_stratified_exact(docs, weights=(80, 10, 10))
+    per = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    langs = {k[0] for k in per}
+    for lg in langs:
+        n = sum(per.get((lg, s), 0) for s in ("train", "val", "test"))
+        # exact-count property: each split within 1 row of its target
+        assert abs(per.get((lg, "train"), 0) - 0.8 * n) <= 1, (lg, per)
+        assert abs(per.get((lg, "val"), 0) - 0.1 * n) <= 1
+        assert abs(per.get((lg, "test"), 0) - 0.1 * n) <= 1
+    # deterministic across invocations
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in corpus.split_stratified_exact(docs, weights=(80, 10, 10)).collect()}
+    assert a == b
+
+
+def test_psi_drift_detects_injected_shift(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    # first half ~ N(10, small), second half shifted to ~ N(20)
+    rows = []
+    for i in range(400):
+        half = i >= 200
+        ts = f"2024-01-{(1 + i // 20):02d} 00:{i % 20:02d}:00"
+        val = (20.0 if half else 10.0) + (i % 7) * 0.3
+        rows.append((i, 1, "a", ts, val))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events_ops.psi_drift(df, n_bins=10).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert total > 0.25, f"PSI {total} did not flag an obvious shift"
+    assert all(r["psi_term"] >= -1e-9 for r in out)  # terms are nonnegative
+    # identical halves -> PSI ~ 0
+    same = [(i, 1, "a", f"2024-01-{(1 + i // 20):02d} 00:{i % 20:02d}:00", 10.0 + (i % 7) * 0.3)
+            for i in range(400)]
+    df2 = spark.createDataFrame(
+        same, "event_id LONG, user_id LONG, event_type STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out2 = events_ops.psi_drift(df2, n_bins=10).collect()
+    assert sum(r["psi_term"] for r in out2) < 0.1
