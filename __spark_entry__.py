@@ -1545,6 +1545,22 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_textrank_keywords(spark, sf):
+    """Corpus-level TextRank: integer fixed-point PageRank over the
+    word-adjacency graph (rare words pruned first), reusing the
+    bit-reproducible graph.pagerank under an unrolled-CTE oracle."""
+    return corpus.textrank_keywords(scan(spark, sf, "documents"), min_count=5, k=20)
+
+
+def _q_histogram_equidepth(spark, sf):
+    """Equi-depth histogram of l_extendedprice: exact-percentile edges
+    from one 1-row aggregate, map-side binning, no global sort or
+    raw-row ntile window."""
+    return relational.histogram_equidepth(
+        scan(spark, sf, "lineitem"), "l_extendedprice", n_bins=10, scale=100
+    )
+
+
 def _q_split_stratified_exact(spark, sf):
     """Exact-count stratified split: per-stratum rank over an
     md5-keyed total order, proportions hit to ±1 row (hash splits
@@ -3426,6 +3442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": _q_active_users,
         "split_stratified_exact": _q_split_stratified_exact,
         "psi_drift": _q_psi_drift,
+        "textrank_keywords": _q_textrank_keywords,
+        "histogram_equidepth": _q_histogram_equidepth,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -3672,6 +3690,51 @@ _LM_SCORE_SQL = f"""
             FROM per JOIN scored ON per.w1 = scored.w1 AND per.w2 = scored.w2
             GROUP BY doc_id
 """
+
+
+def _textrank_sql(min_count: int = 5, k: int = 20, iters: int = 5) -> str:
+    """Generated mirror of corpus.textrank_keywords: word-adjacency
+    edges, frequency pruning, and the SAME unrolled integer-micro
+    PageRank CTE chain as the graph_pagerank oracle."""
+    pr_ctes = []
+    for i in range(iters):
+        pr_ctes.append(f"""r{i + 1} AS (
+              SELECT r.node, r.deg, r.teleport,
+                     CAST(r.teleport + floor(coalesce(m.in_mass, 0) * 85 / 100) AS BIGINT)
+                       AS rank_micro
+              FROM r{i} r LEFT JOIN (
+                SELECT sym.d AS d,
+                       sum(CAST(floor(p.rank_micro * 1.0 / p.deg) AS BIGINT)) AS in_mass
+                FROM sym JOIN r{i} p ON p.node = sym.s GROUP BY 1) m
+              ON m.d = r.node
+            )""")
+    joined = ",\n            ".join(pr_ctes)
+    return f"""
+            WITH toks AS (SELECT {_TOK_LOWER} AS tk FROM documents),
+            freq AS (SELECT t, count(*) AS cnt
+                     FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+            keep AS (SELECT t FROM freq WHERE cnt >= {min_count}),
+            idx AS (SELECT tk, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i
+                    FROM toks),
+            adj AS (SELECT tk[i] AS a, tk[i + 1] AS b FROM idx WHERE tk[i] <> tk[i + 1]),
+            e AS (SELECT adj.a, adj.b FROM adj
+                  JOIN keep ka ON adj.a = ka.t JOIN keep kb ON adj.b = kb.t),
+            sym AS (SELECT DISTINCT s, d FROM (
+                SELECT a AS s, b AS d FROM e
+                UNION ALL
+                SELECT b AS s, a AS d FROM e) WHERE s <> d),
+            deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT s AS node, deg,
+                          CAST(floor(1000000.0 / n) AS BIGINT) AS rank_micro,
+                          CAST(floor(150000.0 / n) AS BIGINT) AS teleport
+                   FROM deg CROSS JOIN nn),
+            {joined}
+            SELECT node AS token, rank_micro,
+                   round(rank_micro / 1000000.0, 6) AS pr
+            FROM r{iters}
+            ORDER BY rank_micro DESC, token ASC LIMIT {k}
+    """
 
 
 def _corr_matrix_sql() -> str:
@@ -4299,6 +4362,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.event_type ORDER BY d.event_type
         """,
         "corr_matrix": _corr_matrix_sql(),
+        "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "histogram_equidepth": """
+            WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                       FROM lineitem),
+            e AS (SELECT quantile_cont(v, 0.1) AS e0, quantile_cont(v, 0.2) AS e1,
+                         quantile_cont(v, 0.3) AS e2, quantile_cont(v, 0.4) AS e3,
+                         quantile_cont(v, 0.5) AS e4, quantile_cont(v, 0.6) AS e5,
+                         quantile_cont(v, 0.7) AS e6, quantile_cont(v, 0.8) AS e7,
+                         quantile_cont(v, 0.9) AS e8
+                  FROM b)
+            SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+                   round(min(v) / 100, 6) AS lo, round(max(v) / 100, 6) AS hi
+            FROM (SELECT 1 + CAST(v > e0 AS INT) + CAST(v > e1 AS INT)
+                         + CAST(v > e2 AS INT) + CAST(v > e3 AS INT)
+                         + CAST(v > e4 AS INT) + CAST(v > e5 AS INT)
+                         + CAST(v > e6 AS INT) + CAST(v > e7 AS INT)
+                         + CAST(v > e8 AS INT) AS bin, v
+                  FROM b, e)
+            GROUP BY 1 ORDER BY 1
+        """,
         "events_regression": """
             WITH b AS (
               SELECT event_type,

@@ -1748,3 +1748,60 @@ def split_stratified_exact(
         expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
     split = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     return base.select(id_col, group_col, split.alias("split")).orderBy(id_col)
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    iters: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea/Tarau 2004,
+    lifted from per-document to corpus scope): PageRank over the
+    word-adjacency graph — a word is central when it co-occurs with
+    many other central words — which surfaces KEYPHRASE words that
+    raw frequency ranks miss (frequency loves stopwords; centrality
+    wants connectivity).
+
+    Built by composition: one tokenize pass builds adjacent-pair
+    edges INSIDE the token array (zero shuffle until the pair
+    distinct), rare words (< ``min_count``) drop before the graph so
+    the node set is vocabulary-bounded, and the ranking reuses
+    :func:`graph.pagerank` — the SAME bit-reproducible integer
+    fixed-point iteration already under the unrolled-CTE oracle, so
+    this query is hash-gated end-to-end too.
+
+    Returns the top-``k`` (token, rank_micro, pr) by (rank desc,
+    token asc) — a deterministic total order.
+    """
+    from .graph import pagerank
+    from ..functions.text import tokens as tok_fn
+
+    toks = docs.select(F.explode(tok_fn(F.col(text_col), lowercase=True)).alias("t"))
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    keep = freq.filter(F.col("cnt") >= min_count).select("t")
+
+    tk = docs.select(tok_fn(F.col(text_col), lowercase=True).alias("tk"))
+    pairs = (
+        tk.select(
+            F.explode(
+                F.transform(
+                    F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    lambda x, i: F.struct(
+                        x.alias("doc_a"), F.element_at("tk", i + 2).alias("doc_b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .join(keep.withColumnRenamed("t", "doc_a"), "doc_a")
+        .join(keep.withColumnRenamed("t", "doc_b"), "doc_b")
+    )
+    pr = pagerank(pairs, iters=iters)
+    return (
+        pr.select(F.col("node").alias("token"), "rank_micro", "pr")
+        .orderBy(F.desc("rank_micro"), F.asc("token"))
+        .limit(k)
+    )

@@ -566,3 +566,48 @@ def corr_matrix(
         )
         .orderBy("col_x", "col_y")
     )
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bins hold (approximately) equal row
+    counts with data-driven edges — the summary that stays readable
+    under heavy skew, where equi-width bins collapse into one giant
+    bar (and what engines themselves keep as column statistics).
+
+    Scale + determinism: edges are exact percentiles of the
+    ``scale``-scaled integer values (one 1-row aggregate — an exact
+    value, integer or .5 midpoint), binning is a map-side comparison
+    chain against that broadcast row, and the rollup is one
+    partial-agged groupBy on the bin id.  No global sort, no ntile
+    window over raw rows — at 100 TB a single-partition ntile is the
+    difference between a report and an OOM.
+
+    Returns (bin, n, lo, hi) — observed min/max inside each bin,
+    values back in original units — ordered by bin.
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(v.alias("v"))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = base.agg(
+        *[F.percentile("v", F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)]
+    )
+    j = base.join(F.broadcast(edges))
+    bin_expr = F.lit(1)
+    for i in range(len(qs)):
+        bin_expr = bin_expr + (F.col("v") > F.col(f"e{i}")).cast("int")
+    return (
+        j.select(bin_expr.alias("bin"), "v")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("v") / scale, 6).alias("lo"),
+            F.round(F.max("v") / scale, 6).alias("hi"),
+        )
+        .select(F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
+        .orderBy("bin")
+    )

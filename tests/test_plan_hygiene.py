@@ -76,8 +76,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # (tfidf-style attach); unigram_kl its 1-row corpus total
            "embedding_covariance", "pca_project", "unigram_kl",
            # psi_drift attaches three 1-row scalars (time midpoint,
-           # decile edges, totals) as broadcast cross joins
-           "psi_drift"}
+           # decile edges, totals) as broadcast cross joins;
+           # histogram_equidepth its 1-row percentile-edge aggregate;
+           # textrank_keywords embeds graph.pagerank's 1-row
+           # node-count broadcast (same whitelisted shape)
+           "psi_drift", "histogram_equidepth", "textrank_keywords"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -2059,3 +2059,40 @@ def test_psi_drift_detects_injected_shift(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out2 = events_ops.psi_drift(df2, n_bins=10).collect()
     assert sum(r["psi_term"] for r in out2) < 0.1
+
+
+def test_textrank_prefers_connected_words_over_plain_frequency(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    # 'hub' co-occurs with many distinct frequent words; 'loop' is
+    # frequent but only ever next to itself+one partner
+    docs = []
+    partners = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i, p in enumerate(partners):
+        for _ in range(5):
+            docs.append((len(docs), f"hub {p} hub {p}"))
+    for _ in range(30):
+        docs.append((len(docs), "loop pair loop pair"))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = corpus.textrank_keywords(df, min_count=5, k=5).collect()
+    ranks = {r["token"]: r["rank_micro"] for r in out}
+    assert "hub" in ranks
+    assert ranks["hub"] == max(ranks.values())  # centrality wins
+
+
+def test_histogram_equidepth_balanced_counts(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    li = scan(spark, sf_dir, "lineitem")
+    out = relational.histogram_equidepth(li, "l_extendedprice", n_bins=10).collect()
+    total = li.count()
+    assert len(out) == 10
+    assert sum(r["n"] for r in out) == total
+    # equi-depth: every bin within 25% of the ideal tenth (ties at
+    # edges can unbalance exact percentile cuts slightly)
+    for r in out:
+        assert abs(r["n"] - total / 10) < total / 10 * 0.25 + 2, out
+    # edges are monotone
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-6
