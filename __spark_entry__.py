@@ -1545,6 +1545,21 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_cdc_apply(spark, sf):
+    """CDC log replay to final state ('error' rows are deletes): one
+    packed-struct max per key, no window over the raw log; deleted
+    keys vanish."""
+    ev = scan(spark, sf, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    out = relational.cdc_apply(ev)
+    return out.select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        "last_value",
+    )
+
+
 def _q_textrank_keywords(spark, sf):
     """Corpus-level TextRank: integer fixed-point PageRank over the
     word-adjacency graph (rare words pruned first), reusing the
@@ -3444,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "textrank_keywords": _q_textrank_keywords,
         "histogram_equidepth": _q_histogram_equidepth,
+        "cdc_apply": _q_cdc_apply,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4363,6 +4379,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_matrix": _corr_matrix_sql(),
         "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "cdc_apply": """
+            WITH lg AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            r AS (SELECT user_id, ts, op, cents,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM lg)
+            SELECT user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+                   round(cents / 100.0, 6) AS last_value
+            FROM r WHERE rn = 1 AND op <> 'delete'
+            ORDER BY user_id
+        """,
         "histogram_equidepth": """
             WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
                        FROM lineitem),

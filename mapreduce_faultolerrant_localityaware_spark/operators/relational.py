@@ -611,3 +611,44 @@ def histogram_equidepth(
         .select(F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
         .orderBy("bin")
     )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    op_col: str = "op",
+    value_col: str = "value",
+) -> DataFrame:
+    """Apply a change-data-capture log: per key, replay ordered
+    upsert/delete operations and keep the FINAL state — the batch
+    materialization every CDC mirror (Debezium→lake) runs, and the
+    delete-aware big sibling of :func:`merge_upsert`.
+
+    Semantics: the last operation in (ts, id) order wins; if it is a
+    delete the key vanishes from the output.  Shape at scale: ONE
+    packed-struct max aggregation per key (the merge_upsert trick —
+    no window, no sort, partial-agged), then a filter on the packed
+    op.  A billion-row log with a million live keys shuffles only the
+    per-key packed maxima.
+
+    Returns (key, last_ts, last_value) for keys whose final op is not
+    a delete, ordered by key.
+    """
+    packed = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(op_col).alias("o"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    last = log.groupBy(key_col).agg(F.max(packed).alias("m"))
+    return (
+        last.filter(F.col("m.o") != "delete")
+        .select(
+            F.col(key_col),
+            F.timestamp_micros(F.col("m.t")).alias("last_ts"),
+            F.round(F.col("m.cents") / 100.0, 6).alias("last_value"),
+        )
+        .orderBy(key_col)
+    )

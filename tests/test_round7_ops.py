@@ -2096,3 +2096,21 @@ def test_histogram_equidepth_balanced_counts(spark, sf_dir):
     # edges are monotone
     for a, b in zip(out, out[1:]):
         assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-6
+
+
+def test_cdc_apply_delete_wins_and_replay_order(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    rows = [
+        (1, 1, "upsert", "2024-01-01 00:00:00", 1.00),
+        (2, 1, "upsert", "2024-01-01 00:01:00", 2.00),   # user 1 final: 2.00
+        (3, 2, "upsert", "2024-01-01 00:00:00", 5.00),
+        (4, 2, "delete", "2024-01-01 00:05:00", 0.00),   # user 2: deleted
+        (5, 3, "delete", "2024-01-01 00:00:00", 0.00),
+        (6, 3, "upsert", "2024-01-01 00:01:00", 7.00),   # resurrect after delete
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, op STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r["last_value"] for r in relational.cdc_apply(df).collect()}
+    assert got == {1: 2.0, 3: 7.0}
