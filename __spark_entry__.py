@@ -1545,6 +1545,28 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_join_cardinality(spark, sf):
+    """Exact join-size estimate WITHOUT the join: sum of per-key count
+    products over the matching key domain — the 100 TB pre-flight for
+    any suspect equi-join, plus the top contributing key."""
+    return relational.join_cardinality(
+        scan(spark, sf, "events"), scan(spark, sf, "customer"), "user_id", "c_custkey"
+    )
+
+
+def _q_revenue_concentration(spark, sf):
+    """Pareto 80% concentration: running share over the AGGREGATED
+    per-customer totals (domain-sized window, never raw rows)."""
+    return relational.revenue_concentration(scan(spark, sf, "orders"))
+
+
+def _q_inverted_index(spark, sf):
+    """Token → (df, first-10 postings) index summary: per-token window
+    sampling BEFORE any collect so no stopword posting list is ever
+    buffered whole; postings serialize to CSV strings."""
+    return corpus.inverted_index(scan(spark, sf, "documents"))
+
+
 def _q_cdc_apply(spark, sf):
     """CDC log replay to final state ('error' rows are deletes): one
     packed-struct max per key, no window over the raw log; deleted
@@ -3460,6 +3482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank_keywords,
         "histogram_equidepth": _q_histogram_equidepth,
         "cdc_apply": _q_cdc_apply,
+        "join_cardinality": _q_join_cardinality,
+        "revenue_concentration": _q_revenue_concentration,
+        "inverted_index": _q_inverted_index,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4379,6 +4404,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_matrix": _corr_matrix_sql(),
         "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "join_cardinality": """
+            WITH la AS (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1),
+            rb AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),
+            p AS (SELECT la.k AS k, ca * cb AS nrows FROM la JOIN rb ON la.k = rb.k),
+            t AS (SELECT nrows, k,
+                         row_number() OVER (ORDER BY nrows DESC, k ASC) AS rn
+                  FROM p)
+            SELECT CAST((SELECT sum(nrows) FROM p) AS BIGINT) AS join_rows,
+                   CAST((SELECT count(*) FROM p) AS BIGINT) AS n_matching_keys,
+                   CAST(k AS BIGINT) AS top_key,
+                   CAST(nrows AS BIGINT) AS top_rows
+            FROM t WHERE rn = 1
+        """,
+        "revenue_concentration": """
+            WITH per AS (SELECT o_custkey AS k,
+                                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                         FROM orders GROUP BY 1),
+            tot AS (SELECT sum(cents) AS tot, count(*) AS n_keys FROM per),
+            run AS (SELECT k, cents,
+                           sum(cents) OVER (ORDER BY cents DESC, k ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM per),
+            need AS (SELECT run.*, tot.tot, tot.n_keys FROM run, tot
+                     WHERE (cum - cents) * 100 < 80 * tot)
+            SELECT CAST(max(n_keys) AS BIGINT) AS n_keys,
+                   CAST(count(*) AS BIGINT) AS n_top,
+                   round(max(cum) / max(tot) * 100, 6) AS top_share_pct,
+                   round(max(tot) / 100.0, 2) AS total_value
+            FROM need
+        """,
+        "inverted_index": f"""
+            WITH pairs AS (SELECT DISTINCT doc_id, t FROM (
+                    SELECT doc_id, unnest({_TOK_LOWER}) AS t FROM documents)),
+            dfreq AS (SELECT t, count(*) AS df FROM pairs GROUP BY 1),
+            ranked AS (SELECT t, doc_id,
+                              row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+                       FROM pairs),
+            smp AS (SELECT t, string_agg(CAST(doc_id AS VARCHAR), ','
+                                         ORDER BY doc_id) AS sample_postings
+                    FROM ranked WHERE rn <= 10 GROUP BY t)
+            SELECT t AS token, CAST(df AS BIGINT) AS df, sample_postings
+            FROM dfreq JOIN smp USING (t)
+            ORDER BY df DESC, token ASC LIMIT 100
+        """,
         "cdc_apply": """
             WITH lg AS (
               SELECT user_id, ts, event_id,

@@ -1805,3 +1805,51 @@ def textrank_keywords(
         .orderBy(F.desc("rank_micro"), F.asc("token"))
         .limit(k)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_k: int = 10,
+) -> DataFrame:
+    """Inverted-index summary: per token its document frequency and
+    the first ``sample_k`` posting doc-ids — the IR structure BM25 and
+    every keyword search sit on, materialized the lake way (a table
+    keyed by token, not an in-memory index).
+
+    Scale discipline: postings are SAMPLED via a per-token window
+    rank (each token keeps its ``sample_k`` smallest doc ids) BEFORE
+    any collect_list, so no aggregation buffer ever holds a stopword's
+    full posting list (collect_set per token is the classic OOM).  The
+    document frequency comes from the same distinct (token, doc) pair
+    table.  Postings serialize to a comma-joined string (the
+    no-complex-outputs contract of the query surface).
+
+    Returns (token, df, sample_postings) ordered by (df desc, token)
+    limited to the 100 most frequent tokens.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col), lowercase=True)).alias("t"))
+        .distinct()
+    )
+    w = Window.partitionBy("t").orderBy(id_col)
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    dfreq = pairs.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sampled = (
+        ranked.filter(F.col("rn") <= sample_k)
+        .groupBy("t")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string"))
+            ).alias("sample_postings")
+        )
+    )
+    return (
+        dfreq.join(sampled, "t")
+        .select(F.col("t").alias("token"), F.col("df").cast("long").alias("df"), "sample_postings")
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(100)
+    )

@@ -652,3 +652,81 @@ def cdc_apply(
         )
         .orderBy(key_col)
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact equi-join output size WITHOUT executing the join:
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the key domain — the planning
+    primitive behind join-order and skew decisions (run it before a
+    suspect join at 100 TB and you know whether the output is 1× or
+    10 000× the inputs; the per-key term is also the skew map).
+
+    Shape: one partial-agged count per side (key, cnt) — domain-sized,
+    not row-sized — then an inner join of the two count tables and a
+    single sum.  Reports the total plus the top contributing key.
+
+    Returns one row: (join_rows, n_matching_keys, top_key, top_rows).
+    """
+    la = left.groupBy(F.col(left_key).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    rb = right.groupBy(F.col(right_key).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    per_key = la.join(rb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("rows")
+    )
+    top = F.max(F.struct(F.col("rows"), (-F.col("k").cast("long")).alias("nk")))
+    return per_key.agg(
+        F.sum("rows").cast("long").alias("join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        (-top.getField("nk")).cast("long").alias("top_key"),
+        top.getField("rows").cast("long").alias("top_rows"),
+    )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    value_col: str = "o_totalprice",
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Pareto concentration curve: how many top entities cover
+    ``threshold_pct``% of total value — the 80/20 report behind
+    account-risk and storage-tiering decisions (and, on a corpus,
+    "how few domains contribute 80% of tokens").
+
+    Shape: per-key exact cent totals (partial-agged groupBy), then a
+    running share over the AGGREGATED key table ordered by
+    (total desc, key) — a domain-sized window, never raw rows (the
+    same posture as key_skew_report).  Deterministic: exact bigint
+    cents, integer-ratio share rounded at the edge.
+
+    Returns one row: (n_keys, n_top, top_share_pct, total_value).
+    """
+    from pyspark.sql import Window
+
+    per = orders.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(F.sum("cents").alias("tot"))
+    run = per.join(F.broadcast(tot)).select(
+        "k", "cents", F.sum("cents").over(w).alias("cum"), "tot"
+    )
+    # a key is needed while the PREVIOUS cumulative share is still
+    # below the threshold: count keys whose (cum - cents) < thr·tot
+    needed = run.filter(
+        (F.col("cum") - F.col("cents")) * 100 < F.lit(threshold_pct) * F.col("tot")
+    )
+    return needed.agg(
+        F.max(F.col("tot")).alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.round(F.max(F.col("cum")) / F.max(F.col("tot")) * 100, 6).alias("top_share_pct"),
+    ).join(F.broadcast(per.agg(F.count(F.lit(1)).cast("long").alias("n_keys")))).select(
+        "n_keys", "n_top", "top_share_pct",
+        F.round(F.col("_t") / 100.0, 2).alias("total_value"),
+    )

@@ -80,7 +80,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # histogram_equidepth its 1-row percentile-edge aggregate;
            # textrank_keywords embeds graph.pagerank's 1-row
            # node-count broadcast (same whitelisted shape)
-           "psi_drift", "histogram_equidepth", "textrank_keywords"}
+           "psi_drift", "histogram_equidepth", "textrank_keywords",
+           # revenue_concentration attaches its 1-row grand-total and
+           # 1-row key-count aggregates as broadcast scalars
+           "revenue_concentration"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

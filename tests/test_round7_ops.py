@@ -2114,3 +2114,38 @@ def test_cdc_apply_delete_wins_and_replay_order(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {r["user_id"]: r["last_value"] for r in relational.cdc_apply(df).collect()}
     assert got == {1: 2.0, 3: 7.0}
+
+
+def test_join_cardinality_matches_actual_join(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    ev = scan(spark, sf_dir, "events")
+    cust = scan(spark, sf_dir, "customer")
+    est = relational.join_cardinality(ev, cust, "user_id", "c_custkey").collect()[0]
+    actual = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert est["join_rows"] == actual  # "estimate" is exact by construction
+
+
+def test_revenue_concentration_tiny(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    # key 1: 80, key 2: 15, key 3: 5  -> top-1 covers exactly 80%
+    df = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 5.0)], "o_custkey LONG, o_totalprice DOUBLE"
+    )
+    r = relational.revenue_concentration(df, threshold_pct=80).collect()[0]
+    assert (r["n_keys"], r["n_top"], r["total_value"]) == (3, 1, 100.0)
+    assert r["top_share_pct"] == 80.0
+
+
+def test_inverted_index_sampling_caps_postings(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    docs = [(i, "common word" if i < 50 else "rare gem") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r["token"]: r for r in corpus.inverted_index(df, sample_k=10).collect()}
+    assert got["common"]["df"] == 50
+    posts = got["common"]["sample_postings"].split(",")
+    assert posts == [str(i) for i in range(10)]  # 10 smallest ids only
+    assert got["rare"]["df"] == 10
