@@ -341,3 +341,100 @@ def test_gopher_repetition_lines_match_python_reference(spark, docs):
                 assert got[i]["dup_line_char_frac"] == round(extra / total, 6)
         else:
             assert got[i]["dup_line_frac"] is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0.01, 400).map(lambda x: round(x, 2))),
+        min_size=8,
+        max_size=60,
+    )
+)
+def test_markov_transitions_is_a_probability_kernel(spark, vals):
+    """Random event streams: per cur_type the probabilities sum to ~1
+    (exact ratio rounding), counts equal a python lead() reference."""
+    from collections import Counter, defaultdict
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (i, u % 3, f"t{u}", f"2024-01-01 00:{i % 60:02d}:{i // 60 % 60:02d}")
+        for i, (u, _) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+    got = {(r["cur_type"], r["next_type"]): r["n"]
+           for r in events_ops.markov_transitions(df).collect()}
+    by_user = defaultdict(list)
+    for i, (u, _) in enumerate(vals):
+        # same order key as the operator: (ts, event_id); ts is built
+        # from i so plain i-order matches
+        by_user[u % 3].append((i, f"t{u}"))
+    expect = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            expect[(a, b)] += 1
+    assert got == dict(expect)
+    per_cur = defaultdict(float)
+    for r in events_ops.markov_transitions(df).collect():
+        per_cur[r["cur_type"]] += r["p"]
+    assert all(abs(v - 1.0) < 1e-4 for v in per_cur.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=40),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_unigram_kl_nonnegative_on_random_corpora(spark, docs):
+    """Gibbs' inequality holds for the full-support smoothed KL on any
+    random corpus split into two sources (up to nano quantization)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [(i, "s0" if i % 2 == 0 else "s1", t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = corpus.unigram_kl(df).collect()
+    for r in out:
+        assert r["kl"] >= -1e-6, out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.lists(st.floats(-1, 1).map(lambda x: round(x, 3)), min_size=4, max_size=4),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_embedding_covariance_symmetric_psd(spark, data):
+    """Random small vector tables: the exact integer covariance is
+    symmetric and positive semi-definite (up to quantization jitter),
+    and matches numpy on the same quantized values."""
+    import numpy as np
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = similarity.embedding_covariance(df, dim=4).collect()
+    C = np.zeros((4, 4))
+    for r in got:
+        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    # float32 storage then milli rounding — mirror through float32!
+    X32 = np.array(data, dtype=np.float32).astype(np.float64) * 1e3
+    Xq = np.sign(X32) * np.floor(np.abs(X32) + 0.5)
+    n = len(Xq)
+    S = Xq.sum(axis=0)
+    G = Xq.T @ Xq
+    ref = (G - np.outer(S, S) / n) / n / 1e6
+    assert np.allclose(C, np.round(ref, 6), atol=2e-6)
+    evals = np.linalg.eigvalsh(C)
+    assert evals.min() > -1e-6
