@@ -1545,6 +1545,22 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_ks_test(spark, sf):
+    """Exact two-sample KS distance between time halves: distinct
+    cents with per-side counts first (value domain, not rows), gap
+    compared as exact bigints |c1·n2 − c2·n1|, one final division."""
+    return events_ops.ks_test(scan(spark, sf, "events"))
+
+
+def _q_sample_weighted_k(spark, sf):
+    """Efraimidis–Spirakis exact-k weighted sample with an md5-derived
+    uniform: −ln(u)/w keys, k smallest win via a TakeOrdered heap —
+    deterministic weighted sampling without replacement."""
+    return relational.sample_weighted_k(
+        scan(spark, sf, "documents"), k=50, weight_col="n_chars"
+    )
+
+
 def _q_join_cardinality(spark, sf):
     """Exact join-size estimate WITHOUT the join: sum of per-key count
     products over the matching key domain — the 100 TB pre-flight for
@@ -3485,6 +3501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": _q_join_cardinality,
         "revenue_concentration": _q_revenue_concentration,
         "inverted_index": _q_inverted_index,
+        "ks_test": _q_ks_test,
+        "sample_weighted_k": _q_sample_weighted_k,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4404,6 +4422,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_matrix": _corr_matrix_sql(),
         "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "ks_test": """
+            WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                              epoch_us(ts) AS t FROM events),
+            mid AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2) AS BIGINT)
+                      AS tmid FROM b),
+            tagged AS (SELECT c, t < tmid AS is_ref FROM b, mid),
+            pv AS (SELECT c,
+                          sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+                          sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS q
+                   FROM tagged GROUP BY 1),
+            tot AS (SELECT sum(r) AS n1, sum(q) AS n2 FROM pv),
+            cum AS (SELECT c, n1, n2,
+                           sum(r) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS c1,
+                           sum(q) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS c2
+                    FROM pv, tot),
+            g AS (SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS gp, c,
+                         row_number() OVER (ORDER BY abs(c1 * n2 - c2 * n1) DESC,
+                                            c ASC) AS rn
+                  FROM cum)
+            SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cmp,
+                   round(gp / (n1 * n2), 6) AS d_stat,
+                   round(c / 100.0, 6) AS at_value
+            FROM g WHERE rn = 1
+        """,
+        "sample_weighted_k": """
+            WITH s AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                     round(CAST(round(-ln((CAST(('0x' ||
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                         + 1.0) / 281474976710656.0) * 1e6) AS BIGINT)
+                       / CAST(n_chars AS DOUBLE), 6) AS sel_key
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, weight, sel_key FROM s
+            ORDER BY sel_key, doc_id LIMIT 50
+        """,
         "join_cardinality": """
             WITH la AS (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1),
             rb AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),

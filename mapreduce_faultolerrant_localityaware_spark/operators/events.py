@@ -558,3 +558,61 @@ def psi_drift(
         F.col("n_cmp").cast("long"),
         F.round((pc - pr) * (F.log(pc) - F.log(pr)), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def ks_test(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the first
+    and second half of the time range — the distribution-free drift
+    test that complements :func:`psi_drift` (PSI needs binning; KS is
+    the sup-norm over the exact empirical CDFs, sensitive to shape
+    changes PSI's ten bins smear out).
+
+    Exact at scale: values collapse to DISTINCT cents with per-side
+    counts FIRST (a hash aggregate — the value domain, not the row
+    count), cumulative counts run over that domain-sized table, and
+    D = max |F1 − F2| is exact integer arithmetic until the final
+    division: |c1·n2 − c2·n1| compared as bigints, divided once at
+    the end.
+
+    Returns one row (n_ref, n_cmp, d_stat, at_value) — the KS
+    statistic and the value where the CDF gap peaks (smallest such
+    value on ties).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(cents.alias("c"), us.alias("t"))
+    bounds = base.agg(F.min("t").alias("t0"), F.max("t").alias("t1")).select(
+        (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).alias("tmid")
+    )
+    tagged = base.join(F.broadcast(bounds)).select(
+        "c", (F.col("t") < F.col("tmid")).alias("is_ref")
+    )
+    per_val = tagged.groupBy("c").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("r"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("q"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per_val.agg(F.sum("r").alias("n1"), F.sum("q").alias("n2"))
+    cum = per_val.join(F.broadcast(tot)).select(
+        "c",
+        "n1",
+        "n2",
+        F.sum("r").over(w).alias("c1"),
+        F.sum("q").over(w).alias("c2"),
+    )
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    best = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.struct(gap.alias("g"), (-F.col("c")).alias("nc"))).alias("b"),
+    )
+    return best.select(
+        F.col("n1").cast("long").alias("n_ref"),
+        F.col("n2").cast("long").alias("n_cmp"),
+        F.round(F.col("b.g") / (F.col("n1") * F.col("n2")), 6).alias("d_stat"),
+        F.round(-F.col("b.nc") / 100.0, 6).alias("at_value"),
+    )

@@ -730,3 +730,48 @@ def revenue_concentration(
         "n_keys", "n_top", "top_share_pct",
         F.round(F.col("_t") / 100.0, 2).alias("total_value"),
     )
+
+
+def sample_weighted_k(
+    df: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-k weighted sampling without replacement — the
+    Efraimidis–Spirakis A-Res scheme with a deterministic md5-derived
+    uniform instead of an RNG: each row gets key = −ln(u)/w and the k
+    SMALLEST keys win, which realizes weighted sampling without
+    replacement exactly (inclusion ∝ weight, no RNG state, identical
+    sample on every run/engine/cluster — the companion to the
+    Bernoulli :func:`sample_weighted`, which cannot pin the sample
+    SIZE).
+
+    Determinism discipline: u comes from the top 48 bits of
+    md5(id) (exact integer → exact double), ln(u) is rounded to
+    integer MICRO before the division so the sort key is a double
+    computed from exact integers — bit-identical on both engines —
+    and ties (impossible in practice, 2⁴⁸ space) break on id.  Scale:
+    the k-smallest is a TakeOrderedAndProject heap, never a global
+    sort.
+
+    Returns (id, weight, sel_key) for the k winners, ordered by the
+    selection key.
+    """
+    # u in (0,1): 48 md5 bits / 2^48, never exactly 0 (offset by 1)
+    u48 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (u48 + 1.0) / float(1 << 48)
+    ln_micro = F.round(-F.log(u) * 1e6).cast("long")
+    key = ln_micro / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(key, 6).alias("sel_key"),
+        )
+        .filter(F.col("weight") > 0)
+        .orderBy("sel_key", id_col)
+        .limit(k)
+    )

@@ -2149,3 +2149,49 @@ def test_inverted_index_sampling_caps_postings(spark):
     posts = got["common"]["sample_postings"].split(",")
     assert posts == [str(i) for i in range(10)]  # 10 smallest ids only
     assert got["rare"]["df"] == 10
+
+
+def test_ks_test_detects_shift_and_zero_on_identical(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    shifted = [
+        (i, 1, "a", f"2024-01-{(1 + i // 20):02d} 00:{i % 20:02d}:00",
+         (30.0 if i >= 200 else 10.0) + (i % 5))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        shifted, "event_id LONG, user_id LONG, event_type STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = events_ops.ks_test(df).collect()[0]
+    assert r["d_stat"] > 0.9           # disjoint supports -> D ~ 1
+    assert r["n_ref"] + r["n_cmp"] == 400
+    same = [
+        (i, 1, "a", f"2024-01-{(1 + i // 20):02d} 00:{i % 20:02d}:00", 10.0 + (i % 5))
+        for i in range(400)
+    ]
+    df2 = spark.createDataFrame(
+        same, "event_id LONG, user_id LONG, event_type STRING, ts STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r2 = events_ops.ks_test(df2).collect()[0]
+    assert r2["d_stat"] < 0.05
+
+
+def test_sample_weighted_k_is_exact_k_and_weight_biased(spark):
+    import math
+
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    # 200 light docs (w=1) + 200 heavy docs (w=100): heavies dominate
+    rows = [(i, 1 if i < 200 else 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_chars LONG")
+    out = relational.sample_weighted_k(df, k=50, weight_col="n_chars").collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["doc_id"] >= 200)
+    assert heavy >= 45   # P[heavy] ~ 100/101 per slot
+    # python reference: identical md5-uniform keys -> identical winners
+    def key(doc_id, w):
+        u48 = int(__import__("hashlib").md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        u = (u48 + 1.0) / float(1 << 48)
+        return round(round(-math.log(u) * 1e6) / w, 6), doc_id
+    expect = sorted(key(i, w) for i, w in rows)[:50]
+    assert [(r["sel_key"], r["doc_id"]) for r in out] == expect
