@@ -1545,6 +1545,19 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_user_growth(spark, sf):
+    """New-user and cumulative-user curve: first-seen day per user
+    via one min-aggregate, rollup + running total on the day table."""
+    return events_ops.user_growth(scan(spark, sf, "events"))
+
+
+def _q_conversion_latency(spark, sf):
+    """First-touch signup→purchase latency distribution: one
+    groupBy(user) event-list pass, in-row anchors, exact
+    integer-second percentile summary."""
+    return events_ops.conversion_latency(scan(spark, sf, "events"))
+
+
 def _q_ks_test(spark, sf):
     """Exact two-sample KS distance between time halves: distinct
     cents with per-side counts first (value domain, not rows), gap
@@ -3503,6 +3516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "ks_test": _q_ks_test,
         "sample_weighted_k": _q_sample_weighted_k,
+        "user_growth": _q_user_growth,
+        "conversion_latency": _q_conversion_latency,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4422,6 +4437,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_matrix": _corr_matrix_sql(),
         "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "user_growth": """
+            WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS d
+                        FROM events GROUP BY 1),
+            daily AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
+                      FROM fs GROUP BY 1)
+            SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM daily ORDER BY day
+        """,
+        "conversion_latency": """
+            WITH f AS (SELECT user_id, min(ts) AS f_ts FROM events
+                       WHERE event_type = 'signup' GROUP BY 1),
+            t AS (SELECT f.user_id, f.f_ts, min(e.ts) AS t_ts
+                  FROM f LEFT JOIN events e
+                    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+                   AND e.ts >= f.f_ts
+                  GROUP BY 1, 2),
+            l AS (SELECT CAST(floor((epoch_us(t_ts) - epoch_us(f_ts)) / 1000000)
+                        AS BIGINT) AS lat_s FROM t)
+            SELECT CAST(count(*) AS BIGINT) AS n_from,
+                   CAST(count(lat_s) AS BIGINT) AS n_converted,
+                   round(sum(lat_s) / count(lat_s), 6) AS mean_s,
+                   quantile_cont(lat_s, 0.5) AS median_s,
+                   quantile_cont(lat_s, 0.9) AS p90_s,
+                   CAST(max(lat_s) AS BIGINT) AS max_s
+            FROM l
+        """,
         "ks_test": """
             WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
                               epoch_us(ts) AS t FROM events),

@@ -616,3 +616,82 @@ def ks_test(
         F.round(F.col("b.g") / (F.col("n1") * F.col("n2")), 6).alias("d_stat"),
         F.round(-F.col("b.nc") / 100.0, 6).alias("at_value"),
     )
+
+
+def user_growth(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """User growth curve: per day, how many users appear for the
+    FIRST time and the cumulative registered-user count — the
+    companion to :func:`active_users` (DAU says who showed up; this
+    says how the base itself grows).
+
+    Shape: first-seen day per user is one min-aggregate over (user,
+    day) pairs; the daily rollup and the running total both live on
+    the AGGREGATED day table (≤ a few thousand rows for years of
+    data), so the only raw-data pass is the first groupBy.
+
+    Returns (day, new_users, cum_users) ordered by day.
+    """
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.date_trunc("day", F.col(ts_col))).alias("d")
+    )
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution: for each user with a ``from``
+    event, the latency to their first ``to`` event AFTER it
+    (first-touch anchoring, like :func:`funnel`), summarized as exact
+    converter counts and integer-second latency mean/median/p90/max.
+
+    Shape: ONE groupBy(user) collects the (ts, type) pairs (the
+    sessionization envelope — bounded by per-user activity); both
+    anchors are in-row array expressions; the summary is one global
+    aggregate over per-user latencies with percentile-of-integers
+    determinism.
+
+    Returns one row: (n_from, n_converted, mean_s, median_s, p90_s,
+    max_s) — latency fields NULL when nobody converts.
+    """
+    per_user = events.filter(F.col(type_col).isin(from_type, to_type)).groupBy(
+        user_col
+    ).agg(F.sort_array(F.collect_list(F.struct(ts_col, type_col))).alias("evs"))
+    first_from = F.try_element_at(
+        F.filter("evs", lambda e: e[type_col] == from_type), F.lit(1)
+    )[ts_col]
+    first_to = F.try_element_at(
+        F.filter(
+            "evs", lambda e: (e[type_col] == to_type) & (e[ts_col] >= first_from)
+        ),
+        F.lit(1),
+    )[ts_col]
+    lat = per_user.select(
+        first_from.alias("f"),
+        F.floor(
+            (F.unix_micros(first_to) - F.unix_micros(first_from)) / 1_000_000
+        ).alias("lat_s"),
+    ).filter(F.col("f").isNotNull())
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_from"),
+        F.count("lat_s").cast("long").alias("n_converted"),
+        F.round(F.sum("lat_s") / F.count("lat_s"), 6).alias("mean_s"),
+        (F.percentile("lat_s", F.lit(0.5)) * 1.0).alias("median_s"),
+        (F.percentile("lat_s", F.lit(0.9)) * 1.0).alias("p90_s"),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )

@@ -2195,3 +2195,39 @@ def test_sample_weighted_k_is_exact_k_and_weight_biased(spark):
         return round(round(-math.log(u) * 1e6) / w, 6), doc_id
     expect = sorted(key(i, w) for i, w in rows)[:50]
     assert [(r["sel_key"], r["doc_id"]) for r in out] == expect
+
+
+def test_user_growth_curve_tiny(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (1, 10, "a", "2024-01-01 10:00:00"),
+        (2, 10, "a", "2024-01-05 10:00:00"),   # not new on the 5th
+        (3, 11, "a", "2024-01-02 10:00:00"),
+        (4, 12, "a", "2024-01-02 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [(r["day"], r["new_users"], r["cum_users"])
+           for r in events_ops.user_growth(df).collect()]
+    assert got == [("2024-01-01", 1, 1), ("2024-01-02", 2, 3)]
+
+
+def test_conversion_latency_first_touch(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+
+    rows = [
+        (1, 1, "signup", "2024-01-01 00:00:00"),
+        (2, 1, "purchase", "2024-01-01 00:01:40"),   # 100 s after signup
+        (3, 1, "purchase", "2024-01-01 09:00:00"),   # later one ignored
+        (4, 2, "purchase", "2024-01-01 00:00:00"),   # purchase BEFORE signup
+        (5, 2, "signup", "2024-01-01 01:00:00"),     # -> no conversion
+        (6, 3, "signup", "2024-01-01 00:00:00"),     # never converts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = events_ops.conversion_latency(df).collect()[0]
+    assert (r["n_from"], r["n_converted"]) == (3, 1)
+    assert r["mean_s"] == 100.0 and r["median_s"] == 100.0 and r["max_s"] == 100
