@@ -1735,10 +1735,15 @@ def split_stratified_exact(
     h = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(h, id_col)
     wn = Window.partitionBy(group_col)
+    # row_number is INT: lift to LONG before *100 or strata beyond
+    # ~21M rows overflow 32-bit arithmetic
     base = docs.select(
         F.col(id_col),
         F.col(group_col),
-        ((F.row_number().over(w) - 1) * 100 / F.count(F.lit(1)).over(wn)).alias("pct"),
+        (
+            (F.row_number().over(w).cast("long") - 1) * 100
+            / F.count(F.lit(1)).over(wn)
+        ).alias("pct"),
     )
     cut = 0
     expr = None

@@ -718,9 +718,15 @@ def revenue_concentration(
         "k", "cents", F.sum("cents").over(w).alias("cum"), "tot"
     )
     # a key is needed while the PREVIOUS cumulative share is still
-    # below the threshold: count keys whose (cum - cents) < thr·tot
+    # below the threshold: (cum − cents)/tot < thr/100, compared as
+    # exact integers with the fraction REDUCED (gcd) so the cross
+    # products keep maximal int64 headroom at extreme totals
+    import math
+
+    g = math.gcd(threshold_pct, 100)
+    num, den = threshold_pct // g, 100 // g
     needed = run.filter(
-        (F.col("cum") - F.col("cents")) * 100 < F.lit(threshold_pct) * F.col("tot")
+        (F.col("cum") - F.col("cents")) * den < F.lit(num) * F.col("tot")
     )
     return needed.agg(
         F.max(F.col("tot")).alias("_t"),
