@@ -1545,6 +1545,13 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_heaps_fit(spark, sf):
+    """Heaps'-law vocabulary-growth fit: first-appearance doc per
+    type + exact doc-id percentile cutoffs (no global ntile), log-log
+    OLS as a fixed-order in-row fold."""
+    return corpus.heaps_fit(scan(spark, sf, "documents"), n_checkpoints=20)
+
+
 def _q_user_growth(spark, sf):
     """New-user and cumulative-user curve: first-seen day per user
     via one min-aggregate, rollup + running total on the day table."""
@@ -3518,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_k": _q_sample_weighted_k,
         "user_growth": _q_user_growth,
         "conversion_latency": _q_conversion_latency,
+        "heaps_fit": _q_heaps_fit,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4437,6 +4445,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_matrix": _corr_matrix_sql(),
         "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "heaps_fit": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            fs0 AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1),
+            pd AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            e AS (SELECT {", ".join(f"quantile_cont(doc_id, {(i + 1) / 20.0}) AS c{i}" for i in range(20))}
+                  FROM pd),
+            cuts AS ({" UNION ALL ".join(f"SELECT {i} AS tile, c{i} AS cut FROM e" for i in range(20))}),
+            vv AS (SELECT c.tile, count(*) AS v
+                   FROM fs0 f JOIN cuts c ON f.fd <= c.cut GROUP BY 1),
+            nn AS (SELECT c.tile, sum(pd.nt) AS n
+                   FROM pd JOIN cuts c ON pd.doc_id <= c.cut GROUP BY 1),
+            pts0 AS (SELECT vv.tile, nn.n, vv.v FROM vv JOIN nn USING (tile)
+                     WHERE nn.n > 0 AND vv.v > 0),
+            packed AS (SELECT list_sort(list(struct_pack(
+                         tile := tile, n := n, v := v))) AS p FROM pts0),
+            s AS (SELECT len(p) AS k,
+                         list_transform(p, q -> ln(CAST(q.n AS DOUBLE))) AS xs,
+                         list_transform(p, q -> ln(CAST(q.v AS DOUBLE))) AS ys,
+                         list_transform(p, q -> ln(CAST(q.n AS DOUBLE))
+                                              * ln(CAST(q.v AS DOUBLE))) AS xys,
+                         list_transform(p, q -> ln(CAST(q.n AS DOUBLE))
+                                              * ln(CAST(q.n AS DOUBLE))) AS x2s
+                  FROM packed)
+            SELECT CAST(k AS BIGINT) AS n_points,
+                   round((k * list_sum(xys) - list_sum(xs) * list_sum(ys))
+                         / (k * list_sum(x2s) - list_sum(xs) * list_sum(xs)), 6)
+                     AS beta,
+                   round((list_sum(ys)
+                          - ((k * list_sum(xys) - list_sum(xs) * list_sum(ys))
+                             / (k * list_sum(x2s) - list_sum(xs) * list_sum(xs)))
+                            * list_sum(xs)) / k, 6) AS log_k
+            FROM s
+        """,
         "user_growth": """
             WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS d
                         FROM events GROUP BY 1),

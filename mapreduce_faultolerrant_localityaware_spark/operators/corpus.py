@@ -1858,3 +1858,72 @@ def inverted_index(
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(100)
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    n_checkpoints: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — the companion gauge to
+    :func:`zipf_fit`: distinct types V(n) against cumulative tokens n
+    follows V ≈ K·n^β (β ≈ 0.4–0.6 for natural language); a flat
+    curve flags template/duplicated text, a near-linear one flags
+    random noise or vocabulary churn.
+
+    Exact prefix distinct WITHOUT any distinct-over-prefix pass: in
+    doc-id order, a type first appears at min(doc_id) over its
+    occurrences — one groupBy(token) — so V(cutoff) is a COUNT over
+    first-appearance docs ≤ cutoff, and n(cutoff) a SUM over per-doc
+    token counts ≤ cutoff.  Cutoffs are exact doc-id percentiles from
+    ONE 1-row aggregate (a global ntile over the doc table would put
+    every doc in one partition — the anti-pattern
+    histogram_equidepth documents).  The log-log OLS runs over the
+    ≤ ``n_checkpoints`` points as a fixed-order in-row fold (the
+    zipf_fit discipline).
+
+    Returns one row: (n_points, beta, log_k) — 6 dp.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    first_seen = tok.groupBy("t").agg(F.min(id_col).alias("fd"))
+    per_doc = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("nt"))
+    qs = [i / n_checkpoints for i in range(1, n_checkpoints + 1)]
+    cuts_row = per_doc.agg(
+        *[F.percentile(id_col, F.lit(q)).alias(f"c{i}") for i, q in enumerate(qs)]
+    )
+    cuts = cuts_row.select(
+        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(len(qs))])).alias(
+            "tile", "cut"
+        )
+    )
+    # per-cutoff totals: two semi-aggregations against the broadcast
+    # cutoff list (n_checkpoints-way fan-out on domain-sized tables)
+    fs = first_seen.join(F.broadcast(cuts), F.col("fd") <= F.col("cut")).groupBy(
+        "tile", "cut"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    ns = per_doc.join(F.broadcast(cuts), F.col(id_col) <= F.col("cut")).groupBy(
+        "tile"
+    ).agg(F.sum("nt").alias("n"))
+    pts = (
+        fs.join(ns, "tile")
+        .select("tile", "n", "v")
+        .filter((F.col("n") > 0) & (F.col("v") > 0))
+    )
+    # fixed-order fold over the sorted (tile) point array
+    arr = pts.agg(
+        F.sort_array(F.collect_list(F.struct("tile", "n", "v"))).alias("p")
+    )
+    x = F.transform("p", lambda s: F.log(s["n"].cast("double")))
+    y = F.transform("p", lambda s: F.log(s["v"].cast("double")))
+    k = F.size("p").cast("double")
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, b: a + b)
+    sx, sy = fold(x), fold(y)
+    sxx = fold(F.transform(x, lambda v: v * v))
+    sxy = fold(F.zip_with(x, y, lambda a, b: a * b))
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return arr.select(
+        F.size("p").cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round((sy - beta * sx) / k, 6).alias("log_k"),
+    )

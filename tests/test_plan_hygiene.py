@@ -83,8 +83,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "psi_drift", "histogram_equidepth", "textrank_keywords",
            # revenue_concentration attaches its 1-row grand-total and
            # 1-row key-count aggregates as broadcast scalars;
-           # ks_test its 1-row time-midpoint and per-side totals
-           "revenue_concentration", "ks_test"}
+           # ks_test its 1-row time-midpoint and per-side totals;
+           # heaps_fit's prefix totals are intended broadcast theta
+           # joins against the 20-row percentile-cutoff list
+           "revenue_concentration", "ks_test", "heaps_fit"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -2231,3 +2231,40 @@ def test_conversion_latency_first_touch(spark):
     r = events_ops.conversion_latency(df).collect()[0]
     assert (r["n_from"], r["n_converted"]) == (3, 1)
     assert r["mean_s"] == 100.0 and r["median_s"] == 100.0 and r["max_s"] == 100
+
+
+def test_heaps_fit_on_synthetic_corpus_and_growing_vocab(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    # the synthetic corpus draws from a FIXED ~30-word vocabulary, so
+    # V(n) saturates at the first checkpoint: beta is exactly 0 — the
+    # gauge correctly flags template text
+    r = corpus.heaps_fit(scan(spark, sf_dir, "documents")).collect()[0]
+    assert r["n_points"] >= 10
+    assert 0.0 <= r["beta"] < 0.1
+    # genuinely growing vocabulary: each doc introduces new types ->
+    # beta lands in the sub-linear growth band
+    # letters only: the reference tokenizer splits on digits
+    def word(i, j):
+        a, b = chr(97 + i % 26), chr(97 + (i // 26) % 26)
+        return f"w{a}{b}{chr(97 + j)}"
+
+    grow = spark.createDataFrame(
+        [(i, " ".join(word(i, j) for j in range(5)) + " the and") for i in range(300)],
+        "doc_id LONG, text STRING",
+    )
+    g = corpus.heaps_fit(grow).collect()[0]
+    assert 0.5 < g["beta"] <= 1.0
+
+
+def test_heaps_fit_flat_on_fixed_vocabulary(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    # every doc repeats the same 3 words -> V(n) saturates instantly,
+    # beta ~ 0 (far below natural-language 0.4-0.6)
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    r = corpus.heaps_fit(df).collect()[0]
+    assert r["beta"] < 0.05
