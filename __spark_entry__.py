@@ -4521,12 +4521,16 @@ def oracle_sql() -> dict[str, str]:
                            sum(r) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS c1,
                            sum(q) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS c2
                     FROM pv, tot),
-            g AS (SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS gp, c,
-                         row_number() OVER (ORDER BY abs(c1 * n2 - c2 * n1) DESC,
-                                            c ASC) AS rn
+            g AS (SELECT n1, n2,
+                         abs(CAST(c1 AS DOUBLE) * n2 - CAST(c2 AS DOUBLE) * n1)
+                           AS gp, c,
+                         row_number() OVER (
+                           ORDER BY abs(CAST(c1 AS DOUBLE) * n2
+                                        - CAST(c2 AS DOUBLE) * n1) DESC,
+                           c ASC) AS rn
                   FROM cum)
             SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cmp,
-                   round(gp / (n1 * n2), 6) AS d_stat,
+                   round(gp / (CAST(n1 AS DOUBLE) * n2), 6) AS d_stat,
                    round(c / 100.0, 6) AS at_value
             FROM g WHERE rn = 1
         """,
@@ -4788,7 +4792,8 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT i, sum(xm) AS si FROM m GROUP BY 1),
             n AS (SELECT count(*) AS n FROM embeddings)
             SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-                   round((sxy - sa.si * sb.si / n.n) / n.n / 1e6, 6) AS cov
+                   round((sxy - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE)
+                          / n.n) / n.n / 1e6, 6) AS cov
             FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN n
             ORDER BY i, j
         """,

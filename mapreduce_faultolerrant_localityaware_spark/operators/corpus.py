@@ -1667,7 +1667,10 @@ def unigram_kl(
     l_all = cc_ln.agg(
         F.max("nc").alias("nc"),
         F.max("v").alias("v"),
-        F.sum("lnpc_nano").alias("l_all_nano"),
+        # |V|-sized sum of ~1e10-magnitude nano terms wraps int64 at
+        # ~4e8 types; DECIMAL(38,0) sums stay exact AND order-
+        # independent (the determinism requirement double sums fail)
+        F.sum(F.col("lnpc_nano").cast("decimal(38,0)")).alias("l_all_nano"),
     )
     j = (
         slice_counts.join(cc_ln.select("t", "cc", "nc", "v", "lnpc_nano"), "t")
@@ -1683,7 +1686,7 @@ def unigram_kl(
         F.max("ns").alias("ns"),
         F.max("types").alias("types"),
         F.sum(term_nano).alias("in_support_nano"),
-        F.sum("lnpc_nano").alias("l_slice_nano"),
+        F.sum(F.col("lnpc_nano").cast("decimal(38,0)")).alias("l_slice_nano"),
     )
     out = per_slice.join(F.broadcast(l_all))
     # Σ_{t∉slice} p0·ln(p0/p̂c) with p0 = 1/(ns+|V|), folded from the
@@ -1769,13 +1772,17 @@ def textrank_keywords(
     raw frequency ranks miss (frequency loves stopwords; centrality
     wants connectivity).
 
-    Built by composition: one tokenize pass builds adjacent-pair
-    edges INSIDE the token array (zero shuffle until the pair
-    distinct), rare words (< ``min_count``) drop before the graph so
-    the node set is vocabulary-bounded, and the ranking reuses
-    :func:`graph.pagerank` — the SAME bit-reproducible integer
+    Built by composition: ONE shared token-array frame feeds both
+    branches — the vocabulary counts (explode → groupBy) and the
+    adjacent-pair edges (built INSIDE the array, zero shuffle until
+    the pair distinct); rare words (< ``min_count``) drop before the
+    graph so the node set is vocabulary-bounded, and the ranking
+    reuses :func:`graph.pagerank` — the SAME bit-reproducible integer
     fixed-point iteration already under the unrolled-CTE oracle, so
-    this query is hash-gated end-to-end too.
+    this query is hash-gated end-to-end too.  (The two branches are
+    separate plan subtrees, so the scan+tokenize executes once per
+    branch unless the caller persists ``docs`` — at corpus scale,
+    materialize the token arrays once upstream.)
 
     Returns the top-``k`` (token, rank_micro, pr) by (rank desc,
     token asc) — a deterministic total order.
@@ -1783,11 +1790,11 @@ def textrank_keywords(
     from .graph import pagerank
     from ..functions.text import tokens as tok_fn
 
-    toks = docs.select(F.explode(tok_fn(F.col(text_col), lowercase=True)).alias("t"))
-    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    keep = freq.filter(F.col("cnt") >= min_count).select("t")
-
     tk = docs.select(tok_fn(F.col(text_col), lowercase=True).alias("tk"))
+    freq = tk.select(F.explode("tk").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    keep = freq.filter(F.col("cnt") >= min_count).select("t")
     pairs = (
         tk.select(
             F.explode(

@@ -530,17 +530,14 @@ def psi_drift(
     tagged = base.join(F.broadcast(bounds)).select(
         "c", (F.col("t") < F.col("tmid")).alias("is_ref")
     )
-    # reference-decile edges: exact percentiles of integer cents
-    qs = [i / n_bins for i in range(1, n_bins)]
-    edges = (
-        tagged.filter("is_ref")
-        .agg(*[F.percentile("c", F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)])
-    )
-    both = tagged.join(F.broadcast(edges))
-    bin_expr = F.lit(1)
-    for i in range(len(qs)):
-        bin_expr = bin_expr + (F.col("c") > F.col(f"e{i}")).cast("int")
-    binned = both.select(bin_expr.alias("bin"), "is_ref")
+    # reference-decile edges + binning via the shared equi-depth core
+    # (relational.equidepth_bins — exact integer percentiles, map-side
+    # comparison chain, no sort)
+    from .relational import equidepth_bins
+
+    binned = equidepth_bins(
+        tagged, tagged.filter("is_ref"), "c", n_bins
+    ).select("bin", "is_ref")
     counts = binned.groupBy("bin").agg(
         F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
         F.sum((~F.col("is_ref")).cast("long")).alias("n_cmp"),
@@ -574,9 +571,10 @@ def ks_test(
     Exact at scale: values collapse to DISTINCT cents with per-side
     counts FIRST (a hash aggregate — the value domain, not the row
     count), cumulative counts run over that domain-sized table, and
-    D = max |F1 − F2| is exact integer arithmetic until the final
-    division: |c1·n2 − c2·n1| compared as bigints, divided once at
-    the end.
+    D = max |F1 − F2| compares the cross products |c1·n2 − c2·n1| in
+    DOUBLE over the exact integer counts (exact below 2⁵³ — any
+    realistic corpus; a long×long product would wrap int64 silently
+    at ~3e9 rows per side), divided once at the end.
 
     Returns one row (n_ref, n_cmp, d_stat, at_value) — the KS
     statistic and the value where the CDF gap peaks (smallest such
@@ -604,7 +602,16 @@ def ks_test(
         F.sum("r").over(w).alias("c1"),
         F.sum("q").over(w).alias("c2"),
     )
-    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    # the cross products run in DOUBLE over the exact integer counts:
+    # LONG×LONG c1·n2 wraps int64 silently once each half exceeds
+    # ~3e9 rows (the oracle's HUGEINT would not), and a wrapped gap
+    # picks a wrong argmax.  Doubles of exact ints are deterministic
+    # IEEE ops, identical on both engines; below 2^53 they are still
+    # EXACT, so the 6-dp D statistic is unchanged at any realistic n.
+    gap = F.abs(
+        F.col("c1").cast("double") * F.col("n2")
+        - F.col("c2").cast("double") * F.col("n1")
+    )
     best = cum.agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
@@ -613,7 +620,9 @@ def ks_test(
     return best.select(
         F.col("n1").cast("long").alias("n_ref"),
         F.col("n2").cast("long").alias("n_cmp"),
-        F.round(F.col("b.g") / (F.col("n1") * F.col("n2")), 6).alias("d_stat"),
+        F.round(
+            F.col("b.g") / (F.col("n1").cast("double") * F.col("n2")), 6
+        ).alias("d_stat"),
         F.round(-F.col("b.nc") / 100.0, 6).alias("at_value"),
     )
 

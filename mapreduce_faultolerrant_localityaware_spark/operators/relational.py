@@ -568,6 +568,25 @@ def corr_matrix(
     )
 
 
+def equidepth_bins(apply_df: DataFrame, edge_df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Shared equi-depth binning core (histogram_equidepth, psi_drift):
+    edges are EXACT percentiles of ``edge_df[col]`` from one 1-row
+    aggregate (percentile-of-integers — deterministic), binning is a
+    map-side comparison chain against the broadcast edge row.  Never a
+    global sort or a raw-row ntile.  Returns ``apply_df`` + ``bin``
+    (1-based) with the edge columns still attached (select them away).
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = edge_df.agg(
+        *[F.percentile(col, F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)]
+    )
+    j = apply_df.join(F.broadcast(edges))
+    b = F.lit(1)
+    for i in range(len(qs)):
+        b = b + (F.col(col) > F.col(f"e{i}")).cast("int")
+    return j.withColumn("bin", b)
+
+
 def histogram_equidepth(
     df: DataFrame,
     value_col: str,
@@ -592,16 +611,9 @@ def histogram_equidepth(
     """
     v = F.round(F.col(value_col) * scale).cast("long")
     base = df.select(v.alias("v"))
-    qs = [i / n_bins for i in range(1, n_bins)]
-    edges = base.agg(
-        *[F.percentile("v", F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)]
-    )
-    j = base.join(F.broadcast(edges))
-    bin_expr = F.lit(1)
-    for i in range(len(qs)):
-        bin_expr = bin_expr + (F.col("v") > F.col(f"e{i}")).cast("int")
     return (
-        j.select(bin_expr.alias("bin"), "v")
+        equidepth_bins(base, base, "v", n_bins)
+        .select("bin", "v")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -879,6 +879,25 @@ def ann_recall_report(
     )
 
 
+def _infer_dim(emb: DataFrame, vec_col: str, caller: str) -> int:
+    """Probe one non-null vector for the dimensionality — an empty
+    table or all-NULL column cannot imply one, so fail with a clear
+    message instead of IndexError/TypeError downstream.  Shared by
+    every operator that packs per-dimension aggregates."""
+    probe = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("n"))
+        .limit(1)
+        .collect()
+    )
+    if not probe or probe[0]["n"] is None:
+        raise ValueError(
+            f"{caller}: cannot infer dim from an empty or all-NULL "
+            "vector column; pass dim explicitly"
+        )
+    return probe[0]["n"]
+
+
 def embedding_dim_stats(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -907,21 +926,7 @@ def embedding_dim_stats(
     Returns ``dim (1-based), n, mean, var, vmin, vmax`` (6 dp).
     """
     if dim is None:
-        # probe one non-null vector; an empty table or all-null column
-        # cannot imply a dimensionality — fail with a clear message
-        # instead of IndexError/TypeError downstream
-        probe = (
-            emb.filter(F.col(vec_col).isNotNull())
-            .select(F.size(vec_col).alias("n"))
-            .limit(1)
-            .collect()
-        )
-        if not probe or probe[0]["n"] is None:
-            raise ValueError(
-                "embedding_dim_stats: cannot infer dim from an empty or "
-                "all-NULL vector column; pass dim explicitly"
-            )
-        dim = probe[0]["n"]
+        dim = _infer_dim(emb, vec_col, "embedding_dim_stats")
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
     agg = emb.agg(
@@ -1273,6 +1278,13 @@ def mmr_diversify(
         .orderBy(F.desc("cos_sim"), F.asc("_id"))
         .collect()
     )  # ≤ shortlist rows — bounded by the parameter, not the data
+    spark = emb.sparkSession
+    if not rows:
+        # unknown query id / empty input: an empty, schema-bearing
+        # result — not a numpy AxisError on a 0-d array
+        return spark.createDataFrame(
+            [], "rank INT, vec_id BIGINT, relevance DOUBLE, marginal DOUBLE"
+        )
     ids = [r["_id"] for r in rows]
     rel = [float(r["cos_sim"]) for r in rows]
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
@@ -1295,7 +1307,6 @@ def mmr_diversify(
         selected.append(best_i)
         remaining.remove(best_i)
         out.append((rank, ids[best_i], round(rel[best_i], 6), round(float(best_obj), 6)))
-    spark = emb.sparkSession
     return spark.createDataFrame(
         out, "rank INT, vec_id BIGINT, relevance DOUBLE, marginal DOUBLE"
     )
@@ -1323,23 +1334,19 @@ def embedding_centroids(
     Returns (label, dim (1-based), n, centroid) ordered by (label, dim).
     """
     if dim is None:
-        probe = (
-            emb.filter(F.col(vec_col).isNotNull())
-            .select(F.size(vec_col).alias("n"))
-            .limit(1)
-            .collect()
-        )
-        if not probe or probe[0]["n"] is None:
-            raise ValueError(
-                "embedding_centroids: cannot infer dim from an empty or "
-                "all-NULL vector column; pass dim explicitly"
-            )
-        dim = probe[0]["n"]
+        dim = _infer_dim(emb, vec_col, "embedding_centroids")
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
-    agg = emb.groupBy(label_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+    # n must count the rows the sums actually saw: a NULL/short vector
+    # contributes nothing to Σxᵢ, and counting it would silently treat
+    # it as the zero vector (biased centroid, oracle divergence)
+    agg = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(*[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+        )
     )
     return agg.select(
         F.col(label_col),
@@ -1371,7 +1378,10 @@ def embedding_covariance(
     DuckDB oracle) BEFORE entering Python, so the numpy matmul is an
     exact int64 computation and partial sums commute.  Overflow head-
     room: |x|≤~30 → |xm|≤3e4, product ≤ 9e8, safe to ~1e10 rows in
-    int64.  Precision: milli-quantization bounds the covariance error
+    int64 for the Gram terms; the sᵢ·sⱼ marginal cross product is
+    computed in DOUBLE over the exact sums (a long×long there would
+    wrap at only ~3e6 rows for unit-mean components).  Precision:
+    milli-quantization bounds the covariance error
     at ~1e-3·E|x| — the determinism/precision trade is documented, and
     callers needing tighter values can rescale.
 
@@ -1384,22 +1394,14 @@ def embedding_covariance(
     import pandas as pd
 
     if dim is None:
-        probe = (
-            emb.filter(F.col(vec_col).isNotNull())
-            .select(F.size(vec_col).alias("n"))
-            .limit(1)
-            .collect()
-        )
-        if not probe or probe[0]["n"] is None:
-            raise ValueError(
-                "embedding_covariance: cannot infer dim from an empty or "
-                "all-NULL vector column; pass dim explicitly"
-            )
-        dim = probe[0]["n"]
+        dim = _infer_dim(emb, vec_col, "embedding_covariance")
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-    milli = emb.select(
-        F.transform(v, lambda x: F.round(x * 1e3).cast("long")).alias("xm")
-    )
+    # NULL/short vectors cannot contribute a full row to the Gram —
+    # drop them up front (list(None) would crash the Arrow worker,
+    # ragged arrays would break the int64 matmul)
+    milli = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
+    ).select(F.transform(v, lambda x: F.round(x * 1e3).cast("long")).alias("xm"))
 
     def gram(batches):
         import numpy as np
@@ -1425,11 +1427,19 @@ def embedding_covariance(
         F.count(F.lit(1)).alias("n"),
         F.array(*[F.sum(x_m(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
     )
-    # 1-row marginal attaches via broadcast; cov from exact integers
+    # 1-row marginal attaches via broadcast.  The sᵢ·sⱼ cross product
+    # is computed in DOUBLE over the exact integer sums: a LONG×LONG
+    # product of two component sums wraps int64 at ~3e6 rows for
+    # unit-mean components (sᵢ ~ n·mean·1e3), and Spark wraps
+    # SILENTLY under non-ANSI mode while the HUGEINT oracle stays
+    # exact.  Double products of exact ints are deterministic IEEE
+    # ops — identical on both engines (the corr_matrix pattern).
     out = pair_sums.join(F.broadcast(marg))
     cov = (
         F.col("sxy")
-        - F.element_at("s", F.col("i")) * F.element_at("s", F.col("j")) / F.col("n")
+        - F.element_at("s", F.col("i")).cast("double")
+        * F.element_at("s", F.col("j")).cast("double")
+        / F.col("n")
     ) / F.col("n") / 1e6
     return out.select(
         F.col("i").cast("long").alias("i"),
@@ -1469,18 +1479,7 @@ def pca_project(
     import numpy as np
 
     if dim is None:
-        probe = (
-            emb.filter(F.col(vec_col).isNotNull())
-            .select(F.size(vec_col).alias("n"))
-            .limit(1)
-            .collect()
-        )
-        if not probe or probe[0]["n"] is None:
-            raise ValueError(
-                "pca_project: cannot infer dim from an empty or all-NULL "
-                "vector column; pass dim explicitly"
-            )
-        dim = probe[0]["n"]
+        dim = _infer_dim(emb, vec_col, "pca_project")
     cov_rows = embedding_covariance(emb, dim=dim, vec_col=vec_col).collect()
     C = np.zeros((dim, dim), dtype=np.float64)
     for r in cov_rows:  # d² driver rows — model-sized, not data-sized

@@ -2268,3 +2268,27 @@ def test_heaps_fit_flat_on_fixed_vocabulary(spark):
     )
     r = corpus.heaps_fit(df).collect()[0]
     assert r["beta"] < 0.05
+
+
+def test_mmr_diversify_unknown_query_id_returns_empty(spark, sf_dir):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    emb = scan(spark, sf_dir, "embeddings")
+    out = similarity.mmr_diversify(emb, query_id=10**9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["rank", "vec_id", "relevance", "marginal"]
+
+
+def test_embedding_ops_tolerate_null_vectors(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import similarity
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 1), (1, None, 1), (2, [0.0, 1.0, 0.0, 0.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    # covariance: NULL row dropped, not a worker crash
+    cov = similarity.embedding_covariance(df, dim=4).collect()
+    assert len(cov) == 10
+    # centroids: NULL row is NOT a zero vector — n counts contributors
+    cent = {r["dim"]: r for r in similarity.embedding_centroids(df, dim=4).collect()}
+    assert cent[1]["n"] == 2
+    assert cent[1]["centroid"] == 0.5    # (1.0 + 0.0) / 2, not /3
