@@ -1545,6 +1545,20 @@ def _q_corr_matrix(spark, sf):
     )
 
 
+def _q_supplier_affinity(spark, sf):
+    """Market-basket supplier affinity over customer baskets: distinct
+    (customer, supplier) pairs, whale baskets dropped at the cap, in-
+    row a<b wedge fan-out — never a corpus self-join."""
+    li = scan(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = scan(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "l_suppkey"
+    )
+    return relational.cooccurrence_affinity(
+        fact, "o_custkey", "l_suppkey", min_shared=3, max_basket=128
+    )
+
+
 def _q_heaps_fit(spark, sf):
     """Heaps'-law vocabulary-growth fit: first-appearance doc per
     type + exact doc-id percentile cutoffs (no global ntile), log-log
@@ -3526,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_growth": _q_user_growth,
         "conversion_latency": _q_conversion_latency,
         "heaps_fit": _q_heaps_fit,
+        "supplier_affinity": _q_supplier_affinity,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
         "resample_ohlc": _q_resample_ohlc,
@@ -4445,6 +4460,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_matrix": _corr_matrix_sql(),
         "textrank_keywords": _textrank_sql(min_count=5, k=20, iters=5),
+        "supplier_affinity": """
+            WITH fact AS (
+              SELECT DISTINCT o.o_custkey AS b, l.l_suppkey AS i
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            sz AS (SELECT b, count(*) AS n FROM fact GROUP BY 1),
+            kept AS (SELECT fact.b, fact.i FROM fact
+                     JOIN sz ON sz.b = fact.b AND sz.n <= 128)
+            SELECT a.i AS item_a, c.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_baskets
+            FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY n_baskets DESC, item_a, item_b
+        """,
         "heaps_fit": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
             fs0 AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1),

@@ -793,3 +793,53 @@ def sample_weighted_k(
         .orderBy("sel_key", id_col)
         .limit(k)
     )
+
+
+def cooccurrence_affinity(
+    fact: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_shared: int = 3,
+    max_basket: int = 128,
+) -> DataFrame:
+    """Market-basket item affinity: for every item pair, how many
+    baskets contain BOTH — the "customers of supplier A also buy from
+    B" signal behind cross-sell and substitution analysis (and, on a
+    corpus, domain co-citation).
+
+    Scale discipline: baskets collapse to DISTINCT (basket, item)
+    pairs first; baskets with more than ``max_basket`` items are
+    DROPPED ENTIRELY (a whale basket touching everything contributes
+    quadratic cost and near-zero affinity signal — the market-basket
+    analog of the LSH bucket cap, and the same rule the oracle
+    applies, so the gate still hashes).  The wedge expansion is an
+    in-row a<b pair fan-out over each basket's sorted item list —
+    bounded by ``max_basket``², never a corpus-sized self-join.
+
+    Returns (item_a, item_b, n_baskets) for pairs with ≥ ``min_shared``
+    shared baskets, ordered by (n_baskets desc, item_a, item_b).
+    """
+    pairs = fact.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    baskets = pairs.groupBy("b").agg(F.sort_array(F.collect_set("i")).alias("items"))
+    kept = baskets.filter(F.size("items") <= max_basket)
+    expanded = kept.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda a, i: F.transform(
+                        F.slice("items", i + 2, F.size("items") - i - 1),
+                        lambda c: F.struct(a.alias("item_a"), c.alias("item_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        expanded.groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_shared)
+        .orderBy(F.desc("n_baskets"), "item_a", "item_b")
+    )

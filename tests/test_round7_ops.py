@@ -2292,3 +2292,28 @@ def test_embedding_ops_tolerate_null_vectors(spark):
     cent = {r["dim"]: r for r in similarity.embedding_centroids(df, dim=4).collect()}
     assert cent[1]["n"] == 2
     assert cent[1]["centroid"] == 0.5    # (1.0 + 0.0) / 2, not /3
+
+
+def test_cooccurrence_affinity_counts_and_cap(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators import relational
+
+    rows = (
+        # baskets 1..4 contain {A,B}; basket 5 contains {A,C};
+        # basket 9 is a whale over the cap -> dropped entirely
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B"),
+         (4, "A"), (4, "B"), (5, "A"), (5, "C")]
+        + [(9, f"S{i:03d}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "b LONG, i STRING")
+    got = {(r["item_a"], r["item_b"]): r["n_baskets"]
+           for r in relational.cooccurrence_affinity(
+               df, "b", "i", min_shared=2, max_basket=5).collect()}
+    assert got == {("A", "B"): 4}   # A-C below min_shared; whale dropped
+    # duplicates inside a basket count once
+    dup = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")], "b LONG, i STRING"
+    )
+    got2 = {(r["item_a"], r["item_b"]): r["n_baskets"]
+            for r in relational.cooccurrence_affinity(
+                dup, "b", "i", min_shared=2, max_basket=5).collect()}
+    assert got2 == {("A", "B"): 2}
