@@ -9,11 +9,128 @@ regression in plan shape fails CI, not the cluster bill.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# ---------------------------------------------------------------------------
+# BroadcastNestedLoopJoin build-side boundedness prover
+# ---------------------------------------------------------------------------
+# Every BNLJ this engine intentionally emits broadcasts a side whose row
+# count is BOUNDED INDEPENDENT OF DATA SCALE: a global aggregate (≤1 row),
+# a literal-pinned id filter (the ≤k-row ANN query side), or driver-created
+# k-row data (salt Range, parallelized band table).  `is_row_bounded` walks
+# the physical tree and PROVES that shape, so a refactor can't silently turn
+# a "1-row scalar attach" into a real cross product — the whitelist in
+# tests/test_plan_hygiene.py is enforced structurally, not by comment.
+
+#: row-preserving / row-reducing wrappers: bounded iff all children bounded.
+#: Generate multiplies by the exploded-array length — bounded input stays
+#: bounded (the arrays it explodes here come from 1-row aggregates).
+_TRANSPARENT = (
+    "Filter", "Project", "Sort", "Exchange", "BroadcastExchange",
+    "AQEShuffleRead", "Generate", "Window", "Expand", "Union",
+    "InputAdapter", "ColumnarToRow", "Coalesce",
+)
+#: joins: output ≤ |left| × |right|, so bounded × bounded stays bounded
+_JOINS = (
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+)
+#: a Filter pinning an id-like column to ≤ this many rows counts as bounded
+#: (the ANN query-side contract: `vec_id < 8`, `vec_id = 0`, id IN (...))
+MAX_PINNED_IDS = 4096
+_ID_PIN = re.compile(
+    r"\b\w*id#\d+L?\)?\s*(?:<|<=)\s*(\d+)\b|\b\w*id#\d+L?\)?\s*=\s*\d+\b"
+)
+#: a driver-built Range (salt replication) is bounded up to this count
+MAX_RANGE_ROWS = 100_000
+
+
+def _plan_children(node):
+    """Children of a JVM SparkPlan node, descending through AQE wrappers."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.initialPlan()]
+    if name.startswith("InMemoryTableScan"):
+        try:
+            return [node.relation().cachedPlan()]
+        except Exception:  # noqa: BLE001 — shape varies across versions
+            pass
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def walk_plan(node):
+    yield node
+    for child in _plan_children(node):
+        yield from walk_plan(child)
+
+
+def is_row_bounded(node) -> bool:
+    """True iff this physical subtree provably yields O(k) rows regardless
+    of input data scale (the property a BNLJ broadcast side must have)."""
+    name = node.nodeName()
+    kids = _plan_children(node)
+    if "Aggregate" in name:
+        try:
+            if node.groupingExpressions().length() == 0:
+                return True  # global aggregate: ≤1 row, whatever the input
+        except Exception:  # noqa: BLE001
+            pass
+        # grouped aggregate: ≤ |child| distinct groups
+        return all(is_row_bounded(c) for c in kids)
+    if name.startswith(_JOINS):
+        return bool(kids) and all(is_row_bounded(c) for c in kids)
+    if name == "Filter":
+        cond = ""
+        try:
+            cond = node.condition().toString()
+        except Exception:  # noqa: BLE001
+            pass
+        m = _ID_PIN.search(cond)
+        if m and (m.group(1) is None or int(m.group(1)) <= MAX_PINNED_IDS):
+            return True  # literal-pinned id set: the k-row query side
+        return all(is_row_bounded(c) for c in kids)
+    if name.startswith(_TRANSPARENT):
+        return bool(kids) and all(is_row_bounded(c) for c in kids)
+    if name == "Range":
+        try:
+            n = node.numElements()
+            n = int(n.toString()) if hasattr(n, "toString") else int(n)
+            return n <= MAX_RANGE_ROWS
+        except Exception:  # noqa: BLE001
+            return False
+    if name.startswith("Scan ExistingRDD") or name.startswith("LocalTableScan"):
+        # driver-parallelized k-row data (band tables, codebooks) — created
+        # by collect-k-rows paths that are themselves bounded by design
+        return True
+    if name.startswith("ReusedExchange"):
+        return all(is_row_bounded(c) for c in kids) if kids else False
+    return False  # parquet scans and anything unrecognized: unbounded
+
+
+def bnlj_build_sides(df: DataFrame):
+    """Yield (bnlj_node, build_side_child) for every BroadcastNestedLoopJoin
+    in the physical plan (AQE initial plan)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in walk_plan(plan):
+        if "BroadcastNestedLoopJoin" in node.nodeName():
+            idx = 0 if node.buildSide().toString() == "BuildLeft" else 1
+            yield node, _plan_children(node)[idx]
+
+
+def subtree_sketch(node, depth: int = 0, max_lines: int = 40) -> str:
+    """Human-readable node sketch for assertion messages."""
+    lines = ["  " * depth + node.nodeName()]
+    for child in _plan_children(node):
+        lines.append(subtree_sketch(child, depth + 1, max_lines))
+    return "\n".join(lines)[: max_lines * 80]
 
 
 def assert_pushed_filters(df: DataFrame, *needles: str) -> None:

@@ -74,26 +74,43 @@ def interval_join_streams(
     ts_col: str = "ts",
     tolerance: str = "5 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-STREAM inner interval join: pair left/right events with
-    the same key whose timestamps lie within ``tolerance`` of each
-    other.  Both sides are watermarked and the join condition is
+    """Stream-STREAM interval join: pair left/right events with the
+    same key whose timestamps lie within ``tolerance`` of each other.
+    Both sides are watermarked and the join condition is
     time-range-bounded, so each side's buffered state is only the
     watermark+tolerance horizon — the requirement for an unbounded
     run (without the range bound Spark would have to buffer a whole
     stream forever; it rejects such joins in append mode).
 
-    Inner-join matches emit as soon as both rows have arrived; the
-    watermark governs state EVICTION, not emission.  A bounded replay
-    equals the batch join of the same inputs ONLY when the replay
-    arrives in a single micro-batch (or in event-time order across
-    micro-batches): with multiple unordered micro-batches, a row more
-    than ``watermark`` older than the observed max event time can be
-    evicted before its partner arrives, silently dropping that pair —
-    exactly the late-data loss the watermark contract defines.  Drive
-    bounded replays with availableNow + one-file-per-batch ordering
-    (as run_to_batch does), or widen ``watermark`` to cover the
-    input's worst-case disorder.
+    ``how="inner"``: matches emit as soon as both rows have arrived;
+    the watermark governs state EVICTION, not emission.
+
+    ``how="leftOuter"`` (round 8, VERDICT r7 item 5): matched pairs
+    emit eagerly like inner; an UNMATCHED left row emits null-extended
+    only when the watermark closes its join window — i.e. when the
+    global eviction watermark (min of both sides' max event time,
+    minus ``watermark``) passes ``l.ts + tolerance``, proving no
+    future right row can match.  Left rows whose window the final
+    watermark never closes remain in state and are NOT emitted — the
+    bounded-replay consequence of the same contract that keeps state
+    bounded on an unbounded stream.  Spark emits these null rows in
+    the watermark-advancing batch AFTER the data batch; availableNow
+    replays include that no-data batch, so a single-file bounded
+    replay is deterministic: matched ∪ {unmatched left with
+    l.ts + tolerance < min(max_l, max_r) − watermark} (boundary pinned
+    by tests/test_streaming_join_outer.py).
+
+    A bounded replay equals the batch join of the same inputs ONLY
+    when the replay arrives in a single micro-batch (or in event-time
+    order across micro-batches): with multiple unordered
+    micro-batches, a row more than ``watermark`` older than the
+    observed max event time can be evicted before its partner arrives,
+    silently dropping that pair — exactly the late-data loss the
+    watermark contract defines.  Drive bounded replays with
+    availableNow + one-file-per-batch ordering (as run_to_batch does),
+    or widen ``watermark`` to cover the input's worst-case disorder.
     """
     lw = left.withWatermark(ts_col, watermark).alias("l")
     rw = right.withWatermark(ts_col, watermark).alias("r")
@@ -104,7 +121,7 @@ def interval_join_streams(
             f"r.{ts_col} BETWEEN l.{ts_col} - INTERVAL {tolerance}"
             f" AND l.{ts_col} + INTERVAL {tolerance}"
         ),
-        "inner",
+        how,
     )
 
 

@@ -94,3 +94,35 @@ def test_sf0001_artifact_fresh_and_green():
 
 def test_sf001_artifact_fresh_and_green():
     _check("0.01")
+
+
+def test_bench_artifact_covers_headline_list():
+    """The committed bench artifact must cover the CURRENT headline
+    list — a headliner added (or renamed) without re-benching fails CI
+    the same way a query added without re-oracling does (round-8
+    analog of the correctness-artifact pin).  Regenerate with:
+
+        SPARK_GRAFT_BENCH_OUT=BENCH_local_r<N>.json python bench.py
+    """
+    import bench as bench_mod
+
+    paths = glob.glob(os.path.join(REPO, "BENCH_local_r*.json"))
+    assert paths, "no committed BENCH_local_r*.json artifact"
+    path = max(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    with open(path) as f:
+        report = json.load(f)
+    measured = set(report.get("queries", {}))
+    headline = set(bench_mod.HEADLINE)
+    missing = headline - measured
+    assert not missing, (
+        f"{os.path.basename(path)} missing headliners {sorted(missing)} — re-bench"
+    )
+    stale = measured - headline
+    assert not stale, (
+        f"{os.path.basename(path)} has stale headliners {sorted(stale)} — re-bench"
+    )
+    # every headliner must also be a real queries() entry
+    unknown = headline - set(entry_mod.queries())
+    assert not unknown, f"HEADLINE names not in queries(): {sorted(unknown)}"
+    # the artifact's own consistency: totals recompute from the map
+    assert abs(report["value"] - round(sum(report["queries"].values()), 3)) < 0.01

@@ -15,6 +15,11 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
+from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
+    bnlj_build_sides,
+    is_row_bounded,
+    subtree_sketch,
+)
 
 #: queries whose plans intentionally contain a broadcast nested-loop
 #: join (tiny broadcast side × theta predicate)
@@ -95,6 +100,39 @@ SKIP = {"dedup_clusters"}
 _QUERIES = sorted(entry_mod.queries())
 
 
+def test_boundedness_prover_rejects_unbounded_broadcast(spark, sf_dir):
+    """The structural prover must FAIL a genuinely unbounded broadcast side
+    — otherwise the whitelist assertion above is vacuous."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # broadcast an UNBOUNDED table side into a theta join: the rot case
+    bad = docs.alias("a").join(
+        F.broadcast(docs.alias("b")),
+        F.col("a.doc_id") < F.col("b.doc_id"),
+    )
+    sides = list(bnlj_build_sides(bad))
+    assert sides, "expected a BroadcastNestedLoopJoin in the probe plan"
+    for _, build in sides:
+        assert not is_row_bounded(build), (
+            "prover accepted an unbounded parquet-scan broadcast side:\n"
+            + subtree_sketch(build)
+        )
+
+
+def test_boundedness_prover_accepts_scalar_attach(spark, sf_dir):
+    """And it must PASS the intended 1-row scalar-attach shape."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scalar = docs.agg(F.count("*").alias("n"))
+    good = docs.crossJoin(F.broadcast(scalar))
+    sides = list(bnlj_build_sides(good))
+    assert sides, "expected a BroadcastNestedLoopJoin in the probe plan"
+    for _, build in sides:
+        assert is_row_bounded(build), subtree_sketch(build)
+
+
 @pytest.mark.parametrize("name", [q for q in _QUERIES if q not in SKIP])
 def test_plan_hygiene(spark, sf_dir, name):
     df = entry_mod.queries()[name](spark, sf_dir)
@@ -104,3 +142,14 @@ def test_plan_hygiene(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected nested-loop join"
+    else:
+        # the whitelist is enforced structurally, not by comment (round 8):
+        # every BNLJ build side must PROVE a scale-independent row bound —
+        # a global aggregate (≤1 row), a literal-pinned id filter (≤k query
+        # rows), or driver-created k-row data. A whitelisted query whose
+        # refactor broadcasts an unbounded side fails here, not on-cluster.
+        for bnlj, build in bnlj_build_sides(df):
+            assert is_row_bounded(build), (
+                f"{name}: BNLJ build side is not provably row-bounded:\n"
+                + subtree_sketch(build)
+            )

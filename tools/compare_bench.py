@@ -5,6 +5,13 @@ Usage: python tools/compare_bench.py BENCH_old.json BENCH_new.json [pct]
 Exit 1 if any common query regressed more than ``pct`` (default 25%)
 AND more than 0.15 s absolute — small absolute jitter is not a
 regression signal on a shared machine.
+
+When BOTH artifacts carry ``calibration_sec`` (the fixed synthetic
+spark.range workload bench.py times each run), the new times are
+additionally shown NORMALIZED for host-speed difference —
+``n * (cal_old / cal_new)`` — and the regression verdict uses the
+normalized delta, so a slower shared host doesn't read as a query
+regression (and a faster one doesn't mask it).
 """
 
 from __future__ import annotations
@@ -29,18 +36,30 @@ def main() -> None:
     common = sorted(set(qo) & set(qn))
     print(f"common queries: {len(common)}  (old-only: {sorted(set(qo)-set(qn))}, "
           f"new-only: {sorted(set(qn)-set(qo))})")
+    cal_o, cal_n = old.get("calibration_sec"), new.get("calibration_sec")
+    scale = 1.0
+    if cal_o and cal_n:
+        scale = cal_o / cal_n
+        print(f"calibration: old {cal_o:.3f}s, new {cal_n:.3f}s -> "
+              f"normalizing new times by x{scale:.3f} (host-speed correction)")
+    else:
+        print("calibration: missing on one side -> raw comparison only")
     tot_o = sum(qo[q] for q in common)
     tot_n = sum(qn[q] for q in common)
-    print(f"common total: {tot_o:.2f}s -> {tot_n:.2f}s ({tot_n/tot_o:.2f}x)")
+    print(f"common total: {tot_o:.2f}s -> {tot_n:.2f}s raw ({tot_n/tot_o:.2f}x), "
+          f"{tot_n*scale:.2f}s normalized ({tot_n*scale/tot_o:.2f}x)")
     regressions = []
     for q in common:
         o, n = qo[q], qn[q]
+        adj = n * scale
         delta = (n - o) / o * 100 if o else 0.0
+        delta_adj = (adj - o) / o * 100 if o else 0.0
         flag = ""
-        if n - o > 0.15 and delta > pct:
+        if adj - o > 0.15 and delta_adj > pct:
             regressions.append(q)
             flag = "  <-- REGRESSION"
-        print(f"  {q:28s} {o:7.3f}s -> {n:7.3f}s  {delta:+6.1f}%{flag}")
+        norm = f"  (norm {adj:7.3f}s {delta_adj:+6.1f}%)" if scale != 1.0 else ""
+        print(f"  {q:28s} {o:7.3f}s -> {n:7.3f}s  {delta:+6.1f}%{norm}{flag}")
     if regressions:
         print(f"REGRESSED (> {pct}% and > 0.15s): {regressions}")
         sys.exit(1)
