@@ -936,6 +936,40 @@ def _q_streaming_join(spark, sf):
     return res.distinct()
 
 
+def _q_streaming_join_outer(spark, sf):
+    """Stream-stream LEFT OUTER interval join with watermark-expiry
+    null emission (streaming/enrich_stream.py:interval_join_streams,
+    how='leftOuter'): matched click/view pairs emit eagerly; an
+    UNMATCHED click emits null-extended only once the eviction
+    watermark w = min(max_click_ts, max_view_ts) - 10min passes its
+    join-window end (STRICT: click.ts + 5min < w — the == boundary is
+    NOT emitted; pinned by tests/test_streaming_join_outer.py).
+    Clicks newer than that stay in state and are absent from the
+    bounded replay — the same contract that bounds state on an
+    unbounded stream.  Single-file availableNow replay makes the
+    emission set deterministic, so the oracle is exact SQL:
+    inner-join matches UNION the watermark-closed unmatched clicks."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming.enrich_stream import (
+        interval_join_streams,
+    )
+
+    ev = streaming_ops.stream_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = interval_join_streams(
+        clicks, views, on="user_id", tolerance="5 minutes",
+        watermark="10 minutes", how="leftOuter",
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("view_id"),
+        (F.col("r.ts").cast("long") - F.col("l.ts").cast("long")).alias("lag_s"),
+    )
+    res = streaming_ops.run_to_batch(out, spark, output_mode="append")
+    return res.distinct()
+
+
 def _q_dedup_incremental(spark, sf):
     """Incremental exact dedup: the 25% of docs with doc_id % 4 == 0
     are the 'new crawl' delta, deduped against the other 75% (the
@@ -1139,7 +1173,12 @@ def _q_partitioned_roundtrip(spark, sf):
     orders = scan(spark, sf, "orders")
     path = scratch_dir("part") + "/orders"
     sinks.write_parquet(orders, path, partition_by=["o_orderpriority"])
-    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    # explicit schema: a zero-row write leaves no partition dirs to
+    # infer from — the read must stay schema-stable (empty sweep); on
+    # real data the provided schema matches what inference produced
+    back = spark.read.schema(orders.schema).parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         back.groupBy("o_orderpriority")
         .agg(
@@ -1285,6 +1324,139 @@ def _q_streaming_sessionize(spark, sf):
             F.max("n_events").alias("n_events"),
         )
     )
+
+
+def _q_streaming_sessionize_flush(spark, sf):
+    """Stateful sessionization with EVENT-TIME TIMEOUT (VERDICT r7
+    item 6, streaming/sessionize_stream.py timeout=True): idle keys
+    flush when the watermark passes last_seen + gap, with no further
+    key activity — the availableNow no-data batch fires the armed
+    timeouts after the data batch.  closed=1 therefore means either
+    (a) a later same-user event ended the session intra-batch, or
+    (b) the final watermark w_ms = floor(max_ts_us/1000) - 30min
+    passed the session deadline floor((end_us + gap_us)/1000)
+    (STRICT <, Spark's timeout predicate) — both pure functions of
+    the bounded input, so the oracle reproduces the closed flags
+    exactly."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming.sessionize_stream import (
+        sessionize_stream,
+    )
+
+    stream = streaming_ops.stream_table(spark, sf, "events").select("user_id", "ts")
+    sess = sessionize_stream(stream, gap_minutes=30, timeout=True, watermark="30 minutes")
+    updates = streaming_ops.run_to_batch(sess, spark, output_mode="update")
+    return (
+        updates.groupBy("user_id", "session_start_us")
+        .agg(
+            F.max("session_end_us").alias("session_end_us"),
+            F.max("n_events").alias("n_events"),
+            F.max(F.col("closed").cast("long")).alias("closed"),
+        )
+    )
+
+
+def _q_lateral_topk(spark, sf):
+    """Correlated LATERAL top-k (operators/relational.py:lateral_topk):
+    each customer's 3 highest-value orders via Spark 4's lateralJoin —
+    Catalyst decorrelates the per-row LIMIT into one rank-over-
+    partition pass (no per-customer re-execution)."""
+    cust = scan(spark, sf, "customer").select("c_custkey")
+    orders = scan(spark, sf, "orders")
+    out = relational.lateral_topk(
+        cust,
+        orders,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        order=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        select=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+def _q_events_pattern(spark, sf):
+    """MATCH_RECOGNIZE-style strict-adjacency sequence detection
+    (operators/events.py:pattern_match): positions where a user's
+    stream runs exactly view -> click -> purchase with no intervening
+    event — one window pass, no self-joins."""
+    ev = scan(spark, sf, "events")
+    return events_ops.pattern_match(ev, pattern=("view", "click", "purchase"))
+
+
+def _q_rolling_median(spark, sf):
+    """Exact rolling median over the trailing 5-row frame per user
+    (operators/events.py:rolling_median): bounded collect_list frame
+    + in-row order statistic, quantile_cont(0.5) interpolation."""
+    ev = scan(spark, sf, "events")
+    return events_ops.rolling_median(ev, n=5)
+
+
+def _edges_supplier_part(spark, sf):
+    """Supplier—part bipartite edges from lineitem (distinct pairs).
+    Part nodes are offset into their own id namespace so the
+    symmetrized graph never conflates supplier i with part i."""
+    li = scan(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(20_000_000)).alias("dst"),
+    ).distinct()
+
+
+def _q_graph_degree_hist(spark, sf):
+    """Degree distribution of the supplier—part supply graph
+    (operators/graph.py:degree_histogram): two integer-pair shuffles,
+    the first diagnostic for hub-aware strategies."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    return degree_histogram(_edges_supplier_part(spark, sf))
+
+
+def _q_graph_assortativity(spark, sf):
+    """Newman degree assortativity of the supplier—part graph
+    (operators/graph.py:assortativity): exact-BIGINT Pearson terms
+    over symmetrized edge ends, one float op at the end."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        assortativity,
+    )
+
+    return assortativity(_edges_supplier_part(spark, sf))
+
+
+def _q_streaming_cdc_apply(spark, sf):
+    """Streaming CDC mirror: the change log STREAMS in and the final
+    table state is maintained incrementally — the same packed-struct
+    max per key as batch cdc_apply (operators/relational.py:628), run
+    as a complete-mode streaming aggregation.  max() is
+    order-insensitive, so the result is batching-independent (no
+    watermark games needed) and must equal the batch replay exactly.
+    State at scale: one packed struct per LIVE key — the CDC mirror's
+    working set, not the log."""
+    ev = streaming_ops.stream_table(spark, sf, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    out = relational.cdc_apply(ev)
+    res = streaming_ops.run_to_batch(out, spark, output_mode="complete")
+    return res.select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        "last_value",
+    )
+
+
+def _q_streaming_topk(spark, sf):
+    """Streaming top-k: complete-mode word counts with sort+limit
+    INSIDE the streaming query (legal only in complete mode — the
+    engine re-ranks the full state each batch).  Deterministic
+    tiebreak (count desc, word asc) makes the bounded replay equal
+    the batch top-50 exactly."""
+    stream = streaming_ops.stream_table(spark, sf, "documents")
+    counts = streaming_ops.streaming_wordcount(stream, text_col="text")
+    top = counts.select(
+        "word", F.col("count").cast("long").alias("cnt")
+    ).orderBy(F.desc("cnt"), F.asc("word")).limit(50)
+    return streaming_ops.run_to_batch(top, spark, output_mode="complete")
 
 
 def _q_streaming_incremental_dedup(spark, sf):
@@ -3361,6 +3533,84 @@ def _q_approx_distinct(spark, sf):
     )
 
 
+def _q_chisq_independence(spark, sf):
+    """Pearson chi-square independence test, nation × market segment
+    (operators/events.py:chisq_independence): exact-BIGINT contingency
+    margins, expanded-form per-cell terms, one row out."""
+    cust = scan(spark, sf, "customer")
+    return events_ops.chisq_independence(cust, "c_nationkey", "c_mktsegment")
+
+
+def _q_benford_digits(spark, sf):
+    """Benford's-law first-digit audit of order totals
+    (operators/events.py:benford_digits): textual leading digit of the
+    integer part, ≤9-row result — the fabricated-numbers screen."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.benford_digits(orders, "o_totalprice")
+
+
+def _q_autocorr(spark, sf):
+    """Sample ACF at row-lags 1..7 of the daily order-count series
+    (operators/events.py:autocorr): domain-sized series, one window
+    pass materializes all lags, exact-integer Pearson terms per lag."""
+    orders = scan(spark, sf, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return events_ops.autocorr(daily, "o_orderdate", "n", max_lag=7)
+
+
+def _q_hampel_outliers(spark, sf):
+    """Hampel filter over per-user event values
+    (operators/events.py:hampel_outliers): rolling median ± 3 rolling
+    MADs on the trailing 7-row frame, integer-exact flag test."""
+    ev = scan(spark, sf, "events")
+    return events_ops.hampel_outliers(ev, n=7, k=3)
+
+
+def _q_window_distinct(spark, sf):
+    """Sliding distinct count (operators/relational.py:window_distinct):
+    distinct event types in each user's trailing 10 events — the
+    bounded-frame composition for the unsupported
+    COUNT(DISTINCT) OVER."""
+    ev = scan(spark, sf, "events")
+    out = relational.window_distinct(
+        ev, "event_type", "user_id", ["ts", "event_id"], n=10
+    )
+    return out.select("user_id", "event_id", "n_distinct")
+
+
+def _q_streaming_join_full(spark, sf):
+    """Stream-stream FULL OUTER interval join
+    (streaming/enrich_stream.py:interval_join_streams, how='fullOuter'):
+    matches emit eagerly; UNMATCHED rows on EITHER side emit
+    null-extended once the eviction watermark w = min(max_click_ts,
+    max_view_ts) - 10min strictly passes their join-window end
+    (side.ts + 5min < w — same strict boundary the leftOuter variant
+    pins in tests/test_streaming_join_outer.py, here pinned for both
+    sides).  Rows newer than that stay in state and are absent from
+    the bounded replay.  Oracle: inner matches UNION watermark-closed
+    unmatched clicks UNION watermark-closed unmatched views."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming.enrich_stream import (
+        interval_join_streams,
+    )
+
+    ev = streaming_ops.stream_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = interval_join_streams(
+        clicks, views, on="user_id", tolerance="5 minutes",
+        watermark="10 minutes", how="fullOuter",
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        (F.col("r.ts").cast("long") - F.col("l.ts").cast("long")).alias("lag_s"),
+    )
+    res = streaming_ops.run_to_batch(out, spark, output_mode="append")
+    return res.distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -3499,7 +3749,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_sessionize_flush": _q_streaming_sessionize_flush,
+        "streaming_cdc_apply": _q_streaming_cdc_apply,
+        "streaming_topk": _q_streaming_topk,
+        "lateral_topk": _q_lateral_topk,
+        "events_pattern": _q_events_pattern,
+        "rolling_median": _q_rolling_median,
+        "graph_degree_hist": _q_graph_degree_hist,
+        "graph_assortativity": _q_graph_assortativity,
+        "chisq_independence": _q_chisq_independence,
+        "benford_digits": _q_benford_digits,
+        "autocorr": _q_autocorr,
+        "hampel_outliers": _q_hampel_outliers,
+        "window_distinct": _q_window_distinct,
         "streaming_join": _q_streaming_join,
+        "streaming_join_outer": _q_streaming_join_outer,
+        "streaming_join_full": _q_streaming_join_full,
         "events_funnel": _q_events_funnel,
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
@@ -5067,6 +5332,230 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
         """,
+        "streaming_sessionize_flush": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            mx AS (SELECT max(t) AS mt FROM e),
+            d AS (SELECT user_id, t,
+                         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                   > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, t,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d),
+            g AS (SELECT user_id, sid, min(t) AS session_start_us,
+                         max(t) AS session_end_us,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM s GROUP BY user_id, sid),
+            last_s AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+            -- closed: ended by a later same-user event (not the last
+            -- session), OR the final watermark (ms floor, strict <)
+            -- passed the idle-flush deadline last_seen + 30 min
+            SELECT g.user_id, session_start_us, session_end_us, n_events,
+                   CAST(CASE WHEN g.sid < l.last_sid THEN 1
+                             WHEN (session_end_us + 1800000000) // 1000
+                                  < (SELECT mt FROM mx) // 1000 - 1800000 THEN 1
+                             ELSE 0 END AS BIGINT) AS closed
+            FROM g JOIN last_s l
+              ON g.user_id = l.user_id
+        """,
+        "streaming_cdc_apply": """
+            WITH lg AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            r AS (SELECT user_id, ts, op, cents,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM lg)
+            SELECT user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+                   round(cents / 100.0, 6) AS last_value
+            FROM r WHERE rn = 1 AND op <> 'delete'
+            ORDER BY user_id
+        """,
+        "streaming_topk": """
+            SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(text, '[^\\p{L}]+'),
+                      t -> t <> '')) AS t
+                  FROM documents)
+            GROUP BY t
+            ORDER BY cnt DESC, word ASC
+            LIMIT 50
+        """,
+        "lateral_topk": """
+            SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM customer c, LATERAL (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        """,
+        "events_pattern": """
+            SELECT user_id, step0_id, step1_id, step2_id
+            FROM (SELECT user_id, event_id AS step0_id, event_type AS t0,
+                         lead(event_id, 1) OVER w AS step1_id,
+                         lead(event_type, 1) OVER w AS t1,
+                         lead(event_id, 2) OVER w AS step2_id,
+                         lead(event_type, 2) OVER w AS t2
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        """,
+        "rolling_median": """
+            SELECT user_id, event_id,
+                   round(median(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                     AS roll_median
+            FROM events
+        """,
+        "graph_degree_hist": """
+            WITH edges AS (SELECT DISTINCT l_suppkey AS src,
+                                  l_partkey + 20000000 AS dst
+                           FROM lineitem),
+            sym AS (SELECT src AS s, dst AS d FROM edges
+                    UNION ALL SELECT dst, src FROM edges),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS degree
+                    FROM (SELECT DISTINCT s, d FROM sym WHERE s <> d)
+                    GROUP BY s)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
+        "graph_assortativity": """
+            WITH edges AS (SELECT DISTINCT l_suppkey AS src,
+                                  l_partkey + 20000000 AS dst
+                           FROM lineitem),
+            sym AS (SELECT DISTINCT s, d FROM (
+                        SELECT src AS s, dst AS d FROM edges
+                        UNION ALL SELECT dst, src FROM edges)
+                    WHERE s <> d),
+            deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS deg
+                    FROM sym GROUP BY s),
+            p AS (SELECT dx.deg AS x, dy.deg AS y
+                  FROM sym JOIN deg dx ON sym.s = dx.n
+                           JOIN deg dy ON sym.d = dy.n),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy
+                  FROM p)
+            SELECT n AS n_edge_ends,
+                   -- degree-regular graph: zero variance -> NULL
+                   round(CASE WHEN sxx*n = sx*sx OR syy*n = sy*sy THEN NULL
+                              ELSE (sxy*n - sx*sy)
+                                   / sqrt(CAST(sxx*n - sx*sx AS DOUBLE)
+                                          * CAST(syy*n - sy*sy AS DOUBLE))
+                         END, 6) AS assortativity
+            FROM t
+        """,
+        "chisq_independence": """
+            WITH obs AS (SELECT c_nationkey AS a, c_mktsegment AS b,
+                                CAST(count(*) AS BIGINT) AS o
+                         FROM customer GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY a),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY b),
+            t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+            cell AS (SELECT a, b, o, r, c, n
+                     FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t),
+            agg AS (SELECT max(n) AS n,
+                           sum(pow(CAST(o AS DOUBLE) * n
+                                   - CAST(r AS DOUBLE) * c, 2)
+                               / (CAST(r AS DOUBLE) * c * n)) AS chi2,
+                           count(DISTINCT a) AS r_levels,
+                           count(DISTINCT b) AS c_levels
+                    FROM cell)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(r_levels AS BIGINT) AS r_levels,
+                   CAST(c_levels AS BIGINT) AS c_levels,
+                   CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+                   round(chi2, 6) AS chi2
+            FROM agg
+        """,
+        "benford_digits": """
+            WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                              AS digit
+                       FROM orders WHERE o_totalprice >= 1),
+            c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_values
+                  FROM d GROUP BY digit),
+            t AS (SELECT CAST(sum(n_values) AS BIGINT) AS n_tot FROM c)
+            SELECT digit, n_values,
+                   round(n_values / CAST(n_tot AS DOUBLE), 6) AS pct,
+                   round(log10(1.0 + 1.0 / digit), 6) AS benford_pct,
+                   round(n_values / CAST(n_tot AS DOUBLE)
+                         - log10(1.0 + 1.0 / digit), 6) AS deviation
+            FROM c CROSS JOIN t
+        """,
+        "autocorr": """
+            WITH daily AS (SELECT o_orderdate AS d,
+                                  CAST(count(*) AS BIGINT) AS n
+                           FROM orders GROUP BY 1),
+            l AS (SELECT n AS y,
+                         lag(n, 1) OVER w AS y_1, lag(n, 2) OVER w AS y_2,
+                         lag(n, 3) OVER w AS y_3, lag(n, 4) OVER w AS y_4,
+                         lag(n, 5) OVER w AS y_5, lag(n, 6) OVER w AS y_6,
+                         lag(n, 7) OVER w AS y_7
+                  FROM daily WINDOW w AS (ORDER BY d)),
+            p AS (SELECT 1 AS lag, y_1 AS x, y FROM l WHERE y_1 IS NOT NULL
+                  UNION ALL SELECT 2, y_2, y FROM l WHERE y_2 IS NOT NULL
+                  UNION ALL SELECT 3, y_3, y FROM l WHERE y_3 IS NOT NULL
+                  UNION ALL SELECT 4, y_4, y FROM l WHERE y_4 IS NOT NULL
+                  UNION ALL SELECT 5, y_5, y FROM l WHERE y_5 IS NOT NULL
+                  UNION ALL SELECT 6, y_6, y FROM l WHERE y_6 IS NOT NULL
+                  UNION ALL SELECT 7, y_7, y FROM l WHERE y_7 IS NOT NULL),
+            s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM p GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+                   round(CASE WHEN sxx * n_pairs = sx * sx
+                                OR syy * n_pairs = sy * sy THEN NULL
+                              ELSE (sxy * n_pairs - sx * sy)
+                                   / sqrt(CAST(sxx * n_pairs - sx * sx AS DOUBLE)
+                                          * CAST(syy * n_pairs - sy * sy AS DOUBLE))
+                         END, 6) AS acf
+            FROM s
+        """,
+        "hampel_outliers": """
+            WITH base AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     list(CAST(round(value * 100) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS lst
+              FROM events),
+            m AS (SELECT user_id, event_id, c, lst,
+                         list_sort(lst) AS ls, len(lst) AS sz
+                  FROM base),
+            m2 AS (SELECT *, CASE WHEN sz % 2 = 1 THEN 2 * ls[(sz + 1) // 2]
+                                  ELSE ls[sz // 2] + ls[sz // 2 + 1]
+                             END AS med2
+                   FROM m),
+            d AS (SELECT *, list_sort(list_transform(
+                                lst, v -> abs(2 * v - med2))) AS ds
+                  FROM m2),
+            d2 AS (SELECT *, CASE WHEN sz % 2 = 1 THEN 2 * ds[(sz + 1) // 2]
+                                  ELSE ds[sz // 2] + ds[sz // 2 + 1]
+                             END AS mad4
+                   FROM d)
+            SELECT user_id, event_id,
+                   round(med2 / 200.0, 6) AS roll_median,
+                   round(mad4 / 400.0, 6) AS roll_mad,
+                   CAST(2 * abs(2 * c - med2) > 3 * mad4 AS BIGINT)
+                     AS is_outlier
+            FROM d2
+        """,
+        "window_distinct": """
+            SELECT user_id, event_id,
+                   CAST(len(list_distinct(list(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)))
+                     AS BIGINT) AS n_distinct
+            FROM events
+        """,
         "partitioned_roundtrip": """
             SELECT o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price
@@ -5606,6 +6095,76 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_type = 'click' AND b.event_type = 'view'
              AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
                           AND a.ts + INTERVAL 5 MINUTE
+        """,
+        "streaming_join_outer": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            views AS (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'view'),
+            -- global eviction watermark after the single data batch:
+            -- min of the two sides' (max event time - 10 min)
+            wm AS (SELECT least((SELECT max(ts) FROM clicks),
+                                (SELECT max(ts) FROM views))
+                          - INTERVAL 10 MINUTE AS w)
+            SELECT c.event_id AS click_id, c.user_id AS user_id,
+                   v.event_id AS view_id,
+                   CAST(floor(epoch(v.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_s
+            FROM clicks c JOIN views v
+              ON c.user_id = v.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+                          AND c.ts + INTERVAL 5 MINUTE
+            UNION ALL
+            -- unmatched clicks whose join window the watermark closed
+            -- (STRICT <; == boundary held in state, not emitted —
+            -- pinned by tests/test_streaming_join_outer.py)
+            SELECT c.event_id, c.user_id,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM clicks c, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM views v
+                    WHERE v.user_id = c.user_id
+                      AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+                                   AND c.ts + INTERVAL 5 MINUTE)
+              AND c.ts + INTERVAL 5 MINUTE < wm.w
+        """,
+        "streaming_join_full": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            views AS (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'view'),
+            wm AS (SELECT least((SELECT max(ts) FROM clicks),
+                                (SELECT max(ts) FROM views))
+                          - INTERVAL 10 MINUTE AS w)
+            SELECT c.event_id AS click_id, v.event_id AS view_id,
+                   CAST(floor(epoch(v.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_s
+            FROM clicks c JOIN views v
+              ON c.user_id = v.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+                          AND c.ts + INTERVAL 5 MINUTE
+            UNION ALL
+            -- unmatched clicks whose join window the watermark closed
+            SELECT c.event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM clicks c, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM views v
+                    WHERE v.user_id = c.user_id
+                      AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+                                   AND c.ts + INTERVAL 5 MINUTE)
+              AND c.ts + INTERVAL 5 MINUTE < wm.w
+            UNION ALL
+            -- and symmetrically the watermark-closed unmatched views
+            -- (STRICT < on both sides — pinned by
+            -- tests/test_streaming_join_outer.py full-outer tests)
+            SELECT CAST(NULL AS BIGINT), v.event_id, CAST(NULL AS BIGINT)
+            FROM views v, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM clicks c
+                    WHERE c.user_id = v.user_id
+                      AND c.ts BETWEEN v.ts - INTERVAL 5 MINUTE
+                                   AND v.ts + INTERVAL 5 MINUTE)
+              AND v.ts + INTERVAL 5 MINUTE < wm.w
         """,
         "pipeline_clean": f"""
             WITH base AS (

@@ -97,6 +97,16 @@ HEADLINE = [
     "embedding_covariance",
     "unigram_kl",
     "corr_matrix",
+    # round-8 additions: correlated LATERAL top-k (decorrelated LIMIT),
+    # exact rolling median (bounded collect_list frame), and the
+    # integer-exact assortativity coefficient
+    "lateral_topk",
+    "rolling_median",
+    "graph_assortativity",
+    # round-8 second batch: integer-exact Hampel filter and the
+    # bounded-frame sliding distinct count
+    "hampel_outliers",
+    "window_distinct",
 ]
 
 

@@ -1928,9 +1928,12 @@ def heaps_fit(
     sx, sy = fold(x), fold(y)
     sxx = fold(F.transform(x, lambda v: v * v))
     sxy = fold(F.zip_with(x, y, lambda a, b: a * b))
-    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    # try_divide: an empty corpus (0 points) or a single tile has zero
+    # x-variance — the fit is undefined (NULL), not an ANSI error; on
+    # every real corpus (k ≥ 2 distinct tiles) the value is unchanged
+    beta = F.try_divide(k * sxy - sx * sy, k * sxx - sx * sx)
     return arr.select(
         F.size("p").cast("long").alias("n_points"),
         F.round(beta, 6).alias("beta"),
-        F.round((sy - beta * sx) / k, 6).alias("log_k"),
+        F.round(F.try_divide(sy - beta * sx, k), 6).alias("log_k"),
     )

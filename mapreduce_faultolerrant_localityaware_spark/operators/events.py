@@ -704,3 +704,311 @@ def conversion_latency(
         (F.percentile("lat_s", F.lit(0.9)) * 1.0).alias("p90_s"),
         F.max("lat_s").cast("long").alias("max_s"),
     )
+
+
+def pattern_match(
+    events: DataFrame,
+    pattern: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style STRICT-adjacency sequence detection: emit
+    one row per position where a user's event stream, in event-time
+    order, runs exactly ``pattern[0], pattern[1], ..., pattern[k-1]``
+    with NO other event of that user in between (the strict contiguity
+    the SQL standard spells ``PATTERN (A B C)`` without reluctant
+    gaps).
+
+    Shape: one window partition per user (single shuffle on the user
+    key), ``lead`` offsets materialize the next k-1 types/ids in-row,
+    and the match test is a row-local conjunction — no self-joins, so
+    the cost is O(events) regardless of how selective the pattern is.
+    At 100 TB the window partition is per-user event history, the same
+    bound sessionization already carries.
+
+    The reference has no sequence surface; this generalizes its
+    ordered-reduce idea (SURVEY §2.1 O12 sort) to ordered pattern
+    detection.  Returns ``(user_id, step0_id, step1_id, ...)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    leads = events.select(
+        user_col,
+        F.col(id_col).alias("step0_id"),
+        F.col(type_col).alias("_t0"),
+        *[F.lead(id_col, i).over(w).alias(f"step{i}_id") for i in range(1, len(pattern))],
+        *[F.lead(type_col, i).over(w).alias(f"_t{i}") for i in range(1, len(pattern))],
+    )
+    cond = F.lit(True)
+    for i, p in enumerate(pattern):
+        cond = cond & (F.col(f"_t{i}") == p)
+    return leads.filter(cond).select(
+        user_col, *[f"step{i}_id" for i in range(len(pattern))]
+    )
+
+
+def rolling_median(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    id_col: str = "event_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact rolling median over the trailing ``n``-row frame per user
+    (``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``).
+
+    Spark has no exact quantile window aggregate, so the frame's
+    values ride a ``collect_list`` window (bounded: ≤ n doubles per
+    row — constant-size state, unlike an unbounded frame), are sorted
+    in-row, and the median is the standard order-statistic (mean of
+    the two middles on even frames — matching SQL ``median()`` /
+    ``quantile_cont(0.5)`` interpolation exactly, so the DuckDB oracle
+    hash-matches at 6 dp).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    vals = F.sort_array(F.collect_list(value_col).over(w))
+    sz = F.size(vals)
+    mid_hi = (sz / 2 + 1).cast("int")  # upper middle (1-based)
+    median = F.when(
+        sz % 2 == 1, F.element_at(vals, ((sz + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(vals, (sz / 2).cast("int")) + F.element_at(vals, mid_hi)) / 2
+    )
+    return events.select(
+        user_col, id_col, F.round(median, 6).alias("roll_median")
+    )
+
+
+def chisq_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the contingency-table sibling of :func:`ks_test` (KS
+    asks "did this numeric distribution drift?"; chi-square asks "are
+    these two labels associated?", e.g. does market segment depend on
+    nation, does language depend on source domain).
+
+    Exact-integer discipline: the observed table, row totals, column
+    totals, and N are exact BIGINT counts; each cell's contribution
+    uses the algebraically expanded form
+
+        (O·N − r·c)² / (r·c·N)
+
+    so the only float ops are the final per-cell division and the sum
+    of R×C doubles-of-exact-ints (each term exact below 2⁵³; the sum's
+    ordering slack is ~1 ulp over a ≤10³-cell table — ~10 orders of
+    magnitude inside the 6-dp rounding).  Scale shape: one
+    partial-agged shuffle to the
+    contingency table (domain-sized, R×C rows — never row-count-sized),
+    then broadcast margins onto it; the result is one row
+    ``(n, r_levels, c_levels, dof, chi2)``.
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = obs.groupBy("a").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cell = (
+        obs.join(F.broadcast(rows), "a")
+        .join(F.broadcast(cols), "b")
+        .join(F.broadcast(tot))
+    )
+    # (O·N − r·c)²/(r·c·N): numerator products stay exact in double
+    # below 2^53 (N ≤ ~9e6 at sf1 keeps O·N ≤ ~8e13 — far inside);
+    # summing per-cell doubles in a fixed order keeps both engines on
+    # the same IEEE sequence
+    num = F.col("o").cast("double") * F.col("n") - F.col("r").cast("double") * F.col("c")
+    contrib = (num * num) / (
+        F.col("r").cast("double") * F.col("c") * F.col("n")
+    )
+    per_cell = cell.select(
+        "a", "b", "n", contrib.alias("x")
+    )
+    agg = per_cell.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("chi2"),
+        F.count_distinct(F.col("a")).alias("r_levels"),
+        F.count_distinct(F.col("b")).alias("c_levels"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit: the distribution of leading
+    digits of a positive numeric column against the Benford
+    expectation ``log10(1 + 1/d)`` — the classic anomaly screen for
+    fabricated or machine-generated numeric fields (a synthetic
+    uniform price column fails it loudly; organic multi-scale
+    quantities pass).
+
+    The leading digit is taken TEXTUALLY from the integer part
+    (``substring(cast(floor(x) as bigint), 1, 1)``), not via
+    ``log10`` float gymnastics, so engines can't disagree at powers of
+    ten; values < 1 are excluded (their integer part has no leading
+    digit).  One partial-agged shuffle to a ≤9-row table.  Returns
+    ``(digit, n_values, pct, benford_pct, deviation)``.
+    """
+    lead = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .select(lead.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )
+    tot = counts.agg(F.sum("n_values").alias("n_tot"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    pct = F.col("n_values") / F.col("n_tot")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            F.round(pct, 6).alias("pct"),
+            F.round(benford, 6).alias("benford_pct"),
+            F.round(pct - benford, 6).alias("deviation"),
+        )
+    )
+
+
+def autocorr(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of an ordered series at row-lags
+    ``1..max_lag``: for each k, the Pearson correlation of
+    ``(y_t, y_{t-k})`` over the matched pairs — the standard ACF
+    diagnostic for periodicity (a weekly-seasonal daily series spikes
+    at lag 7) and momentum in ops/volume series.
+
+    ``series`` must be PRE-AGGREGATED to one row per period (the
+    caller's groupBy — e.g. day → count), so it is domain-sized: the
+    single ordered window partition below is bounded by calendar
+    length, never corpus size, exactly like :func:`ks_test`'s
+    value-domain table.  All k lag columns materialize in ONE window
+    pass, unpivot via ``stack`` (row-local), and each lag's Pearson
+    terms are exact integer sums (Σx Σy Σxy Σx² Σy² n) with the
+    closed form evaluated once per lag in double — bit-stable, same
+    discipline as assortativity/corr_matrix.  Returns
+    ``(lag, n_pairs, acf)``.
+    """
+    w = Window.orderBy(order_col)
+    base = series.select(
+        F.col(value_col).cast("long").alias("y"),
+        *[
+            F.lag(F.col(value_col).cast("long"), k).over(w).alias(f"y_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (lag, x)".format(
+        n=max_lag,
+        args=", ".join(f"{k}, y_{k}" for k in range(1, max_lag + 1)),
+    )
+    pairs = base.selectExpr("y", stack_expr).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n_pairs"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") * n - sx * sy
+    varx = F.col("sxx") * n - sx * sx
+    vary = F.col("syy") * n - sy * sy
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(
+            F.try_divide(cov, F.sqrt(varx.cast("double") * vary.cast("double"))), 6
+        ).alias("acf"),
+    )
+
+
+def hampel_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    id_col: str = "event_id",
+    n: int = 7,
+    k: int = 3,
+) -> DataFrame:
+    """Hampel filter: flag points more than ``k`` rolling MADs from
+    the rolling median over the trailing ``n``-row frame per user —
+    the robust outlier detector that, unlike a z-score
+    (:func:`zscore_outliers`' family), is immune to the outliers
+    poisoning their own baseline (one spike inflates a stddev but
+    barely moves a median).
+
+    EXACT INTEGER comparison throughout: values quantize to cents,
+    the frame median and the MAD are carried as ``2×median`` and
+    ``4×MAD`` integers (the even-frame midpoint average halves twice),
+    so the flag test
+
+        |x − med| > k·MAD   ⇔   2·|2c − med2| > k·mad4
+
+    is integer-only — no float boundary for engines to disagree on.
+    The frame rides a bounded ``collect_list`` (≤ n longs per row,
+    same constant-state shape as :func:`rolling_median`).  Returns
+    ``(user_id, event_id, roll_median, roll_mad, is_outlier)``.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    c = F.round(F.col(value_col) * 100).cast("long")
+
+    def med2_of(arr):
+        sz = F.size(arr)
+        return F.when(
+            sz % 2 == 1, 2 * F.element_at(arr, ((sz + 1) / 2).cast("int"))
+        ).otherwise(
+            F.element_at(arr, (sz / 2).cast("int"))
+            + F.element_at(arr, (sz / 2 + 1).cast("int"))
+        )
+
+    vals = F.sort_array(F.collect_list(c).over(w))
+    with_med = events.select(
+        user_col, id_col, c.alias("c"), vals.alias("vals")
+    ).select(
+        user_col, id_col, "c", "vals", med2_of(F.col("vals")).alias("med2")
+    )
+    devs = F.sort_array(
+        F.transform(F.col("vals"), lambda v: F.abs(2 * v - F.col("med2")))
+    )
+    scored = with_med.select(
+        user_col, id_col, "c", "med2", med2_of(devs).alias("mad4")
+    )
+    return scored.select(
+        user_col,
+        id_col,
+        F.round(F.col("med2") / 200.0, 6).alias("roll_median"),
+        F.round(F.col("mad4") / 400.0, 6).alias("roll_mad"),
+        (2 * F.abs(2 * F.col("c") - F.col("med2")) > k * F.col("mad4"))
+        .cast("long")
+        .alias("is_outlier"),
+    )

@@ -816,3 +816,91 @@ def common_neighbors(
         "adamic_adar",
         F.coalesce("already_linked", F.lit(0)).alias("already_linked"),
     )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Degree distribution of a graph: ``(degree, n_nodes)`` — the
+    first diagnostic run on any web/citation/dup graph (power-law tail
+    => hub-aware strategies like the LSH bucket caps; a spike at k =>
+    a template/mirror family).
+
+    ``directed=False`` counts distinct neighbors per node over the
+    symmetrized edge list; self-loops are dropped.  Two partial-agged
+    shuffles (node -> degree, degree -> count), each carrying a pair
+    of integers — nothing here grows with edge payload width, so the
+    100 TB shape is the classic two-round MapReduce degree count.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        sym = sym.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+    deg = (
+        sym.filter(F.col("s") != F.col("d"))
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (deg(u), deg(v)) over the symmetrized edge-end
+    pairs.  r > 0: hubs link to hubs (social nets); r < 0: hubs link
+    to leaves (the shape of template-spam dup clusters and of the
+    web).
+
+    Exact-integer discipline: degrees are integers and every Pearson
+    term (Σx, Σy, Σxy, Σx², Σy², n) is an exact BIGINT sum over the
+    edge list, so the only float op is the final closed form —
+    bit-stable across partitionings, like corr_matrix.  Both degree
+    attachments are broadcast-or-shuffle equi-joins on the node id;
+    the result is one row.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = (
+        sym.join(deg.select(F.col("u"), F.col("deg").alias("dx")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dy")), "v"
+        )
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") * n - sx * sy
+    varx = F.col("sxx") * n - sx * sx
+    vary = F.col("syy") * n - sy * sy
+    # try_divide: a degree-regular graph has zero degree variance —
+    # the coefficient is undefined (NULL), not an ANSI error
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(
+            F.try_divide(cov, F.sqrt(varx.cast("double") * vary.cast("double"))), 6
+        ).alias("assortativity"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: agg name → builder. group_agg(keys, {"out": ("sum", "col")})
@@ -842,4 +842,70 @@ def cooccurrence_affinity(
         .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_shared)
         .orderBy(F.desc("n_baskets"), "item_a", "item_b")
+    )
+
+
+def lateral_topk(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    order: Sequence[Column],
+    k: int,
+    select: Sequence[str] | None = None,
+) -> DataFrame:
+    """Correlated LATERAL top-k: for each left row, the k best right
+    rows for that key (``, LATERAL (SELECT ... WHERE r.key = l.key
+    ORDER BY ... LIMIT k)`` — inner semantics: left rows with no match
+    drop out).
+
+    Spark 4's DataFrame lateral join (``lateralJoin`` + ``.outer()``
+    correlated column refs) hands the correlated LIMIT to Catalyst's
+    decorrelation rewrite, which turns it into the same
+    rank-over-partition plan a hand-written window top-k produces — a
+    single shuffle on the join key, no per-left-row re-execution.  The
+    declared-surface point is the API: users of per-key-top-k express
+    it as the SQL standard's LATERAL, and the optimizer, not the
+    author, picks the physical strategy (SURVEY §4: declare, don't
+    hand-schedule).
+    """
+    sub = right.where(F.col(right_key) == F.col(left_key).outer()).orderBy(
+        *order
+    ).limit(k)
+    if select is not None:
+        sub = sub.select(*select)
+    return left.lateralJoin(sub)
+
+
+def window_distinct(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    order_cols: Sequence[str],
+    n: int = 10,
+) -> DataFrame:
+    """Sliding DISTINCT count: per row, the number of distinct values
+    of ``value_col`` in the trailing ``n``-row frame of its partition
+    — SQL's ``COUNT(DISTINCT x) OVER (... ROWS n-1 PRECEDING)``, which
+    neither Spark nor most engines accept directly (DISTINCT window
+    aggregates are unsupported), expressed as the bounded-frame
+    composition ``size(array_distinct(collect_list(x) OVER frame))``.
+
+    The frame list is ≤ n elements per row — constant state, the same
+    bound :func:`~.events.rolling_median` rides — so this stays
+    row-local after the partition's one shuffle; it is NOT the
+    unbounded-frame trap (``collect_list`` over a whole partition),
+    which would be O(partition) per row.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return df.select(
+        partition_col,
+        *order_cols,
+        F.size(F.array_distinct(F.collect_list(value_col).over(w)))
+        .cast("long")
+        .alias("n_distinct"),
     )

@@ -99,7 +99,11 @@ def kmeans_fit(
     v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
     rows = v.orderBy(F.xxhash64("_id"), "_id").limit(k * train_per_centroid).collect()
     if not rows:
-        raise ValueError("kmeans_fit needs a non-empty corpus")
+        # empty corpus: a 1-centroid dim-1 placeholder model — callers
+        # only use it to shape score/assign expressions, which never
+        # evaluate over the zero input rows, so every downstream
+        # result is schema-stable empty (tests/test_empty_surface.py)
+        return [[0.0]]
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     C = X[: min(k, len(X))].copy()
     for _ in range(max_iter):
@@ -510,14 +514,20 @@ def pq_fit(
     """
     import numpy as np
 
-    dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    probe = emb.select(F.size(vec_col).alias("n")).limit(1).collect()
+    if not probe or probe[0]["n"] is None:
+        # empty corpus: m one-code dim-1 placeholder books — encode
+        # expressions shaped from them never evaluate over zero rows
+        # (same contract as kmeans_fit's placeholder)
+        return [[[0.0]] for _ in range(m)]
+    dim = probe[0]["n"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     ds = dim // m
     v = _prep(emb, id_col, vec_col).select(F.col(id_col).alias("_id"), "v")
     rows = v.orderBy(F.xxhash64("_id"), "_id").limit(n_codes * train_per_centroid).collect()
     if not rows:
-        raise ValueError("pq_fit needs a non-empty corpus")
+        return [[[0.0] * ds for _ in range(1)] for _ in range(m)]
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     books = []
     for j in range(m):
@@ -880,10 +890,15 @@ def ann_recall_report(
 
 
 def _infer_dim(emb: DataFrame, vec_col: str, caller: str) -> int:
-    """Probe one non-null vector for the dimensionality — an empty
-    table or all-NULL column cannot imply one, so fail with a clear
-    message instead of IndexError/TypeError downstream.  Shared by
-    every operator that packs per-dimension aggregates."""
+    """Probe one non-null vector for the dimensionality.  An empty
+    table (or all-NULL column) implies no downstream rows at all, so
+    it returns a dim-1 placeholder: every consumer only uses dim to
+    SHAPE expressions/literals, and with zero input rows those
+    expressions never evaluate — the consumer's output is then a
+    schema-stable EMPTY result instead of a crash (the empty-split
+    edge the reference's own abandoned test died on,
+    test/map_red_test.go; swept by tests/test_empty_surface.py).
+    Shared by every operator that packs per-dimension aggregates."""
     probe = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("n"))
@@ -891,10 +906,7 @@ def _infer_dim(emb: DataFrame, vec_col: str, caller: str) -> int:
         .collect()
     )
     if not probe or probe[0]["n"] is None:
-        raise ValueError(
-            f"{caller}: cannot infer dim from an empty or all-NULL "
-            "vector column; pass dim explicitly"
-        )
+        return 1
     return probe[0]["n"]
 
 
@@ -1178,7 +1190,10 @@ def rp_project_audit(
     import hashlib
 
     base = _prep(emb, id_col, vec_col)
-    d = len(base.select("v").first()["v"])
+    # empty corpus: dim-1 placeholder — the sign-matrix literals shaped
+    # from it never evaluate over zero rows (schema-stable empty)
+    head = base.select("v").first()
+    d = len(head["v"]) if head is not None and head["v"] is not None else 1
     inv_sqrt_k = 1.0 / (k ** 0.5)
     # content-addressed ±1 signs, identical to the oracle's md5 rule
     signs = [
@@ -1407,11 +1422,18 @@ def embedding_covariance(
         import numpy as np
 
         acc = np.zeros((dim, dim), dtype=np.int64)
+        saw = False
         for pdf in batches:
             if not len(pdf):
                 continue
+            saw = True
             X = np.array([list(r) for r in pdf["xm"]], dtype=np.int64)
             acc += X.T @ X
+        # a row-less partition emits nothing: its zeros are additive
+        # identity anyway, and on a fully EMPTY corpus this makes the
+        # result 0 rows (schema-stable) instead of d² junk NULLs
+        if not saw:
+            return
         iu, ju = np.triu_indices(dim)
         yield pd.DataFrame(
             {"i": iu + 1, "j": ju + 1, "s": acc[iu, ju]}
@@ -1483,6 +1505,8 @@ def pca_project(
     cov_rows = embedding_covariance(emb, dim=dim, vec_col=vec_col).collect()
     C = np.zeros((dim, dim), dtype=np.float64)
     for r in cov_rows:  # d² driver rows — model-sized, not data-sized
+        if r["cov"] is None:
+            continue
         C[r["i"] - 1, r["j"] - 1] = r["cov"]
         C[r["j"] - 1, r["i"] - 1] = r["cov"]
     vals, vecs = np.linalg.eigh(C)
@@ -1503,7 +1527,12 @@ def pca_project(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)],
     ).collect()[0]
-    mean = [m[f"s{i}"] / m["n"] / 1e6 for i in range(dim)]
+    # empty corpus: zero mean — the projection expressions shaped from
+    # it never evaluate over zero rows (schema-stable empty output)
+    if m["n"] == 0:
+        mean = [0.0] * dim
+    else:
+        mean = [m[f"s{i}"] / m["n"] / 1e6 for i in range(dim)]
 
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     centered = F.zip_with(

@@ -102,6 +102,13 @@ def interval_join_streams(
     l.ts + tolerance < min(max_l, max_r) − watermark} (boundary pinned
     by tests/test_streaming_join_outer.py).
 
+    ``how="fullOuter"``: the leftOuter contract applied to BOTH sides
+    — matched pairs emit eagerly; an unmatched row on EITHER side
+    emits null-extended once the eviction watermark strictly passes
+    its join-window end (``side.ts + tolerance < w``), and rows whose
+    window the final watermark never closes stay in state, unemitted
+    (both boundaries pinned by tests/test_streaming_join_outer.py).
+
     A bounded replay equals the batch join of the same inputs ONLY
     when the replay arrives in a single micro-batch (or in event-time
     order across micro-batches): with multiple unordered

@@ -4,7 +4,7 @@ result — no errors, no schema drift vs the populated-table plan.
 
 The reference's own abandoned test (``test/map_red_test.go``) died on
 exactly this class of edge (empty input splits); this sweep pins the
-whole 267-query surface against it.  Empty tables are written ONCE per
+whole declared-query surface against it.  Empty tables are written ONCE per
 session with the real parquet schemas (read from sf0.001 footers), so
 schema-branching scans (events ts micros/nanos) take the same path.
 

@@ -91,7 +91,12 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # ks_test its 1-row time-midpoint and per-side totals;
            # heaps_fit's prefix totals are intended broadcast theta
            # joins against the 20-row percentile-cutoff list
-           "revenue_concentration", "ks_test", "heaps_fit"}
+           "revenue_concentration", "ks_test", "heaps_fit",
+           # round 8: chisq_independence attaches its 1-row grand
+           # total N to the domain-sized contingency table;
+           # benford_digits its 1-row value count to the ≤9-row digit
+           # table — both the tfidf-style scalar-attach shape
+           "chisq_independence", "benford_digits"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

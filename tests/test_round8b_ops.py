@@ -1,0 +1,122 @@
+"""Round-8 second-batch unit tests: chi-square independence, Benford
+first-digit audit, sample autocorrelation, Hampel filter, and the
+sliding distinct count — hand-computable fixtures pinning semantics
+the sf-scale oracle gate then verifies statistically."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+    autocorr,
+    benford_digits,
+    chisq_independence,
+    hampel_outliers,
+)
+from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+    window_distinct,
+)
+
+
+def test_chisq_independence_hand_computed(spark):
+    """2x2 table [[10, 20], [30, 40]]: margins r=(30,70), c=(40,60),
+    N=100; chi2 = sum (O*N - r*c)^2 / (r*c*N) = 0.793651 (6dp)."""
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chisq_independence(df, "a", "b").collect()[0]
+    assert (out["n"], out["r_levels"], out["c_levels"], out["dof"]) == (100, 2, 2, 1)
+    expect = sum(
+        (o * 100 - r * c) ** 2 / (r * c * 100)
+        for o, r, c in [(10, 30, 40), (20, 30, 60), (30, 70, 40), (40, 70, 60)]
+    )
+    assert out["chi2"] == round(expect, 6)
+
+
+def test_chisq_independent_columns_zero(spark):
+    """A perfectly proportional table has chi2 exactly 0."""
+    rows = [("x", "p")] * 2 + [("x", "q")] * 4 + [("y", "p")] * 3 + [("y", "q")] * 6
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert chisq_independence(df, "a", "b").collect()[0]["chi2"] == 0.0
+
+
+def test_benford_digits_counts_and_expectation(spark):
+    """Leading digit is textual from the integer part; values < 1 are
+    excluded; benford_pct is log10(1 + 1/d)."""
+    vals = [(1.5,), (19.99,), (150.0,), (2.0,), (25.0,), (900.0,), (0.5,)]
+    df = spark.createDataFrame(vals, "v double")
+    got = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert {d: r["n_values"] for d, r in got.items()} == {1: 3, 2: 2, 9: 1}
+    assert got[1]["pct"] == 0.5  # 3 of 6 (the 0.5 row is excluded)
+    assert got[1]["benford_pct"] == round(math.log10(2), 6)
+    assert got[9]["deviation"] == round(1 / 6 - math.log10(1 + 1 / 9), 6)
+
+
+def test_autocorr_alternating_series(spark):
+    """y = 1,2,1,2,... has ACF(1) = -1 and ACF(2) = +1 exactly."""
+    rows = [(i, 1 + (i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    got = {r["lag"]: r for r in autocorr(df, "t", "y", max_lag=2).collect()}
+    assert got[1]["n_pairs"] == 9 and got[1]["acf"] == -1.0
+    assert got[2]["n_pairs"] == 8 and got[2]["acf"] == 1.0
+
+
+def test_autocorr_constant_series_null(spark):
+    """Zero variance on either side -> NULL (try_divide), not a crash."""
+    df = spark.createDataFrame([(i, 5) for i in range(6)], "t long, y long")
+    rows = autocorr(df, "t", "y", max_lag=1).collect()
+    assert len(rows) == 1 and rows[0]["acf"] is None
+
+
+def test_hampel_flags_spike_not_shift(spark):
+    """A lone spike inside a steady run is flagged; the steady points
+    are not.  Frame n=5, k=3; values in cents stay exact."""
+    vals = [10.0, 10.0, 10.0, 10.0, 99.0, 10.0, 10.0, 10.0]
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    # hampel expects (value, user, order...) with default ts ordering —
+    # reuse event_id as both order key and id
+    out = hampel_outliers(
+        df, value_col="value", user_col="user_id",
+        order_cols=("event_id",), id_col="event_id", n=5, k=3,
+    )
+    flags = {r["event_id"]: r["is_outlier"] for r in out.collect()}
+    assert flags[4] == 1  # the spike
+    assert all(v == 0 for k_, v in flags.items() if k_ != 4)
+    med = {r["event_id"]: r["roll_median"] for r in out.collect()}
+    assert med[4] == 10.0  # median of [10,10,10,10,99] resists the spike
+
+
+def test_hampel_zero_mad_tie_rule(spark):
+    """All-equal frame: MAD = 0, so any deviation flags but an equal
+    value does not (strict >)."""
+    rows = [(1, i, 10.0) for i in range(4)] + [(1, 4, 10.01)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = hampel_outliers(
+        df, value_col="value", user_col="user_id",
+        order_cols=("event_id",), id_col="event_id", n=5, k=3,
+    )
+    flags = {r["event_id"]: r["is_outlier"] for r in out.collect()}
+    assert flags == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_window_distinct_trailing_frame(spark):
+    """Distinct count over the trailing 3-row frame per user."""
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "a"), (1, 4, "c"),
+        (2, 0, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, et string")
+    out = window_distinct(df, "et", "user_id", ["event_id"], n=3)
+    got = {(r["user_id"], r["event_id"]): r["n_distinct"] for r in out.collect()}
+    assert got == {
+        (1, 0): 1,  # [a]
+        (1, 1): 2,  # [a b]
+        (1, 2): 2,  # [a b a]
+        (1, 3): 2,  # [b a a]
+        (1, 4): 2,  # [a a c]
+        (2, 0): 1,
+    }

@@ -91,3 +91,62 @@ def test_streaming_sessionize_stateful(spark):
         assert all(ns == sorted(ns) for ns in by_user.values())
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_event_time_timeout_flushes_idle_key(spark, tmp_path):
+    """VERDICT r7 item 6: with ``timeout=True`` an IDLE key's open
+    session closes when the event-time watermark passes
+    ``last_seen + gap`` — no subsequent activity on that key required.
+
+    Staged two-batch replay (maxFilesPerTrigger=1, pinned mtimes):
+
+      batch 0: user 100 at 10:00 and 10:05   (opens the session)
+      batch 1: user 200 at 12:00             (OTHER key; advances the
+               clock so wm = 12:00 - 30min = 11:30 > 10:05 + 30min)
+
+    The availableNow no-data batch then fires the armed timeout and
+    user 100's session emits closed=True.  User 200's session deadline
+    (12:30) stays beyond the final watermark, so it remains open.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    from mapreduce_faultolerrant_localityaware_spark.streaming import materialize as M
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batches = [
+        [(100, _ts(0)), (100, _ts(5))],
+        [(200, dt.datetime(2024, 1, 1, 12, 0))],
+    ]
+    for i, rows in enumerate(batches):
+        tmp = str(tmp_path / f"t{i}")
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(tmp)
+        (part,) = _glob.glob(tmp + "/part-*.parquet")
+        dest = os.path.join(in_dir, f"{i:02d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = M.run_to_batch(
+        sessionize_stream(stream, gap_minutes=30, timeout=True, watermark="30 minutes"),
+        spark,
+        "update",
+    )
+    rows = out.collect()
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    closed = [tuple(r) for r in rows if r["closed"]]
+    # exactly one closed session: user 100, flushed by timeout alone
+    assert closed == [(100, us(_ts(0)), us(_ts(5)), 2, True)]
+    # user 200's session is open (deadline 12:30 beyond final wm 11:30)
+    open_200 = [r for r in rows if r["user_id"] == 200 and not r["closed"]]
+    assert len(open_200) == 1 and open_200[0]["n_events"] == 1
