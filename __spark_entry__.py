@@ -3611,6 +3611,80 @@ def _q_streaming_join_full(spark, sf):
     return res.distinct()
 
 
+def _q_streaming_join_agg(spark, sf):
+    """CHAINED stateful streaming (Spark 4 multi-stateful,
+    SPARK-40925): stream-stream interval join feeding a tumbling
+    window aggregation in ONE streaming query — the canonical
+    "join then summarize" pipeline that previously required two
+    queries with an intermediate sink.  Emission rule pinned by
+    tests/test_streaming_chained.py: the join's output watermark lags
+    the input eviction watermark by the join tolerance, so a window
+    emits iff window_end < min(max_click, max_view) − 10min − 5min
+    (STRICT — both boundary sides pinned)."""
+    from mapreduce_faultolerrant_localityaware_spark.streaming.enrich_stream import (
+        interval_join_streams,
+    )
+
+    ev = streaming_ops.stream_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = interval_join_streams(
+        clicks, views, on="user_id", tolerance="5 minutes",
+        watermark="10 minutes", how="inner",
+    )
+    agg = (
+        joined.select(
+            F.col("l.ts").alias("cts"),
+            (F.col("r.ts").cast("long") - F.col("l.ts").cast("long")).alias("lag_s"),
+        )
+        .groupBy(F.window("cts", "10 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("lag_s").cast("long").alias("sum_lag_s"),
+        )
+    )
+    res = streaming_ops.run_to_batch(agg, spark, output_mode="append")
+    return res.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n_pairs",
+        "sum_lag_s",
+    )
+
+
+def _q_attribution(spark, sf):
+    """Multi-touch attribution (operators/events.py:
+    attribution_multi_touch): purchases credit their 7-day-lookback
+    view/click touches — linear credit in exact integer milli-cents
+    plus first/last-touch counts, one lookback-bounded interval join."""
+    ev = scan(spark, sf, "events")
+    return events_ops.attribution_multi_touch(ev)
+
+
+def _q_changepoint(spark, sf):
+    """Exact single-changepoint split of the daily order-count series
+    (operators/events.py:changepoint_detect): CUSUM-style separation
+    maximized over exact BIGINT prefix sums, earliest-split tiebreak."""
+    orders = scan(spark, sf, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return events_ops.changepoint_detect(daily, "o_orderdate", "n")
+
+
+def _q_crosscorr(spark, sf):
+    """Lagged cross-correlation of daily click vs purchase counts
+    (operators/events.py:crosscorr): does click volume lead purchase
+    volume?  One window pass shifts y for all 7 lags, exact-integer
+    Pearson terms per lag."""
+    ev = scan(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return events_ops.crosscorr(daily, "d", "x", "y", max_lag=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -3762,9 +3836,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": _q_autocorr,
         "hampel_outliers": _q_hampel_outliers,
         "window_distinct": _q_window_distinct,
+        "attribution_multi_touch": _q_attribution,
+        "changepoint_detect": _q_changepoint,
+        "crosscorr": _q_crosscorr,
         "streaming_join": _q_streaming_join,
         "streaming_join_outer": _q_streaming_join_outer,
         "streaming_join_full": _q_streaming_join_full,
+        "streaming_join_agg": _q_streaming_join_agg,
         "events_funnel": _q_events_funnel,
         "pipeline_clean": _q_pipeline_clean,
         "resample_ffill": _q_resample_ffill,
@@ -5548,6 +5626,93 @@ def oracle_sql() -> dict[str, str]:
                      AS is_outlier
             FROM d2
         """,
+        "attribution_multi_touch": """
+            WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid,
+                                 CAST(round(value * 100) AS BIGINT) AS vc
+                          FROM events WHERE event_type = 'purchase'),
+            touch AS (SELECT user_id AS u, event_type AS channel,
+                             ts AS tts, event_id AS tid
+                      FROM events WHERE event_type IN ('view', 'click')),
+            pairs AS (SELECT * FROM conv JOIN touch USING (u)
+                      WHERE tts < cts
+                        AND tts >= cts - INTERVAL 7 DAY),
+            ranked AS (SELECT channel, vc,
+                              row_number() OVER (PARTITION BY cid
+                                  ORDER BY tts, tid) AS rf,
+                              row_number() OVER (PARTITION BY cid
+                                  ORDER BY tts DESC, tid DESC) AS rl,
+                              CAST(count(*) OVER (PARTITION BY cid)
+                                AS BIGINT) AS n
+                       FROM pairs)
+            SELECT channel,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_first_touch,
+                   CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_last_touch,
+                   round(sum(vc * 1000 // n) / 100000.0, 6) AS linear_value
+            FROM ranked GROUP BY channel
+        """,
+        "changepoint_detect": """
+            WITH daily AS (SELECT o_orderdate AS d,
+                                  CAST(count(*) AS BIGINT) AS y
+                           FROM orders GROUP BY 1),
+            pref AS (SELECT d AS split_at,
+                            sum(y) OVER (ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS p,
+                            CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                              AS k
+                     FROM daily),
+            tot AS (SELECT sum(y) AS s_tot,
+                           CAST(count(*) AS BIGINT) AS n_tot FROM daily),
+            cand AS (SELECT split_at, k, p, s_tot, n_tot,
+                            abs(CAST(k AS DOUBLE) * s_tot
+                                - CAST(n_tot AS DOUBLE) * p)
+                            / (CAST(k AS DOUBLE) * (n_tot - k)) AS score
+                     FROM pref CROSS JOIN tot WHERE k < n_tot),
+            best AS (SELECT * FROM cand ORDER BY score DESC, k ASC LIMIT 1)
+            SELECT split_at,
+                   k AS n_left,
+                   CAST(n_tot - k AS BIGINT) AS n_right,
+                   round(p / CAST(k AS DOUBLE), 6) AS mean_left,
+                   round((s_tot - p) / CAST(n_tot - k AS DOUBLE), 6)
+                     AS mean_right,
+                   round(score, 6) AS score
+            FROM best
+        """,
+        "crosscorr": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                                  CAST(sum(CASE WHEN event_type = 'click'
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+                           FROM events GROUP BY 1),
+            l AS (SELECT x,
+                         lag(y, 3) OVER w AS y_0, lag(y, 2) OVER w AS y_1,
+                         lag(y, 1) OVER w AS y_2, y AS y_3,
+                         lead(y, 1) OVER w AS y_4, lead(y, 2) OVER w AS y_5,
+                         lead(y, 3) OVER w AS y_6
+                  FROM daily WINDOW w AS (ORDER BY d)),
+            p AS (SELECT -3 AS lag, y_0 AS y, x FROM l WHERE y_0 IS NOT NULL
+                  UNION ALL SELECT -2, y_1, x FROM l WHERE y_1 IS NOT NULL
+                  UNION ALL SELECT -1, y_2, x FROM l WHERE y_2 IS NOT NULL
+                  UNION ALL SELECT  0, y_3, x FROM l WHERE y_3 IS NOT NULL
+                  UNION ALL SELECT  1, y_4, x FROM l WHERE y_4 IS NOT NULL
+                  UNION ALL SELECT  2, y_5, x FROM l WHERE y_5 IS NOT NULL
+                  UNION ALL SELECT  3, y_6, x FROM l WHERE y_6 IS NOT NULL),
+            s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM p GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+                   round(CASE WHEN sxx * n_pairs = sx * sx
+                                OR syy * n_pairs = sy * sy THEN NULL
+                              ELSE (sxy * n_pairs - sx * sy)
+                                   / sqrt(CAST(sxx * n_pairs - sx * sx AS DOUBLE)
+                                          * CAST(syy * n_pairs - sy * sy AS DOUBLE))
+                         END, 6) AS xcorr
+            FROM s
+        """,
         "window_distinct": """
             SELECT user_id, event_id,
                    CAST(len(list_distinct(list(event_type) OVER (
@@ -6127,6 +6292,33 @@ def oracle_sql() -> dict[str, str]:
                       AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE
                                    AND c.ts + INTERVAL 5 MINUTE)
               AND c.ts + INTERVAL 5 MINUTE < wm.w
+        """,
+        "streaming_join_agg": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            views AS (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'view'),
+            -- the agg sees the join's OUTPUT watermark: input eviction
+            -- watermark minus the join tolerance (strict <; pinned by
+            -- tests/test_streaming_chained.py)
+            wm AS (SELECT least((SELECT max(ts) FROM clicks),
+                                (SELECT max(ts) FROM views))
+                          - INTERVAL 10 MINUTE - INTERVAL 5 MINUTE AS wa),
+            m AS (SELECT to_timestamp(floor(epoch(c.ts) / 600) * 600) AS ws,
+                         CAST(floor(epoch(v.ts)) AS BIGINT)
+                           - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_s
+                  FROM clicks c JOIN views v
+                    ON c.user_id = v.user_id
+                   AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+                                AND c.ts + INTERVAL 5 MINUTE)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+                     AS window_end,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(lag_s) AS BIGINT) AS sum_lag_s
+            FROM m, wm
+            WHERE ws + INTERVAL 10 MINUTE < wm.wa
+            GROUP BY ws
         """,
         "streaming_join_full": """
             WITH clicks AS (SELECT event_id, user_id, ts FROM events

@@ -107,6 +107,8 @@ HEADLINE = [
     # bounded-frame sliding distinct count
     "hampel_outliers",
     "window_distinct",
+    # round-8 third batch: lookback-bounded interval-join attribution
+    "attribution_multi_touch",
 ]
 
 

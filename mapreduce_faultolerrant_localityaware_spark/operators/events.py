@@ -1012,3 +1012,192 @@ def hampel_outliers(
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+def attribution_multi_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch marketing attribution: each conversion's value is
+    credited to the touch events (views/clicks) by the same user in
+    the ``lookback_days`` window strictly before it — LINEAR credit
+    (value/n to each touch) plus first-touch / last-touch counts, the
+    three models every growth team runs side by side.
+
+    Exact-integer discipline: conversion value quantizes to cents and
+    the per-touch linear credit is ``floor(value_cents · 10³ / n)``
+    in integer MILLI-CENTS — floor division once per (conversion,
+    touch), so credit sums are exact BIGINTs (order-insensitive),
+    never a float accumulation for engines to disagree on.  The
+    deliberate sub-milli-cent remainder (< n/10³ cents per
+    conversion) is the documented price of determinism.
+
+    Join shape: one interval equi-join on the user key bounded by the
+    lookback window (the asof/range-join state bound — per-user
+    touches in a week, not history); first/last election is a packed
+    ``struct(ts, id)`` min/max, no second window pass.  Returns one
+    row per touch channel: ``(channel, n_touches, n_first_touch,
+    n_last_touch, linear_value)`` with linear_value in dollars (6 dp
+    from the exact milli-cent sum).
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("cts"),
+        F.col(id_col).alias("cid"),
+        F.round(F.col(value_col) * 100).cast("long").alias("vc"),
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("tts"),
+        F.col(id_col).alias("tid"),
+    )
+    pairs = conv.join(touch, "u").filter(
+        (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr(f"INTERVAL {lookback_days} DAYS"))
+    )
+    per_conv = pairs.groupBy("cid", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.struct("tts", "tid")).alias("first_t"),
+        F.max(F.struct("tts", "tid")).alias("last_t"),
+    )
+    credited = pairs.join(
+        per_conv.select("cid", "n", F.col("first_t.tid").alias("first_id"),
+                        F.col("last_t.tid").alias("last_id")),
+        "cid",
+    ).select(
+        "channel",
+        "tid",
+        # `div` = true INTEGER division (never a double intermediate a
+        # last-ulp misround could push across the floor boundary)
+        F.expr("(vc * 1000) div n").cast("long").alias("credit_mc"),
+        (F.col("tid") == F.col("first_id")).cast("long").alias("is_first"),
+        (F.col("tid") == F.col("last_id")).cast("long").alias("is_last"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("is_first").cast("long").alias("n_first_touch"),
+        F.sum("is_last").cast("long").alias("n_last_touch"),
+        F.round(F.sum("credit_mc") / 100000.0, 6).alias("linear_value"),
+    )
+
+
+def changepoint_detect(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact single-changepoint detection (binary segmentation's first
+    split): the split of an ordered series into a prefix/suffix
+    maximizing the CUSUM-style between-segment separation
+
+        score(k) = |k·S − n·P(k)| / (k·(n−k))        (k = prefix len)
+
+    where P(k) is the prefix sum and S the total — algebraically
+    |mean_left − mean_right|·k·(n−k)/n up to the constant n, the
+    standard level-shift statistic.  The argmax is exact: numerator
+    and denominator are exact BIGINT window sums (the series is
+    PRE-AGGREGATED and domain-sized, like :func:`autocorr`), compared
+    as doubles-of-exact-ints (< 2⁵³ at calendar scale), ties broken
+    to the EARLIEST split.  Returns one row ``(split_at, n_left,
+    n_right, mean_left, mean_right, score)`` — split_at is the last
+    period of the left segment.
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    y = F.col(value_col).cast("long")
+    tot = series.agg(
+        F.sum(y).alias("s_tot"), F.count(F.lit(1)).cast("long").alias("n_tot")
+    )
+    pref = series.select(
+        F.col(order_col).alias("split_at"),
+        F.sum(y).over(w).alias("p"),
+        F.row_number().over(Window.orderBy(order_col)).cast("long").alias("k"),
+    )
+    cand = pref.join(F.broadcast(tot)).filter(F.col("k") < F.col("n_tot"))
+    num = F.abs(
+        F.col("k").cast("double") * F.col("s_tot")
+        - F.col("n_tot").cast("double") * F.col("p")
+    )
+    score = num / (F.col("k").cast("double") * (F.col("n_tot") - F.col("k")))
+    best = cand.select(
+        "split_at", "k", "n_tot", "p", "s_tot", score.alias("score")
+    ).agg(
+        F.max(F.struct(F.col("score"), (-F.col("k")).alias("nk"),
+                       F.col("split_at"), F.col("p"), F.col("n_tot"),
+                       F.col("s_tot"))).alias("b")
+    )
+    k = -F.col("b.nk")
+    return best.select(
+        F.col("b.split_at").alias("split_at"),
+        k.cast("long").alias("n_left"),
+        (F.col("b.n_tot") - k).cast("long").alias("n_right"),
+        F.round(F.col("b.p") / k, 6).alias("mean_left"),
+        F.round((F.col("b.s_tot") - F.col("b.p")) / (F.col("b.n_tot") - k), 6).alias(
+            "mean_right"
+        ),
+        F.round("b.score", 6).alias("score"),
+    )
+
+
+def crosscorr(
+    series: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation of two aligned series: for each lag
+    k in ``-max_lag..max_lag``, the Pearson correlation of
+    ``(x_t, y_{t+k})`` — does series x LEAD series y (peak at k > 0)
+    or LAG it (k < 0)?  The pair diagnostic to :func:`autocorr`
+    (clicks→purchases latency, error-rate→load coupling).
+
+    Same discipline as autocorr: pre-aggregated domain-sized series,
+    every shifted column from ONE ordered window pass (lead for
+    k ≥ 0, lag for k < 0 — engines agree on both; a negative lead
+    offset would be engine-defined), row-local ``stack``, exact
+    BIGINT Pearson terms per lag, one float closed form.  Returns
+    ``(lag, n_pairs, xcorr)``.
+    """
+    w = Window.orderBy(order_col)
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def shifted(k):
+        c = F.col(y_col).cast("long")
+        return (F.lead(c, k) if k >= 0 else F.lag(c, -k)).over(w)
+
+    base = series.select(
+        F.col(x_col).cast("long").alias("x"),
+        *[shifted(k).alias(f"y_{i}") for i, k in enumerate(lags)],
+    )
+    stack_expr = "stack({n}, {args}) as (lag, y)".format(
+        n=len(lags),
+        args=", ".join(f"{k}, y_{i}" for i, k in enumerate(lags)),
+    )
+    pairs = base.selectExpr("x", stack_expr).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n_pairs"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") * n - sx * sy
+    varx = F.col("sxx") * n - sx * sx
+    vary = F.col("syy") * n - sy * sy
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(
+            F.try_divide(cov, F.sqrt(varx.cast("double") * vary.cast("double"))), 6
+        ).alias("xcorr"),
+    )

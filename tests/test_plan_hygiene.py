@@ -96,7 +96,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # total N to the domain-sized contingency table;
            # benford_digits its 1-row value count to the ≤9-row digit
            # table — both the tfidf-style scalar-attach shape
-           "chisq_independence", "benford_digits"}
+           "chisq_independence", "benford_digits",
+           # changepoint_detect attaches its 1-row (total, count)
+           # aggregate to the domain-sized prefix table (same shape)
+           "changepoint_detect"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

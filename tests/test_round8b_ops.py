@@ -120,3 +120,82 @@ def test_window_distinct_trailing_frame(spark):
         (1, 4): 2,  # [a a c]
         (2, 0): 1,
     }
+
+
+def test_attribution_linear_first_last(spark):
+    """One purchase ($10) with 3 touches: each channel's linear credit
+    is floor(1000*1000/3)=333333 milli-cents per touch; first is the
+    earliest view, last the latest click."""
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        attribution_multi_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, 1, at(-30), "view", 0.0),
+        (2, 1, at(-20), "click", 0.0),
+        (3, 1, at(-10), "click", 0.0),
+        (4, 1, at(0), "purchase", 10.0),
+        (5, 1, at(5), "view", 0.0),          # after purchase: no credit
+        (6, 2, at(-10), "view", 0.0),        # other user: no credit
+        (7, 1, at(-60 * 24 * 8), "view", 0.0),  # beyond 7-day lookback
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["channel"]: r for r in attribution_multi_touch(df).collect()}
+    assert got["view"]["n_touches"] == 1 and got["click"]["n_touches"] == 2
+    assert got["view"]["n_first_touch"] == 1 and got["view"]["n_last_touch"] == 0
+    assert got["click"]["n_first_touch"] == 0 and got["click"]["n_last_touch"] == 1
+    # floor(10.00*100*1000/3) = 333333 milli-cents each
+    assert got["view"]["linear_value"] == round(333333 / 100000.0, 6)
+    assert got["click"]["linear_value"] == round(2 * 333333 / 100000.0, 6)
+
+
+def test_changepoint_level_shift(spark):
+    """Series 10,10,10,10,50,50,50,50: the best split is after index 4
+    (k=4) with means 10 vs 50."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        changepoint_detect,
+    )
+
+    vals = [10] * 4 + [50] * 4
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t long, y long"
+    )
+    r = changepoint_detect(df, "t", "y").collect()[0]
+    assert (r["split_at"], r["n_left"], r["n_right"]) == (3, 4, 4)
+    assert (r["mean_left"], r["mean_right"]) == (10.0, 50.0)
+
+
+def test_changepoint_tie_breaks_earliest(spark):
+    """A constant series scores 0 at every split; the earliest split
+    wins the tie."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        changepoint_detect,
+    )
+
+    df = spark.createDataFrame([(i, 7) for i in range(5)], "t long, y long")
+    r = changepoint_detect(df, "t", "y").collect()[0]
+    assert r["split_at"] == 0 and r["score"] == 0.0
+
+
+def test_crosscorr_shifted_copy_peaks_at_shift(spark):
+    """y is x delayed by 2 periods: xcorr peaks (=1.0) at lag +2 —
+    x LEADS y (operator convention: corr(x_t, y_{t+k}))."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        crosscorr,
+    )
+
+    x = [1, 5, 2, 8, 3, 9, 4, 7, 6, 2]
+    rows = [(i, x[i], x[i - 2] if i >= 2 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "t long, x long, y long")
+    got = {r["lag"]: r["xcorr"] for r in crosscorr(df, "t", "x", "y", max_lag=2).collect()}
+    assert got[2] == 1.0
+    assert all(got[k] is None or got[k] < 1.0 for k in got if k != 2)
