@@ -3685,6 +3685,33 @@ def _q_crosscorr(spark, sf):
     return events_ops.crosscorr(daily, "d", "x", "y", max_lag=3)
 
 
+def _q_ab_test(spark, sf):
+    """Two-proportion A/B test (operators/events.py:ab_test): parity
+    split on user_id, conversion = any purchase, pooled z-statistic
+    from four exact BIGINT counts."""
+    ev = scan(spark, sf, "events")
+    return events_ops.ab_test(ev)
+
+
+def _q_weighted_median(spark, sf):
+    """Exact weighted median (operators/relational.py:weighted_median):
+    quantity-weighted median extended price per return flag — windowed
+    cumulative weight + integer reach test 2·cumw ≥ totw."""
+    li = scan(spark, sf, "lineitem")
+    return relational.weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+def _q_seasonal_decompose(spark, sf):
+    """Additive seasonal decomposition of the daily order-count series
+    (operators/events.py:seasonal_decompose): centered 7-day trend,
+    per-weekday seasonal from exact 7y−Σ₇y integers, remainder."""
+    orders = scan(spark, sf, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return events_ops.seasonal_decompose(daily, "o_orderdate", "n", period=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -3839,6 +3866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_multi_touch": _q_attribution,
         "changepoint_detect": _q_changepoint,
         "crosscorr": _q_crosscorr,
+        "ab_test": _q_ab_test,
+        "weighted_median": _q_weighted_median,
+        "seasonal_decompose": _q_seasonal_decompose,
         "streaming_join": _q_streaming_join,
         "streaming_join_outer": _q_streaming_join_outer,
         "streaming_join_full": _q_streaming_join_full,
@@ -5625,6 +5655,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * abs(2 * c - med2) > 3 * mad4 AS BIGINT)
                      AS is_outlier
             FROM d2
+        """,
+        "ab_test": """
+            WITH pu AS (SELECT user_id,
+                               max(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS conv
+                        FROM events GROUP BY 1),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+                    CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+                  FROM pu)
+            SELECT n_a, n_b, conv_a, conv_b,
+                   round(CASE WHEN n_a = 0 THEN NULL
+                              ELSE conv_a / CAST(n_a AS DOUBLE) END, 6)
+                     AS rate_a,
+                   round(CASE WHEN n_b = 0 THEN NULL
+                              ELSE conv_b / CAST(n_b AS DOUBLE) END, 6)
+                     AS rate_b,
+                   round(CASE WHEN sqrt((conv_a + conv_b)
+                                        / CAST(n_a + n_b AS DOUBLE)
+                                        * (1.0 - (conv_a + conv_b)
+                                           / CAST(n_a + n_b AS DOUBLE))
+                                        * (1.0 / n_a + 1.0 / n_b)) = 0
+                              THEN NULL
+                              ELSE (conv_b / CAST(n_b AS DOUBLE)
+                                    - conv_a / CAST(n_a AS DOUBLE))
+                                   / sqrt((conv_a + conv_b)
+                                          / CAST(n_a + n_b AS DOUBLE)
+                                          * (1.0 - (conv_a + conv_b)
+                                             / CAST(n_a + n_b AS DOUBLE))
+                                          * (1.0 / n_a + 1.0 / n_b))
+                         END, 6) AS z_stat
+            FROM a
+        """,
+        "weighted_median": """
+            WITH cum AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                     sum(CAST(l_quantity AS BIGINT)) OVER (
+                         PARTITION BY l_returnflag
+                         ORDER BY round(l_extendedprice * 100), l_quantity
+                         ROWS UNBOUNDED PRECEDING) AS cumw,
+                     sum(CAST(l_quantity AS BIGINT)) OVER (
+                         PARTITION BY l_returnflag) AS totw
+              FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(max(totw) AS BIGINT) AS total_weight,
+                   round(min(c) / 100.0, 6) AS weighted_median
+            FROM cum WHERE 2 * cumw >= totw
+            GROUP BY l_returnflag
+        """,
+        "seasonal_decompose": """
+            WITH daily AS (SELECT o_orderdate AS d,
+                                  CAST(count(*) AS BIGINT) AS y
+                           FROM orders GROUP BY 1),
+            base AS (SELECT d, y,
+                            sum(y) OVER w7 AS sp,
+                            CAST(count(*) OVER w7 AS BIGINT) AS cp,
+                            CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+                     FROM daily
+                     WINDOW w7 AS (ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            detr AS (SELECT dow, sum(7 * y - sp) AS num,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM base WHERE cp = 7 GROUP BY dow)
+            SELECT d, y,
+                   round(CASE WHEN cp = 7 THEN sp / 7.0 END, 6) AS trend,
+                   round(num / (7.0 * cnt), 6) AS seasonal,
+                   round(CASE WHEN cp = 7
+                              THEN y - sp / 7.0 - num / (7.0 * cnt)
+                         END, 6) AS remainder
+            FROM base LEFT JOIN detr USING (dow)
         """,
         "attribution_multi_touch": """
             WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid,

@@ -1201,3 +1201,112 @@ def crosscorr(
             F.try_divide(cov, F.sqrt(varx.cast("double") * vary.cast("double"))), 6
         ).alias("xcorr"),
     )
+
+
+def ab_test(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion A/B test summary: users split into arms by a
+    deterministic assignment (``user_id % 2`` — the parity split every
+    replayable experiment framework can reproduce), conversion = the
+    user emitted ≥ 1 ``conversion_type`` event, and the pooled
+    two-proportion z-statistic
+
+        z = (p_b − p_a) / sqrt(p·(1−p)·(1/n_a + 1/n_b))
+
+    with p the pooled rate — the first read on any experiment
+    dashboard.
+
+    Exact-integer discipline: per-arm user and converter counts are
+    exact BIGINTs from one partial-agged per-user aggregate (domain =
+    users, not events); the z closed form is evaluated once over
+    those four integers in double (identical IEEE sequence on both
+    engines).  ``try_divide`` + a NULLIF-style guard make degenerate
+    splits (one empty arm, all-or-none conversion) NULL rather than an
+    ANSI error.  Returns one row ``(n_a, n_b, conv_a, conv_b, rate_a,
+    rate_b, z_stat)``.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.max((F.col(type_col) == conversion_type).cast("int")).alias("conv")
+    )
+    arms = per_user.select(
+        (F.col(user_col) % 2).alias("arm"), F.col("conv")
+    ).groupBy().agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(((F.col("arm") == 0) & (F.col("conv") == 1)).cast("long")).alias("conv_a"),
+        F.sum(((F.col("arm") == 1) & (F.col("conv") == 1)).cast("long")).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    p = (ca + cb) / (na + nb)
+    se = F.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(F.try_divide(ca, na), 6).alias("rate_a"),
+        F.round(F.try_divide(cb, nb), 6).alias("rate_b"),
+        F.round(F.try_divide(cb / nb - ca / na, se), 6).alias("z_stat"),
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (moving-average
+    flavor, STL's simple ancestor): ``y = trend + seasonal +
+    remainder`` with the trend a CENTERED ``period``-row moving
+    average (defined only where the frame is full), the seasonal
+    component the per-weekday mean of the detrended values, and the
+    remainder what's left — the first decomposition any ops/forecast
+    pipeline runs on a daily series.
+
+    Exact-rational discipline: with integer values, ``7·y − Σ₇y`` is
+    an exact BIGINT per row, so the per-weekday seasonal numerator
+    is an exact BIGINT sum and every emitted float is a single
+    division of exact integers (identical IEEE on both engines,
+    6-dp rounded).  The series is pre-aggregated/domain-sized (the
+    :func:`autocorr` contract), so the single ordered window is
+    calendar-bounded; the ≤``period``-row seasonal table broadcasts
+    back.  Returns ``(d, y, trend, seasonal, remainder)`` —
+    trend/remainder NULL on the ``period//2`` edge rows, seasonal
+    NULL only if that weekday never has a full frame.
+    """
+    half = period // 2
+    w = (
+        Window.orderBy(date_col)
+        .rowsBetween(-half, half)
+    )
+    y = F.col(value_col).cast("long")
+    base = series.select(
+        F.col(date_col).alias("d"),
+        y.alias("y"),
+        F.sum(y).over(w).alias("sp"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cp"),
+        F.dayofweek(date_col).cast("long").alias("dow"),
+    )
+    full = F.col("cp") == period
+    detr = base.filter(full).groupBy("dow").agg(
+        F.sum(F.lit(period) * F.col("y") - F.col("sp")).alias("num"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    out = base.join(F.broadcast(detr), "dow", "left")
+    trend = F.when(full, F.col("sp") / period)
+    seasonal = F.col("num") / (F.lit(period).cast("double") * F.col("cnt"))
+    return out.select(
+        F.col("d"),
+        F.col("y"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.when(full, F.col("y") - F.col("sp") / period - seasonal), 6).alias(
+            "remainder"
+        ),
+    )

@@ -909,3 +909,46 @@ def window_distinct(
         .cast("long")
         .alias("n_distinct"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    order-statistic no engine exposes as a weighted aggregate
+    (``quantile_cont`` is unweighted), expressed as one windowed
+    cumulative sum + one min-election.
+
+    Integer-exact: values quantize to cents and weights to integers,
+    the reach test is ``2·cumw ≥ totw`` (never a 0.5·total float), and
+    the winning value per group is a packed-struct min — so the result
+    is bit-stable and the DuckDB oracle hash-matches.  Two shuffles,
+    both keyed on the group: the window pass and the final groupBy;
+    the window partition is the group's value domain.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    wgt = F.col(weight_col).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(cents, F.col(weight_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(key_col)
+    cum = df.select(
+        F.col(key_col),
+        cents.alias("c"),
+        F.sum(wgt).over(w).alias("cumw"),
+        F.sum(wgt).over(wt).alias("totw"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy(key_col)
+        .agg(
+            F.max("totw").cast("long").alias("total_weight"),
+            F.round(F.min("c") / 100.0, 6).alias("weighted_median"),
+        )
+    )

@@ -199,3 +199,86 @@ def test_crosscorr_shifted_copy_peaks_at_shift(spark):
     got = {r["lag"]: r["xcorr"] for r in crosscorr(df, "t", "x", "y", max_lag=2).collect()}
     assert got[2] == 1.0
     assert all(got[k] is None or got[k] < 1.0 for k in got if k != 2)
+
+
+def test_ab_test_hand_computed(spark):
+    """4 users: arm A (0, 2) converts 1/2; arm B (1, 3) converts 2/2.
+    p = 3/4, se = sqrt(0.75*0.25*(1/2+1/2)), z = 0.5/se."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import ab_test
+
+    rows = [
+        (0, "purchase"), (0, "view"),
+        (2, "view"),                     # A, no conversion
+        (1, "purchase"),
+        (3, "purchase"), (3, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (2, 2, 1, 2)
+    assert (r["rate_a"], r["rate_b"]) == (0.5, 1.0)
+    se = (0.75 * 0.25 * (0.5 + 0.5)) ** 0.5
+    assert r["z_stat"] == round(0.5 / se, 6)
+
+
+def test_ab_test_equal_rates_zero_z(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import ab_test
+
+    rows = [(0, "purchase"), (1, "purchase"), (2, "view"), (3, "view")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    assert ab_test(df).collect()[0]["z_stat"] == 0.0
+
+
+def test_weighted_median_reaches_half(spark):
+    """values 1,2,3 with weights 1,1,4: total 6, half 3 — cumw at
+    value 2 is 2 (<3), at 3 is 6 (>=3) -> median 3.  With weights
+    4,1,1: cumw at 1 is 4 >= 3 -> median 1."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        weighted_median,
+    )
+
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 4),
+            ("h", 1.0, 4), ("h", 2.0, 1), ("h", 3.0, 1)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {r["k"]: r for r in weighted_median(df, "k", "v", "w").collect()}
+    assert got["g"]["weighted_median"] == 3.0 and got["g"]["total_weight"] == 6
+    assert got["h"]["weighted_median"] == 1.0
+
+
+def test_weighted_median_exact_boundary(spark):
+    """2*cumw == totw counts as reached (the lower of the two middle
+    values wins on an even split)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        weighted_median,
+    )
+
+    rows = [("g", 1.0, 1), ("g", 2.0, 1)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    assert weighted_median(df, "k", "v", "w").collect()[0]["weighted_median"] == 1.0
+
+
+def test_seasonal_decompose_pure_weekly_signal(spark):
+    """y = 10 + (2 on Sundays): the 7-day centered trend of a pure
+    weekly signal is flat (every full frame holds exactly one spike),
+    the seasonal component recovers the spike, remainder ~ 0."""
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        seasonal_decompose,
+    )
+
+    start = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    for i in range(28):
+        d = start + dt.timedelta(days=i)
+        rows.append((d, 10 + (2 if d.isoweekday() == 7 else 0)))
+    df = spark.createDataFrame(rows, "d date, y long")
+    out = {r["d"]: r for r in seasonal_decompose(df, "d", "y", period=7).collect()}
+    # edge rows: no trend
+    assert out[start]["trend"] is None and out[start]["remainder"] is None
+    mid = start + dt.timedelta(days=10)
+    assert out[mid]["trend"] == round(72 / 7, 6)  # 6x10 + one Sunday 12
+    # Sunday seasonal = 12 - trend; weekday seasonal = 10 - trend
+    sun = start + dt.timedelta(days=13)  # a Sunday
+    assert out[sun]["seasonal"] == round(12 - 72 / 7, 6)
+    assert out[mid]["seasonal"] == round(10 - 72 / 7, 6)
+    assert out[mid]["remainder"] == 0.0
