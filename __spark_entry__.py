@@ -3685,6 +3685,28 @@ def _q_crosscorr(spark, sf):
     return events_ops.crosscorr(daily, "d", "x", "y", max_lag=3)
 
 
+def _q_graph_msf(spark, sf):
+    """Borůvka minimum spanning forest of the supplier—part graph,
+    weights = min extended price in cents (operators/graph.py:
+    boruvka_msf).  Iterative (≤ log₂ n election+contraction rounds) —
+    no SQL oracle (rows-only in the driver gate); exactness is pinned
+    by tests/test_boruvka.py's pure-Python Kruskal cross-check on the
+    same graph with the identical (w, a, b) tiebreak."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import boruvka_msf
+
+    li = scan(spark, sf, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(20_000_000)).alias("dst"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    return boruvka_msf(edges)
+
+
 def _q_ab_test(spark, sf):
     """Two-proportion A/B test (operators/events.py:ab_test): parity
     split on user_id, conversion = any purchase, pooled z-statistic
@@ -3858,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": _q_rolling_median,
         "graph_degree_hist": _q_graph_degree_hist,
         "graph_assortativity": _q_graph_assortativity,
+        "graph_msf": _q_graph_msf,
         "chisq_independence": _q_chisq_independence,
         "benford_digits": _q_benford_digits,
         "autocorr": _q_autocorr,

@@ -904,3 +904,103 @@ def assortativity(
             F.try_divide(cov, F.sqrt(varx.cast("double") * vary.cast("double"))), 6
         ).alias("assortativity"),
     )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Borůvka minimum spanning forest — THE parallel MST algorithm
+    (each round every component grabs its cheapest outgoing edge, so
+    components at least halve per round: ≤ log₂(n) rounds, each a
+    constant number of equi-join + partial-agg shuffles over the edge
+    list; Kruskal/Prim's sequential orderings don't distribute).
+    The classic use here: the dup-cluster backbone (the cheapest
+    similarity edges that keep each cluster connected — a spanning
+    forest is the minimal evidence set for a dedup audit).
+
+    DETERMINISTIC under duplicate weights: each component elects its
+    min edge by the TOTAL order ``(w, min(a,b), max(a,b))`` — a
+    consistent global tiebreak is equivalent to perturbing weights, so
+    the forest is unique and bit-reproducible.  Weights must be exact
+    (integers — cents, not floats).  Per round: one label attach
+    (equi-join), one per-component min (partial-agged packed-struct),
+    one component-graph contraction (connected_components on the
+    ≤|components|-row election graph), all per-round checkpointed via
+    the same lineage discipline as :func:`connected_components`.
+
+    Returns the forest's edge rows ``(src, dst, w)`` (endpoint-
+    normalized src < dst).
+    """
+    e = _truncate_lineage(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+    )
+    comp = e.select(F.col("a").alias("id")).unionByName(
+        e.select(F.col("b").alias("id"))
+    ).distinct().withColumn("c", F.col("id"))
+
+    chosen = None
+    prev_comp_ckpt = None
+    for _ in range(max_iter):
+        lab = (
+            e.join(comp.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        # each cross edge offers itself to BOTH endpoint components
+        offers = lab.select(F.col("ca").alias("comp"), "w", "a", "b").unionByName(
+            lab.select(F.col("cb").alias("comp"), "w", "a", "b")
+        )
+        elected = _truncate_lineage(
+            offers.groupBy("comp")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w"))
+            .distinct()
+        )
+        if elected.isEmpty():
+            _release_checkpoint(elected)
+            break
+        chosen = (
+            elected
+            if chosen is None
+            else _truncate_lineage(chosen.unionByName(elected).distinct())
+        )
+        # contract: merge components along the elected edges.  The
+        # election graph has ≤ |components| edges — model-sized
+        # relative to the corpus edge list — but its DIAMETER can be
+        # Θ(|components|) (monotone weights elect a chain), so the
+        # contraction uses the two-phase star CC: O(log²) rounds
+        # regardless of chain length.
+        comp_edges = (
+            elected.join(comp.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
+            .select("ca", "cb")
+        )
+        merged = connected_components_two_phase(comp_edges, src="ca", dst="cb")
+        new_comp = _truncate_lineage(
+            comp.join(
+                merged.select(F.col("doc_id").alias("c"), F.col("cluster_id")),
+                "c",
+                "left",
+            ).select("id", F.coalesce("cluster_id", F.col("c")).alias("c"))
+        )
+        if prev_comp_ckpt is not None:
+            _release_checkpoint(prev_comp_ckpt)
+        prev_comp_ckpt = new_comp
+        comp = new_comp
+    _release_checkpoint(e)
+    if chosen is None:
+        return e.filter(F.lit(False)).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        )
+    return chosen.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")

@@ -21,6 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # queries with no SQL oracle by design (rows-only in the driver gate)
 NO_ORACLE = {
+    # Borůvka MSF: iterative election/contraction loop — exactness is
+    # pinned by tests/test_boruvka.py's Kruskal cross-check instead
+    "graph_msf",
     "approx_distinct",
     "ann_ivf_kmeans",
     "ann_pq",
