@@ -3685,6 +3685,24 @@ def _q_crosscorr(spark, sf):
     return events_ops.crosscorr(daily, "d", "x", "y", max_lag=3)
 
 
+def _q_neyman_allocation(spark, sf):
+    """Neyman-optimal stratified sampling allocation per order
+    priority (operators/relational.py:neyman_allocation): budget share
+    ∝ N_h·σ_h from exact BIGINT stratum moments."""
+    orders = scan(spark, sf, "orders")
+    return relational.neyman_allocation(orders, "o_orderpriority", "o_totalprice")
+
+
+def _q_isotonic_fit(spark, sf):
+    """Per-event-type isotonic regression of value on hour-of-day
+    (operators/events.py:isotonic_fit): corpus-sized work is one
+    partial-agged groupBy; the ≤24-row bucket table crosses to Arrow
+    for the exact-integer PAVA pool.  PAVA is not SQL-expressible —
+    rows-only in the gate; pools pinned in pytest."""
+    ev = scan(spark, sf, "events")
+    return events_ops.isotonic_fit(ev)
+
+
 def _q_graph_msf(spark, sf):
     """Borůvka minimum spanning forest of the supplier—part graph,
     weights = min extended price in cents (operators/graph.py:
@@ -3881,6 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_hist": _q_graph_degree_hist,
         "graph_assortativity": _q_graph_assortativity,
         "graph_msf": _q_graph_msf,
+        "neyman_allocation": _q_neyman_allocation,
+        "isotonic_fit": _q_isotonic_fit,
         "chisq_independence": _q_chisq_independence,
         "benford_digits": _q_benford_digits,
         "autocorr": _q_autocorr,
@@ -5678,6 +5698,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * abs(2 * c - med2) > 3 * mad4 AS BIGINT)
                      AS is_outlier
             FROM d2
+        """,
+        "neyman_allocation": """
+            WITH per AS (SELECT o_orderpriority AS stratum,
+                                CAST(count(*) AS BIGINT) AS n_rows,
+                                sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS s1,
+                                sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    * CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS s2
+                         FROM orders GROUP BY 1),
+            sc AS (SELECT stratum, n_rows,
+                          sqrt(CAST(n_rows AS DOUBLE) * s2
+                               - CAST(s1 AS DOUBLE) * s1) / n_rows / 100.0
+                            AS sig
+                   FROM per),
+            t AS (SELECT sum(n_rows * sig) AS t FROM sc)
+            SELECT stratum, n_rows,
+                   round(sig, 6) AS sigma,
+                   round(n_rows * sig / t.t, 6) AS alloc_share
+            FROM sc CROSS JOIN t
         """,
         "ab_test": """
             WITH pu AS (SELECT user_id,

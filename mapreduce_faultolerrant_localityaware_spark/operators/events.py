@@ -1310,3 +1310,69 @@ def seasonal_decompose(
             "remainder"
         ),
     )
+
+
+def isotonic_fit(
+    events: DataFrame,
+    key_col: str = "event_type",
+    x_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 24,
+) -> DataFrame:
+    """Per-key isotonic regression via PAVA (pool adjacent violators):
+    the monotone-non-decreasing step function closest (weighted L2) to
+    the per-bucket means — the shape-constrained fit behind calibration
+    curves and dose-response/monotone-metric smoothing, where OLS's
+    line is the wrong prior.
+
+    Distributed split: the corpus-sized work is ONE partial-agged
+    groupBy to (key, bucket, Σcents, n) — exact BIGINT sums — and only
+    the DOMAIN-sized bucket table (≤ n_buckets rows per key) crosses
+    into Arrow for the sequential PAVA pool, which accumulates the
+    pooled (Σ, n) as exact Python integers (arbitrary precision) and
+    divides once per block at the end.  The fit is therefore exact
+    rational arithmetic — bit-reproducible across partitionings — but
+    PAVA itself is not SQL-expressible, so the driver gate records
+    rows-only and tests/test_round8b_ops.py pins hand-computed pools.
+
+    ``x_col`` buckets by hour-of-day.  Returns ``(key, bucket, n,
+    bucket_mean, fit)`` — fit is the isotonic step value.
+    """
+    import pandas as pd
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.hour(x_col).cast("long").alias("bucket"),
+    ).agg(
+        F.sum(cents).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        # blocks of (sum, weight) as exact Python ints; pool while the
+        # previous block's mean exceeds the next's (s_prev*n_next >
+        # s_next*n_prev — integer cross-compare, no float)
+        blocks: list = []  # [s, n, count_of_buckets]
+        for s, n in zip(pdf["s"], pdf["n"]):
+            blocks.append([int(s), int(n), 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+            ):
+                s2, n2, c2 = blocks.pop()
+                blocks[-1][0] += s2
+                blocks[-1][1] += n2
+                blocks[-1][2] += c2
+            # merge is weight-preserving, so the pooled mean is the
+            # exact weighted mean of the violating run
+        fit = []
+        for s, n, c in blocks:
+            fit.extend([round(s / n / 100.0, 6)] * c)
+        pdf["fit"] = fit
+        pdf["bucket_mean"] = [round(int(s) / int(n) / 100.0, 6) for s, n in zip(pdf["s"], pdf["n"])]
+        return pdf[["key", "bucket", "n", "bucket_mean", "fit"]]
+
+    return per.groupBy("key").applyInPandas(
+        pava, "key string, bucket long, n long, bucket_mean double, fit double"
+    )

@@ -952,3 +952,47 @@ def weighted_median(
             F.round(F.min("c") / 100.0, 6).alias("weighted_median"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: a fixed sample
+    budget split across strata ∝ N_h·σ_h (stratum size × stratum
+    std) — the variance-minimizing design for estimating the
+    population mean, and the principled upgrade to
+    :func:`sample_stratified`'s proportional allocation when strata
+    have very different spreads.
+
+    Exact moments: values quantize to cents; Σx is an exact BIGINT
+    and Σx² accumulates in DECIMAL(38,0) — cents² alone is ~10¹⁵, so
+    a BIGINT Σx² wraps (ANSI: errors) beyond ~10⁴ rows per stratum;
+    the decimal matches the oracle's HUGEINT exactly.  The σ closed
+    form then converts each exact integer to double ONCE (same
+    nearest-double on both engines) so the 6-dp result is engine-
+    stable.  One partial-agged shuffle to the |strata|-row table plus
+    a 1-row broadcast total.  Returns ``(stratum, n_rows, sigma,
+    alloc_share)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    c_dec = cents.cast("decimal(19,0)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).alias("s1"),
+        F.sum(c_dec * c_dec).alias("s2"),
+    )
+    n = F.col("n_rows")
+    # population variance in centi-units², from exact integer sums
+    sigma = F.sqrt(
+        (n.cast("double") * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+    ) / n / 100.0
+    scored = per.select("stratum", "n_rows", sigma.alias("sig"))
+    tot = scored.agg(F.sum(n * F.col("sig")).alias("t"))
+    return scored.join(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        F.round("sig", 6).alias("sigma"),
+        F.round(n * F.col("sig") / F.col("t"), 6).alias("alloc_share"),
+    )

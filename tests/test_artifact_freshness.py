@@ -24,6 +24,9 @@ NO_ORACLE = {
     # Borůvka MSF: iterative election/contraction loop — exactness is
     # pinned by tests/test_boruvka.py's Kruskal cross-check instead
     "graph_msf",
+    # PAVA is not SQL-expressible; exact-rational pools pinned in
+    # tests/test_round8b_ops.py
+    "isotonic_fit",
     "approx_distinct",
     "ann_ivf_kmeans",
     "ann_pq",

@@ -98,8 +98,9 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # table — both the tfidf-style scalar-attach shape
            "chisq_independence", "benford_digits",
            # changepoint_detect attaches its 1-row (total, count)
-           # aggregate to the domain-sized prefix table (same shape)
-           "changepoint_detect"}
+           # aggregate to the domain-sized prefix table (same shape);
+           # neyman_allocation its 1-row share denominator
+           "changepoint_detect", "neyman_allocation"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -282,3 +282,69 @@ def test_seasonal_decompose_pure_weekly_signal(spark):
     assert out[sun]["seasonal"] == round(12 - 72 / 7, 6)
     assert out[mid]["seasonal"] == round(10 - 72 / 7, 6)
     assert out[mid]["remainder"] == 0.0
+
+
+def test_isotonic_pava_pools_violation(spark):
+    """Bucket means 1, 3, 2 (equal weights): PAVA pools the (3, 2)
+    violation to 2.5; the leading 1 stays."""
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        isotonic_fit,
+    )
+
+    rows = []
+    for hour, val in [(0, 1.0), (1, 3.0), (2, 2.0)]:
+        rows.append(("t", dt.datetime(2024, 1, 1, hour, 0), val))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["bucket"]: r for r in isotonic_fit(df).collect()}
+    assert [out[b]["fit"] for b in (0, 1, 2)] == [1.0, 2.5, 2.5]
+    assert [out[b]["bucket_mean"] for b in (0, 1, 2)] == [1.0, 3.0, 2.0]
+    # monotone non-decreasing by construction
+    fits = [out[b]["fit"] for b in sorted(out)]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_weighted_pool_and_cascade(spark):
+    """Weights matter and pooling cascades: means 4 (w=1), 1 (w=3)
+    pool to 7/4 = 1.75; the preceding mean 2 then violates (2 > 1.75)
+    -> the cascade pools all three blocks to (2 + 7)/5 = 1.8."""
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        isotonic_fit,
+    )
+
+    rows = [("t", dt.datetime(2024, 1, 1, 0, 0), 2.0)]
+    rows += [("t", dt.datetime(2024, 1, 1, 1, 0), 4.0)]
+    rows += [("t", dt.datetime(2024, 1, 1, 2, i), 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["bucket"]: r for r in isotonic_fit(df).collect()}
+    assert [out[b]["fit"] for b in (0, 1, 2)] == [1.8, 1.8, 1.8]
+
+
+def test_isotonic_already_monotone_unchanged(spark):
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        isotonic_fit,
+    )
+
+    rows = [("t", dt.datetime(2024, 1, 1, h, 0), float(h + 1)) for h in range(4)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["bucket"]: r for r in isotonic_fit(df).collect()}
+    assert all(out[b]["fit"] == out[b]["bucket_mean"] for b in out)
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """Stratum A: values 1,3 (n=2, sigma=1); stratum B: values 5,5,5,5
+    (n=4, sigma=0) -> all budget to A."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        neyman_allocation,
+    )
+
+    rows = [("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 5.0)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r["stratum"]: r for r in neyman_allocation(df, "s", "v").collect()}
+    assert got["A"]["sigma"] == 1.0 and got["B"]["sigma"] == 0.0
+    assert got["A"]["alloc_share"] == 1.0 and got["B"]["alloc_share"] == 0.0
