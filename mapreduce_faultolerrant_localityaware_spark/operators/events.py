@@ -1041,11 +1041,14 @@ def attribution_multi_touch(
 
     Join shape: one interval equi-join on the user key bounded by the
     lookback window (the asof/range-join state bound — per-user
-    touches in a week, not history); first/last election is a packed
-    ``struct(ts, id)`` min/max, no second window pass.  Returns one
-    row per touch channel: ``(channel, n_touches, n_first_touch,
-    n_last_touch, linear_value)`` with linear_value in dollars (6 dp
-    from the exact milli-cent sum).
+    touches in a week, not history); per-conversion n / first / last
+    are WINDOW functions over the conversion partition — ONE exchange
+    on the conversion id (the plan audit's rewrite: a groupBy +
+    rejoin here re-evaluated the whole interval join as a second
+    SortMergeJoin branch).  Returns one row per touch channel:
+    ``(channel, n_touches, n_first_touch, n_last_touch,
+    linear_value)`` with linear_value in dollars (6 dp from the exact
+    milli-cent sum).
     """
     conv = events.filter(F.col(type_col) == conversion_type).select(
         F.col(user_col).alias("u"),
@@ -1063,23 +1066,22 @@ def attribution_multi_touch(
         (F.col("tts") < F.col("cts"))
         & (F.col("tts") >= F.col("cts") - F.expr(f"INTERVAL {lookback_days} DAYS"))
     )
-    per_conv = pairs.groupBy("cid", "vc").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min(F.struct("tts", "tid")).alias("first_t"),
-        F.max(F.struct("tts", "tid")).alias("last_t"),
-    )
-    credited = pairs.join(
-        per_conv.select("cid", "n", F.col("first_t.tid").alias("first_id"),
-                        F.col("last_t.tid").alias("last_id")),
-        "cid",
+    wc = Window.partitionBy("cid")
+    wf = Window.partitionBy("cid").orderBy("tts", "tid")
+    wl = Window.partitionBy("cid").orderBy(F.desc("tts"), F.desc("tid"))
+    credited = pairs.select(
+        "channel",
+        "vc",
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+        (F.row_number().over(wf) == 1).cast("long").alias("is_first"),
+        (F.row_number().over(wl) == 1).cast("long").alias("is_last"),
     ).select(
         "channel",
-        "tid",
         # `div` = true INTEGER division (never a double intermediate a
         # last-ulp misround could push across the floor boundary)
         F.expr("(vc * 1000) div n").cast("long").alias("credit_mc"),
-        (F.col("tid") == F.col("first_id")).cast("long").alias("is_first"),
-        (F.col("tid") == F.col("last_id")).cast("long").alias("is_last"),
+        "is_first",
+        "is_last",
     )
     return credited.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_touches"),
