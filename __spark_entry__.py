@@ -3685,6 +3685,34 @@ def _q_crosscorr(spark, sf):
     return events_ops.crosscorr(daily, "d", "x", "y", max_lag=3)
 
 
+def _q_spearman(spark, sf):
+    """Spearman rank correlation of daily click vs purchase counts
+    (operators/events.py:spearman_corr): doubled average ranks stay
+    exact BIGINTs, one float closed form."""
+    ev = scan(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return events_ops.spearman_corr(daily, "x", "y")
+
+
+def _q_mutual_information(spark, sf):
+    """Mutual information nation × market segment
+    (operators/events.py:mutual_information): how MUCH the labels
+    couple, in nats, alongside chisq's significance."""
+    cust = scan(spark, sf, "customer")
+    return events_ops.mutual_information(cust, "c_nationkey", "c_mktsegment")
+
+
+def _q_session_rules(spark, sf):
+    """Session-scoped association rules A→B with confidence and lift
+    (operators/events.py:session_rules): gap sessions as baskets,
+    ≤|types|² pairs per session."""
+    ev = scan(spark, sf, "events")
+    return events_ops.session_rules(ev)
+
+
 def _q_neyman_allocation(spark, sf):
     """Neyman-optimal stratified sampling allocation per order
     priority (operators/relational.py:neyman_allocation): budget share
@@ -3901,6 +3929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msf": _q_graph_msf,
         "neyman_allocation": _q_neyman_allocation,
         "isotonic_fit": _q_isotonic_fit,
+        "spearman_corr": _q_spearman,
+        "mutual_information": _q_mutual_information,
+        "session_rules": _q_session_rules,
         "chisq_independence": _q_chisq_independence,
         "benford_digits": _q_benford_digits,
         "autocorr": _q_autocorr,
@@ -5698,6 +5729,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * abs(2 * c - med2) > 3 * mad4 AS BIGINT)
                      AS is_outlier
             FROM d2
+        """,
+        "spearman_corr": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                                  CAST(sum(CASE WHEN event_type = 'click'
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+                           FROM events GROUP BY 1),
+            rk AS (SELECT
+                     CAST(2 * rank() OVER (ORDER BY x)
+                          + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+                     CAST(2 * rank() OVER (ORDER BY y)
+                          + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+                   FROM daily),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+                         sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+                  FROM rk)
+            SELECT n,
+                   round(CASE WHEN sxx * n = sx * sx OR syy * n = sy * sy
+                              THEN NULL
+                              ELSE (sxy * n - sx * sy)
+                                   / sqrt(CAST(sxx * n - sx * sx AS DOUBLE)
+                                          * CAST(syy * n - sy * sy AS DOUBLE))
+                         END, 6) AS spearman
+            FROM s
+        """,
+        "mutual_information": """
+            WITH obs AS (SELECT c_nationkey AS a, c_mktsegment AS b,
+                                CAST(count(*) AS BIGINT) AS o
+                         FROM customer GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY a),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY b),
+            t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+            cell AS (SELECT o, r, c, n
+                     FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t),
+            m AS (SELECT max(n) AS n,
+                         sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                                  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))))
+                           AS mi,
+                         sum(-(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)))
+                           AS h_ab
+                  FROM cell),
+            ha AS (SELECT sum(-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                               * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                            AS h_a
+                   FROM rm CROSS JOIN t),
+            hb AS (SELECT sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                            AS h_b
+                   FROM cm CROSS JOIN t)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+                   round(h_ab, 6) AS h_ab, round(mi, 6) AS mi
+            FROM m CROSS JOIN ha CROSS JOIN hb
+        """,
+        "session_rules": """
+            WITH l AS (SELECT user_id, ts, event_id, event_type,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                       FROM events),
+            s AS (SELECT user_id, event_type,
+                         sum(CASE WHEN prev IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev)
+                                     > 1800000000
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            basket AS (SELECT DISTINCT user_id AS u, sid, event_type AS t
+                       FROM s),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+                   FROM (SELECT DISTINCT u, sid FROM basket)),
+            pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t
+                   FROM basket GROUP BY t),
+            pr AS (SELECT x.t AS antecedent, y.t AS consequent,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM basket x JOIN basket y
+                     ON x.u = y.u AND x.sid = y.sid AND x.t <> y.t
+                   GROUP BY 1, 2)
+            SELECT antecedent, consequent, n_both,
+                   a.n_t AS n_ante, c.n_t AS n_cons, n_sessions,
+                   round(n_both / CAST(a.n_t AS DOUBLE), 6) AS confidence,
+                   round(CAST(n_both AS DOUBLE) * n_sessions
+                         / (CAST(a.n_t AS DOUBLE) * c.n_t), 6) AS lift
+            FROM pr JOIN pt a ON pr.antecedent = a.t
+                    JOIN pt c ON pr.consequent = c.t
+            CROSS JOIN ns
+            WHERE n_both >= 2
         """,
         "neyman_allocation": """
             WITH per AS (SELECT o_orderpriority AS stratum,

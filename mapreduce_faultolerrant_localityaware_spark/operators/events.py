@@ -1378,3 +1378,171 @@ def isotonic_fit(
     return per.groupBy("key").applyInPandas(
         pava, "key string, bucket long, n long, bucket_mean double, fit double"
     )
+
+
+def spearman_corr(
+    series: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation: Pearson over AVERAGE ranks — the
+    robust, monotonicity-not-linearity companion to the exact Pearson
+    ops (:func:`crosscorr`, corr_matrix): outliers and nonlinear but
+    monotone couplings that wreck Pearson leave Spearman intact.
+
+    Tie handling without floats: the average rank of a tie group is
+    (min_rank + max_rank)/2, so DOUBLED average ranks
+    ``2r = 2·rank() + (count_over_value − 1)`` are exact BIGINTs (the
+    ×2 scaling cancels in the correlation), and every Pearson term is
+    an exact integer sum — one float closed form at the end.  Input is
+    a pre-aggregated domain-sized series (the :func:`autocorr`
+    contract): two value-partition windows + one ordered rank window
+    each.  Returns one row ``(n, spearman)``.
+    """
+
+    def r2(col):
+        wr = Window.orderBy(col)
+        wv = Window.partitionBy(col)
+        return (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wv) - 1).cast("long")
+
+    ranked = series.select(r2(x_col).alias("rx"), r2(y_col).alias("ry"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") * n - sx * sy
+    varx = F.col("sxx") * n - sx * sx
+    vary = F.col("syy") * n - sy * sy
+    return s.select(
+        "n",
+        F.round(
+            F.try_divide(cov, F.sqrt(varx.cast("double") * vary.cast("double"))), 6
+        ).alias("spearman"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the marginal and joint entropies — the magnitude companion to
+    :func:`chisq_independence` (chi-square says IF the labels are
+    associated; MI says HOW MUCH, in information units, and
+    MI/min(H_a,H_b) is the standard normalized coupling score).
+
+    Same shape as chisq: one partial-agged shuffle to the R×C
+    contingency table, broadcast margins, then per-cell
+    ``(n_ij/N)·ln(n_ij·N/(n_i·n_j))`` — every log argument is a ratio
+    of exact BIGINTs (both engines' libm logs agree far inside the
+    6-dp rounding; the repo's BM25/KL oracles pin the same class).
+    Returns one row ``(n, h_a, h_b, h_ab, mi)``.
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = obs.groupBy("a").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cell = (
+        obs.join(F.broadcast(rows), "a")
+        .join(F.broadcast(cols), "b")
+        .join(F.broadcast(tot))
+    )
+    o, r, c, n = (F.col(x).cast("double") for x in ("o", "r", "c", "n"))
+    agg = cell.agg(
+        F.max("n").alias("n"),
+        F.sum((o / n) * F.log(o * n / (r * c))).alias("mi"),
+        F.sum(-(o / n) * F.log(o / n)).alias("h_ab"),
+    )
+    h_a = rows.join(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("r").cast("double") / F.col("n"))
+            * F.log(F.col("r").cast("double") / F.col("n"))
+        ).alias("h_a")
+    )
+    h_b = cols.join(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("c").cast("double") / F.col("n"))
+        ).alias("h_b")
+    )
+    return (
+        agg.join(F.broadcast(h_a)).join(F.broadcast(h_b)).select(
+            F.col("n").cast("long").alias("n"),
+            F.round("h_a", 6).alias("h_a"),
+            F.round("h_b", 6).alias("h_b"),
+            F.round("h_ab", 6).alias("h_ab"),
+            F.round("mi", 6).alias("mi"),
+        )
+    )
+
+
+def session_rules(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    min_sessions: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Session-scoped association rules A→B: among sessions containing
+    event type A, how often does B also occur (confidence), and how
+    much more often than B's base rate (lift) — market-basket rules
+    with the gap session as the basket (the product-analytics read on
+    "users who viewed X in a sitting also did Y").
+
+    Shape: gap sessionization (one exchange, :func:`sessionize`),
+    DISTINCT types per session (domain-bounded: |types| per basket),
+    then a session-key equi-join expands ≤|types|² ordered pairs per
+    session — never a corpus-sized cross space.  Counts are exact
+    BIGINTs; confidence and lift are single divisions of exact
+    integers.  Returns ``(antecedent, consequent, n_both, n_ante,
+    n_cons, n_sessions, confidence, lift)``.
+    """
+    sess = sessionize(events, gap_minutes=gap_minutes, user_col=user_col)
+    basket = sess.select(
+        F.col(user_col).alias("u"), F.col("session_id").alias("sid"), F.col(type_col).alias("t")
+    ).distinct()
+    n_sessions = basket.select("u", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    per_type = basket.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    pairs = (
+        basket.alias("x")
+        .join(basket.alias("y"), ["u", "sid"])
+        .filter(F.col("x.t") != F.col("y.t"))
+        .groupBy(F.col("x.t").alias("antecedent"), F.col("y.t").alias("consequent"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("t").alias("antecedent"), F.col("n_t").alias("n_ante"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("t").alias("consequent"), F.col("n_t").alias("n_cons"))),
+            "consequent",
+        )
+        .join(F.broadcast(n_sessions))
+        .filter(F.col("n_both") >= min_sessions)
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        "n_sessions",
+        F.round(F.col("n_both") / F.col("n_ante"), 6).alias("confidence"),
+        F.round(
+            F.col("n_both").cast("double") * F.col("n_sessions")
+            / (F.col("n_ante").cast("double") * F.col("n_cons")),
+            6,
+        ).alias("lift"),
+    )

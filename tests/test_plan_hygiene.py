@@ -100,7 +100,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # changepoint_detect attaches its 1-row (total, count)
            # aggregate to the domain-sized prefix table (same shape);
            # neyman_allocation its 1-row share denominator
-           "changepoint_detect", "neyman_allocation"}
+           "changepoint_detect", "neyman_allocation",
+           # mutual_information attaches its 1-row N plus the 1-row
+           # marginal-entropy aggregates; session_rules its 1-row
+           # session-count denominator (all scalar attaches)
+           "mutual_information", "session_rules"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

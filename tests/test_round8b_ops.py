@@ -348,3 +348,94 @@ def test_neyman_allocation_hand_computed(spark):
     got = {r["stratum"]: r for r in neyman_allocation(df, "s", "v").collect()}
     assert got["A"]["sigma"] == 1.0 and got["B"]["sigma"] == 0.0
     assert got["A"]["alloc_share"] == 1.0 and got["B"]["alloc_share"] == 0.0
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    """y = x^3 is perfectly monotone: Spearman 1.0 (Pearson wouldn't be)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        spearman_corr,
+    )
+
+    rows = [(i, i, i ** 3) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "d long, x long, y long")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["n"] == 8 and r["spearman"] == 1.0
+
+
+def test_spearman_ties_average_rank(spark):
+    """x = (1,1,2), y = (1,2,3): tied x pair gets average rank 1.5
+    (doubled ranks 3,3,6); hand Pearson over (3,3,6)x(2,4,6) =
+    0.866025."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        spearman_corr,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1), (2, 1, 2), (3, 2, 3)], "d long, x long, y long")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    import math
+    rx, ry = [3, 3, 6], [2, 4, 6]
+    n = 3
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx, syy = sum(a * a for a in rx), sum(b * b for b in ry)
+    want = (sxy * n - sx * sy) / math.sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))
+    assert r["spearman"] == round(want, 6)
+
+
+def test_mutual_information_independent_is_zero(spark):
+    """A perfectly proportional table has MI exactly 0 and
+    H_ab = H_a + H_b."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        mutual_information,
+    )
+
+    rows = [("x", "p")] * 2 + [("x", "q")] * 4 + [("y", "p")] * 3 + [("y", "q")] * 6
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi"] == 0.0
+    assert round(r["h_a"] + r["h_b"], 5) == round(r["h_ab"], 5)
+
+
+def test_mutual_information_identical_columns(spark):
+    """b == a: MI equals the entropy of a (perfect coupling)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        mutual_information,
+    )
+
+    rows = [("x", "x")] * 3 + [("y", "y")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    import math
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r["mi"] == round(h, 6) == r["h_a"] == r["h_b"] == r["h_ab"]
+
+
+def test_session_rules_confidence_and_lift(spark):
+    """3 sessions (one user, >30min apart): {view,click}, {view},
+    {click,purchase}.  Rule view->click: n_both=1, n_ante=2,
+    conf=0.5, lift = 1*3/(2*2) = 0.75."""
+    import datetime as dt
+
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        session_rules,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+
+    def at(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, 1, at(0), "view"), (2, 1, at(0, 5), "click"),
+        (3, 1, at(2), "view"),
+        (4, 1, at(4), "click"), (5, 1, at(4, 10), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r["antecedent"], r["consequent"]): r
+           for r in session_rules(df, min_sessions=1).collect()}
+    vc = got[("view", "click")]
+    assert (vc["n_both"], vc["n_ante"], vc["n_cons"], vc["n_sessions"]) == (1, 2, 2, 3)
+    assert vc["confidence"] == 0.5 and vc["lift"] == 0.75
+    # symmetric pair counts, asymmetric confidence
+    cv = got[("click", "view")]
+    assert cv["n_both"] == 1 and cv["confidence"] == 0.5
