@@ -5863,7 +5863,8 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_b = 0 THEN NULL
                               ELSE conv_b / CAST(n_b AS DOUBLE) END, 6)
                      AS rate_b,
-                   round(CASE WHEN sqrt((conv_a + conv_b)
+                   round(CASE WHEN n_a = 0 OR n_b = 0
+                              OR sqrt((conv_a + conv_b)
                                         / CAST(n_a + n_b AS DOUBLE)
                                         * (1.0 - (conv_a + conv_b)
                                            / CAST(n_a + n_b AS DOUBLE))

@@ -1077,9 +1077,17 @@ def attribution_multi_touch(
         (F.row_number().over(wl) == 1).cast("long").alias("is_last"),
     ).select(
         "channel",
-        # `div` = true INTEGER division (never a double intermediate a
-        # last-ulp misround could push across the floor boundary)
-        F.expr("(vc * 1000) div n").cast("long").alias("credit_mc"),
+        # exact integer FLOOR division (never a double intermediate a
+        # last-ulp misround could push across the floor boundary).
+        # Spark's `div` truncates toward zero while the SQL-standard
+        # `//` (DuckDB oracle) floors; they differ only for negative
+        # dividends (refunds/credits), so correct `div` by 1 when the
+        # division is inexact and the dividend is negative (n, a
+        # window count, is always > 0 here).
+        F.expr(
+            "(vc * 1000) div n"
+            " - (CASE WHEN (vc * 1000) % n != 0 AND vc < 0 THEN 1 ELSE 0 END)"
+        ).cast("long").alias("credit_mc"),
         "is_first",
         "is_last",
     )
@@ -1244,8 +1252,14 @@ def ab_test(
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
-    p = (ca + cb) / (na + nb)
-    se = F.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    # every division is try_divide: an empty arm (n_a or n_b = 0) NULLs
+    # the 1/n term → se NULL → z NULL; an all-or-none pooled rate makes
+    # se exactly 0 → the outer try_divide NULLs z.  No plain '/' may
+    # appear here — under this session's ANSI mode it would raise
+    # DIVIDE_BY_ZERO on exactly the degenerate splits the docstring
+    # promises to NULL (and the DuckDB oracle CASE-guards to NULL).
+    p = F.try_divide(ca + cb, na + nb)
+    se = F.sqrt(p * (1.0 - p) * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb)))
     return arms.select(
         "n_a",
         "n_b",
@@ -1253,7 +1267,10 @@ def ab_test(
         "conv_b",
         F.round(F.try_divide(ca, na), 6).alias("rate_a"),
         F.round(F.try_divide(cb, nb), 6).alias("rate_b"),
-        F.round(F.try_divide(cb / nb - ca / na, se), 6).alias("z_stat"),
+        F.round(
+            F.try_divide(F.try_divide(cb, nb) - F.try_divide(ca, na), F.nullif(se, F.lit(0.0))),
+            6,
+        ).alias("z_stat"),
     )
 
 
@@ -1270,6 +1287,13 @@ def seasonal_decompose(
     component the per-weekday mean of the detrended values, and the
     remainder what's left — the first decomposition any ops/forecast
     pipeline runs on a daily series.
+
+    Seasonal bucketing: for ``period == 7`` the bucket is the calendar
+    weekday (gap-robust: a missing day doesn't shift every later row's
+    phase); for any other ``period`` it is the position-mod-period
+    index ``(row_number − 1) % period`` — previously non-7 periods
+    silently reused the weekday bucket and computed a wrong seasonal
+    index (ADVICE r8).
 
     Exact-rational discipline: with integer values, ``7·y − Σ₇y`` is
     an exact BIGINT per row, so the per-weekday seasonal numerator
@@ -1288,12 +1312,18 @@ def seasonal_decompose(
         .rowsBetween(-half, half)
     )
     y = F.col(value_col).cast("long")
+    if period == 7:
+        bucket = F.dayofweek(date_col).cast("long")
+    else:
+        bucket = (
+            (F.row_number().over(Window.orderBy(date_col)) - 1) % period
+        ).cast("long")
     base = series.select(
         F.col(date_col).alias("d"),
         y.alias("y"),
         F.sum(y).over(w).alias("sp"),
         F.count(F.lit(1)).over(w).cast("long").alias("cp"),
-        F.dayofweek(date_col).cast("long").alias("dow"),
+        bucket.alias("dow"),
     )
     full = F.col("cp") == period
     detr = base.filter(full).groupBy("dow").agg(

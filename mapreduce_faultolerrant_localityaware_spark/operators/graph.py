@@ -911,7 +911,7 @@ def boruvka_msf(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
-    max_iter: int = 15,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Borůvka minimum spanning forest — THE parallel MST algorithm
     (each round every component grabs its cheapest outgoing edge, so
@@ -934,6 +934,11 @@ def boruvka_msf(
 
     Returns the forest's edge rows ``(src, dst, w)`` (endpoint-
     normalized src < dst).
+
+    ``max_iter`` (default 25) exceeds the ceil(log₂ n) halving bound
+    for any graph below ~33M nodes; if the budget is somehow exhausted
+    while cross-component edges remain, raises ``RuntimeError`` rather
+    than returning a silently partial forest (ADVICE r8).
     """
     e = _truncate_lineage(
         edges.select(
@@ -951,6 +956,7 @@ def boruvka_msf(
 
     chosen = None
     prev_comp_ckpt = None
+    converged = False
     for _ in range(max_iter):
         lab = (
             e.join(comp.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
@@ -969,12 +975,19 @@ def boruvka_msf(
         )
         if elected.isEmpty():
             _release_checkpoint(elected)
+            converged = True
             break
-        chosen = (
-            elected
-            if chosen is None
-            else _truncate_lineage(chosen.unionByName(elected).distinct())
-        )
+        if chosen is None:
+            chosen = elected
+        else:
+            new_chosen = _truncate_lineage(chosen.unionByName(elected).distinct())
+            # the union is materialized: the superseded accumulator's
+            # blocks are dead — release now, not at GC time (a
+            # many-round run would otherwise pile up one dead
+            # checkpoint per round on executor storage).  `elected`
+            # stays live: the contraction below still reads it.
+            _release_checkpoint(chosen)
+            chosen = new_chosen
         # contract: merge components along the elected edges.  The
         # election graph has ≤ |components| edges — model-sized
         # relative to the corpus edge list — but its DIAMETER can be
@@ -998,9 +1011,37 @@ def boruvka_msf(
             _release_checkpoint(prev_comp_ckpt)
         prev_comp_ckpt = new_comp
         comp = new_comp
-    _release_checkpoint(e)
-    if chosen is None:
-        return e.filter(F.lit(False)).select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        # both consumers of this round's election (the chosen union and
+        # the contraction) are materialized; its blocks are now dead —
+        # unless it IS the accumulator (first round).
+        if elected is not chosen:
+            _release_checkpoint(elected)
+    if not converged:
+        # max_iter exhausted without an empty election round: a
+        # silently partial forest is corruption, not a result — verify
+        # no cross-component edges remain, else fail loudly.
+        remaining = (
+            e.join(comp.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
         )
-    return chosen.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"boruvka_msf did not converge in max_iter={max_iter} rounds "
+                "and cross-component edges remain; raise max_iter "
+                "(halving bounds rounds by ceil(log2(n_nodes)))"
+            )
+    # build the (possibly empty) result BEFORE releasing any blocks it
+    # could reference: the empty return is a fresh local DataFrame, not
+    # a filter over the about-to-be-released `e` checkpoint.
+    if chosen is None:
+        out_schema = e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        ).schema
+        result = e.sparkSession.createDataFrame([], out_schema)
+    else:
+        result = chosen.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    _release_checkpoint(e)
+    if prev_comp_ckpt is not None:
+        _release_checkpoint(prev_comp_ckpt)
+    return result

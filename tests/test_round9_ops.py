@@ -1,0 +1,137 @@
+"""Round-9 regression tests: the ADVICE-r8 degenerate-input fixes.
+
+Each test pins a failure mode the r8 advice identified — divide-by-zero
+on degenerate A/B splits, div-vs-floor divergence on negative
+attribution values, wrong seasonal bucket for period != 7, Borůvka's
+silent partial forest, and the checkpoint-release ordering on the
+empty-forest path.
+"""
+
+import datetime as dt
+
+import pytest
+
+
+def test_ab_test_empty_arm_is_null_not_error(spark):
+    """All users in one arm (even ids only): n_b = 0 — z_stat and
+    rate_b must be NULL, not an ANSI DIVIDE_BY_ZERO."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import ab_test
+
+    rows = [(0, "purchase"), (2, "view"), (4, "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 0)
+    assert r["rate_b"] is None
+    assert r["z_stat"] is None
+
+
+def test_ab_test_all_convert_zero_se_is_null(spark):
+    """Every user converts: pooled p = 1, se = 0 — z_stat NULL."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import ab_test
+
+    rows = [(0, "purchase"), (1, "purchase"), (2, "purchase"), (3, "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test(df).collect()[0]
+    assert (r["rate_a"], r["rate_b"]) == (1.0, 1.0)
+    assert r["z_stat"] is None
+
+
+def test_attribution_negative_value_floors_like_oracle(spark):
+    """A refund (value = -10.00) split over 3 touches: credit per touch
+    must be floor(-1000000/3) = -333334 milli-cents (DuckDB `//`
+    floors), NOT Spark `div`'s truncation toward zero (-333333)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        attribution_multi_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, 1, at(-30), "view", 0.0),
+        (2, 1, at(-20), "view", 0.0),
+        (3, 1, at(-10), "view", 0.0),
+        (4, 1, at(0), "purchase", -10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    r = attribution_multi_touch(df).collect()
+    assert len(r) == 1
+    assert r[0]["channel"] == "view"
+    # python // floors: (-10.00*100*1000)//3 per touch, 3 touches
+    assert r[0]["linear_value"] == round(3 * ((-1000 * 1000) // 3) / 100000.0, 6)
+
+
+def test_seasonal_decompose_period_5_uses_position_bucket(spark):
+    """y cycles 10,10,10,10,20 with period 5: the seasonal bucket must
+    follow position-mod-5, so the spike position's seasonal is
+    20 − trend(=12) = +8 and the others −2 (weekday bucketing — the
+    r8 bug — would smear the spike across weekday classes)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        seasonal_decompose,
+    )
+
+    start = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        d = start + dt.timedelta(days=i)
+        rows.append((d, 20 if i % 5 == 4 else 10))
+    df = spark.createDataFrame(rows, "d date, y long")
+    out = {r["d"]: r for r in seasonal_decompose(df, "d", "y", period=5).collect()}
+    mid = start + dt.timedelta(days=10)  # position 10 ≡ 0 (mod 5)
+    spike = start + dt.timedelta(days=9)  # position 9 ≡ 4 (mod 5)
+    assert out[mid]["trend"] == 12.0
+    assert out[mid]["seasonal"] == -2.0
+    assert out[spike]["seasonal"] == 8.0
+    assert out[mid]["remainder"] == 0.0
+
+
+def test_seasonal_decompose_period_7_still_weekday_anchored(spark):
+    """period=7 keeps the calendar-weekday bucket (gap-robust): with a
+    missing day, the Sunday spike still lands in one bucket."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import (
+        seasonal_decompose,
+    )
+
+    start = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    for i in range(28):
+        if i == 2:  # drop one mid-week day: positions shift, weekdays don't
+            continue
+        d = start + dt.timedelta(days=i)
+        rows.append((d, 10 + (2 if d.isoweekday() == 7 else 0)))
+    df = spark.createDataFrame(rows, "d date, y long")
+    rows_out = seasonal_decompose(df, "d", "y", period=7).collect()
+    by_dow = {}
+    for r in rows_out:
+        if r["seasonal"] is not None:
+            by_dow.setdefault(r["d"].isoweekday(), set()).add(r["seasonal"])
+    # every Sunday shares one (positive) seasonal value
+    assert len(by_dow[7]) == 1 and max(by_dow[7]) > 0
+
+
+def test_boruvka_exhausted_budget_raises_not_partial(spark):
+    """max_iter=0 on a non-trivial graph: cross-component edges remain,
+    so the operator must raise rather than return a partial forest."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import boruvka_msf
+
+    df = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (3, 4, 7)], "src long, dst long, w long"
+    )
+    with pytest.raises(RuntimeError, match="boruvka_msf"):
+        boruvka_msf(df, max_iter=0)
+
+
+def test_boruvka_self_loops_only_returns_empty(spark):
+    """A graph of only self-loops has an empty forest; the empty return
+    must be a real empty DataFrame (src, dst, w), independent of any
+    released checkpoint blocks."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import boruvka_msf
+
+    df = spark.createDataFrame([(1, 1, 5), (2, 2, 3)], "src long, dst long, w long")
+    out = boruvka_msf(df)
+    assert out.columns == ["src", "dst", "w"]
+    assert out.count() == 0
