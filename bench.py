@@ -159,11 +159,33 @@ def main() -> None:
             warms.append(time.perf_counter() - t0)
         times[name] = round(min(warms), 3)
 
+    # self-healing pass (round 9): warm-slower-than-cold is almost
+    # always a transient load spike during that query's warm passes,
+    # not a property of the query (r8's committed artifact carried a
+    # hand-adjudicated lm_score flag).  Re-run each suspect once —
+    # fresh cold + warm set — and keep the BETTER measurement; only a
+    # twice-confirmed suspect stays flagged.
+    suspect = sorted(n for n in times if times[n] > cold[n])
+    for name in suspect:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        c2 = round(time.perf_counter() - t0, 3)
+        warms = []
+        for _ in range(warm_passes):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            warms.append(time.perf_counter() - t0)
+        w2 = round(min(warms), 3)
+        if w2 < times[name]:
+            times[name] = w2
+        if c2 < cold[name]:
+            cold[name] = c2
     suspect = sorted(n for n in times if times[n] > cold[n])
     if suspect:
         print(
             f"WARNING: steady-state slower than cold for {suspect} — "
-            "external machine load; re-run on a quiet machine",
+            "confirmed on a re-run; external machine load, re-run on a "
+            "quiet machine",
             file=sys.stderr,
         )
 

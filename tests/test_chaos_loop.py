@@ -98,11 +98,15 @@ SCRIPT = textwrap.dedent(
 
 @pytest.mark.slow
 def test_randomized_kill_loop_outputs_exact():
+    # 162 s measured in isolation (judge r8): 540 s gives the >=3x
+    # headroom a full-suite run on a loaded box needs — the 290 s
+    # budget (1.8x) was the only full-suite failure in the r8 judge
+    # run, passing on isolated re-run.
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT],
         capture_output=True,
         text=True,
-        timeout=290,
+        timeout=540,
         cwd="/root/repo",
     )
     assert "CHAOS_LOOP_OK" in proc.stdout, (
