@@ -1355,6 +1355,36 @@ def _q_streaming_sessionize_flush(spark, sf):
     )
 
 
+def _q_streaming_idempotent_sink(spark, sf):
+    """Exactly-once foreachBatch sink under a FORCED micro-batch replay
+    (streaming/idempotent_sink.py; the reference's retry-dedup
+    guarantee — reducer per-chunk guard core/map_reduce.go:167-182,
+    master per-reducer dedup core/map_reduce.go:621-626 — re-keyed to
+    Structured Streaming's batchId): three pinned micro-batches, a
+    crash injected right after batch 1's (batchId→txn) commit but
+    before the offset commit, a restart that REPLAYS batch 1 with the
+    same id, and the sink-side dedup guard that drains the re-delivery
+    without re-applying it.  The final upsert state (latest committed
+    txn per key) must equal the batch aggregation over all events —
+    exactly-once, not at-least-once."""
+    ev = scan(spark, sf, "events")
+    in_dir = streaming_ops.stage_three_batch_input(spark, ev)
+    schema = spark.read.parquet(os.path.join(in_dir, "00-even.parquet")).schema
+    from mapreduce_faultolerrant_localityaware_spark._scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("idem"), "out")
+
+    def agg(stream):
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+
+    streaming_ops.run_idempotent_replay(
+        spark, in_dir, schema, out, agg, output_mode="update", crash_batch_id=1
+    )
+    return streaming_ops.read_latest_per_key(spark, out, ["event_type"])
+
+
 def _q_lateral_topk(spark, sf):
     """Correlated LATERAL top-k (operators/relational.py:lateral_topk):
     each customer's 3 highest-value orders via Spark 4's lateralJoin —
@@ -3919,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_sessionize_flush": _q_streaming_sessionize_flush,
+        "streaming_idempotent_sink": _q_streaming_idempotent_sink,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "streaming_topk": _q_streaming_topk,
         "lateral_topk": _q_lateral_topk,
@@ -5513,6 +5544,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "streaming_idempotent_sink": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
         """,
         "streaming_sessionize_flush": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

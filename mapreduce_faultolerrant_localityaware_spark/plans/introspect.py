@@ -18,6 +18,27 @@ def formatted_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+#: physical node names whose per-plan counts are pinned by the
+#: committed exchange budget (tests/exchange_budget.json).  Exchange =
+#: a real shuffle, BroadcastExchange = a broadcast build, ReusedExchange
+#: = a shared shuffle/broadcast output — a refactor that breaks reuse
+#: (same Exchange count, one fewer ReusedExchange) re-executes a whole
+#: subtree and must show up in the budget diff.
+EXCHANGE_NODES = ("Exchange", "BroadcastExchange", "ReusedExchange")
+
+
+def exchange_counts(df: DataFrame) -> dict[str, int]:
+    """Count shuffle/broadcast/reuse nodes in the formatted physical
+    plan.  Formatted explain lists each physical node exactly once in
+    the numbered details section (``(5) Exchange``), so counting those
+    lines counts nodes, not tree-rendering duplicates."""
+    plan = formatted_plan(df)
+    return {
+        node: len(re.findall(rf"^\(\d+\) {node}\b", plan, re.M))
+        for node in EXCHANGE_NODES
+    }
+
+
 # ---------------------------------------------------------------------------
 # BroadcastNestedLoopJoin build-side boundedness prover
 # ---------------------------------------------------------------------------

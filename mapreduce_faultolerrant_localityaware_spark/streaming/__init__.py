@@ -6,6 +6,12 @@ from .enrich_stream import (
     interval_join_streams,
     sliding_event_counts,
 )
+from .idempotent_sink import (
+    IdempotentBatchSink,
+    read_committed,
+    read_latest_per_key,
+    run_idempotent_replay,
+)
 from .late_data import late_window_counts, stage_three_batch_input
 from .materialize import run_to_batch, stream_table
 from .sessionize_stream import sessionize_stream
@@ -17,6 +23,7 @@ from .wordcount_stream import (
 )
 
 __all__ = [
+    "IdempotentBatchSink",
     "dedup_stream",
     "enrich_stream",
     "fuzzy_dedup_stream",
@@ -25,6 +32,9 @@ __all__ = [
     "late_window_counts",
     "ohlc_stream",
     "quality_filter_stream",
+    "read_committed",
+    "read_latest_per_key",
+    "run_idempotent_replay",
     "run_to_batch",
     "sessionize_stream",
     "sliding_event_counts",

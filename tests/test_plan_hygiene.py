@@ -11,12 +11,16 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 import pytest
 
 import __spark_entry__ as entry_mod
 from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
     bnlj_build_sides,
+    exchange_counts,
     is_row_bounded,
     subtree_sketch,
 )
@@ -144,6 +148,34 @@ def test_boundedness_prover_accepts_scalar_attach(spark, sf_dir):
     assert sides, "expected a BroadcastNestedLoopJoin in the probe plan"
     for _, build in sides:
         assert is_row_bounded(build), subtree_sketch(build)
+
+
+#: committed per-query exchange budget (regenerate with
+#: ``python tools/pin_exchanges.py`` — at the SAME sf as this test run,
+#: since join-strategy choice reads file-size stats)
+_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "exchange_budget.json")
+with open(_BUDGET_PATH) as _fh:
+    _BUDGET = json.load(_fh)
+
+
+@pytest.mark.parametrize("name", [q for q in _QUERIES if q not in SKIP])
+def test_exchange_budget(spark, sf_dir, name):
+    """Exchange-count ratchet: a refactor that adds a shuffle (or loses
+    a broadcast/reuse) to ANY query fails here, not in the next bench —
+    the mechanical version of the plan-audit discipline that caught
+    attribution_multi_touch's double interval-join in round 8.  An
+    intentional plan change regenerates tests/exchange_budget.json in
+    the same commit (tools/pin_exchanges.py [query ...])."""
+    assert name in _BUDGET, (
+        f"{name} has no committed exchange budget — run "
+        "`python tools/pin_exchanges.py {name}` and commit the diff"
+    )
+    got = exchange_counts(entry_mod.queries()[name](spark, sf_dir))
+    assert got == _BUDGET[name], (
+        f"{name}: exchange counts changed {_BUDGET[name]} -> {got}; if "
+        "intentional, regenerate with `python tools/pin_exchanges.py "
+        f"{name}` and commit tests/exchange_budget.json in the same commit"
+    )
 
 
 @pytest.mark.parametrize("name", [q for q in _QUERIES if q not in SKIP])
