@@ -1355,6 +1355,31 @@ def _q_streaming_sessionize_flush(spark, sf):
     )
 
 
+def _q_streaming_dedup_update(spark, sf):
+    """Deduped update-mode counts over THREE pinned micro-batches
+    (streaming/enrich_stream.py:deduped_update_counts; VERDICT r8
+    item 8): dropDuplicatesWithinWatermark on (user_id, event_type)
+    chained into an update-mode count per event_type.  The watermark
+    horizon (10 years) covers the whole bounded input, so no dedup
+    state expires and no row is late — every cross-batch duplicate is
+    dropped and the final in-place-updated count per type is exactly
+    count(DISTINCT user_id); the expiry/late-drop boundary semantics
+    are pinned separately by tests/test_streaming_dedup_update.py.
+    Update-mode count emissions are monotone per group, so the final
+    state is max(n) per group over the per-batch update log."""
+    ev = scan(spark, sf, "events")
+    in_dir = streaming_ops.stage_three_batch_input(spark, ev)
+    schema = spark.read.parquet(os.path.join(in_dir, "00-even.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    counts = streaming_ops.deduped_update_counts(
+        stream, ["user_id", "event_type"], "event_type", watermark="87600 hours"
+    )
+    updates = streaming_ops.run_to_batch(counts, spark, output_mode="update")
+    return updates.groupBy("event_type").agg(F.max("n_unique").alias("n_unique"))
+
+
 def _q_streaming_idempotent_sink(spark, sf):
     """Exactly-once foreachBatch sink under a FORCED micro-batch replay
     (streaming/idempotent_sink.py; the reference's retry-dedup
@@ -3950,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_sessionize_flush": _q_streaming_sessionize_flush,
         "streaming_idempotent_sink": _q_streaming_idempotent_sink,
+        "streaming_dedup_update": _q_streaming_dedup_update,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "streaming_topk": _q_streaming_topk,
         "lateral_topk": _q_lateral_topk,
@@ -5547,6 +5573,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_idempotent_sink": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "streaming_dedup_update": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
             FROM events GROUP BY event_type
         """,
         "streaming_sessionize_flush": """

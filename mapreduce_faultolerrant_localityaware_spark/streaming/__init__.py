@@ -1,5 +1,6 @@
 from .enrich_stream import (
     dedup_stream,
+    deduped_update_counts,
     enrich_stream,
     fuzzy_dedup_stream,
     incremental_dedup_stream,
@@ -25,6 +26,7 @@ from .wordcount_stream import (
 __all__ = [
     "IdempotentBatchSink",
     "dedup_stream",
+    "deduped_update_counts",
     "enrich_stream",
     "fuzzy_dedup_stream",
     "incremental_dedup_stream",

@@ -67,6 +67,35 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def deduped_update_counts(
+    events: DataFrame,
+    keys: list[str],
+    group_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Deduped UPDATE-mode counts — the everyday ingestion dashboard
+    semantic: ``dropDuplicatesWithinWatermark`` drops a late duplicate
+    that arrives inside the watermark horizon, a fresh key flows into
+    the downstream count which updates IN PLACE (update mode re-emits
+    the group's new total), and a key whose dedup state has expired
+    (watermark passed its event time + delay) is legitimately counted
+    again — the documented at-most-delay dedup guarantee, not a bug.
+
+    Chained stateful operators (dedup state → agg state) with ONE
+    watermark column: Spark 4 runs this combination in update mode;
+    both states are watermark-bounded, so state size tracks the
+    horizon, not the stream length — the 100 TB/day posture.
+    Update-mode emissions of a count are monotone per group, so the
+    materialized final state is ``max`` per group (see the
+    ``streaming_dedup_update`` gate query).
+    """
+    deduped = events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return deduped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique")
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
