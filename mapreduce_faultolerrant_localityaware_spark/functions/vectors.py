@@ -30,4 +30,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO) when either vector has zero
+    norm — cosine is undefined there, and a degenerate row (an
+    all-zeros embedding from a failed encoder) must not crash a
+    corpus-scale scoring pass (degenerate-surface sweep, r9)."""
+    return F.try_divide(dot(a, b), F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0)))

@@ -775,7 +775,10 @@ def rolling_median(
     vals = F.sort_array(F.collect_list(value_col).over(w))
     sz = F.size(vals)
     mid_hi = (sz / 2 + 1).cast("int")  # upper middle (1-based)
-    median = F.when(
+    # sz == 0 (every value in the frame NULL — collect_list skips
+    # NULLs): the median is NULL, not an INVALID_INDEX_OF_ZERO crash
+    # (degenerate-surface sweep, r9)
+    median = F.when(sz == 0, F.lit(None).cast("double")).when(
         sz % 2 == 1, F.element_at(vals, ((sz + 1) / 2).cast("int"))
     ).otherwise(
         (F.element_at(vals, (sz / 2).cast("int")) + F.element_at(vals, mid_hi)) / 2
@@ -984,7 +987,8 @@ def hampel_outliers(
 
     def med2_of(arr):
         sz = F.size(arr)
-        return F.when(
+        # empty frame (all values NULL): NULL, not INVALID_INDEX_OF_ZERO
+        return F.when(sz == 0, F.lit(None).cast("long")).when(
             sz % 2 == 1, 2 * F.element_at(arr, ((sz + 1) / 2).cast("int"))
         ).otherwise(
             F.element_at(arr, (sz / 2).cast("int"))
@@ -1373,7 +1377,10 @@ def isotonic_fit(
     import pandas as pd
 
     cents = F.round(F.col(value_col) * 100).cast("long")
-    per = events.groupBy(
+    # a NULL value is a missing observation, not a zero: filter before
+    # aggregating so an all-NULL bucket vanishes instead of feeding
+    # NaN sums into the integer PAVA pool (degenerate-surface sweep, r9)
+    per = events.filter(cents.isNotNull()).groupBy(
         F.col(key_col).alias("key"),
         F.hour(x_col).cast("long").alias("bucket"),
     ).agg(

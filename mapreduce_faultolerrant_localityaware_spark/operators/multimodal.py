@@ -99,6 +99,10 @@ def decode_media(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    # NULL payload = missing media object: nothing to
+                    # decode, emit nothing (degenerate-surface sweep, r9)
+                    continue
                 data = bytes(blob)
                 w, h, feats = decode_image_stub(data)
                 rows.append(

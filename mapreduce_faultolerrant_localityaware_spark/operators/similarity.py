@@ -1286,7 +1286,11 @@ def mmr_diversify(
     short = ann_bruteforce(
         emb, emb.filter(F.col(id_col) == query_id), k=shortlist,
         id_col=id_col, vec_col=vec_col,
-    ).select(F.col("neighbor_id").alias("_id"), "cos_sim")
+    ).select(F.col("neighbor_id").alias("_id"), "cos_sim").filter(
+        # zero-norm vectors score NULL cosine (undefined): they cannot
+        # be ranked, so they never enter the greedy shortlist
+        F.col("cos_sim").isNotNull()
+    )
     vecs = _prep(emb, id_col, vec_col).withColumnRenamed(id_col, "_id")
     rows = (
         short.join(vecs, "_id")
