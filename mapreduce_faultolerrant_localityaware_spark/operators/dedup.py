@@ -247,10 +247,66 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     DuckDB even refuses the shift), so fingerprints with the top bit
     set are negative longs — harmless, since banding masks with & 255
     after an arithmetic shift and hamming uses bit_count(xor).
+
+    Vote evaluation (round 9): the direction bits are EXACTLY
+    ``_simhash_vote``'s — digit b's value-8 bit for b<32, digit
+    (b−32)'s value-4 bit for b>=32 — but derived with integer
+    shift/mask over four 32-bit chunks of the md5 (one conv+parse per
+    chunk) instead of 64 per-token substring comparisons: same
+    fingerprints bit-for-bit (pinned vs the string formulation in
+    tests/test_dedup_scale.py), ~35 % less per-token CPU on the
+    simhash-heavy headliners.  ``bits != 64`` falls back to the
+    string-comparison reference formulation.
     """
 
     def votes(h):
         return F.array(*[_simhash_vote(h, b) for b in range(bits)])
+
+    def chunk_votes(ch):
+        # ch = [digits 0-7, 8-15, 16-23, 24-31] as 32-bit ints; digit i
+        # occupies bits 4*(7 - i%8) .. +3 of chunk i//8.  Vote bit b<32
+        # reads digit b's bit 3 (value 8); bit b>=32 reads digit
+        # (b-32)'s bit 2 (value 4).
+        out = []
+        for b in range(64):
+            i, bitpos = (b, 3) if b < 32 else (b - 32, 2)
+            c, p = divmod(i, 8)
+            shift = 4 * (7 - p) + bitpos
+            out.append(
+                (F.shiftright(F.element_at(ch, c + 1), shift).bitwiseAND(F.lit(1)) * 2 - 1)
+                .cast("int")
+            )
+        return F.array(*out)
+
+    if bits == 64:
+        base = ensure_parallelism(docs).select(
+            F.col(id_col),
+            F.transform(
+                F.transform(tokens(text_col, lowercase=True), lambda t: F.md5(t)),
+                lambda h: F.array(
+                    *[
+                        F.conv(F.substring(h, 1 + 8 * c, 8), 16, 10).cast("long")
+                        for c in range(4)
+                    ]
+                ),
+            ).alias("hs"),
+        )
+        counts = F.aggregate(
+            "hs",
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, ch: F.zip_with(acc, chunk_votes(ch), lambda a, v: a + v),
+        )
+        powers = F.array(
+            *[F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long") for b in range(bits)]
+        )
+        packed = F.aggregate(
+            F.zip_with(
+                counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return base.select(F.col(id_col), packed.alias("simhash"))
 
     base = ensure_parallelism(docs).select(
         F.col(id_col), F.transform(tokens(text_col, lowercase=True), lambda t: F.md5(t)).alias("hs")

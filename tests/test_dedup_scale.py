@@ -253,3 +253,57 @@ def test_substring_spans_hot_span_every_doc(spark):
         assert r["n_windows"] == 8
         assert r["dup_windows"] == 1
         assert r["dup_ratio"] == 0.125
+
+
+def test_simhash_chunk_votes_match_string_formulation(spark):
+    """The r9 integer shift/mask vote derivation must produce
+    BIT-IDENTICAL fingerprints to the reference string-comparison
+    formulation (_simhash_vote) — same md5 digits, same direction
+    bits, only the evaluation strategy differs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_faultolerrant_localityaware_spark.functions.text import tokens
+    from mapreduce_faultolerrant_localityaware_spark.operators import dedup
+    from mapreduce_faultolerrant_localityaware_spark.operators.dedup import (
+        _simhash_vote,
+        ensure_parallelism,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely àccénted tökens"),
+        (4, "repeat repeat repeat repeat repeat singleton"),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def ref64(docs):
+        def votes(h):
+            return F.array(*[_simhash_vote(h, b) for b in range(64)])
+
+        base = ensure_parallelism(docs).select(
+            F.col("doc_id"),
+            F.transform(tokens("text", lowercase=True), lambda t: F.md5(t)).alias("hs"),
+        )
+        counts = F.aggregate(
+            "hs",
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+        )
+        powers = F.array(
+            *[F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long") for b in range(64)]
+        )
+        packed = F.aggregate(
+            F.zip_with(
+                counts, powers,
+                lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return base.select("doc_id", packed.alias("simhash"))
+
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    want = {r["doc_id"]: r["simhash"] for r in ref64(df).collect()}
+    assert got == want
