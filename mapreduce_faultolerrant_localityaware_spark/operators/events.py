@@ -776,12 +776,24 @@ def rolling_median(
     sz = F.size(vals)
     mid_hi = (sz / 2 + 1).cast("int")  # upper middle (1-based)
     # sz == 0 (every value in the frame NULL — collect_list skips
-    # NULLs): the median is NULL, not an INVALID_INDEX_OF_ZERO crash
-    # (degenerate-surface sweep, r9)
-    median = F.when(sz == 0, F.lit(None).cast("double")).when(
+    # NULLs) must yield NULL, not INVALID_INDEX_OF_ZERO (degenerate-
+    # surface sweep, r9): the even branch uses try_element_at, whose
+    # index-0 lookup is NULL — the SAME two-branch CaseWhen as before,
+    # because an extra guard condition re-evaluates the whole sorted
+    # frame array per row (CaseWhen branches don't share array
+    # subexpressions; a leading size==0 guard cost +36 % on the bench).
+    # greatest(idx, 1): try_element_at still REJECTS index 0, but an
+    # out-of-bounds positive index is NULL — on the empty frame both
+    # lookups become index-1-of-empty → NULL; on real even frames
+    # sz/2 >= 1 so the clamp is a no-op
+    median = F.when(
         sz % 2 == 1, F.element_at(vals, ((sz + 1) / 2).cast("int"))
     ).otherwise(
-        (F.element_at(vals, (sz / 2).cast("int")) + F.element_at(vals, mid_hi)) / 2
+        (
+            F.try_element_at(vals, F.greatest((sz / 2).cast("int"), F.lit(1)))
+            + F.try_element_at(vals, mid_hi)
+        )
+        / 2
     )
     return events.select(
         user_col, id_col, F.round(median, 6).alias("roll_median")
@@ -987,12 +999,18 @@ def hampel_outliers(
 
     def med2_of(arr):
         sz = F.size(arr)
-        # empty frame (all values NULL): NULL, not INVALID_INDEX_OF_ZERO
-        return F.when(sz == 0, F.lit(None).cast("long")).when(
+        # empty frame (all values NULL) yields NULL via try_element_at's
+        # NULL-on-index-0 — same two-branch CaseWhen as r8 (an extra
+        # guard condition re-evaluates the whole array per row: CaseWhen
+        # branches don't share array subexpressions, +36 % on the bench)
+        # greatest(idx, 1): try_element_at still rejects index 0; the
+        # clamp turns the empty frame into an out-of-bounds NULL and is
+        # a no-op on real even frames (sz/2 >= 1)
+        return F.when(
             sz % 2 == 1, 2 * F.element_at(arr, ((sz + 1) / 2).cast("int"))
         ).otherwise(
-            F.element_at(arr, (sz / 2).cast("int"))
-            + F.element_at(arr, (sz / 2 + 1).cast("int"))
+            F.try_element_at(arr, F.greatest((sz / 2).cast("int"), F.lit(1)))
+            + F.try_element_at(arr, (sz / 2 + 1).cast("int"))
         )
 
     vals = F.sort_array(F.collect_list(c).over(w))
