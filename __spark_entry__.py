@@ -1355,6 +1355,24 @@ def _q_streaming_sessionize_flush(spark, sf):
     )
 
 
+def _q_ann_range_search(spark, sf):
+    """Cosine RANGE search (operators/similarity.py:ann_range_search):
+    all corpus vectors with cos_sim >= 0.2 of each of the 8 pinned
+    query vectors — the radius-query sibling of ann_bruteforce's
+    top-k, same broadcast-theta one-pass corpus scan."""
+    emb = scan(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_range_search(emb, queries_df, threshold=0.2)
+
+
+def _q_srm_check(spark, sf):
+    """Sample-ratio-mismatch health gate (operators/events.py:
+    srm_check): (n_a − n_b)²/n chi-square of the parity split against
+    50/50 — exact BIGINT arm counts, one float division."""
+    ev = scan(spark, sf, "events")
+    return events_ops.srm_check(ev)
+
+
 def _q_streaming_dedup_update(spark, sf):
     """Deduped update-mode counts over THREE pinned micro-batches
     (streaming/enrich_stream.py:deduped_update_counts; VERDICT r8
@@ -3976,6 +3994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_flush": _q_streaming_sessionize_flush,
         "streaming_idempotent_sink": _q_streaming_idempotent_sink,
         "streaming_dedup_update": _q_streaming_dedup_update,
+        "ann_range_search": _q_ann_range_search,
+        "srm_check": _q_srm_check,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "streaming_topk": _q_streaming_topk,
         "lateral_topk": _q_lateral_topk,
@@ -5579,6 +5599,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "srm_check": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+                  FROM u)
+            SELECT n_a, n_b,
+                   round(CASE WHEN n_a + n_b = 0 THEN NULL
+                         ELSE CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                              / CAST(n_a + n_b AS DOUBLE) END, 6) AS srm_chi2,
+                   (CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)) > 3.841 AS mismatch
+            FROM a
         """,
         "streaming_sessionize_flush": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
@@ -7694,6 +7730,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+        """,
+        "ann_range_search": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     {_COS.format(a='qv', b='e.v')} AS cos_sim
+              FROM e CROSS JOIN q WHERE e.vec_id <> query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM scored
+            WHERE cos_sim >= 0.2
         """,
         "ann_recall_report": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1296,6 +1296,40 @@ def ab_test(
     )
 
 
+def srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the A/B-test HEALTH gate run
+    before reading any metric (:func:`ab_test`'s prerequisite): under
+    the 50/50 parity assignment the arm sizes are Binomial(n, ½), and
+    the 1-dof chi-square against the expected split collapses
+    algebraically to
+
+        chi2 = (n_a − n/2)²/(n/2) + (n_b − n/2)²/(n/2) = (n_a − n_b)²/n
+
+    — one float division of exact BIGINTs (n_a, n_b are one
+    partial-agged per-user count-distinct; the squared difference is
+    < 2⁵³ far beyond any real experiment).  ``mismatch`` flags
+    chi2 > 3.841 (95th percentile of χ²₁) — the standard trigger to
+    QUARANTINE the experiment rather than trust its metrics.
+    ``try_divide``: an empty experiment (n = 0) is NULL, not an ANSI
+    error.  Returns one row (n_a, n_b, srm_chi2, mismatch).
+    """
+    arms = events.select(F.col(user_col).alias("u")).distinct().groupBy().agg(
+        F.sum((F.col("u") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("u") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    d = (F.col("n_a") - F.col("n_b")).cast("double")
+    chi2 = F.try_divide(d * d, (F.col("n_a") + F.col("n_b")).cast("double"))
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841).alias("mismatch"),
+    )
+
+
 def seasonal_decompose(
     series: DataFrame,
     date_col: str,

@@ -61,6 +61,42 @@ def ann_bruteforce(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def ann_range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search: every corpus vector within
+    ``cos_sim >= threshold`` of each query (self excluded) — the
+    radius-query sibling of :func:`ann_bruteforce`'s top-k (vector
+    stores expose both: k-NN answers "the best k", range answers
+    "everything this similar", the shape dedup thresholds and
+    recall-first retrieval want).
+
+    Same 100 TB shape as ann_bruteforce: the k-row query side
+    broadcasts against the corpus scan (one pass, no corpus shuffle);
+    the threshold filter evaluates in the same projection as the
+    score, so output size tracks the neighborhood density, never the
+    corpus.  Zero-norm vectors score NULL cosine and never pass the
+    threshold.  Returns (query_id, neighbor_id, cos_sim).
+    """
+    corpus = _prep(emb, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 10,

@@ -38,6 +38,9 @@ from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
 #: a Subquery node does, now visible as a 1-row BNLJ; ann_pq broadcasts
 #: the query side against a `!=` predicate like ann_bruteforce/ann_sq8)
 BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_salted",
+           # ann_range_search is ann_bruteforce's radius sibling — the
+           # same intended broadcast theta join (k-row query side)
+           "ann_range_search",
            # ann_filtered is ann_bruteforce over a filtered corpus —
            # the same intended broadcast theta join (k-row query side)
            "ann_filtered",

@@ -135,3 +135,51 @@ def test_boruvka_self_loops_only_returns_empty(spark):
     out = boruvka_msf(df)
     assert out.columns == ["src", "dst", "w"]
     assert out.count() == 0
+
+
+def test_ann_range_search_threshold_and_self_exclusion(spark):
+    """3 known vectors: identical pair scores 1.0 (returned both ways),
+    the orthogonal one never passes the threshold, self excluded."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.similarity import (
+        ann_range_search,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ann_range_search(df, df, threshold=0.5).collect()
+    }
+    assert out == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_ann_range_search_zero_norm_never_matches(spark):
+    from mapreduce_faultolerrant_localityaware_spark.operators.similarity import (
+        ann_range_search,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert ann_range_search(df, df, threshold=-10.0).count() == 0
+
+
+def test_srm_check_hand_computed(spark):
+    """6 even users vs 2 odd: chi2 = (6-2)^2/8 = 2.0, below 3.841."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import srm_check
+
+    users = [0, 2, 4, 6, 8, 10, 1, 3]
+    df = spark.createDataFrame([(u, "view") for u in users], "user_id long, event_type string")
+    r = srm_check(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (6, 2)
+    assert r["srm_chi2"] == 2.0 and r["mismatch"] is False
+
+
+def test_srm_check_flags_gross_mismatch(spark):
+    """40 even vs 4 odd: chi2 = 36^2/44 = 29.45 > 3.841 -> mismatch."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.events import srm_check
+
+    users = [2 * i for i in range(40)] + [1, 3, 5, 7]
+    df = spark.createDataFrame([(u, "view") for u in users], "user_id long, event_type string")
+    r = srm_check(df).collect()[0]
+    assert r["mismatch"] is True
+    assert r["srm_chi2"] == round(36 * 36 / 44, 6)
