@@ -1355,6 +1355,15 @@ def _q_streaming_sessionize_flush(spark, sf):
     )
 
 
+def _q_token_budget_sample(spark, sf):
+    """Balanced-mixture token-budget sampling (operators/corpus.py:
+    token_budget_sample): equal per-source share of a 20k-token
+    budget, hash-threshold keep (expectation-based — the fully
+    parallel at-scale idiom; an exact prefix would serialize each
+    source through one cumsum task)."""
+    return corpus.token_budget_sample(scan(spark, sf, "documents"), budget_tokens=20_000)
+
+
 def _q_ann_range_search(spark, sf):
     """Cosine RANGE search (operators/similarity.py:ann_range_search):
     all corpus vectors with cos_sim >= 0.2 of each of the 8 pinned
@@ -3996,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_update": _q_streaming_dedup_update,
         "ann_range_search": _q_ann_range_search,
         "srm_check": _q_srm_check,
+        "token_budget_sample": _q_token_budget_sample,
         "streaming_cdc_apply": _q_streaming_cdc_apply,
         "streaming_topk": _q_streaming_topk,
         "lateral_topk": _q_lateral_topk,
@@ -5599,6 +5609,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "token_budget_sample": f"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len({_TOK_LOWER}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            tot AS (SELECT source, sum(n_tokens) AS src_tokens
+                    FROM t GROUP BY 1),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM tot),
+            th AS (SELECT source,
+                          least(CAST(1000000 AS BIGINT),
+                                CAST(floor(1000000.0 * (20000.0 / n_sources)
+                                           / src_tokens) AS BIGINT)) AS p
+                   FROM tot, ns)
+            SELECT doc_id, source, n_tokens,
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 1000000) < p AS keep
+            FROM t JOIN th USING (source)
         """,
         "srm_check": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

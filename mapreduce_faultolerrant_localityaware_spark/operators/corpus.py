@@ -1937,3 +1937,68 @@ def heaps_fit(
         F.round(beta, 6).alias("beta"),
         F.round(F.try_divide(sy - beta * sx, k), 6).alias("log_k"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int = 20_000,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced-mixture sampling to a TOKEN budget: give every source
+    an equal share of ``budget_tokens`` and keep each source's docs
+    with probability ``min(1, share / source_token_mass)`` — the
+    hash-threshold idiom behind corpus mixing (rare sources keep
+    everything; dominant crawl sources downsample to their share).
+
+    The at-scale design point: expectation-based hash thresholding
+    instead of an exact prefix-by-cumulative-sum.  An exact prefix
+    needs a per-source ORDERED window — one sequential cumsum partition
+    per source, and real corpora have FEW sources, so at 100 TB the
+    biggest source's cumsum becomes a single-task bottleneck.  The
+    threshold form is two partial-agged passes and a stateless per-row
+    filter: pass 1 reduces to one (source, Σtokens) row per source
+    (map-side combined), pass 2 keeps a doc iff its md5-derived
+    uniform (engine-portable: first 8 hex digits mod 10⁶) falls under
+    the source's per-million threshold.  Budget is hit in expectation
+    with Binomial concentration — the standard trade for full
+    parallelism.  Deterministic: the hash is a pure key function, so
+    the sample is reproducible and contamination-safe across reruns.
+
+    Exact-integer discipline: token masses are exact BIGINTs; the only
+    float is the single threshold division, floored to an integer
+    per-million once per SOURCE (model-sized), so the per-row
+    comparison is integer-only.  Returns one row per doc:
+    ``(doc_id, source, n_tokens, keep)``.
+    """
+    n_tok = F.size(tokens(text_col, lowercase=True)).cast("long")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), F.col(source_col).alias("source"), n_tok.alias("n_tokens")
+    )
+    totals = base.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    n_src = totals.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    thresh = totals.join(F.broadcast(n_src)).select(
+        "source",
+        # try_divide + least-skips-NULL: a zero-token-mass source
+        # (empty strings) trivially fits any budget — keep everything
+        # (threshold 10⁶), never an ANSI DIVIDE_BY_ZERO
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                F.try_divide(
+                    F.lit(1_000_000.0) * (F.lit(float(budget_tokens)) / F.col("n_sources")),
+                    F.col("src_tokens"),
+                )
+            ).cast("long"),
+        ).alias("p_permillion"),
+    )
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1_000_000
+    return base.join(F.broadcast(thresh), "source").select(
+        id_col,
+        "source",
+        "n_tokens",
+        (u < F.col("p_permillion")).alias("keep"),
+    )

@@ -41,6 +41,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # ann_range_search is ann_bruteforce's radius sibling — the
            # same intended broadcast theta join (k-row query side)
            "ann_range_search",
+           # token_budget_sample attaches its 1-row source-count
+           # aggregate to the model-sized per-source totals (the
+           # tfidf-style scalar-attach shape)
+           "token_budget_sample",
            # ann_filtered is ann_bruteforce over a filtered corpus —
            # the same intended broadcast theta join (k-row query side)
            "ann_filtered",

@@ -183,3 +183,31 @@ def test_srm_check_flags_gross_mismatch(spark):
     r = srm_check(df).collect()[0]
     assert r["mismatch"] is True
     assert r["srm_chi2"] == round(36 * 36 / 44, 6)
+
+
+def test_token_budget_sample_balanced_shares(spark):
+    """Two sources, one 10x the token mass of the other, budget 2x the
+    small source: each source gets an equal share (= the small mass),
+    so the small source keeps everything (p = 10^6) and the big one
+    thresholds at ~1/10 of the per-million space."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "small", "alpha beta"))                 # 2 tokens each = 40
+    for i in range(20, 60):
+        rows.append((i, "big", " ".join(["tok"] * 10)))          # 10 tokens each = 400
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(df, budget_tokens=80)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 60
+    # small source: share 40 >= mass 40 -> keep all
+    assert all(got[i]["keep"] for i in range(20))
+    # big source: p = floor(1e6 * 40/400) = 100000 -> a strict subset
+    big_kept = [i for i in range(20, 60) if got[i]["keep"]]
+    assert 0 < len(big_kept) < 40 or len(big_kept) == 0  # hash-dependent but not all
+    # determinism: rerun yields the same set
+    again = {r["doc_id"]: r["keep"] for r in token_budget_sample(df, budget_tokens=80).collect()}
+    assert again == {k: v["keep"] for k, v in got.items()}
