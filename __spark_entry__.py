@@ -3862,6 +3862,87 @@ def _q_seasonal_decompose(spark, sf):
     return events_ops.seasonal_decompose(daily, "o_orderdate", "n", period=7)
 
 
+def _q_survival_km(spark, sf):
+    """Kaplan-Meier customer-churn survival curve over order histories
+    (operators/events.py:survival_km): lifetime = first→last order
+    day, customers still ordering within 90 days of the corpus edge
+    are censored; exact BIGINT risk sets, the survival product carried
+    as integer micro-unit log terms."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.survival_km(
+        orders, horizon_days=90, user_col="o_custkey", ts_col="o_orderdate"
+    )
+
+
+def _q_mannwhitney_u(spark, sf):
+    """Mann-Whitney rank-sum test: URGENT vs LOW priority order values
+    (operators/events.py:mannwhitney_u) — doubled average ranks and
+    the tie-corrected z from exact BIGINTs."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.mannwhitney_u(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
+def _q_cuped_adjust(spark, sf):
+    """CUPED variance-reduced A/B lift (operators/events.py:
+    cuped_adjust): pre-period value sum as the covariate, θ and the
+    adjusted lift from DECIMAL(38,0) exact moments."""
+    ev = scan(spark, sf, "events")
+    return events_ops.cuped_adjust(ev)
+
+
+def _q_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test on daily order counts
+    (operators/events.py:runs_test): exact doubled-median signs, run
+    count from one lag pass, tie-free integer z inputs."""
+    orders = scan(spark, sf, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return events_ops.runs_test(daily, "d", "n")
+
+
+def _q_cohort_ltv(spark, sf):
+    """Monthly-cohort cumulative LTV curves over customer order
+    histories (operators/events.py:cohort_ltv): integer month indexes,
+    cent-exact cumulative revenue, LTV-per-user as the single final
+    division."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.cohort_ltv(
+        orders, user_col="o_custkey", ts_col="o_orderdate", value_col="o_totalprice"
+    )
+
+
+def _q_gini_index(spark, sf):
+    """Gini concentration of customer spend per market segment
+    (operators/relational.py:gini_index): per-customer cent totals,
+    rank closed form with DECIMAL(38,0) Σi·x."""
+    orders = scan(spark, sf, "orders")
+    cust = scan(spark, sf, "customer")
+    per = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("c_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return relational.gini_index(per, "segment", "c_custkey", "cents")
+
+
+def _q_rfm_segments(spark, sf):
+    """RFM quintile segmentation of the customer base
+    (operators/relational.py:rfm_segments): exact day/count/cent
+    metrics, total-order ntiles, (R,F,M)-cell counts."""
+    orders = scan(spark, sf, "orders")
+    return relational.rfm_segments(orders)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4030,6 +4111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": _q_ab_test,
         "weighted_median": _q_weighted_median,
         "seasonal_decompose": _q_seasonal_decompose,
+        "survival_km": _q_survival_km,
+        "mannwhitney_u": _q_mannwhitney_u,
+        "cuped_adjust": _q_cuped_adjust,
+        "runs_test": _q_runs_test,
+        "cohort_ltv": _q_cohort_ltv,
+        "gini_index": _q_gini_index,
+        "rfm_segments": _q_rfm_segments,
         "streaming_join": _q_streaming_join,
         "streaming_join_outer": _q_streaming_join_outer,
         "streaming_join_full": _q_streaming_join_full,
@@ -6047,6 +6135,259 @@ def oracle_sql() -> dict[str, str]:
                               THEN y - sp / 7.0 - num / (7.0 * cnt)
                          END, 6) AS remainder
             FROM base LEFT JOIN detr USING (dow)
+        """,
+        "survival_km": """
+            WITH pu AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+                               max(CAST(o_orderdate AS DATE)) AS l
+                        FROM orders GROUP BY 1),
+            mx AS (SELECT max(l) AS max_d FROM pu),
+            life AS (SELECT CAST(l - f AS BIGINT) AS t,
+                            CASE WHEN max_d - l > 90 THEN 1 ELSE 0 END AS dead
+                     FROM pu CROSS JOIN mx),
+            pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at_t,
+                          CAST(sum(dead) AS BIGINT) AS d
+                   FROM life GROUP BY t),
+            tot AS (SELECT coalesce(CAST(sum(n_at_t) AS BIGINT), 0)
+                             AS n_total FROM pt),
+            risk AS (SELECT t, d,
+                            CAST(n_total - coalesce(sum(n_at_t) OVER (
+                                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                     FROM pt CROSS JOIN tot),
+            steps AS (SELECT t, n_risk, d,
+                             CASE WHEN d < n_risk THEN
+                               CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE)) * 1000000)
+                                 AS BIGINT) END AS term
+                      FROM risk WHERE d > 0),
+            cum AS (SELECT t, n_risk, d,
+                           sum(term) OVER (ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM steps)
+            SELECT t, n_risk, d AS n_events,
+                   CASE WHEN d >= n_risk THEN 0.0
+                        ELSE round(exp(CAST(cum AS DOUBLE) / 1000000), 6)
+                   END AS survival
+            FROM cum
+        """,
+        "mannwhitney_u": """
+            WITH two AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                                     THEN 1 ELSE 0 END AS is_a,
+                                CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                         FROM orders
+                         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            rk AS (SELECT is_a,
+                          CAST(2 * rank() OVER (ORDER BY v)
+                               + count(*) OVER (PARTITION BY v) - 1
+                            AS BIGINT) AS r2
+                   FROM two),
+            s AS (SELECT coalesce(CAST(sum(is_a) AS BIGINT), 0) AS n_a,
+                         coalesce(CAST(sum(1 - is_a) AS BIGINT), 0) AS n_b,
+                         coalesce(CAST(sum(is_a * r2) AS BIGINT), 0) AS ra2
+                  FROM rk),
+            tz AS (SELECT coalesce(CAST(sum(t * t * t - t) AS BIGINT), 0)
+                            AS tie3
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                         FROM two GROUP BY v)),
+            vv AS (SELECT n_a, n_b, ra2, tie3,
+                          CASE WHEN n_a + n_b >= 2 THEN
+                            CAST(n_a * n_b AS DOUBLE) / 12.0
+                            * (CAST(n_a + n_b + 1 AS DOUBLE)
+                               - CAST(tie3 AS DOUBLE)
+                                 / CAST((n_a + n_b) * (n_a + n_b - 1)
+                                   AS DOUBLE))
+                          END AS var
+                   FROM s CROSS JOIN tz)
+            SELECT n_a, n_b,
+                   round(CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0, 1)
+                     AS u_a,
+                   round(CASE WHEN var IS NULL OR var = 0 THEN NULL
+                              ELSE CAST(ra2 - n_a * (n_a + 1) - n_a * n_b
+                                     AS DOUBLE) / (2 * sqrt(var))
+                         END, 6) AS z_stat
+            FROM vv
+        """,
+        "cuped_adjust": """
+            WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                                AS mid_us FROM events),
+            pu AS (SELECT user_id,
+                          coalesce(sum(CASE WHEN epoch_us(ts) <= mid_us
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   END), 0) AS x,
+                          coalesce(sum(CASE WHEN epoch_us(ts) > mid_us
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   END), 0) AS y
+                   FROM events CROSS JOIN b GROUP BY user_id),
+            g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 0
+                                  THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_a,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 1
+                                  THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_b,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 0
+                                  THEN x END) AS BIGINT), 0) AS sxa,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 1
+                                  THEN x END) AS BIGINT), 0) AS sxb,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 0
+                                  THEN y END) AS BIGINT), 0) AS sya,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 1
+                                  THEN y END) AS BIGINT), 0) AS syb,
+                         coalesce(CAST(sum(x) AS HUGEINT), 0) AS sx,
+                         coalesce(CAST(sum(y) AS HUGEINT), 0) AS sy,
+                         coalesce(sum(CAST(x AS HUGEINT)
+                                      * CAST(y AS HUGEINT)), 0) AS sxy,
+                         coalesce(sum(CAST(x AS HUGEINT)
+                                      * CAST(x AS HUGEINT)), 0) AS sxx,
+                         coalesce(sum(CAST(y AS HUGEINT)
+                                      * CAST(y AS HUGEINT)), 0) AS syy
+                  FROM pu),
+            d AS (SELECT n_a, n_b,
+                         CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+                         CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+                         CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+                         CASE WHEN n_a > 0 THEN CAST(sxa AS DOUBLE) / 100.0
+                              / CAST(n_a AS DOUBLE) END AS mxa,
+                         CASE WHEN n_b > 0 THEN CAST(sxb AS DOUBLE) / 100.0
+                              / CAST(n_b AS DOUBLE) END AS mxb,
+                         CASE WHEN n_a > 0 THEN CAST(sya AS DOUBLE) / 100.0
+                              / CAST(n_a AS DOUBLE) END AS mya,
+                         CASE WHEN n_b > 0 THEN CAST(syb AS DOUBLE) / 100.0
+                              / CAST(n_b AS DOUBLE) END AS myb
+                  FROM g)
+            SELECT n_a, n_b,
+                   round(CASE WHEN varxn = 0 THEN NULL
+                              ELSE covn / varxn END, 6) AS theta,
+                   round(myb - mya, 6) AS lift_raw,
+                   round((myb - mya)
+                         - CASE WHEN varxn = 0 THEN NULL
+                                ELSE covn / varxn END * (mxb - mxa), 6)
+                     AS lift_cuped,
+                   round(CASE WHEN varxn * varyn = 0 THEN NULL
+                              ELSE covn * covn / (varxn * varyn) END, 6)
+                     AS var_reduction
+            FROM d
+        """,
+        "runs_test": """
+            WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                  CAST(count(*) AS BIGINT) AS n
+                           FROM orders GROUP BY 1),
+            cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM daily),
+            rk AS (SELECT d, n AS v,
+                          row_number() OVER (ORDER BY n, d) AS rn
+                   FROM daily),
+            m AS (SELECT coalesce(sum(CASE WHEN rn = (n_all + 1) // 2
+                                   THEN v END), 0)
+                         + coalesce(sum(CASE WHEN rn = (n_all + 2) // 2
+                                     THEN v END), 0) AS m2
+                  FROM rk CROSS JOIN cnt),
+            sg AS (SELECT d, CASE WHEN 2 * v > m2 THEN 1
+                                  WHEN 2 * v < m2 THEN -1 END AS s
+                   FROM rk CROSS JOIN m),
+            f AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                                 OR lag(s) OVER (ORDER BY d) <> s
+                                 THEN 1 ELSE 0 END AS new_run
+                  FROM sg WHERE s IS NOT NULL),
+            g AS (SELECT coalesce(CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0
+                                   END) AS BIGINT), 0) AS n_pos,
+                         coalesce(CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0
+                                   END) AS BIGINT), 0) AS n_neg,
+                         coalesce(CAST(sum(new_run) AS BIGINT), 0)
+                           AS n_runs
+                  FROM f)
+            SELECT n_pos, n_neg, n_runs,
+                   round(CASE WHEN n_pos * n_neg = 0
+                              OR 2 * n_pos * n_neg = n_pos + n_neg
+                              THEN NULL
+                              ELSE (CAST(n_runs AS DOUBLE)
+                                    - (1.0 + CAST(2 * n_pos * n_neg
+                                         AS DOUBLE)
+                                       / CAST(n_pos + n_neg AS DOUBLE)))
+                                   / sqrt(CAST(2 * n_pos * n_neg
+                                          * (2 * n_pos * n_neg
+                                             - (n_pos + n_neg)) AS DOUBLE)
+                                      / CAST((n_pos + n_neg)
+                                             * (n_pos + n_neg)
+                                             * (n_pos + n_neg - 1)
+                                        AS DOUBLE))
+                         END, 6) AS z_stat
+            FROM g
+        """,
+        "cohort_ltv": """
+            WITH base AS (SELECT o_custkey AS u,
+                                 CAST(year(o_orderdate) * 12
+                                      + month(o_orderdate) AS BIGINT) AS m,
+                                 coalesce(CAST(round(o_totalprice * 100)
+                                          AS BIGINT), 0) AS c
+                          FROM orders),
+            wc AS (SELECT u, m, c, min(m) OVER (PARTITION BY u) AS cohort
+                   FROM base),
+            sizes AS (SELECT cohort,
+                             CAST(count(DISTINCT u) AS BIGINT)
+                               AS cohort_users
+                      FROM wc GROUP BY cohort),
+            pa AS (SELECT cohort, m - cohort AS age,
+                          CAST(sum(c) AS BIGINT) AS rev
+                   FROM wc GROUP BY cohort, m - cohort),
+            cm AS (SELECT cohort, age,
+                          CAST(sum(rev) OVER (PARTITION BY cohort
+                              ORDER BY age ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum
+                   FROM pa)
+            SELECT cohort AS cohort_idx, age AS age_months, cohort_users,
+                   cum AS cum_revenue_cents,
+                   round(CAST(cum AS DOUBLE) / 100.0
+                         / CAST(cohort_users AS DOUBLE), 6) AS ltv_per_user
+            FROM cm JOIN sizes USING (cohort)
+        """,
+        "gini_index": """
+            WITH per AS (SELECT c_mktsegment AS segment, c_custkey,
+                                CAST(sum(CAST(round(o_totalprice * 100)
+                                         AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders JOIN customer
+                           ON o_custkey = c_custkey
+                         GROUP BY 1, 2),
+            rk AS (SELECT segment, cents AS x,
+                          CAST(row_number() OVER (PARTITION BY segment
+                              ORDER BY cents, c_custkey) AS BIGINT) AS i
+                   FROM per),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS total_cents,
+                         sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT))
+                           AS six
+                  FROM rk GROUP BY segment)
+            SELECT segment, n, total_cents,
+                   round(CASE WHEN n * total_cents = 0 THEN NULL
+                              ELSE CAST(2 * six
+                                     - (CAST(n AS HUGEINT) + 1)
+                                       * CAST(total_cents AS HUGEINT)
+                                     AS DOUBLE)
+                                   / CAST(CAST(n AS HUGEINT)
+                                          * CAST(total_cents AS HUGEINT)
+                                     AS DOUBLE)
+                         END, 6) AS gini
+            FROM g
+        """,
+        "rfm_segments": """
+            WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d
+                        FROM orders),
+            per AS (SELECT o_custkey AS cust,
+                           CAST(max_d - max(CAST(o_orderdate AS DATE))
+                             AS BIGINT) AS rec,
+                           CAST(count(*) AS BIGINT) AS freq,
+                           CAST(sum(CAST(round(o_totalprice * 100)
+                                    AS BIGINT)) AS BIGINT) AS mon
+                    FROM orders CROSS JOIN mx
+                    GROUP BY o_custkey, max_d),
+            sc AS (SELECT ntile(5) OVER (ORDER BY rec DESC, cust)
+                            AS r_score,
+                          ntile(5) OVER (ORDER BY freq, cust) AS f_score,
+                          ntile(5) OVER (ORDER BY mon, cust) AS m_score,
+                          mon
+                   FROM per)
+            SELECT r_score, f_score, m_score,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(CAST(sum(mon) AS DOUBLE) / 100.0
+                         / CAST(count(*) AS BIGINT), 6) AS avg_monetary
+            FROM sc GROUP BY 1, 2, 3
         """,
         "attribution_multi_touch": """
             WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid,

@@ -1635,3 +1635,388 @@ def session_rules(
             6,
         ).alias("lift"),
     )
+
+
+def survival_km(
+    events: DataFrame,
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes — the
+    standard churn/retention curve under right-censoring: a user's
+    lifetime is first-event-day → last-event-day, and users still
+    active near the corpus edge (last event within ``horizon_days`` of
+    the corpus max) are CENSORED, not churned — the estimator the
+    naive "days until last event" histogram gets wrong by counting
+    the still-alive as dead.
+
+    At each distinct churn time t: n_risk = users whose lifetime ≥ t
+    (exact BIGINT: total minus a running prior-lifetime sum over the
+    day-domain-sized step table), d = churns at t, and
+    S(t) = Π (1 − d/n).  The product is carried in LOG space as
+    integer micro-units — ``round(ln((n−d)/n)·1e6)`` per step, integer
+    cumulative sum, one exp at the end — the same order-independent
+    exactness discipline as lm_score's log-probs, so the DuckDB oracle
+    hash-matches.  A terminal step with d = n_risk (everyone at risk
+    churns) short-circuits to survival 0.0 rather than ln(0).
+
+    Scale shape: one per-user partial-agged groupBy (domain = users),
+    a 1-row max broadcast, then all windows run on the ≤|distinct
+    lifetime| step table (bounded by the corpus day span, not rows).
+    Generalizes the reference's group-count core (sum at
+    core/map_reduce.go:187-189) to a censored time-to-event estimate.
+    Returns ``(t, n_risk, n_events, survival)`` per churn step.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("first_d"),
+        F.max(F.to_date(ts_col)).alias("last_d"),
+    )
+    mx = per_user.agg(F.max("last_d").alias("max_d"))
+    life = per_user.join(F.broadcast(mx)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("t"),
+        (F.datediff("max_d", "last_d") > horizon_days).cast("long").alias("dead"),
+    )
+    per_t = life.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_t"),
+        F.sum("dead").cast("long").alias("d"),
+    )
+    tot = per_t.agg(F.coalesce(F.sum("n_at_t"), F.lit(0)).alias("n_total"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.join(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at_t").over(w_prior), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    # ln only when d < n_risk: the d = n_risk terminal step would be
+    # ln(0) = -inf, and ANSI cast(-inf as long) is an error, not NULL
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.try_divide(
+                    (F.col("n_risk") - F.col("d")).cast("double"),
+                    F.col("n_risk").cast("double"),
+                )
+            )
+            * 1000000.0
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    steps = (
+        risk.filter(F.col("d") > 0)
+        .withColumn("term", term)
+        .withColumn("cum", F.sum("term").over(w_cum))
+    )
+    return steps.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum").cast("double") / 1000000.0), 6))
+        .alias("survival"),
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups —
+    the nonparametric companion to :func:`ab_test`: does one group's
+    value distribution stochastically dominate the other's, with no
+    normality assumption (the test of record for skewed metrics like
+    revenue, where a t/z-test on means is driven by whales).
+
+    Exactness: values quantize to cents; pooled DOUBLED average ranks
+    ``2r = 2·rank() + count_over_value − 1`` are exact BIGINTs (the
+    :func:`spearman_corr` tie trick), so the rank sum, tie-correction
+    term Σ(t³−t), and the doubled statistic 2·U_a = Σ2r·[a] − n_a(n_a+1)
+    are all exact integers; the normal-approximation z with tie-corrected
+    variance converts to double once.  ``try_divide``/``nullif`` make an
+    empty group or an all-tied sample NULL, not an ANSI error.
+
+    Scale shape: one ordered rank window over the pooled values (the
+    value domain), one partial-agged tie groupBy, two 1-row broadcasts.
+    Returns one row ``(n_a, n_b, u_a, z_stat)``.
+    """
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        (F.col(group_col) == group_a).cast("long").alias("is_a"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    wr = Window.orderBy("v")
+    wv = Window.partitionBy("v")
+    ranked = two.select(
+        "is_a",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wv) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    s = ranked.groupBy().agg(
+        F.coalesce(F.sum("is_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(1 - F.col("is_a")), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("is_a") * F.col("r2")), F.lit(0)).cast("long").alias("ra2"),
+    )
+    ties = (
+        two.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+            ).cast("long").alias("tie3")
+        )
+    )
+    j = s.join(F.broadcast(ties))
+    n1, n2 = F.col("n_a"), F.col("n_b")
+    n = n1 + n2
+    u2 = F.col("ra2") - n1 * (n1 + 1)  # doubled U_a, exact BIGINT
+    var = (
+        (n1 * n2).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.try_divide(
+                F.col("tie3").cast("double"), (n * (n - 1)).cast("double")
+            )
+        )
+    )
+    z = F.try_divide(
+        (u2 - n1 * n2).cast("double"), F.nullif(2.0 * F.sqrt(var), F.lit(0.0))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(u2.cast("double") / 2.0, 1).alias("u_a"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def cuped_adjust(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED variance reduction for the parity A/B split
+    (:func:`ab_test`'s assignment): each user's PRE-period value sum is
+    the control covariate x, the post-period sum is the outcome y,
+    θ = cov(x,y)/var(x), and the adjusted lift is
+    ``(ȳ_b − ȳ_a) − θ·(x̄_b − x̄_a)`` — the industry-standard trick
+    (Deng et al., WSDM'13) that removes the pre-existing between-user
+    variance the randomization already balanced in expectation.
+    ``var_reduction`` = corr(x,y)² is the fraction of metric variance
+    CUPED removes — the experiment runs 1/(1−r²)× faster.
+
+    Exactness: the corpus midpoint is an integer-µs ``div 2`` on the
+    1-row min/max broadcast; per-user x/y are exact cent BIGINTs from
+    one partial-agged groupBy; the moment matrix (Σx, Σy, Σxy, Σx²,
+    Σy², per-arm sums) accumulates cross-products in DECIMAL(38,0)
+    (cents² overflows BIGINT — the :func:`neyman_allocation`
+    discipline, matching the oracle's HUGEINT), and every ratio
+    converts exact integers to double once.  Degenerate splits (an
+    empty arm, zero pre-period variance) are NULL via try_divide.
+
+    Scale shape: one 1-row bounds broadcast, one per-user groupBy, one
+    global 1-row moment aggregate.  Returns one row ``(n_a, n_b,
+    theta, lift_raw, lift_cuped, var_reduction)``.
+    """
+    bounds = events.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("mid_us"))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_user = (
+        events.join(F.broadcast(bounds))
+        .groupBy(user_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col(ts_col)) <= F.col("mid_us"), cents)),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col(ts_col)) > F.col("mid_us"), cents)),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    arm_a = (F.col(user_col) % 2 == 0).cast("long")
+    g = per_user.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(arm_a), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(1 - arm_a), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(arm_a == 1, F.col("x"))), F.lit(0)).alias("sxa"),
+        F.coalesce(F.sum(F.when(arm_a == 0, F.col("x"))), F.lit(0)).alias("sxb"),
+        F.coalesce(F.sum(F.when(arm_a == 1, F.col("y"))), F.lit(0)).alias("sya"),
+        F.coalesce(F.sum(F.when(arm_a == 0, F.col("y"))), F.lit(0)).alias("syb"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("decimal(38,0)").alias("sx"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    covn = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varxn = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    varyn = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = F.try_divide(covn, F.nullif(varxn, F.lit(0.0)))
+    mean = lambda s, cnt: F.try_divide(  # noqa: E731 — cents → currency mean
+        F.col(s).cast("double") / 100.0, F.col(cnt).cast("double")
+    )
+    lift_raw = mean("syb", "n_b") - mean("sya", "n_a")
+    lift_cuped = lift_raw - theta * (mean("sxb", "n_b") - mean("sxa", "n_a"))
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(lift_raw, 6).alias("lift_raw"),
+        F.round(lift_cuped, 6).alias("lift_cuped"),
+        F.round(
+            F.try_divide(covn * covn, F.nullif(varxn * varyn, F.lit(0.0))), 6
+        ).alias("var_reduction"),
+    )
+
+
+def runs_test(
+    series: DataFrame,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on a daily series: are above-median /
+    below-median days randomly interleaved, or do they clump (trend,
+    regime) / alternate (oscillation)?  The distribution-free
+    randomness check run on residuals after :func:`seasonal_decompose`
+    or before trusting :func:`autocorr`'s lag readout.
+
+    Exactness: the series median is the doubled-median ``m2`` trick
+    (:func:`mad_outliers`) — two row_number picks summed, exact BIGINT,
+    no float interpolation; signs compare ``2v`` vs ``m2`` in integers
+    (days AT the median are excluded, the standard treatment); the run
+    count is a lag-mismatch sum; μ = 1 + 2·n₁n₂/n and the variance
+    convert exact integers to double once.  try_divide/nullif make a
+    degenerate series (all one sign, < 2 days) NULL, not an error.
+
+    Scale shape: input is a pre-aggregated day-domain series (the
+    :func:`autocorr` contract) — every window runs on ≤ day-span rows.
+    Returns one row ``(n_pos, n_neg, n_runs, z_stat)``.
+    """
+    v = F.col(value_col).cast("long")
+    wo = Window.orderBy(v.asc(), F.col(date_col).asc())
+    cnt = series.select(F.count(F.lit(1)).alias("n_all"))
+    ranked = series.select(
+        F.col(date_col).alias("d"), v.alias("v"), F.row_number().over(wo).alias("rn")
+    )
+    m2 = ranked.join(F.broadcast(cnt)).select(
+        F.when(F.col("rn") == F.expr("(n_all + 1) div 2"), F.col("v")).alias("lo"),
+        F.when(F.col("rn") == F.expr("(n_all + 2) div 2"), F.col("v")).alias("hi"),
+    ).groupBy().agg(
+        (F.coalesce(F.sum("lo"), F.lit(0)) + F.coalesce(F.sum("hi"), F.lit(0)))
+        .cast("long")
+        .alias("m2")
+    )
+    signed = (
+        ranked.join(F.broadcast(m2))
+        .select(
+            "d",
+            F.when(2 * F.col("v") > F.col("m2"), F.lit(1))
+            .when(2 * F.col("v") < F.col("m2"), F.lit(-1))
+            .alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    wd = Window.orderBy("d")
+    flagged = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    g = flagged.groupBy().agg(
+        F.coalesce(F.sum((F.col("s") == 1).cast("long")), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum((F.col("s") == -1).cast("long")), F.lit(0)).alias("n_neg"),
+        F.coalesce(F.sum("new_run"), F.lit(0)).cast("long").alias("n_runs"),
+    )
+    n1, n2 = F.col("n_pos"), F.col("n_neg")
+    n = n1 + n2
+    two_n1n2 = 2 * n1 * n2
+    mu = 1.0 + F.try_divide(two_n1n2.cast("double"), n.cast("double"))
+    var = F.try_divide(
+        (two_n1n2 * (two_n1n2 - n)).cast("double"),
+        (n * n * (n - 1)).cast("double"),
+    )
+    z = F.try_divide(
+        F.col("n_runs").cast("double") - mu, F.nullif(F.sqrt(var), F.lit(0.0))
+    )
+    return g.select("n_pos", "n_neg", "n_runs", F.round(z, 6).alias("z_stat"))
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen month,
+    cumulative revenue per cohort user at each cohort age in months —
+    the growth-accounting companion to :func:`retention_cohorts`
+    (retention says who comes back; LTV says what they're worth as the
+    cohort ages, the payback-period read).
+
+    Exactness: the cohort key is the integer month index
+    ``year·12 + month`` (no float months_between), revenue is cent
+    BIGINTs, the age-cumulative sum is an integer window over the
+    (cohort, age) domain table, and LTV-per-user is one division at
+    the end.  Cohort size is the user count at age 0 — every user
+    contributes to their cohort by construction.
+
+    Scale shape: one user-partition window pins the cohort month (the
+    :func:`sessionize` exchange class), one partial-agged groupBy to
+    the (cohort × age) domain table, a |cohort|-row broadcast for
+    sizes, and the cumulative window runs per cohort on ≤ month-span
+    rows.  Returns ``(cohort_idx, age_months, cohort_users,
+    cum_revenue_cents, ltv_per_user)``.
+    """
+    midx = (F.year(ts_col) * 12 + F.month(ts_col)).cast("long")
+    wu = Window.partitionBy("u")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        midx.alias("m"),
+        F.coalesce(F.round(F.col(value_col) * 100).cast("long"), F.lit(0)).alias("c"),
+    ).select("u", "m", "c", F.min("m").over(wu).alias("cohort"))
+    sizes = base.groupBy("cohort").agg(
+        F.count_distinct(F.col("u")).cast("long").alias("cohort_users")
+    )
+    per_age = base.groupBy("cohort", (F.col("m") - F.col("cohort")).alias("age")).agg(
+        F.sum("c").cast("long").alias("rev")
+    )
+    wc = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_age.withColumn("cum", F.sum("rev").over(wc))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_idx"),
+            F.col("age").alias("age_months"),
+            "cohort_users",
+            F.col("cum").alias("cum_revenue_cents"),
+            F.round(
+                F.try_divide(
+                    F.col("cum").cast("double") / 100.0,
+                    F.col("cohort_users").cast("double"),
+                ),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )

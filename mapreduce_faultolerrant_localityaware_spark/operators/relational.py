@@ -996,3 +996,126 @@ def neyman_allocation(
         F.round("sig", 6).alias("sigma"),
         F.round(n * F.col("sig") / F.col("t"), 6).alias("alloc_share"),
     )
+
+
+def gini_index(
+    per_entity: DataFrame,
+    group_col: str,
+    id_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient over non-negative entity values —
+    THE inequality/concentration summary (0 = perfectly even,
+    →1 = one entity holds everything), the single-number companion to
+    :func:`revenue_concentration`'s Pareto table: how concentrated is
+    spend across customers, tokens across documents, traffic across
+    sources.
+
+    Exact rank closed form: with entities sorted ascending inside the
+    group, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx).  The rank i is a
+    row_number over the (value, id) total order — order-invariant
+    within a tie block because consecutive ranks multiply EQUAL values
+    — and Σi·xᵢ accumulates in DECIMAL(38,0) (rank × cents exceeds
+    BIGINT headroom at corpus scale; matches the oracle's HUGEINT).
+    One division at the end; a zero-total group is NULL via
+    try_divide, not an ANSI error.
+
+    Scale shape: one group-keyed window exchange (partition = group,
+    the :func:`weighted_median` class) + one partial-agged groupBy to
+    the |groups|-row result.  Input is pre-aggregated per-entity cents
+    (domain = entities, not raw rows).
+    """
+    wo = Window.partitionBy(group_col).orderBy(
+        F.col(cents_col).asc(), F.col(id_col).asc()
+    )
+    ranked = per_entity.select(
+        F.col(group_col),
+        F.col(cents_col).alias("x"),
+        F.row_number().over(wo).cast("long").alias("i"),
+    )
+    g = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("six"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    sx = F.col("total_cents").cast("decimal(38,0)")
+    num = (2 * F.col("six") - (n + 1) * sx).cast("double")
+    den = (n * sx).cast("double")
+    return g.select(
+        group_col,
+        "n",
+        "total_cents",
+        F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6).alias("gini"),
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    customer, Recency (days since last order), Frequency (order
+    count), Monetary (total spend), each scored into quintiles
+    (5 = best), then customers counted per (R, F, M) cell — the
+    "champions / at-risk / hibernating" map every CRM runs.
+
+    Determinism: each ntile orders by (metric, custkey) — a total
+    order, so bucket assignment is engine-stable, and ntile's
+    first-buckets-get-the-remainder split is identical in Spark and
+    DuckDB.  Recency ranks DESCENDING (oldest first) so the most
+    recent customers land in the top bucket; frequency/monetary rank
+    ascending.  Metrics are exact BIGINTs (days, counts, cents); the
+    per-cell average spend is one division at the end.
+
+    Scale shape: one per-customer partial-agged groupBy, a 1-row
+    max-date broadcast, three ntile windows over the CUSTOMER domain
+    (not raw orders; for corpora where even the customer table
+    overwhelms one sort, the bucketed two-pass rank of
+    quantile_normalize/shard_assign swaps in), then a partial-agged
+    groupBy to the ≤ n_tiles³ cell table.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    mx = orders.agg(F.max(F.to_date(date_col)).alias("max_d"))
+    per = (
+        orders.groupBy(F.col(cust_col).alias("cust"))
+        .agg(
+            F.max(F.to_date(date_col)).alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(cents).cast("long").alias("mon"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "cust",
+            F.datediff("max_d", "last_d").cast("long").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    scored = per.select(
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("rec").desc(), F.col("cust").asc()))
+        .alias("r_score"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("freq").asc(), F.col("cust").asc()))
+        .alias("f_score"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("mon").asc(), F.col("cust").asc()))
+        .alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.try_divide(
+                F.sum("mon").cast("double") / 100.0,
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("avg_monetary"),
+    )

@@ -115,7 +115,15 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # mutual_information attaches its 1-row N plus the 1-row
            # marginal-entropy aggregates; session_rules its 1-row
            # session-count denominator (all scalar attaches)
-           "mutual_information", "session_rules"}
+           "mutual_information", "session_rules",
+           # round 9b: survival_km attaches its 1-row corpus max-date
+           # and 1-row user-total aggregates; mannwhitney_u its 1-row
+           # tie-correction sum; cuped_adjust its 1-row time-midpoint;
+           # runs_test its 1-row day count and 1-row doubled median;
+           # rfm_segments its 1-row max-date anchor — all the
+           # tfidf-style scalar-attach shape, structurally proven below
+           "survival_km", "mannwhitney_u", "cuped_adjust", "runs_test",
+           "rfm_segments"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

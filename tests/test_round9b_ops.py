@@ -1,0 +1,181 @@
+"""Round-9b operator exactness pins: survival analysis, rank tests,
+CUPED, concentration, and cohort economics — each new operator checked
+against a small hand-computed example (the oracle gate verifies parity
+with DuckDB; these pin the MATH itself on inputs tiny enough to verify
+by hand, the reference's sequential-oracle pattern,
+test/genSequentiallyTokens.go:29-45).
+"""
+
+import datetime as dt
+import math
+
+import pytest
+
+from mapreduce_faultolerrant_localityaware_spark.operators import events as ev_ops
+from mapreduce_faultolerrant_localityaware_spark.operators import relational as rel
+
+
+def _d(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_survival_km_hand_example(spark):
+    """4 users: lifetimes 0,1,1,3 days; corpus max = day 9; horizon 2.
+    Users with last event day 9-2=7 or later are censored.
+      u1: d1..d1 (t=0, last 1, dead)   u2: d1..d2 (t=1, dead)
+      u3: d2..d3 (t=1, dead)           u4: d6..d9 (t=3, censored)
+    Steps: t=0: n=4,d=1, S=3/4; t=1: n=3,d=2, S=3/4*1/3=1/4.
+    t=3 is censored-only (d=0) -> no step row."""
+    rows = [
+        (1, _d(1)), (2, _d(1)), (2, _d(2)), (3, _d(2)), (3, _d(3)),
+        (4, _d(6)), (4, _d(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["t"]: r for r in ev_ops.survival_km(df, horizon_days=2).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0]["n_risk"], out[0]["n_events"]) == (4, 1)
+    assert (out[1]["n_risk"], out[1]["n_events"]) == (3, 2)
+    assert out[0]["survival"] == pytest.approx(0.75, abs=1e-5)
+    assert out[1]["survival"] == pytest.approx(0.25, abs=1e-5)
+
+
+def test_survival_km_terminal_full_death_is_zero(spark):
+    """All users at the last step churn: survival hits exactly 0.0
+    (the d = n_risk short-circuit), never ln(0)."""
+    rows = [(1, _d(1)), (2, _d(1)), (2, _d(2)), (9, _d(20))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sorted(
+        ev_ops.survival_km(df, horizon_days=2).collect(), key=lambda r: r["t"]
+    )
+    # u9 (t=0) is censored (last=max); u1 t=0 dead, u2 t=1 dead (last step)
+    last = out[-1]
+    assert last["n_events"] == last["n_risk"]
+    assert last["survival"] == 0.0
+
+
+def test_mannwhitney_hand_example(spark):
+    """a = {1,2,3}, b = {4,5,6} (cents 100..600, no ties):
+    all b above all a -> U_a = 0, R_a = 1+2+3 = 6.
+    z = (0 - 4.5) / sqrt(3*3*7/12) = -4.5/sqrt(5.25)."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_a"] == 0.0
+    assert r["z_stat"] == pytest.approx(-4.5 / math.sqrt(5.25), abs=1e-6)
+
+
+def test_mannwhitney_all_tied_is_null(spark):
+    """Every value identical: tie correction kills the variance ->
+    z NULL (not a crash); U_a = n1*n2/2 exactly."""
+    rows = [("a", 7.0), ("a", 7.0), ("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["u_a"] == 2.0  # 2*2/2
+    assert r["z_stat"] is None
+
+
+def test_cuped_theta_and_lift(spark):
+    """Perfectly correlated x,y (y = 2x): theta = 2, var_reduction = 1,
+    and the CUPED lift removes exactly the pre-period imbalance.
+    mid splits jan1..jan4 at jan2-12:00; x = value on jan1/jan2,
+    y = value on jan3/jan4."""
+    rows = [
+        # user 0 (arm a): x=10, y=20 ; user 2 (arm a): x=30, y=60
+        (0, _d(1), 10.0), (0, _d(3), 20.0),
+        (2, _d(2), 30.0), (2, _d(4), 60.0),
+        # user 1 (arm b): x=20, y=40 ; user 3 (arm b): x=40, y=80
+        (1, _d(1), 20.0), (1, _d(3), 40.0),
+        (3, _d(2), 40.0), (3, _d(4), 80.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = ev_ops.cuped_adjust(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["theta"] == pytest.approx(2.0, abs=1e-6)
+    assert r["var_reduction"] == pytest.approx(1.0, abs=1e-6)
+    # raw lift = (40+80)/2 - (20+60)/2 = 20; x-imbalance = 30-20 = 10;
+    # cuped = 20 - 2*10 = 0 (y = 2x exactly -> adjusted lift vanishes)
+    assert r["lift_raw"] == pytest.approx(20.0, abs=1e-6)
+    assert r["lift_cuped"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_runs_test_alternating_series(spark):
+    """Perfectly alternating above/below-median signs: every step is a
+    new run -> R = n, z strongly positive; counts exact."""
+    rows = [(_d(i + 1), 10 if i % 2 == 0 else 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "d timestamp, n long")
+    r = ev_ops.runs_test(df, "d", "n").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (5, 5)
+    assert r["n_runs"] == 10
+    mu = 1 + 2 * 25 / 10
+    var = 2 * 25 * (50 - 10) / (100 * 9)
+    assert r["z_stat"] == pytest.approx((10 - mu) / math.sqrt(var), abs=1e-6)
+
+
+def test_runs_test_median_days_excluded(spark):
+    """Days AT the median carry no sign and are excluded from both
+    the counts and the run sequence."""
+    rows = [(_d(1), 1), (_d(2), 2), (_d(3), 2), (_d(4), 2), (_d(5), 9)]
+    df = spark.createDataFrame(rows, "d timestamp, n long")
+    r = ev_ops.runs_test(df, "d", "n").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1, 1)
+    assert r["n_runs"] == 2
+
+
+def test_gini_known_distributions(spark):
+    """Uniform values -> G = (n-1)/(3n)? No: equal values -> G = 0;
+    one-holds-all -> G = (n-1)/n."""
+    rows = [("eq", i, 100) for i in range(1, 5)] + [
+        ("one", 1, 0), ("one", 2, 0), ("one", 3, 0), ("one", 4, 1000),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, cents long")
+    out = {r["g"]: r for r in rel.gini_index(df, "g", "id", "cents").collect()}
+    assert out["eq"]["gini"] == pytest.approx(0.0, abs=1e-6)
+    assert out["one"]["gini"] == pytest.approx(0.75, abs=1e-6)  # (n-1)/n
+    assert out["one"]["total_cents"] == 1000
+
+
+def test_gini_zero_total_is_null(spark):
+    df = spark.createDataFrame(
+        [("z", 1, 0), ("z", 2, 0)], "g string, id long, cents long"
+    )
+    assert rel.gini_index(df, "g", "id", "cents").collect()[0]["gini"] is None
+
+
+def test_cohort_ltv_hand_example(spark):
+    """Two cohorts: jan users {1,2} spend 10 in jan + 20 in feb;
+    feb user {3} spends 5.  LTV(jan, age 0) = 10/2, (jan, age 1) =
+    30/2; (feb-cohort, age 0) = 5/1."""
+    rows = [
+        (1, dt.datetime(2024, 1, 5), 4.0), (2, dt.datetime(2024, 1, 9), 6.0),
+        (1, dt.datetime(2024, 2, 5), 20.0),
+        (3, dt.datetime(2024, 2, 7), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["cohort_idx"], r["age_months"]): r for r in ev_ops.cohort_ltv(df).collect()
+    }
+    jan = 2024 * 12 + 1
+    assert out[(jan, 0)]["ltv_per_user"] == pytest.approx(5.0, abs=1e-6)
+    assert out[(jan, 1)]["ltv_per_user"] == pytest.approx(15.0, abs=1e-6)
+    assert out[(jan + 1, 0)]["ltv_per_user"] == pytest.approx(5.0, abs=1e-6)
+    assert out[(jan, 1)]["cum_revenue_cents"] == 3000
+
+
+def test_rfm_deterministic_buckets(spark):
+    """10 customers, distinct metrics: ntile(5) puts exactly 2 per
+    bucket, and the best (most recent, most frequent, biggest spender)
+    customer lands in (5,5,5)."""
+    rows = []
+    for c in range(1, 11):
+        # customer c: c orders on days 1..c, each worth c dollars
+        for k in range(1, c + 1):
+            rows.append((c, dt.datetime(2024, 1, k), float(c)))
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    out = rel.rfm_segments(df).collect()
+    total = sum(r["n_customers"] for r in out)
+    assert total == 10
+    best = [r for r in out if (r["r_score"], r["f_score"], r["m_score"]) == (5, 5, 5)]
+    # customers 9 and 10 are the top-2 on every metric
+    assert best and best[0]["n_customers"] == 2
+    assert best[0]["avg_monetary"] == pytest.approx((9 * 9 + 10 * 10) / 2, abs=1e-6)
