@@ -3943,6 +3943,63 @@ def _q_rfm_segments(spark, sf):
     return relational.rfm_segments(orders)
 
 
+def _q_theil_sen(spark, sf):
+    """Per-priority Theil-Sen robust trend of monthly order volume
+    (operators/events.py:theil_sen): exact micro-slopes via pmod floor
+    division, doubled-median election over the key-partitioned pair
+    table."""
+    orders = scan(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return events_ops.theil_sen(monthly, "priority", "m", "n")
+
+
+def _q_ewma_smooth(spark, sf):
+    """Truncated exact EWMA (alpha = 1/2, 16 power-of-two weights) over
+    daily order counts (operators/events.py:ewma_smooth): BIGINT
+    numerator/denominator, one division per row."""
+    orders = scan(spark, sf, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return events_ops.ewma_smooth(daily, "d", "n")
+
+
+def _q_kendall_tau(spark, sf):
+    """Kendall tau-b between monthly order count and revenue
+    (operators/events.py:kendall_tau): exact concordant/discordant
+    pair counts with tie correction over the month-domain series."""
+    orders = scan(spark, sf, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("y"),
+    )
+    return events_ops.kendall_tau(monthly, "m", "x", "y")
+
+
+def _q_mh_odds_ratio(spark, sf):
+    """Mantel-Haenszel pooled odds ratio of urgent-priority ->
+    fulfilled-status across market-segment strata
+    (operators/events.py:mh_odds_ratio): exact 2x2 cells per stratum,
+    crude vs confounding-adjusted OR."""
+    orders = scan(spark, sf, "orders")
+    cust = scan(spark, sf, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return events_ops.mh_odds_ratio(
+        j,
+        "c_mktsegment",
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_orderstatus") == "F",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4112,6 +4169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": _q_weighted_median,
         "seasonal_decompose": _q_seasonal_decompose,
         "survival_km": _q_survival_km,
+        "theil_sen": _q_theil_sen,
+        "ewma_smooth": _q_ewma_smooth,
+        "kendall_tau": _q_kendall_tau,
+        "mh_odds_ratio": _q_mh_odds_ratio,
         "mannwhitney_u": _q_mannwhitney_u,
         "cuped_adjust": _q_cuped_adjust,
         "runs_test": _q_runs_test,
@@ -6389,6 +6450,123 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
         """,
+        "theil_sen": """
+            WITH s AS (SELECT o_orderpriority AS k,
+                              CAST(year(o_orderdate) * 12
+                                   + month(o_orderdate) AS BIGINT) AS t,
+                              CAST(count(*) AS BIGINT) AS v
+                       FROM orders GROUP BY 1, 2),
+            p AS (SELECT a.k, a.t AS t1, b.t AS t2,
+                         (1000000 * (b.v - a.v)) // (b.t - a.t)
+                         - CASE WHEN (1000000 * (b.v - a.v))
+                                     % (b.t - a.t) != 0
+                                AND b.v < a.v
+                                THEN 1 ELSE 0 END AS sl
+                  FROM s a JOIN s b ON a.k = b.k AND a.t < b.t),
+            r AS (SELECT k, sl,
+                         row_number() OVER (PARTITION BY k
+                             ORDER BY sl, t1, t2) AS rn,
+                         CAST(count(*) OVER (PARTITION BY k) AS BIGINT)
+                           AS np
+                  FROM p),
+            m AS (SELECT k, CAST(max(np) AS BIGINT) AS n_pairs,
+                         CAST(coalesce(sum(CASE WHEN rn = (np + 1) // 2
+                                        THEN sl END), 0) AS BIGINT)
+                           AS sl_med
+                  FROM r GROUP BY k),
+            np2 AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points
+                    FROM s GROUP BY k)
+            SELECT k AS priority, n_points, n_pairs,
+                   round(CAST(sl_med AS DOUBLE) / 1000000.0, 6) AS slope
+            FROM m JOIN np2 USING (k)
+        """,
+        "ewma_smooth": f"""
+            WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                  CAST(count(*) AS BIGINT) AS n
+                           FROM orders GROUP BY 1)
+            SELECT d, n AS value,
+                   round(CAST({" + ".join(f"coalesce(lag(n, {j}) OVER w * {1 << (15 - j)}, 0)" for j in range(16))}
+                         AS DOUBLE)
+                         / CAST({" + ".join(f"CASE WHEN lag(n, {j}) OVER w IS NOT NULL THEN {1 << (15 - j)} ELSE 0 END" for j in range(16))}
+                           AS DOUBLE), 6) AS ewma
+            FROM daily
+            WINDOW w AS (ORDER BY d)
+        """,
+        "kendall_tau": """
+            WITH s AS (SELECT CAST(year(o_orderdate) * 12
+                                   + month(o_orderdate) AS BIGINT) AS m,
+                              CAST(count(*) AS BIGINT) AS x,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS BIGINT) AS y
+                       FROM orders GROUP BY 1),
+            cd AS (SELECT coalesce(CAST(sum(CASE WHEN (b.x - a.x)
+                                        * (b.y - a.y) > 0 THEN 1 ELSE 0
+                                        END) AS BIGINT), 0) AS concordant,
+                          coalesce(CAST(sum(CASE WHEN (b.x - a.x)
+                                        * (b.y - a.y) < 0 THEN 1 ELSE 0
+                                        END) AS BIGINT), 0) AS discordant,
+                          CAST(count(*) AS BIGINT) AS n0
+                   FROM s a JOIN s b ON a.m < b.m),
+            t1 AS (SELECT coalesce(CAST(sum(t * (t - 1)) AS BIGINT), 0)
+                            AS n1_2
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                         FROM s GROUP BY x)),
+            t2 AS (SELECT coalesce(CAST(sum(t * (t - 1)) AS BIGINT), 0)
+                            AS n2_2
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                         FROM s GROUP BY y)),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+            SELECT n, concordant, discordant,
+                   round(CASE WHEN (2 * n0 - n1_2) * (2 * n0 - n2_2) <= 0
+                              THEN NULL
+                              ELSE 2.0 * (concordant - discordant)
+                                   / sqrt(CAST(2 * n0 - n1_2 AS DOUBLE)
+                                          * CAST(2 * n0 - n2_2 AS DOUBLE))
+                         END, 6) AS tau_b
+            FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nn
+        """,
+        "mh_odds_ratio": """
+            WITH j AS (SELECT c_mktsegment AS stratum,
+                              CASE WHEN o_orderpriority = '1-URGENT'
+                                   THEN 1 ELSE 0 END AS e,
+                              CASE WHEN o_orderstatus = 'F'
+                                   THEN 1 ELSE 0 END AS o
+                       FROM orders JOIN customer
+                         ON o_custkey = c_custkey),
+            per AS (SELECT stratum,
+                           coalesce(CAST(sum(e * o) AS BIGINT), 0) AS a,
+                           coalesce(CAST(sum(e * (1 - o)) AS BIGINT), 0)
+                             AS b,
+                           coalesce(CAST(sum((1 - e) * o) AS BIGINT), 0)
+                             AS c,
+                           coalesce(CAST(sum((1 - e) * (1 - o))
+                                    AS BIGINT), 0) AS d
+                    FROM j GROUP BY stratum),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                         coalesce(CAST(sum(a + b + c + d) AS BIGINT), 0)
+                           AS n_rows,
+                         coalesce(CAST(sum(a) AS BIGINT), 0) AS sa,
+                         coalesce(CAST(sum(b) AS BIGINT), 0) AS sb,
+                         coalesce(CAST(sum(c) AS BIGINT), 0) AS sc,
+                         coalesce(CAST(sum(d) AS BIGINT), 0) AS sd,
+                         coalesce(sum(CASE WHEN a + b + c + d > 0
+                                  THEN CAST(a * d AS DOUBLE)
+                                       / CAST(a + b + c + d AS DOUBLE)
+                                  END), 0.0) AS mh_num,
+                         coalesce(sum(CASE WHEN a + b + c + d > 0
+                                  THEN CAST(b * c AS DOUBLE)
+                                       / CAST(a + b + c + d AS DOUBLE)
+                                  END), 0.0) AS mh_den
+                  FROM per)
+            SELECT n_strata, n_rows,
+                   round(CASE WHEN sb * sc = 0 THEN NULL
+                              ELSE CAST(sa * sd AS DOUBLE)
+                                   / CAST(sb * sc AS DOUBLE) END, 6)
+                     AS or_crude,
+                   round(CASE WHEN mh_den = 0 THEN NULL
+                              ELSE mh_num / mh_den END, 6) AS or_mh
+            FROM g
+        """,
         "attribution_multi_touch": """
             WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid,
                                  CAST(round(value * 100) AS BIGINT) AS vc
@@ -6413,7 +6591,10 @@ def oracle_sql() -> dict[str, str]:
                      AS n_first_touch,
                    CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_last_touch,
-                   round(sum(vc * 1000 // n) / 100000.0, 6) AS linear_value
+                   round(sum((vc * 1000) // n
+                             - CASE WHEN (vc * 1000) % n != 0 AND vc < 0
+                                    THEN 1 ELSE 0 END)
+                         / 100000.0, 6) AS linear_value
             FROM ranked GROUP BY channel
         """,
         "changepoint_detect": """

@@ -9,7 +9,7 @@ with the per-user event count, not the total row count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1101,11 +1101,12 @@ def attribution_multi_touch(
         "channel",
         # exact integer FLOOR division (never a double intermediate a
         # last-ulp misround could push across the floor boundary).
-        # Spark's `div` truncates toward zero while the SQL-standard
-        # `//` (DuckDB oracle) floors; they differ only for negative
-        # dividends (refunds/credits), so correct `div` by 1 when the
-        # division is inexact and the dividend is negative (n, a
-        # window count, is always > 0 here).
+        # BOTH engines' integer division truncates toward zero (Spark
+        # `div` AND DuckDB `//` — verified: -7 // 3 = -2), so BOTH
+        # sides apply the same -1 correction for inexact negative
+        # dividends (refunds/credits) to get mathematical floor (n, a
+        # window count, is always > 0 here).  The oracle carries the
+        # identical CASE correction.
         F.expr(
             "(vc * 1000) div n"
             " - (CASE WHEN (vc * 1000) % n != 0 AND vc < 0 THEN 1 ELSE 0 END)"
@@ -2019,4 +2020,260 @@ def cohort_ltv(
                 6,
             ).alias("ltv_per_user"),
         )
+    )
+
+
+def _floor_div(a, b):
+    """Exact integer FLOOR division as a Column expression — BOTH
+    Spark's ``div`` and DuckDB's integer ``//`` truncate toward zero
+    (verified: -7 // 3 = -2 in DuckDB), diverging from mathematical
+    floor on negative numerators; the pmod-adjusted form is exact for
+    any sign, and oracles mirror it with an explicit -1 CASE
+    correction on inexact negative dividends (the attribution
+    floor-division lesson, generalized)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def theil_sen(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes (v_j − v_i)/(t_j − t_i) — the 29%-breakdown-point
+    alternative to :func:`group_regression`'s OLS slope, immune to the
+    outlier days/weeks that drag a least-squares trend (the
+    recommended trend estimator for noisy operational series).
+
+    Exactness: slopes are integer MICRO-slopes ``floor(1e6·Δv / Δt)``
+    via sign-correct pmod floor division (matching the oracle's
+    ``//``); the per-key median is the LOWER median (the order
+    statistic at rank ⌈n/2⌉ — the :func:`weighted_median` convention),
+    so the result is one exact micro-slope ÷1e6: a 6-decimal rational,
+    never a 7th-decimal half-way case that engine rounding modes split
+    (the midpoint-of-two convention lands on ÷2e6 ties).
+
+    Scale shape: the pairwise expansion is an equi-join ON THE KEY
+    with a t_i < t_j residual — m(m−1)/2 pairs per key where m is the
+    DOMAIN-sized series length (months, days), never raw rows; the
+    median windows run on that pair table, partitioned by key.
+    Returns ``(key, n_points, n_pairs, slope)`` per key.
+    """
+    s = series.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    a = s.select(F.col("k"), F.col("t").alias("t1"), F.col("v").alias("v1"))
+    b = s.select(F.col("k"), F.col("t").alias("t2"), F.col("v").alias("v2"))
+    pairs = a.join(b, "k").filter(F.col("t1") < F.col("t2")).select(
+        "k",
+        "t1",
+        "t2",
+        _floor_div(
+            1_000_000 * (F.col("v2") - F.col("v1")), F.col("t2") - F.col("t1")
+        ).alias("sl"),
+    )
+    wo = Window.partitionBy("k").orderBy("sl", "t1", "t2")
+    wk = Window.partitionBy("k")
+    picked = pairs.select(
+        "k",
+        "sl",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("np"),
+    )
+    med = picked.groupBy("k").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == F.expr("(np + 1) div 2"), F.col("sl"))),
+            F.lit(0),
+        ).cast("long").alias("sl_med"),
+    )
+    npts = s.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return med.join(npts, "k").select(
+        F.col("k").alias(key_col),
+        "n_points",
+        "n_pairs",
+        F.round(F.col("sl_med") / 1000000.0, 6).alias("slope"),
+    )
+
+
+def ewma_smooth(
+    series: DataFrame,
+    date_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 over the
+    last ``k`` observations — the standard operational smoother,
+    expressed EXACTLY: weights are powers of two ``2^(k−1−j)`` for lag
+    j, so the weighted numerator and the present-lag-only denominator
+    are exact BIGINT sums (the tail beyond k lags carries weight
+    < 2^−k of the head — below the 6-dp readout), and the single
+    division happens once per row.  No recursion, no float
+    accumulation order: the classic EWMA recurrence is
+    order-dependent; this truncated closed form is hash-stable across
+    engines.
+
+    Scale shape: ONE ordered window pass evaluates all k lags (Spark
+    plans one WindowExec for the shared spec); input is a
+    pre-aggregated day-domain series.  Returns ``(date, value,
+    ewma)`` per day.
+    """
+    w = Window.orderBy(date_col)
+    v = F.col(value_col).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(k):
+        lagged = F.lag(v, j).over(w)
+        weight = 1 << (k - 1 - j)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return series.select(
+        F.col(date_col),
+        v.alias("value"),
+        F.round(F.try_divide(num.cast("double"), den.cast("double")), 6).alias(
+            "ewma"
+        ),
+    )
+
+
+def kendall_tau(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall τ-b rank correlation between two series — the
+    concordant-vs-discordant pair count with tie correction, the
+    third leg of the correlation battery (:func:`spearman_corr` ranks,
+    corr_matrix moments): more robust than Spearman to small-sample
+    rank perturbations and directly interpretable as
+    P(concordant) − P(discordant).
+
+    Exactness: concordance is the sign of ``(x_j−x_i)·(y_j−y_i)`` on
+    exact BIGINTs over all i<j pairs; tie corrections n₁ = Σtₓ(tₓ−1)/2,
+    n₂ = Σt_y(t_y−1)/2 come from two tiny tie-group aggregates;
+    τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) converts exact integers to double
+    once.  try_divide/nullif make a constant series NULL.
+
+    Scale shape: the pair expansion is the in-row a<b wedge fan-out
+    (the supplier_affinity pattern) — the domain-sized series folds
+    into ONE array row via a global aggregate, then two Generate
+    stages emit the m(m−1)/2 pairs (m = series length — months/days,
+    never raw rows); no self-join, and every BNLJ build side in the
+    plan is a provable 1-row aggregate.  Returns one row
+    ``(n, concordant, discordant, tau_b)``.
+    """
+    s = series.select(
+        F.col(t_col).alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    packed = s.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("t", "x", "y"))).alias("arr")
+    )
+    lefts = packed.select(
+        F.posexplode("arr").alias("i", "p"), F.col("arr")
+    )
+    pairs = lefts.select(
+        F.col("p.x").alias("x1"),
+        F.col("p.y").alias("y1"),
+        F.explode(F.slice("arr", F.col("i") + 2, F.size("arr"))).alias("q"),
+    )
+    prod = (F.col("q.x") - F.col("x1")) * (F.col("q.y") - F.col("y1"))
+    cd = pairs.groupBy().agg(
+        F.coalesce(F.sum((prod > 0).cast("long")), F.lit(0)).alias("concordant"),
+        F.coalesce(F.sum((prod < 0).cast("long")), F.lit(0)).alias("discordant"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n0"),
+    )
+    tx = (
+        s.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy().agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+            .cast("long").alias("n1_2")
+        )
+    )
+    ty = (
+        s.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy().agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+            .cast("long").alias("n2_2")
+        )
+    )
+    n = s.groupBy().agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n"))
+    j = cd.join(F.broadcast(tx)).join(F.broadcast(ty)).join(F.broadcast(n))
+    # doubled tie terms keep everything integer: n0_2 = 2·n0, etc.
+    denom = F.sqrt(
+        (2 * F.col("n0") - F.col("n1_2")).cast("double")
+        * (2 * F.col("n0") - F.col("n2_2")).cast("double")
+    )
+    tau = F.try_divide(
+        2.0 * (F.col("concordant") - F.col("discordant")).cast("double"),
+        F.nullif(denom, F.lit(0.0)),
+    )
+    return j.select(
+        "n", "concordant", "discordant", F.round(tau, 6).alias("tau_b")
+    )
+
+
+def mh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the
+    confounding-adjusted effect estimate: the crude OR mixes the
+    exposure→outcome association with stratum composition (Simpson's
+    paradox); MH pools the per-stratum 2×2 tables as
+    ``Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)``, weighting each stratum by its
+    information content — the first stratified read in any
+    observational analysis.
+
+    Exactness: the four cells per stratum are exact BIGINTs from one
+    partial-agged groupBy; each stratum's ad/n and bc/n terms are one
+    double division of exact integers (identical IEEE sequence on
+    both engines); the crude OR comes from the summed cells.
+    try_divide/nullif make degenerate strata (empty margin) NULL.
+
+    Scale shape: one shuffle to the |strata|-row table, then a 1-row
+    aggregate.  Returns one row ``(n_strata, n_rows, or_crude,
+    or_mh)``.
+    """
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.coalesce(F.sum((exposure & outcome).cast("long")), F.lit(0)).alias("a"),
+        F.coalesce(F.sum((exposure & ~outcome).cast("long")), F.lit(0)).alias("b"),
+        F.coalesce(F.sum(((~exposure) & outcome).cast("long")), F.lit(0)).alias("c"),
+        F.coalesce(F.sum(((~exposure) & ~outcome).cast("long")), F.lit(0)).alias("d"),
+    )
+    nrow = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    g = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.coalesce(F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")), F.lit(0))
+        .cast("long").alias("n_rows"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("sa"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("sb"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("sc"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("sd"),
+        F.coalesce(
+            F.sum(F.try_divide((F.col("a") * F.col("d")).cast("double"), nrow)),
+            F.lit(0.0),
+        ).alias("mh_num"),
+        F.coalesce(
+            F.sum(F.try_divide((F.col("b") * F.col("c")).cast("double"), nrow)),
+            F.lit(0.0),
+        ).alias("mh_den"),
+    )
+    or_crude = F.try_divide(
+        (F.col("sa") * F.col("sd")).cast("double"),
+        F.nullif((F.col("sb") * F.col("sc")).cast("double"), F.lit(0.0)),
+    )
+    or_mh = F.try_divide(F.col("mh_num"), F.nullif(F.col("mh_den"), F.lit(0.0)))
+    return g.select(
+        "n_strata",
+        "n_rows",
+        F.round(or_crude, 6).alias("or_crude"),
+        F.round(or_mh, 6).alias("or_mh"),
     )

@@ -123,7 +123,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # rfm_segments its 1-row max-date anchor — all the
            # tfidf-style scalar-attach shape, structurally proven below
            "survival_km", "mannwhitney_u", "cuped_adjust", "runs_test",
-           "rfm_segments"}
+           "rfm_segments",
+           # kendall_tau attaches its 1-row pair-count, tie-correction
+           # and n aggregates (scalar attaches; the pair expansion
+           # itself is a broadcast HASH join on the constant key)
+           "kendall_tau"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -179,3 +179,123 @@ def test_rfm_deterministic_buckets(spark):
     # customers 9 and 10 are the top-2 on every metric
     assert best and best[0]["n_customers"] == 2
     assert best[0]["avg_monetary"] == pytest.approx((9 * 9 + 10 * 10) / 2, abs=1e-6)
+
+
+def test_theil_sen_hand_example(spark):
+    """Series (t, v) = (0,0),(1,10),(2,14),(3,100): slopes 10,7,33.33,
+    4,45,86 -> micro-slopes sorted [4e6,7e6,1e7,33333333,45e6,86e6];
+    lower median (rank 3 of 6) = 1e7 -> slope 10.0."""
+    rows = [("a", 0, 0), ("a", 1, 10), ("a", 2, 14), ("a", 3, 100)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    r = ev_ops.theil_sen(df, "k", "t", "v").collect()[0]
+    assert (r["n_points"], r["n_pairs"]) == (4, 6)
+    assert r["slope"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_theil_sen_negative_slope_floor(spark):
+    """Negative non-exact slope floors (never truncates): two points
+    (0, 1), (3, 0) -> slope -1/3 -> micro-slope floor(-1000000/3) =
+    -333334 -> -0.333334 (not the truncated -0.333333)."""
+    rows = [("a", 0, 1), ("a", 3, 0)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    r = ev_ops.theil_sen(df, "k", "t", "v").collect()[0]
+    assert r["slope"] == pytest.approx(-0.333334, abs=1e-9)
+
+
+def test_ewma_constant_and_step(spark):
+    """Constant series: ewma == the constant at every row.  After a
+    step 0->16 the smoother converges geometrically from below."""
+    rows = [(_d(i + 1), 5) for i in range(20)]
+    df = spark.createDataFrame(rows, "d timestamp, n long")
+    out = ev_ops.ewma_smooth(df, "d", "n").collect()
+    assert all(r["ewma"] == pytest.approx(5.0, abs=1e-6) for r in out)
+    rows2 = [(_d(i + 1), 0 if i < 10 else 16) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "d timestamp, n long")
+    out2 = sorted(ev_ops.ewma_smooth(df2, "d", "n").collect(), key=lambda r: r["d"])
+    vals = [r["ewma"] for r in out2]
+    assert vals[9] == pytest.approx(0.0, abs=1e-6)
+    assert 0 < vals[10] < vals[12] < vals[19] <= 16.0
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    """Strictly increasing y with x: tau = 1; reversed: tau = -1."""
+    inc = [(i, i, i * 2) for i in range(1, 8)]
+    dec = [(i, i, 100 - i) for i in range(1, 8)]
+    d1 = spark.createDataFrame(inc, "t long, x long, y long")
+    d2 = spark.createDataFrame(dec, "t long, x long, y long")
+    r1 = ev_ops.kendall_tau(d1, "t", "x", "y").collect()[0]
+    r2 = ev_ops.kendall_tau(d2, "t", "x", "y").collect()[0]
+    assert r1["tau_b"] == pytest.approx(1.0, abs=1e-6)
+    assert (r1["concordant"], r1["discordant"]) == (21, 0)
+    assert r2["tau_b"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_kendall_tau_constant_series_null(spark):
+    rows = [(i, 5, i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "t long, x long, y long")
+    assert ev_ops.kendall_tau(df, "t", "x", "y").collect()[0]["tau_b"] is None
+
+
+def test_mh_odds_ratio_simpsons_paradox(spark):
+    """Classic confounding: within each stratum OR = 1 (exposure has
+    no effect), but stratum sizes couple exposure and outcome so the
+    crude OR > 1; MH recovers ~1."""
+    import pyspark.sql.functions as SF
+
+    rows = []
+    # stratum s1: mostly exposed, high base rate (OR inside = 1)
+    rows += [("s1", 1, 1)] * 80 + [("s1", 1, 0)] * 20
+    rows += [("s1", 0, 1)] * 8 + [("s1", 0, 0)] * 2
+    # stratum s2: mostly unexposed, low base rate (OR inside = 1)
+    rows += [("s2", 1, 1)] * 2 + [("s2", 1, 0)] * 8
+    rows += [("s2", 0, 1)] * 20 + [("s2", 0, 0)] * 80
+    df = spark.createDataFrame(rows, "stratum string, e int, o int")
+    r = ev_ops.mh_odds_ratio(
+        df, "stratum", SF.col("e") == 1, SF.col("o") == 1
+    ).collect()[0]
+    assert r["n_strata"] == 2
+    assert r["or_mh"] == pytest.approx(1.0, abs=1e-6)
+    assert r["or_crude"] > 2.0  # confounded crude estimate
+
+
+def test_attribution_negative_refund_matches_duckdb_oracle():
+    """The r8-advice divergence class, pinned CROSS-ENGINE with a
+    refund (negative conversion value): floor(-7000*1000/3) =
+    -2333334 milli-cents per touch on BOTH engines (DuckDB's integer
+    `//` truncates toward zero — verified -7//3 = -2 — so the oracle
+    carries the explicit -1 floor correction)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from mapreduce_faultolerrant_localityaware_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [
+        # one purchase of -70.00 (refund), three prior touches
+        (1, dt.datetime(2024, 1, 10), 100, "purchase", -70.0, None),
+        (2, dt.datetime(2024, 1, 9), 100, "view", 0.0, None),
+        (3, dt.datetime(2024, 1, 8), 100, "click", 0.0, None),
+        (4, dt.datetime(2024, 1, 7), 100, "view", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r["channel"]: r["linear_value"]
+        for r in ev_ops.attribution_multi_touch(df).collect()
+    }
+    # floor(-7000000/3) = -2333334 mc; view gets 2 touches, click 1
+    assert got["view"] == pytest.approx(-46.66668, abs=1e-6)
+    assert got["click"] == pytest.approx(-23.33334, abs=1e-6)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?,?,?,?,?,?)", rows)
+    oracle = {
+        r[0]: r[4]
+        for r in con.execute(entry_mod.oracle_sql()["attribution_multi_touch"]).fetchall()
+    }
+    assert oracle["view"] == pytest.approx(got["view"], abs=1e-9)
+    assert oracle["click"] == pytest.approx(got["click"], abs=1e-9)
