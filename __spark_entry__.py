@@ -4000,6 +4000,32 @@ def _q_mh_odds_ratio(spark, sf):
     )
 
 
+def _q_class_diversity(spark, sf):
+    """Per-source Simpson language diversity
+    (operators/corpus.py:class_diversity): unbiased estimator from
+    exact (source, lang) counts, effective-class readout."""
+    docs = scan(spark, sf, "documents")
+    return corpus.class_diversity(docs, "source", "lang")
+
+
+def _q_token_dispersion(spark, sf):
+    """Burstiness (VMR) of the corpus's top-20 tokens
+    (operators/corpus.py:token_dispersion): exact per-doc count
+    moments, zero-doc mass folded analytically via the 1-row N
+    broadcast."""
+    docs = scan(spark, sf, "documents")
+    return corpus.token_dispersion(docs, top_k=20)
+
+
+def _q_centroid_cosine_matrix(spark, sf):
+    """Label-centroid cosine confusion matrix
+    (operators/similarity.py:centroid_cosine_matrix): counts cancel in
+    the cosine, DECIMAL(38,0) dot products over exact integer-micro
+    component sums, in-row wedge pair fan-out."""
+    emb = scan(spark, sf, "embeddings")
+    return similarity.centroid_cosine_matrix(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4170,6 +4196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "survival_km": _q_survival_km,
         "theil_sen": _q_theil_sen,
+        "class_diversity": _q_class_diversity,
+        "token_dispersion": _q_token_dispersion,
+        "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
         "kendall_tau": _q_kendall_tau,
         "mh_odds_ratio": _q_mh_odds_ratio,
@@ -6449,6 +6478,82 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "class_diversity": """
+            WITH per AS (SELECT source AS g, lang AS c,
+                                CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1, 2),
+            gg AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_rows,
+                          CAST(count(*) AS BIGINT) AS n_classes,
+                          CAST(sum(n * (n - 1)) AS BIGINT) AS same2
+                   FROM per GROUP BY g)
+            SELECT g AS source, n_rows, n_classes,
+                   round(1.0 - CASE WHEN n_rows < 2 THEN NULL
+                               ELSE CAST(same2 AS DOUBLE)
+                                    / CAST(n_rows * (n_rows - 1)
+                                      AS DOUBLE) END, 6) AS simpson_d,
+                   round(CASE WHEN n_rows < 2 OR same2 = 0 THEN NULL
+                              ELSE 1.0 / (CAST(same2 AS DOUBLE)
+                                   / CAST(n_rows * (n_rows - 1)
+                                     AS DOUBLE)) END, 6)
+                     AS effective_classes
+            FROM gg
+        """,
+        "token_dispersion": f"""
+            WITH per_doc AS (SELECT doc_id, t,
+                                    CAST(count(*) AS BIGINT) AS c
+                             FROM (SELECT doc_id,
+                                          unnest({_TOK_LOWER}) AS t
+                                   FROM documents)
+                             GROUP BY 1, 2),
+            per_tok AS (SELECT t, CAST(sum(c) AS BIGINT) AS total_count,
+                               CAST(count(*) AS BIGINT) AS doc_freq,
+                               CAST(sum(c * c) AS BIGINT) AS s2
+                        FROM per_doc GROUP BY t),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            top AS (SELECT * FROM per_tok
+                    ORDER BY total_count DESC, t ASC LIMIT 20)
+            SELECT t AS token, total_count, doc_freq,
+                   round(CASE WHEN n_docs * total_count = 0 THEN NULL
+                              ELSE CAST(n_docs * s2
+                                     - total_count * total_count
+                                     AS DOUBLE)
+                                   / CAST(n_docs * total_count AS DOUBLE)
+                         END, 6) AS vmr
+            FROM top CROSS JOIN nd
+        """,
+        "centroid_cosine_matrix": """
+            WITH m AS (SELECT label,
+                              CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                   * 1e6) AS BIGINT) AS xm,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            per AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                    FROM embeddings WHERE embedding IS NOT NULL
+                    GROUP BY label),
+            s AS (SELECT label, i, CAST(sum(xm) AS BIGINT) AS s
+                  FROM m GROUP BY 1, 2),
+            dotp AS (SELECT a.label AS la, b.label AS lb,
+                            sum(CAST(a.s AS HUGEINT)
+                                * CAST(b.s AS HUGEINT)) AS dot
+                     FROM s a JOIN s b
+                       ON a.i = b.i AND a.label < b.label
+                     GROUP BY 1, 2),
+            norm AS (SELECT label,
+                            sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                              AS n2
+                     FROM s GROUP BY label)
+            SELECT la AS label_a, lb AS label_b, pa.n AS n_a, pb.n AS n_b,
+                   round(CASE WHEN na.n2 * nb.n2 = 0 THEN NULL
+                              ELSE CAST(dot AS DOUBLE)
+                                   / sqrt(CAST(na.n2 AS DOUBLE)
+                                          * CAST(nb.n2 AS DOUBLE))
+                         END, 6) AS cosine
+            FROM dotp JOIN per pa ON pa.label = la
+                      JOIN per pb ON pb.label = lb
+                      JOIN norm na ON na.label = la
+                      JOIN norm nb ON nb.label = lb
         """,
         "theil_sen": """
             WITH s AS (SELECT o_orderpriority AS k,

@@ -2002,3 +2002,106 @@ def token_budget_sample(
         "n_tokens",
         (u < F.col("p_permillion")).alias("keep"),
     )
+
+
+def class_diversity(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Per-group Simpson diversity of a categorical column — the
+    corpus-health read on mixture balance (how language-diverse is
+    each source, how event-type-diverse is each cohort): λ is the
+    probability two draws share a class, D = 1 − λ the diversity, and
+    1/λ the "effective number of classes" — the numbers a mixture
+    dashboard tracks before :func:`mixture_weights` rebalances.
+
+    Exactness: the UNBIASED Simpson estimator λ = Σnᵢ(nᵢ−1)/(N(N−1))
+    is a ratio of exact BIGINTs from one (group, class) partial-agged
+    count — no per-row probabilities, no float sums; both divisions
+    happen once per group.  A single-row group (N < 2) is NULL via
+    try_divide, as is 1/λ for an all-distinct group (λ = 0).
+
+    Scale shape: one shuffle to the (group × class) domain table, one
+    to the |groups|-row result.  Returns ``(group, n_rows, n_classes,
+    simpson_d, effective_classes)``.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("g"), F.col(class_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = per.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("same2"),
+    )
+    lam = F.try_divide(
+        F.col("same2").cast("double"),
+        (F.col("n_rows") * (F.col("n_rows") - 1)).cast("double"),
+    )
+    return g.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        "n_classes",
+        F.round(1.0 - lam, 6).alias("simpson_d"),
+        F.round(F.try_divide(F.lit(1.0), F.nullif(lam, F.lit(0.0))), 6).alias(
+            "effective_classes"
+        ),
+    )
+
+
+def token_dispersion(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Burstiness profile of the corpus's top-k tokens: the
+    variance-to-mean ratio (VMR) of per-document counts — ~1 for
+    Poisson-scattered function words, ≫1 for bursty topical terms that
+    clump in few documents (Church & Gale's burstiness; the signal
+    that separates stopword-like from content-like tokens better than
+    raw frequency, and the corpus-linguistics companion to
+    :func:`softdedup_weights`' commonness).
+
+    Exactness: per-(doc, token) counts, Σc and Σc² are exact BIGINTs;
+    absent docs contribute zero to both sums, so with N the corpus doc
+    count, VMR = (N·Σc² − (Σc)²) / (N·Σc) — one double division of
+    exact integers per token.  Top-k election is a TakeOrdered heap
+    under the (count DESC, token ASC) total order.
+
+    Scale shape: one (doc, token)-keyed partial-agged count (the
+    wordcount exchange, digests of size |vocab ∩ doc| per doc), one
+    token-keyed rollup, a 1-row N broadcast, and the k-row heap —
+    no global sort.  Returns ``(token, total_count, doc_freq, vmr)``.
+    """
+    per_doc = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("t")
+        )
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_tok = per_doc.groupBy("t").agg(
+        F.sum("c").cast("long").alias("total_count"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    top = (
+        per_tok.orderBy(F.col("total_count").desc(), F.col("t").asc())
+        .limit(top_k)
+        .join(F.broadcast(n_docs))
+    )
+    vmr = F.try_divide(
+        (F.col("n_docs") * F.col("s2") - F.col("total_count") * F.col("total_count"))
+        .cast("double"),
+        F.nullif((F.col("n_docs") * F.col("total_count")).cast("double"), F.lit(0.0)),
+    )
+    return top.select(
+        F.col("t").alias("token"),
+        "total_count",
+        "doc_freq",
+        F.round(vmr, 6).alias("vmr"),
+    )

@@ -1593,3 +1593,83 @@ def pca_project(
         .select(id_col, F.col("z.pc").alias("pc"), F.col("z.score").alias("score"))
         .orderBy(id_col, "pc")
     )
+
+
+def centroid_cosine_matrix(
+    emb: DataFrame,
+    dim: int | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label×label cosine similarity of class centroids — the
+    embedding-space confusion map (which classes' regions overlap),
+    read before trusting :func:`hard_negatives`' labels or SemDeDup's
+    cell blocking; high off-diagonal cosine predicts cross-label
+    near-duplicates and classifier confusion.
+
+    Exactness without n: cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb) — the
+    per-label counts cancel, so the cosine works directly on the
+    exact integer-micro component SUMS (the
+    :func:`embedding_centroids` aggregates).  Dot products and squared
+    norms accumulate in DECIMAL(38,0) (micro-sum products overflow
+    BIGINT at corpus scale; matches the oracle's HUGEINT) via an
+    in-row zip_with fold, then ONE double division per pair.
+
+    Scale shape: one partial-agged groupBy to |labels| rows each
+    carrying d exact bigints; the pair expansion is the in-row a<b
+    wedge fan-out from a single packed-array aggregate (provably
+    1-row BNLJ build sides, never a self-join); |labels|²/2 output
+    rows.  Returns ``(label_a, label_b, n_a, n_b, cosine)``.
+    """
+    if dim is None:
+        dim = _infer_dim(emb, vec_col, "centroid_cosine_matrix")
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
+    per = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim))
+        .groupBy(F.col(label_col).alias("lbl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.array(*[F.sum(x_micro(i)) for i in range(dim)]).alias("s"),
+        )
+    )
+    packed = per.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("lbl", "n", "s"))).alias("arr")
+    )
+    lefts = packed.select(F.posexplode("arr").alias("i", "p"), F.col("arr"))
+    pairs = lefts.select(
+        F.col("p.lbl").alias("label_a"),
+        F.col("p.n").alias("n_a"),
+        F.col("p.s").alias("sa"),
+        F.explode(F.slice("arr", F.col("i") + 2, F.size("arr"))).alias("q"),
+    )
+
+    def _dot(a, b):
+        prods = F.zip_with(
+            a,
+            b,
+            lambda x, y: x.cast("decimal(19,0)") * y.cast("decimal(19,0)"),
+        )
+        return F.aggregate(
+            prods, F.lit(0).cast("decimal(38,0)"), lambda acc, p: acc + p
+        )
+
+    scored = pairs.select(
+        "label_a",
+        F.col("q.lbl").alias("label_b"),
+        "n_a",
+        F.col("q.n").alias("n_b"),
+        _dot(F.col("sa"), F.col("q.s")).alias("dot"),
+        _dot(F.col("sa"), F.col("sa")).alias("na2"),
+        _dot(F.col("q.s"), F.col("q.s")).alias("nb2"),
+    )
+    cos = F.try_divide(
+        F.col("dot").cast("double"),
+        F.nullif(
+            F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+            F.lit(0.0),
+        ),
+    )
+    return scored.select(
+        "label_a", "label_b", "n_a", "n_b", F.round(cos, 6).alias("cosine")
+    )

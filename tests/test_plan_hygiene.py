@@ -126,8 +126,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "rfm_segments",
            # kendall_tau attaches its 1-row pair-count, tie-correction
            # and n aggregates (scalar attaches; the pair expansion
-           # itself is a broadcast HASH join on the constant key)
-           "kendall_tau"}
+           # itself is the in-row wedge from a 1-row aggregate)
+           "kendall_tau",
+           # token_dispersion attaches its 1-row corpus doc count to
+           # the k-row heap (tfidf-style scalar attach)
+           "token_dispersion"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

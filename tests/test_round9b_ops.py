@@ -299,3 +299,66 @@ def test_attribution_negative_refund_matches_duckdb_oracle():
     }
     assert oracle["view"] == pytest.approx(got["view"], abs=1e-9)
     assert oracle["click"] == pytest.approx(got["click"], abs=1e-9)
+
+
+def test_class_diversity_hand_example(spark):
+    """Group 'bal': 2+2 of two classes -> lambda = (2+2)/(4*3) = 1/3,
+    D = 2/3, effective = 3.  Group 'mono': one class -> D = 0,
+    effective = 1.  Group 'solo': N = 1 -> NULLs."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import class_diversity
+
+    rows = (
+        [("bal", "en")] * 2 + [("bal", "fr")] * 2
+        + [("mono", "en")] * 3 + [("solo", "de")]
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in class_diversity(df, "g", "c").collect()}
+    assert out["bal"]["simpson_d"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["bal"]["effective_classes"] == pytest.approx(3.0, abs=1e-6)
+    assert out["mono"]["simpson_d"] == pytest.approx(0.0, abs=1e-6)
+    assert out["mono"]["effective_classes"] == pytest.approx(1.0, abs=1e-6)
+    assert out["solo"]["simpson_d"] is None
+    assert out["solo"]["effective_classes"] is None
+
+
+def test_token_dispersion_bursty_vs_flat(spark):
+    """'flat' appears once in each of 4 docs (VMR = (4*4-16)/(4*4) = 0
+    over N=4 docs — sub-Poisson, perfectly even); 'burst' appears 4
+    times in one doc (VMR = (4*16-16)/(4*4) = 3)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import token_dispersion
+
+    rows = [
+        (1, "flat burst burst burst burst"),
+        (2, "flat"),
+        (3, "flat"),
+        (4, "flat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in token_dispersion(df, top_k=10).collect()}
+    assert out["flat"]["vmr"] == pytest.approx(0.0, abs=1e-6)
+    assert (out["flat"]["total_count"], out["flat"]["doc_freq"]) == (4, 4)
+    assert out["burst"]["vmr"] == pytest.approx(3.0, abs=1e-6)
+    assert (out["burst"]["total_count"], out["burst"]["doc_freq"]) == (4, 1)
+
+
+def test_centroid_cosine_matrix_orthogonal_and_aligned(spark):
+    """Labels 0/1 sit on orthogonal axes (cosine 0); label 2 is label
+    0 scaled (cosine 1); count cancellation: label 2 has 3 rows."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.similarity import (
+        centroid_cosine_matrix,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),
+        (3, [0.0, 2.0], 1),
+        (4, [5.0, 0.0], 2), (5, [7.0, 0.0], 2), (6, [2.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["label_a"], r["label_b"]): r
+        for r in centroid_cosine_matrix(df, dim=2).collect()
+    }
+    assert out[(0, 1)]["cosine"] == pytest.approx(0.0, abs=1e-6)
+    assert out[(0, 2)]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert out[(1, 2)]["cosine"] == pytest.approx(0.0, abs=1e-6)
+    assert (out[(0, 2)]["n_a"], out[(0, 2)]["n_b"]) == (2, 3)
