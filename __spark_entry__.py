@@ -4026,6 +4026,37 @@ def _q_centroid_cosine_matrix(spark, sf):
     return similarity.centroid_cosine_matrix(emb)
 
 
+def _q_k_anonymity(spark, sf):
+    """k-anonymity / l-diversity privacy audit of the customer table
+    (operators/relational.py:k_anonymity): quasi-identifiers =
+    (nation, account-balance decile), sensitive = market segment;
+    exact class sizes, corpus-wide minima, exposure mass below k=5."""
+    from pyspark.sql import Window
+
+    cust = scan(spark, sf, "customer")
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    qi = cust.select(
+        "c_nationkey", decile.alias("bal_decile"), "c_mktsegment"
+    )
+    return relational.k_anonymity(
+        qi, ["c_nationkey", "bal_decile"], "c_mktsegment", k_threshold=5
+    )
+
+
+def _q_multimodal_dedup(spark, sf):
+    """Exact-pHash media dedup accounting
+    (operators/multimodal.py:phash_dedup_report): fingerprint buckets
+    from the single Arrow decode hop, min-id canonical election,
+    integer-only exchange."""
+    docs = scan(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    fp = multimodal.phash_fingerprint(multimodal.decode_media(docs))
+    return multimodal.phash_dedup_report(fp)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4197,6 +4228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": _q_survival_km,
         "theil_sen": _q_theil_sen,
         "class_diversity": _q_class_diversity,
+        "k_anonymity": _q_k_anonymity,
+        "multimodal_dedup": _q_multimodal_dedup,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6478,6 +6511,48 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "k_anonymity": """
+            WITH qi AS (SELECT c_nationkey,
+                               ntile(10) OVER (ORDER BY c_acctbal,
+                                               c_custkey) AS bal_decile,
+                               c_mktsegment
+                        FROM customer),
+            per AS (SELECT c_nationkey, bal_decile,
+                           CAST(count(*) AS BIGINT) AS sz,
+                           CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                             AS l
+                    FROM qi GROUP BY 1, 2),
+            g AS (SELECT coalesce(CAST(sum(sz) AS BIGINT), 0) AS n_rows,
+                         CAST(count(*) AS BIGINT) AS n_classes,
+                         CAST(min(sz) AS BIGINT) AS k_anonymity,
+                         CAST(min(l) AS BIGINT) AS l_diversity,
+                         coalesce(CAST(sum(CASE WHEN sz < 5 THEN sz END)
+                                  AS BIGINT), 0) AS n_rows_below_k
+                  FROM per)
+            SELECT n_rows, n_classes, k_anonymity, l_diversity,
+                   n_rows_below_k,
+                   round(CASE WHEN n_rows = 0 THEN NULL
+                              ELSE CAST(n_rows_below_k AS DOUBLE)
+                                   / CAST(n_rows AS DOUBLE) END, 6)
+                     AS pct_below_k
+            FROM g
+        """,
+        "multimodal_dedup": """
+            WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx
+                       FROM documents),
+            fp AS (SELECT media_id, CAST("""
+        + " + ".join(
+            f"CASE WHEN CAST(('0x' || substring(hx, {5 + 4 * i}, 4)) AS BIGINT) >= 32768"
+            f" THEN {1 << i} ELSE 0 END"
+            for i in range(8)
+        )
+        + """ AS BIGINT) AS phash
+                   FROM h)
+            SELECT phash, CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(media_id) AS BIGINT) AS canonical_id,
+                   CAST(count(*) - 1 AS BIGINT) AS n_dropped
+            FROM fp GROUP BY phash
         """,
         "class_diversity": """
             WITH per AS (SELECT source AS g, lang AS c,

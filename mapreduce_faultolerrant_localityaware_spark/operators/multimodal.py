@@ -220,3 +220,32 @@ def modality_alignment(
     return counts.crossJoin(F.broadcast(total)).select(
         "status", "n", F.round(F.col("n") / F.col("total"), 6).alias("pct")
     )
+
+
+def phash_dedup_report(fingerprints: DataFrame) -> DataFrame:
+    """Exact-pHash image dedup summary over :func:`phash_fingerprint`
+    output — the LAION-style first pass: identical fingerprints are
+    duplicate buckets; each bucket elects its min-id canonical copy
+    and the report carries the dedup accounting (how much of the
+    media corpus survives).  One row per fingerprint bucket plus the
+    exact keep/drop counts — the media twin of dedup_report.
+
+    Scale shape: one fingerprint-keyed partial-agged groupBy (64-bit
+    integers ride the exchange, never pixels) — the entire dedup is
+    the wordcount shape at any corpus size.  Returns ``(phash,
+    n_copies, canonical_id, n_dropped)`` per bucket, duplicates
+    first, then fingerprint order for determinism.
+    """
+    return (
+        fingerprints.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").cast("long").alias("canonical_id"),
+        )
+        .select(
+            "phash",
+            "n_copies",
+            "canonical_id",
+            (F.col("n_copies") - 1).cast("long").alias("n_dropped"),
+        )
+    )

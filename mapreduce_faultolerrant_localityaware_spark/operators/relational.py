@@ -1119,3 +1119,56 @@ def rfm_segments(
             6,
         ).alias("avg_monetary"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier set —
+    the privacy gate a training-data release runs BEFORE publishing:
+    every row must hide in an equivalence class of ≥ k rows sharing
+    its quasi-identifiers (k-anonymity), and each class must span ≥ l
+    distinct sensitive values (l-diversity — k alone fails when a
+    class is sensitive-homogeneous).  Reports the corpus-wide minima
+    and the re-identification exposure mass under ``k_threshold``.
+
+    Exactness: one (quasi-tuple)-keyed partial-agged groupBy produces
+    class sizes and per-class distinct-sensitive counts (exact
+    BIGINTs); the summary row is a second aggregate; the exposure
+    percentage is the single final division.
+
+    Scale shape: one shuffle to the equivalence-class domain table,
+    one 1-row rollup — the same two-exchange shape as group_agg, at
+    any corpus size.  Returns one row ``(n_rows, n_classes,
+    k_anonymity, l_diversity, n_rows_below_k, pct_below_k)``.
+    """
+    per = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("l"),
+    )
+    g = per.groupBy().agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.min("l").alias("l_diversity"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") < k_threshold, F.col("sz"))), F.lit(0)
+        ).cast("long").alias("n_rows_below_k"),
+    )
+    return g.select(
+        "n_rows",
+        "n_classes",
+        "k_anonymity",
+        "l_diversity",
+        "n_rows_below_k",
+        F.round(
+            F.try_divide(
+                F.col("n_rows_below_k").cast("double"),
+                F.nullif(F.col("n_rows").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("pct_below_k"),
+    )

@@ -362,3 +362,38 @@ def test_centroid_cosine_matrix_orthogonal_and_aligned(spark):
     assert out[(0, 2)]["cosine"] == pytest.approx(1.0, abs=1e-6)
     assert out[(1, 2)]["cosine"] == pytest.approx(0.0, abs=1e-6)
     assert (out[(0, 2)]["n_a"], out[(0, 2)]["n_b"]) == (2, 3)
+
+
+def test_k_anonymity_hand_example(spark):
+    """Classes: (A: 3 rows, 2 segs), (B: 1 row, 1 seg) -> k = 1,
+    l = 1, 4 rows total, 1 row below k=5 threshold... all 4 rows are
+    below 5, so exposure = 1.0; with threshold 2 only B's single row
+    is exposed."""
+    rows = [
+        ("A", "s1"), ("A", "s1"), ("A", "s2"),
+        ("B", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r5 = rel.k_anonymity(df, ["q"], "s", k_threshold=5).collect()[0]
+    assert (r5["n_rows"], r5["n_classes"]) == (4, 2)
+    assert (r5["k_anonymity"], r5["l_diversity"]) == (1, 1)
+    assert r5["n_rows_below_k"] == 4
+    assert r5["pct_below_k"] == pytest.approx(1.0, abs=1e-6)
+    r2 = rel.k_anonymity(df, ["q"], "s", k_threshold=2).collect()[0]
+    assert r2["n_rows_below_k"] == 1
+    assert r2["pct_below_k"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_phash_dedup_report_buckets(spark):
+    """Three media share a fingerprint (min-id canonical, 2 dropped);
+    one is unique."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.multimodal import (
+        phash_dedup_report,
+    )
+
+    fp = spark.createDataFrame(
+        [(7, 42), (3, 42), (9, 42), (5, 13)], "media_id long, phash long"
+    )
+    out = {r["phash"]: r for r in phash_dedup_report(fp).collect()}
+    assert (out[42]["n_copies"], out[42]["canonical_id"], out[42]["n_dropped"]) == (3, 3, 2)
+    assert (out[13]["n_copies"], out[13]["n_dropped"]) == (1, 0)
