@@ -4057,6 +4057,48 @@ def _q_multimodal_dedup(spark, sf):
     return multimodal.phash_dedup_report(fp)
 
 
+def _q_simjoin_containment(spark, sf):
+    """Exact n-gram containment pairs (operators/dedup.py:
+    simjoin_containment): |A∩B|/|A| finds quoted/embedded docs that
+    Jaccard misses; inverted-index equi-join, df-capped."""
+    return dedup.simjoin_containment(
+        scan(spark, sf, "documents"), threshold=0.5
+    )
+
+
+def _q_session_paths(spark, sf):
+    """Top-20 session entry paths (operators/events.py:session_paths):
+    first 3 event types per gap-session, array_sort-deterministic path
+    assembly, exact session shares."""
+    ev = scan(spark, sf, "events")
+    return events_ops.session_paths(ev)
+
+
+def _q_percentile_trend(spark, sf):
+    """Monthly exact P50/P90 order-value bands with month-over-month
+    median delta: the interpolated exact percentile (Spark percentile
+    = DuckDB quantile_cont) per time bucket, then one lag window over
+    the month-domain series."""
+    from pyspark.sql import Window
+
+    orders = scan(spark, sf, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+    )
+    w = Window.orderBy("m")
+    return monthly.select(
+        "m",
+        "n",
+        "p50",
+        "p90",
+        F.round(F.col("p50") - F.lag("p50").over(w), 6).alias("p50_delta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4230,6 +4272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_diversity": _q_class_diversity,
         "k_anonymity": _q_k_anonymity,
         "multimodal_dedup": _q_multimodal_dedup,
+        "simjoin_containment": _q_simjoin_containment,
+        "session_paths": _q_session_paths,
+        "percentile_trend": _q_percentile_trend,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6511,6 +6556,74 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "simjoin_containment": f"""
+            {_SHINGLES_LOWER},
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                      FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT doc_a, doc_b, common,
+                     round(CAST(common AS DOUBLE)
+                           / CAST(sa.n_sh AS DOUBLE), 6) AS c_a_in_b,
+                     round(CAST(common AS DOUBLE)
+                           / CAST(sb.n_sh AS DOUBLE), 6) AS c_b_in_a
+              FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                          JOIN sizes sb ON sb.doc_id = doc_b)
+            SELECT * FROM scored
+            WHERE c_a_in_b >= 0.5 OR c_b_in_a >= 0.5
+        """,
+        "session_paths": """
+            WITH l AS (SELECT user_id AS u, event_type AS t, ts,
+                              event_id AS eid,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                       FROM events),
+            s AS (SELECT u, t, ts, eid,
+                         sum(CASE WHEN prev IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev)
+                                     > 1800000000
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY u ORDER BY ts, eid
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            r AS (SELECT u, sid, t,
+                         row_number() OVER (PARTITION BY u, sid
+                                            ORDER BY ts, eid) AS rn
+                  FROM s),
+            p AS (SELECT u, sid, string_agg(t, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY u, sid),
+            c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                  FROM p GROUP BY path),
+            tt AS (SELECT coalesce(CAST(sum(n_sessions) AS BIGINT), 0)
+                            AS n_total FROM c),
+            top AS (SELECT * FROM c
+                    ORDER BY n_sessions DESC, path ASC LIMIT 20)
+            SELECT path, n_sessions,
+                   round(CASE WHEN n_total = 0 THEN NULL
+                              ELSE CAST(n_sessions AS DOUBLE)
+                                   / CAST(n_total AS DOUBLE) END, 6)
+                     AS share
+            FROM top CROSS JOIN tt
+        """,
+        "percentile_trend": """
+            WITH monthly AS (SELECT CAST(year(o_orderdate) * 12
+                                         + month(o_orderdate) AS BIGINT)
+                                      AS m,
+                                    CAST(count(*) AS BIGINT) AS n,
+                                    round(quantile_cont(o_totalprice,
+                                                        0.5), 6) AS p50,
+                                    round(quantile_cont(o_totalprice,
+                                                        0.9), 6) AS p90
+                             FROM orders GROUP BY 1)
+            SELECT m, n, p50, p90,
+                   round(p50 - lag(p50) OVER (ORDER BY m), 6) AS p50_delta
+            FROM monthly
         """,
         "k_anonymity": """
             WITH qi AS (SELECT c_nationkey,

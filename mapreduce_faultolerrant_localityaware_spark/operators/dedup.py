@@ -1677,3 +1677,72 @@ def dedup_overlap_matrix(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+def simjoin_containment(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT similarity pairs — the asymmetric
+    companion to :func:`dedup_ngram_jaccard`: containment
+    C(A→B) = |A∩B|/|A| finds documents EMBEDDED in larger ones
+    (quotes, boilerplate-wrapped reposts, excerpt chains) that Jaccard
+    misses outright — a 200-shingle doc fully contained in a
+    2000-shingle doc has Jaccard 0.1 but containment 1.0.  The
+    standard dedup pass for nested/quoted web text.
+
+    Exactness & shape: identical inverted-index equi-join on the
+    shingle as the Jaccard op (docs must share ≥1 shingle — never a
+    cross product), the same ``max_shingle_df`` skew cap on the join
+    side only (intersections UNDER-count slightly — conservative),
+    exact BIGINT set sizes, both direction ratios as single divisions.
+    A pair survives if EITHER direction reaches the threshold.
+    Returns ``(doc_a, doc_b, common, c_a_in_b, c_b_in_a)``.
+    """
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    scored = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.round(
+                F.try_divide(F.col("common").cast("double"), F.col("na").cast("double")),
+                6,
+            ).alias("c_a_in_b"),
+            F.round(
+                F.try_divide(F.col("common").cast("double"), F.col("nb").cast("double")),
+                6,
+            ).alias("c_b_in_a"),
+        )
+    )
+    return scored.filter(
+        (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+    )

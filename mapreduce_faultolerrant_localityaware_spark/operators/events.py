@@ -2277,3 +2277,89 @@ def mh_odds_ratio(
         F.round(or_crude, 6).alias("or_crude"),
         F.round(or_mh, 6).alias("or_mh"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    path_len: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session entry paths — the first ``path_len`` event types
+    of each gap-session joined into a path string ("view>click>
+    purchase"), counted across sessions: the Sankey/user-flow read
+    that tells a product team HOW sessions start, beyond
+    :func:`session_rules`' unordered co-occurrence.
+
+    Determinism: session ids come from the :func:`sessionize` window
+    composition; within a session the first events are elected by
+    ``row_number`` over the (ts, event_id) total order, the path
+    assembles via ``array_sort`` on (rank, type) structs (never a
+    collect_list ordering assumption), and the share is one division
+    of exact BIGINTs.  Top-k election is a TakeOrdered heap under the
+    (count DESC, path ASC) total order.
+
+    Scale shape: ONE user-keyed window exchange (sessionize + the
+    in-session rank share it), a (session)-keyed groupBy whose rows
+    carry ≤ path_len structs, the path-domain groupBy, and the k-row
+    heap.  Returns ``(path, n_sessions, share)``.
+    """
+    wu = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        F.coalesce(
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(wu))
+            )
+            > gap_us,
+            F.lit(True),
+        )
+    ).cast("long")
+    sess = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.sum(new_sess).over(
+            Window.partitionBy(user_col)
+            .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    ws = Window.partitionBy("u", "sid").orderBy(F.col("ts").asc(), F.col("eid").asc())
+    ranked = sess.select(
+        "u", "sid", "t", F.row_number().over(ws).alias("rn")
+    ).filter(F.col("rn") <= path_len)
+    per_sess = ranked.groupBy("u", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "t"))), lambda s: s["t"]
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = per_sess.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    tot = counts.agg(F.coalesce(F.sum("n_sessions"), F.lit(0)).alias("n_total"))
+    return (
+        counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_k)
+        .join(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            F.round(
+                F.try_divide(
+                    F.col("n_sessions").cast("double"),
+                    F.nullif(F.col("n_total").cast("double"), F.lit(0.0)),
+                ),
+                6,
+            ).alias("share"),
+        )
+    )

@@ -130,7 +130,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "kendall_tau",
            # token_dispersion attaches its 1-row corpus doc count to
            # the k-row heap (tfidf-style scalar attach)
-           "token_dispersion"}
+           "token_dispersion",
+           # session_paths attaches its 1-row session-total aggregate
+           # to the k-row path heap (same scalar-attach shape)
+           "session_paths"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -397,3 +397,45 @@ def test_phash_dedup_report_buckets(spark):
     out = {r["phash"]: r for r in phash_dedup_report(fp).collect()}
     assert (out[42]["n_copies"], out[42]["canonical_id"], out[42]["n_dropped"]) == (3, 3, 2)
     assert (out[13]["n_copies"], out[13]["n_dropped"]) == (1, 0)
+
+
+def test_simjoin_containment_quote_detection(spark):
+    """Doc 2's shingle set is a strict subset of doc 1's -> containment
+    of 2 in 1 is 1.0 while Jaccard is far below the threshold."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.dedup import (
+        simjoin_containment,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "beta gamma delta epsilon"  # 2 shingles, both inside big
+    df = spark.createDataFrame(
+        [(1, big), (2, small)], "doc_id long, text string"
+    )
+    out = simjoin_containment(df, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["c_b_in_a"] == pytest.approx(1.0, abs=1e-6)  # small in big
+    assert r["c_a_in_b"] < 0.5
+
+
+def test_session_paths_hand_example(spark):
+    """User 1: one session view>click>purchase (+a 4th event ignored);
+    user 2: two sessions (gap > 30 min), paths 'view' and
+    'click>view'."""
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 10, 0), "view"),
+        (2, 1, dt.datetime(2024, 1, 1, 10, 1), "click"),
+        (3, 1, dt.datetime(2024, 1, 1, 10, 2), "purchase"),
+        (4, 1, dt.datetime(2024, 1, 1, 10, 3), "view"),
+        (5, 2, dt.datetime(2024, 1, 1, 9, 0), "view"),
+        (6, 2, dt.datetime(2024, 1, 1, 11, 0), "click"),
+        (7, 2, dt.datetime(2024, 1, 1, 11, 10), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["path"]: r for r in ev_ops.session_paths(df).collect()}
+    assert set(out) == {"view>click>purchase", "view", "click>view"}
+    assert out["view>click>purchase"]["n_sessions"] == 1
+    assert out["view"]["share"] == pytest.approx(1 / 3, abs=1e-6)
