@@ -4099,6 +4099,33 @@ def _q_percentile_trend(spark, sf):
     )
 
 
+def _q_readability(spark, sf):
+    """Flesch + Flesch-Kincaid readability per doc
+    (operators/textstats.py:readability_scores): vowel-group syllable
+    estimator, exact in-row counts, map-only."""
+    return textstats.readability_scores(scan(spark, sf, "documents"))
+
+
+def _q_lang_mixture(spark, sf):
+    """Code-switching detection (operators/textstats.py:lang_mixture):
+    top-2 language marker election via array_sort total order, mixed
+    flag when the runner-up reaches half the winner."""
+    return textstats.lang_mixture(scan(spark, sf, "documents"))
+
+
+def _q_graph_clustering(spark, sf):
+    """Global clustering coefficient of the SimHash near-dup graph
+    (operators/graph.py:clustering_coefficient): 3T/wedges from the
+    degree-oriented triangle machinery, exact BIGINT wedge mass,
+    single tagged-union aggregate."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return clustering_coefficient(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4275,6 +4302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simjoin_containment": _q_simjoin_containment,
         "session_paths": _q_session_paths,
         "percentile_trend": _q_percentile_trend,
+        "readability_scores": _q_readability,
+        "lang_mixture": _q_lang_mixture,
+        "graph_clustering": _q_graph_clustering,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6556,6 +6586,92 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "readability_scores": """
+            WITH base AS (SELECT doc_id,
+                                 list_filter(regexp_split_to_array(text,
+                                     '\\s+'), t -> t <> '') AS words,
+                                 list_filter(regexp_split_to_array(text,
+                                     '[.!?]+'), s -> trim(s) <> '')
+                                   AS sents
+                          FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(len(words) AS BIGINT) AS n_words,
+                         CAST(len(sents) AS BIGINT) AS n_sentences,
+                         CASE WHEN words IS NULL THEN NULL
+                              ELSE CAST(coalesce(list_sum(list_transform(
+                                     words, w -> greatest(1,
+                                       len(regexp_extract_all(lower(w),
+                                           '[aeiouy]+'))))), 0) AS BIGINT)
+                         END AS n_syllables
+                  FROM base)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(CASE WHEN n_sentences = 0 OR n_words = 0
+                              THEN NULL
+                              ELSE 206.835
+                                   - 1.015 * (CAST(n_words AS DOUBLE)
+                                       / CAST(n_sentences AS DOUBLE))
+                                   - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE))
+                         END, 6) AS flesch,
+                   round(CASE WHEN n_sentences = 0 OR n_words = 0
+                              THEN NULL
+                              ELSE 0.39 * (CAST(n_words AS DOUBLE)
+                                     / CAST(n_sentences AS DOUBLE))
+                                   + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE))
+                                   - 15.59
+                         END, 6) AS fk_grade
+            FROM c
+        """,
+        "lang_mixture": f"""
+            WITH base AS (SELECT doc_id, {_TOK_LOWER} AS tk
+                          FROM documents),
+            hits AS (SELECT doc_id, {lang_hit_cols} FROM base),
+            long AS (SELECT doc_id,
+                            unnest([{", ".join(repr(lg) for lg in _LANGS)}])
+                              AS lg,
+                            unnest([{", ".join(str(i) for i in range(len(_LANGS)))}])
+                              AS oi,
+                            unnest([{", ".join(f"hits_{lg}" for lg in _LANGS)}])
+                              AS h
+                     FROM hits),
+            r AS (SELECT doc_id, lg, CAST(h AS BIGINT) AS h,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY h DESC, oi ASC) AS rn
+                  FROM long)
+            SELECT doc_id,
+                   max(CASE WHEN rn = 1 THEN
+                         CASE WHEN h > 0 THEN lg ELSE 'und' END END)
+                     AS lang_top,
+                   max(CASE WHEN rn = 2 AND h > 0 THEN lg END)
+                     AS lang_second,
+                   max(CASE WHEN rn = 1 THEN h END) AS hits_top,
+                   max(CASE WHEN rn = 2 THEN h END) AS hits_second,
+                   (max(CASE WHEN rn = 2 THEN h END) > 0
+                    AND 2 * max(CASE WHEN rn = 2 THEN h END)
+                        >= max(CASE WHEN rn = 1 THEN h END)) AS mixed
+            FROM r GROUP BY doc_id
+        """,
+        "graph_clustering": f"""
+            {simhash_pairs_ctes},
+            edges AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM (SELECT u AS node FROM edges
+                          UNION ALL SELECT v AS node FROM edges)
+                    GROUP BY node),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM edges e1
+                    JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+            w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                         coalesce(CAST(sum((d * (d - 1)) // 2)
+                                  AS BIGINT), 0) AS wedges
+                  FROM deg),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+            SELECT n_nodes, n_edges, t AS n_triangles, wedges,
+                   round(CASE WHEN wedges = 0 THEN NULL
+                              ELSE 3.0 * t / wedges END, 6) AS global_cc
+            FROM w CROSS JOIN ne CROSS JOIN tri
         """,
         "simjoin_containment": f"""
             {_SHINGLES_LOWER},

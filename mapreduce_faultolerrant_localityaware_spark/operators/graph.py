@@ -257,6 +257,26 @@ def triangle_count(
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
+    e, deg, closed = _edges_degrees_triangles(pairs, src, dst)
+    # one-row summary WITHOUT joining 1-row frames (a join would plan
+    # a nested loop): tag each count source and conditional-aggregate
+    tagged = (
+        deg.select(F.lit("node").alias("kind"))
+        .unionByName(e.select(F.lit("edge").alias("kind")))
+        .unionByName(closed.select(F.lit("tri").alias("kind")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("kind") == "node", 1)).alias("n_nodes"),
+        F.count(F.when(F.col("kind") == "edge", 1)).alias("n_edges"),
+        F.count(F.when(F.col("kind") == "tri", 1)).alias("n_triangles"),
+    )
+
+
+def _edges_degrees_triangles(pairs: DataFrame, src: str, dst: str):
+    """Shared degree-oriented triangle machinery: canonical distinct
+    edge set, per-node degrees, and the closed-wedge (triangle) rows —
+    each triangle appears exactly once.  See :func:`triangle_count`
+    for the orientation argument (out-degree capped at O(sqrt(m)))."""
     e = (
         pairs.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -287,17 +307,67 @@ def triangle_count(
         )
     )
     closed = wedges.join(e, ["u", "v"], "left_semi")
-    # one-row summary WITHOUT joining 1-row frames (a join would plan
-    # a nested loop): tag each count source and conditional-aggregate
+    return e, deg, closed
+
+
+def clustering_coefficient(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Global (transitivity) clustering coefficient over an undirected
+    edge list: 3·triangles / wedges, with wedges = Σᵥ deg(v)(deg(v)−1)/2
+    — the one-number answer to "do my near-dup neighborhoods close into
+    cliques or stay chains?", calibrating how aggressively
+    connected-component closure (dedup_clusters) will merge borderline
+    matches.
+
+    Exactness & shape: reuses :func:`triangle_count`'s degree-oriented
+    enumeration (per-key wedge fan-out capped at O(√m) regardless of
+    hub skew); the wedge mass is an exact BIGINT sum over the degree
+    table; all four counts flow through ONE tagged union aggregate
+    (never a 1-row×1-row nested-loop join), and the coefficient is a
+    single final division (NULL on a wedge-free graph).
+
+    Returns one row ``(n_nodes, n_edges, n_triangles, wedges,
+    global_cc)``.
+    """
+    e, deg, closed = _edges_degrees_triangles(pairs, src, dst)
+    wedge_mass = F.expr("(deg * (deg - 1)) div 2").cast("long")
     tagged = (
-        deg.select(F.lit("node").alias("kind"))
-        .unionByName(e.select(F.lit("edge").alias("kind")))
-        .unionByName(closed.select(F.lit("tri").alias("kind")))
+        deg.select(F.lit("node").alias("kind"), F.lit(1).cast("long").alias("val"))
+        .unionByName(
+            deg.select(F.lit("wedge").alias("kind"), wedge_mass.alias("val"))
+        )
+        .unionByName(
+            e.select(F.lit("edge").alias("kind"), F.lit(1).cast("long").alias("val"))
+        )
+        .unionByName(
+            closed.select(
+                F.lit("tri").alias("kind"), F.lit(1).cast("long").alias("val")
+            )
+        )
     )
-    return tagged.agg(
-        F.count(F.when(F.col("kind") == "node", 1)).alias("n_nodes"),
-        F.count(F.when(F.col("kind") == "edge", 1)).alias("n_edges"),
-        F.count(F.when(F.col("kind") == "tri", 1)).alias("n_triangles"),
+    g = tagged.agg(
+        F.count(F.when(F.col("kind") == "node", 1)).cast("long").alias("n_nodes"),
+        F.count(F.when(F.col("kind") == "edge", 1)).cast("long").alias("n_edges"),
+        F.count(F.when(F.col("kind") == "tri", 1)).cast("long").alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "wedge", F.col("val"))), F.lit(0)
+        ).cast("long").alias("wedges"),
+    )
+    return g.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "wedges",
+        F.round(
+            F.try_divide(
+                3.0 * F.col("n_triangles").cast("double"),
+                F.nullif(F.col("wedges").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("global_cc"),
     )
 
 

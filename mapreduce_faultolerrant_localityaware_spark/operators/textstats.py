@@ -807,3 +807,104 @@ def html_clean(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Flesch Reading Ease + Flesch-Kincaid grade level — the
+    classic prose-complexity signals a curriculum/data-mixture
+    pipeline bins on (children's books vs academic text need different
+    sampling temperatures; see mixture_weights).  Syllables are
+    approximated as vowel-group runs ``[aeiouy]+`` with a 1-per-word
+    floor — the standard regex estimator, deterministic and
+    engine-portable (no dictionary).
+
+    Exactness: word, sentence (the :func:`sentence_stats` [.!?]+ split
+    rule), and syllable counts are exact in-row integers; the two
+    score formulas evaluate once per row in double over those integers
+    (identical IEEE sequence both engines), NULL for docs with no
+    sentence or no word.  All on the codegen path — zero shuffle,
+    map-only at any corpus size.
+
+    Returns ``(doc_id, n_words, n_sentences, n_syllables, flesch,
+    fk_grade)``.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    syl_per = F.transform(
+        words,
+        lambda w: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.lower(w), F.lit(r"[aeiouy]+"), F.lit(0))),
+        ),
+    )
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s) != F.lit("")
+    )
+    nw = F.size(words).cast("long")
+    ns = F.size(sents).cast("long")
+    nsyl = F.aggregate(syl_per, F.lit(0), lambda a, x: a + x).cast("long")
+    wps = F.try_divide(nw.cast("double"), F.nullif(ns.cast("double"), F.lit(0.0)))
+    spw = F.try_divide(nsyl.cast("double"), F.nullif(nw.cast("double"), F.lit(0.0)))
+    return docs.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        ns.alias("n_sentences"),
+        nsyl.alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )
+
+
+def lang_mixture(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc code-switching / mixed-language detection over the
+    :data:`LANG_MARKERS` stopword batteries — the refinement of
+    :func:`lang_id`'s single winner: a doc whose SECOND language's
+    marker hits reach half the top's is flagged ``mixed`` (bilingual
+    pages, quoted translations, boilerplate in another language) —
+    the class a single-label router mis-buckets.
+
+    Determinism: per-language hit counts are exact in-row integers;
+    the top-2 election is an ``array_sort`` over (−hits, lang)
+    structs — a total order, so ties break to the earlier language
+    exactly like lang_id.  Map-only, zero shuffle.
+
+    Returns ``(doc_id, lang_top, lang_second, hits_top, hits_second,
+    mixed)`` — lang_second NULL when no second language fires.
+    """
+    tk = tokens(text_col, lowercase=True)
+    langs = list(LANG_MARKERS)
+    hit_cols = [
+        stopword_hits(tk, ws).cast("long").alias(f"hits_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = ensure_parallelism(docs).select(F.col(id_col), *hit_cols)
+    # tiebreak by LANG_MARKERS position (oi), matching lang_id's
+    # earliest-language-wins rule — NOT alphabetical lang order
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"hits_{lg}")).alias("nh"),
+                    F.lit(i).alias("oi"),
+                    F.lit(lg).alias("lg"),
+                )
+                for i, lg in enumerate(langs)
+            ]
+        )
+    )
+    top1, top2 = ranked[0], ranked[1]
+    h1 = (-top1["nh"]).cast("long")
+    h2 = (-top2["nh"]).cast("long")
+    return scored.select(
+        F.col(id_col),
+        F.when(h1 > 0, top1["lg"]).otherwise(F.lit("und")).alias("lang_top"),
+        F.when(h2 > 0, top2["lg"]).alias("lang_second"),
+        h1.alias("hits_top"),
+        h2.alias("hits_second"),
+        ((h2 > 0) & (2 * h2 >= h1)).alias("mixed"),
+    )

@@ -439,3 +439,70 @@ def test_session_paths_hand_example(spark):
     assert set(out) == {"view>click>purchase", "view", "click>view"}
     assert out["view>click>purchase"]["n_sessions"] == 1
     assert out["view"]["share"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_readability_simple_sentences(spark):
+    """'The cat sat. The dog ran.' -> 6 words, 2 sentences, 6
+    syllables (every word one vowel group) -> Flesch = 206.835 -
+    1.015*3 - 84.6*1 = 119.19."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.textstats import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["flesch"] == pytest.approx(206.835 - 1.015 * 3 - 84.6 * 1, abs=1e-6)
+    assert r["fk_grade"] == pytest.approx(0.39 * 3 + 11.8 * 1 - 15.59, abs=1e-6)
+    assert out[2]["flesch"] is None  # whitespace-only: no words
+    assert out[3]["flesch"] is None  # NULL text
+
+
+def test_lang_mixture_detects_code_switching(spark):
+    """Doc 1 is pure English; doc 2 mixes English and German markers
+    evenly -> mixed flag set, deterministic top-2 election."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.textstats import (
+        lang_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the and of to in the and of"),
+            (2, "the and of to der die und das"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lang_mixture(df).collect()}
+    assert out[1]["lang_top"] == "en"
+    assert not out[1]["mixed"]
+    assert out[2]["lang_top"] == "en" and out[2]["lang_second"] == "de"
+    assert out[2]["mixed"]
+    assert out[3]["lang_top"] == "und"
+    assert out[3]["lang_second"] is None
+    assert not out[3]["mixed"]
+
+
+def test_clustering_coefficient_triangle_vs_star(spark):
+    """A 3-clique: T = 1, wedges = 3 -> cc = 1.  A 3-star: T = 0,
+    wedges = 3 -> cc = 0."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    clique = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long"
+    )
+    rc = clustering_coefficient(clique).collect()[0]
+    assert (rc["n_triangles"], rc["wedges"]) == (1, 3)
+    assert rc["global_cc"] == pytest.approx(1.0, abs=1e-6)
+    rs = clustering_coefficient(star).collect()[0]
+    assert (rs["n_triangles"], rs["wedges"]) == (0, 3)
+    assert rs["global_cc"] == pytest.approx(0.0, abs=1e-6)
