@@ -4126,6 +4126,22 @@ def _q_graph_clustering(spark, sf):
     return clustering_coefficient(pairs)
 
 
+def _q_price_volume(spark, sf):
+    """Month-over-month Laspeyres revenue waterfall
+    (operators/events.py:price_volume_decomposition): price vs volume
+    vs joint effects from exact cent/quantity month aggregates."""
+    li = scan(spark, sf, "lineitem")
+    return events_ops.price_volume_decomposition(li)
+
+
+def _q_new_vs_returning(spark, sf):
+    """Daily new-vs-returning active-user split
+    (operators/events.py:new_vs_returning): distinct (user, day)
+    pass, min-window first-day election, exact counts."""
+    ev = scan(spark, sf, "events")
+    return events_ops.new_vs_returning(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4305,6 +4321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability,
         "lang_mixture": _q_lang_mixture,
         "graph_clustering": _q_graph_clustering,
+        "price_volume_decomposition": _q_price_volume,
+        "new_vs_returning": _q_new_vs_returning,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6586,6 +6604,57 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "price_volume_decomposition": """
+            WITH monthly AS (SELECT CAST(year(l_shipdate) * 12
+                                         + month(l_shipdate) AS BIGINT)
+                                      AS m,
+                                    CAST(sum(CAST(round(l_extendedprice
+                                             * 100) AS BIGINT))
+                                      AS BIGINT) AS rev,
+                                    CAST(sum(CAST(l_quantity AS BIGINT))
+                                      AS BIGINT) AS q
+                             FROM lineitem GROUP BY 1),
+            cur AS (SELECT m, rev, q,
+                           lag(rev) OVER (ORDER BY m) AS rev0,
+                           lag(q) OVER (ORDER BY m) AS q0
+                    FROM monthly),
+            eff AS (SELECT m, rev, q, rev0, q0,
+                           CASE WHEN q0 = 0 THEN NULL
+                                ELSE CAST(rev0 AS DOUBLE)
+                                     / CAST(q0 AS DOUBLE) END AS p1,
+                           CASE WHEN q = 0 THEN NULL
+                                ELSE CAST(rev AS DOUBLE)
+                                     / CAST(q AS DOUBLE) END AS p2
+                    FROM cur)
+            SELECT m, rev AS rev_cents, q AS qty,
+                   CAST(rev - rev0 AS BIGINT) AS rev_delta_cents,
+                   round((p2 - p1) * CAST(q0 AS DOUBLE) / 100.0, 6)
+                     AS price_effect,
+                   round(p1 * CAST(q - q0 AS DOUBLE) / 100.0, 6)
+                     AS volume_effect,
+                   round((p2 - p1) * CAST(q - q0 AS DOUBLE) / 100.0, 6)
+                     AS joint_effect
+            FROM eff
+        """,
+        "new_vs_returning": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                               CAST(ts AS DATE) AS d
+                        FROM events),
+            fu AS (SELECT u, d, min(d) OVER (PARTITION BY u) AS first_d
+                   FROM ud),
+            per AS (SELECT d,
+                           CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0
+                                    END) AS BIGINT) AS n_new,
+                           CAST(sum(CASE WHEN d <> first_d THEN 1 ELSE 0
+                                    END) AS BIGINT) AS n_returning
+                    FROM fu GROUP BY d)
+            SELECT d, n_new, n_returning,
+                   round(CASE WHEN n_new + n_returning = 0 THEN NULL
+                              ELSE CAST(n_new AS DOUBLE)
+                                   / CAST(n_new + n_returning AS DOUBLE)
+                         END, 6) AS new_share
+            FROM per
         """,
         "readability_scores": """
             WITH base AS (SELECT doc_id,

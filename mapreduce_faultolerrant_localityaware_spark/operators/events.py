@@ -2363,3 +2363,105 @@ def session_paths(
             ).alias("share"),
         )
     )
+
+
+def price_volume_decomposition(
+    lineitem: DataFrame,
+    date_col: str = "l_shipdate",
+    price_col: str = "l_extendedprice",
+    qty_col: str = "l_quantity",
+) -> DataFrame:
+    """Month-over-month revenue-change waterfall: ΔRev split into a
+    PRICE effect ((p₂−p₁)·q₁), a VOLUME effect (p₁·(q₂−q₁)), and the
+    joint residual ((p₂−p₁)·(q₂−q₁)) — the Laspeyres decomposition
+    every finance review runs to answer "did revenue move because we
+    sold more units or charged more per unit?".  The three effects sum
+    to ΔRev exactly by construction.
+
+    Exactness: per-month Σrevenue (cents) and Σquantity are exact
+    BIGINTs from one partial-agged groupBy; the unit price p = Σrev/Σq
+    and every effect evaluate once per adjacent-month pair (one lag
+    window over the month-domain series) in double over those exact
+    integers — identical IEEE sequence on both engines; try_divide
+    NULLs a zero-quantity month.  First month has NULL effects (no
+    prior).
+
+    Returns ``(m, rev_cents, qty, rev_delta_cents, price_effect,
+    volume_effect, joint_effect)`` — effects in dollars, 6 dp.
+    """
+    monthly = lineitem.groupBy(
+        (F.year(date_col) * 12 + F.month(date_col)).cast("long").alias("m")
+    ).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).cast("long").alias("rev"),
+        F.sum(F.col(qty_col).cast("long")).cast("long").alias("q"),
+    )
+    w = Window.orderBy("m")
+    cur = monthly.select(
+        "m",
+        "rev",
+        "q",
+        F.lag("rev").over(w).alias("rev0"),
+        F.lag("q").over(w).alias("q0"),
+    )
+    p1 = F.try_divide(
+        F.col("rev0").cast("double"), F.nullif(F.col("q0").cast("double"), F.lit(0.0))
+    )
+    p2 = F.try_divide(
+        F.col("rev").cast("double"), F.nullif(F.col("q").cast("double"), F.lit(0.0))
+    )
+    dq = (F.col("q") - F.col("q0")).cast("double")
+    q0d = F.col("q0").cast("double")
+    return cur.select(
+        "m",
+        F.col("rev").alias("rev_cents"),
+        F.col("q").alias("qty"),
+        (F.col("rev") - F.col("rev0")).cast("long").alias("rev_delta_cents"),
+        F.round((p2 - p1) * q0d / 100.0, 6).alias("price_effect"),
+        F.round(p1 * dq / 100.0, 6).alias("volume_effect"),
+        F.round((p2 - p1) * dq / 100.0, 6).alias("joint_effect"),
+    )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day new-vs-returning active-user split — the growth
+    accounting read on every product dashboard (is today's activity
+    fresh acquisition or the existing base?): a user is NEW on their
+    first-ever active day, RETURNING on every later active day.
+
+    Exactness & shape: one distinct (user, day) pass (the
+    :func:`active_users` contract — bounded fan-out, never raw
+    events past the first aggregate), the first-day election is a
+    min-window over the user partition, and the day-domain rollup
+    carries exact BIGINTs with one share division.  Returns
+    ``(d, n_new, n_returning, new_share)`` per active day.
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    first = ud.select(
+        "u", "d", F.min("d").over(Window.partitionBy("u")).alias("first_d")
+    )
+    per_day = first.groupBy("d").agg(
+        F.sum((F.col("d") == F.col("first_d")).cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("d") != F.col("first_d")).cast("long")).cast("long").alias(
+            "n_returning"
+        ),
+    )
+    return per_day.select(
+        "d",
+        "n_new",
+        "n_returning",
+        F.round(
+            F.try_divide(
+                F.col("n_new").cast("double"),
+                F.nullif(
+                    (F.col("n_new") + F.col("n_returning")).cast("double"), F.lit(0.0)
+                ),
+            ),
+            6,
+        ).alias("new_share"),
+    )

@@ -506,3 +506,45 @@ def test_clustering_coefficient_triangle_vs_star(spark):
     rs = clustering_coefficient(star).collect()[0]
     assert (rs["n_triangles"], rs["wedges"]) == (0, 3)
     assert rs["global_cc"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_price_volume_decomposition_effects_sum_to_delta(spark):
+    """Two months: p goes 2.00->3.00, q goes 10->8.  ΔRev = 2400-2000
+    = 400c; price = (3-2)*10 = +10.00; volume = 2*(8-10) = -4.00;
+    joint = (3-2)*(8-10) = -2.00; 10-4-2 = 4.00 = ΔRev exactly."""
+    rows = [
+        (dt.datetime(2024, 1, 5), 20.0, 10.0),
+        (dt.datetime(2024, 2, 5), 24.0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_shipdate timestamp, l_extendedprice double, l_quantity double"
+    )
+    out = sorted(
+        ev_ops.price_volume_decomposition(df).collect(), key=lambda r: r["m"]
+    )
+    first, second = out
+    assert first["price_effect"] is None  # no prior month
+    assert second["rev_delta_cents"] == 400
+    assert second["price_effect"] == pytest.approx(10.0, abs=1e-6)
+    assert second["volume_effect"] == pytest.approx(-4.0, abs=1e-6)
+    assert second["joint_effect"] == pytest.approx(-2.0, abs=1e-6)
+    total = (
+        second["price_effect"] + second["volume_effect"] + second["joint_effect"]
+    )
+    assert total == pytest.approx(second["rev_delta_cents"] / 100.0, abs=1e-6)
+
+
+def test_new_vs_returning_split(spark):
+    """u1 active d1+d2 (new on d1, returning d2); u2 active d2 only
+    (new); duplicate same-day events collapse."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9)), (1, dt.datetime(2024, 1, 1, 10)),
+        (1, dt.datetime(2024, 1, 2, 9)),
+        (2, dt.datetime(2024, 1, 2, 11)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r["d"]): r for r in ev_ops.new_vs_returning(df).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_new"], d1["n_returning"]) == (1, 0)
+    assert (d2["n_new"], d2["n_returning"]) == (1, 1)
+    assert d2["new_share"] == pytest.approx(0.5, abs=1e-6)
