@@ -4142,6 +4142,53 @@ def _q_new_vs_returning(spark, sf):
     return events_ops.new_vs_returning(ev)
 
 
+def _q_roc_auc(spark, sf):
+    """Exact ROC-AUC of order value predicting fulfilled status
+    (operators/events.py:roc_auc): Mann-Whitney identity, doubled
+    average ranks, one window + one aggregate."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.roc_auc(
+        orders,
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+    )
+
+
+def _q_lift_table(spark, sf):
+    """Decile lift/gains table of order value vs fulfilled status
+    (operators/events.py:lift_table): total-order ntiles, exact
+    counts, lift and cumulative capture."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.lift_table(
+        orders,
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+        F.col("o_orderkey"),
+    )
+
+
+def _q_tpch_refresh(spark, sf):
+    """TPC-H refresh-function shape (RF1 insert + RF2 delete applied
+    in one pass): a deterministic insert batch (keys % 97 == 0,
+    remapped +1e8) unions in, a delete set (key % 101 == 0) anti-joins
+    out, then the per-status revenue rollup — the maintenance cycle
+    the reference's batch world never had, as one declarative plan."""
+    orders = scan(spark, sf, "orders")
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+    )
+    after = (
+        orders.unionByName(inserts)
+        .filter(F.col("o_orderkey") % 101 != 0)
+    )
+    return after.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4323,6 +4370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": _q_graph_clustering,
         "price_volume_decomposition": _q_price_volume,
         "new_vs_returning": _q_new_vs_returning,
+        "roc_auc": _q_roc_auc,
+        "lift_table": _q_lift_table,
+        "tpch_refresh": _q_tpch_refresh,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6604,6 +6654,79 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "roc_auc": """
+            WITH two AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1
+                                     ELSE 0 END AS is_pos,
+                                CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS v
+                         FROM orders),
+            rk AS (SELECT is_pos,
+                          CAST(2 * rank() OVER (ORDER BY v)
+                               + count(*) OVER (PARTITION BY v) - 1
+                            AS BIGINT) AS r2
+                   FROM two),
+            s AS (SELECT coalesce(CAST(sum(is_pos) AS BIGINT), 0)
+                           AS n_pos,
+                         coalesce(CAST(sum(1 - is_pos) AS BIGINT), 0)
+                           AS n_neg,
+                         coalesce(CAST(sum(is_pos * r2) AS BIGINT), 0)
+                           AS rp2
+                  FROM rk)
+            SELECT n_pos, n_neg,
+                   round(CASE WHEN n_pos * n_neg = 0 THEN NULL
+                              ELSE CAST(rp2 - n_pos * (n_pos + 1)
+                                     AS DOUBLE)
+                                   / CAST(2 * n_pos * n_neg AS DOUBLE)
+                         END, 6) AS auc
+            FROM s
+        """,
+        "lift_table": """
+            WITH binned AS (SELECT ntile(10) OVER (
+                                     ORDER BY CAST(round(o_totalprice
+                                         * 100) AS BIGINT) DESC,
+                                     o_orderkey ASC) AS bucket,
+                                   CASE WHEN o_orderstatus = 'F' THEN 1
+                                        ELSE 0 END AS is_pos
+                            FROM orders),
+            per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                           coalesce(CAST(sum(is_pos) AS BIGINT), 0)
+                             AS n_pos
+                    FROM binned GROUP BY bucket),
+            tot AS (SELECT bucket, n, n_pos,
+                           CAST(sum(n) OVER () AS BIGINT) AS n_all,
+                           CAST(sum(n_pos) OVER () AS BIGINT) AS pos_all,
+                           CAST(sum(n_pos) OVER (ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_pos
+                    FROM per)
+            SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+                   round(CASE WHEN n = 0 THEN NULL
+                              ELSE CAST(n_pos AS DOUBLE)
+                                   / CAST(n AS DOUBLE) END, 6)
+                     AS response_rate,
+                   round(CASE WHEN n * pos_all = 0 THEN NULL
+                              ELSE CAST(n_pos * n_all AS DOUBLE)
+                                   / CAST(n * pos_all AS DOUBLE) END, 6)
+                     AS lift,
+                   round(CASE WHEN pos_all = 0 THEN NULL
+                              ELSE CAST(cum_pos AS DOUBLE)
+                                   / CAST(pos_all AS DOUBLE) END, 6)
+                     AS cum_capture
+            FROM tot
+        """,
+        "tpch_refresh": """
+            WITH after AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 97 = 0)
+            SELECT o_orderstatus AS status,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_cents
+            FROM after WHERE o_orderkey % 101 <> 0
+            GROUP BY 1
         """,
         "price_volume_decomposition": """
             WITH monthly AS (SELECT CAST(year(l_shipdate) * 12

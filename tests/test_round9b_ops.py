@@ -548,3 +548,51 @@ def test_new_vs_returning_split(spark):
     assert (d1["n_new"], d1["n_returning"]) == (1, 0)
     assert (d2["n_new"], d2["n_returning"]) == (1, 1)
     assert d2["new_share"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    """Scores perfectly separate labels -> AUC 1; inverted -> 0;
+    all-one-class -> NULL."""
+    import pyspark.sql.functions as SF
+
+    perfect = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "v long, y long"
+    )
+    inverted = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 0), (10, 0)], "v long, y long"
+    )
+    onecls = spark.createDataFrame([(1, 1), (2, 1)], "v long, y long")
+    auc = lambda df: ev_ops.roc_auc(df, SF.col("v"), SF.col("y")).collect()[0]["auc"]
+    assert auc(perfect) == pytest.approx(1.0, abs=1e-6)
+    assert auc(inverted) == pytest.approx(0.0, abs=1e-6)
+    assert auc(onecls) is None
+
+
+def test_roc_auc_ties_half_credit(spark):
+    """All scores tied: AUC = 0.5 exactly (average-rank treatment)."""
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(5, 1), (5, 1), (5, 0), (5, 0)], "v long, y long")
+    r = ev_ops.roc_auc(df, SF.col("v"), SF.col("y")).collect()[0]
+    assert r["auc"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_lift_table_top_bucket_concentration(spark):
+    """20 rows, top-10 scores all positive, bottom-10 all negative,
+    2 bins: bucket 1 rate = 1, lift = 2, captures all positives."""
+    import pyspark.sql.functions as SF
+
+    rows = [(i, 100 - i, 1 if i <= 10 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, v long, y long")
+    out = {
+        r["bucket"]: r
+        for r in ev_ops.lift_table(
+            df, SF.col("v"), SF.col("y"), SF.col("id"), n_bins=2
+        ).collect()
+    }
+    b1, b2 = out[1], out[2]
+    assert (b1["n"], b1["n_pos"]) == (10, 10)
+    assert b1["lift"] == pytest.approx(2.0, abs=1e-6)
+    assert b1["cum_capture"] == pytest.approx(1.0, abs=1e-6)
+    assert b2["response_rate"] == pytest.approx(0.0, abs=1e-6)
+    assert b2["cum_capture"] == pytest.approx(1.0, abs=1e-6)
