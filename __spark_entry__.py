@@ -4189,6 +4189,24 @@ def _q_tpch_refresh(spark, sf):
     )
 
 
+def _q_growth_accounting(spark, sf):
+    """Monthly MAU growth-accounting bridge over customer order
+    history (operators/events.py:growth_accounting): new / retained /
+    resurrected / churned with exact identities, quick ratio."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.growth_accounting(
+        orders, user_col="o_custkey", ts_col="o_orderdate"
+    )
+
+
+def _q_diff_in_diff(spark, sf):
+    """Difference-in-differences on the parity split at the corpus
+    midpoint (operators/events.py:diff_in_diff): four exact cell
+    means, the canonical causal estimator."""
+    ev = scan(spark, sf, "events")
+    return events_ops.diff_in_diff(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4373,6 +4391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _q_roc_auc,
         "lift_table": _q_lift_table,
         "tpch_refresh": _q_tpch_refresh,
+        "growth_accounting": _q_growth_accounting,
+        "diff_in_diff": _q_diff_in_diff,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6654,6 +6674,93 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "growth_accounting": """
+            WITH um AS (SELECT DISTINCT o_custkey AS u,
+                               CAST(year(o_orderdate) * 12
+                                    + month(o_orderdate) AS BIGINT) AS m
+                        FROM orders),
+            fl AS (SELECT u, m,
+                          lag(m) OVER (PARTITION BY u ORDER BY m)
+                            AS prev_m,
+                          lead(m) OVER (PARTITION BY u ORDER BY m)
+                            AS next_m,
+                          min(m) OVER (PARTITION BY u) AS first_m
+                   FROM um),
+            st AS (SELECT m,
+                          CASE WHEN m = first_m THEN 'new'
+                               WHEN prev_m = m - 1 THEN 'retained'
+                               ELSE 'resurrected' END AS st,
+                          CASE WHEN next_m IS NULL OR next_m <> m + 1
+                               THEN 1 ELSE 0 END AS churns_after
+                   FROM fl),
+            pm AS (SELECT m, CAST(count(*) AS BIGINT) AS mau,
+                          CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0
+                                   END) AS BIGINT) AS n_new,
+                          CAST(sum(CASE WHEN st = 'retained' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS n_retained,
+                          CAST(sum(CASE WHEN st = 'resurrected' THEN 1
+                                   ELSE 0 END) AS BIGINT)
+                            AS n_resurrected,
+                          CAST(sum(churns_after) AS BIGINT)
+                            AS churn_next
+                   FROM st GROUP BY m),
+            o AS (SELECT m, mau, n_new, n_retained, n_resurrected,
+                         CAST(coalesce(lag(churn_next)
+                              OVER (ORDER BY m), 0) AS BIGINT)
+                           AS n_churned
+                  FROM pm)
+            SELECT m, mau, n_new, n_retained, n_resurrected, n_churned,
+                   round(CASE WHEN n_churned = 0 THEN NULL
+                              ELSE CAST(n_new + n_resurrected AS DOUBLE)
+                                   / CAST(n_churned AS DOUBLE) END, 6)
+                     AS quick_ratio
+            FROM o
+        """,
+        "diff_in_diff": """
+            WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                                AS mid_us FROM events),
+            pu AS (SELECT user_id,
+                          coalesce(sum(CASE WHEN epoch_us(ts) <= mid_us
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   END), 0) AS x,
+                          coalesce(sum(CASE WHEN epoch_us(ts) > mid_us
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   END), 0) AS y
+                   FROM events CROSS JOIN b GROUP BY user_id),
+            g AS (SELECT coalesce(CAST(sum(CASE WHEN user_id % 2 = 0
+                                  THEN 1 ELSE 0 END) AS BIGINT), 0)
+                           AS n_a,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 1
+                                  THEN 1 ELSE 0 END) AS BIGINT), 0)
+                           AS n_b,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 0
+                                  THEN x END) AS BIGINT), 0) AS sxa,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 1
+                                  THEN x END) AS BIGINT), 0) AS sxb,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 0
+                                  THEN y END) AS BIGINT), 0) AS sya,
+                         coalesce(CAST(sum(CASE WHEN user_id % 2 = 1
+                                  THEN y END) AS BIGINT), 0) AS syb
+                  FROM pu),
+            mm AS (SELECT n_a, n_b,
+                          CASE WHEN n_a > 0 THEN CAST(sxa AS DOUBLE)
+                               / 100.0 / CAST(n_a AS DOUBLE) END AS pre_a,
+                          CASE WHEN n_b > 0 THEN CAST(sxb AS DOUBLE)
+                               / 100.0 / CAST(n_b AS DOUBLE) END AS pre_b,
+                          CASE WHEN n_a > 0 THEN CAST(sya AS DOUBLE)
+                               / 100.0 / CAST(n_a AS DOUBLE) END
+                            AS post_a,
+                          CASE WHEN n_b > 0 THEN CAST(syb AS DOUBLE)
+                               / 100.0 / CAST(n_b AS DOUBLE) END
+                            AS post_b
+                   FROM g)
+            SELECT n_a, n_b,
+                   round(pre_a, 6) AS pre_a, round(pre_b, 6) AS pre_b,
+                   round(post_a, 6) AS post_a,
+                   round(post_b, 6) AS post_b,
+                   round((post_b - pre_b) - (post_a - pre_a), 6) AS did
+            FROM mm
         """,
         "roc_auc": """
             WITH two AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1

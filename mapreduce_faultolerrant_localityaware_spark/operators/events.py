@@ -2574,3 +2574,155 @@ def lift_table(
             6,
         ).alias("cum_capture"),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Monthly growth-accounting bridge — the MAU waterfall every
+    growth team reports: each month's actives split into NEW (first
+    month ever), RETAINED (active last month too), and RESURRECTED
+    (active before, but not last month), plus CHURNED (last month's
+    actives who went silent) — so that
+    ``mau = new + retained + resurrected`` and
+    ``mau − prev_mau = new + resurrected − churned`` hold exactly.
+
+    Exactness & shape: one distinct (user, month) pass (bounded
+    fan-out), one user-partition window derives first-month and
+    gap-to-previous-active-month per row (no self-join), a month-domain
+    rollup of exact BIGINTs; churned attributes month m's silent users
+    via lead() — the (user, month+1) absence test — inside the same
+    window pass.  Quick-ratio is the single final division.  Returns
+    ``(m, mau, n_new, n_retained, n_resurrected, n_churned,
+    quick_ratio)`` per active month.
+    """
+    um = events.select(
+        F.col(user_col).alias("u"),
+        (F.year(ts_col) * 12 + F.month(ts_col)).cast("long").alias("m"),
+    ).distinct()
+    wu = Window.partitionBy("u").orderBy("m")
+    flagged = um.select(
+        "u",
+        "m",
+        F.lag("m").over(wu).alias("prev_m"),
+        F.lead("m").over(wu).alias("next_m"),
+        F.min("m").over(Window.partitionBy("u")).alias("first_m"),
+    )
+    status = flagged.select(
+        "m",
+        F.when(F.col("m") == F.col("first_m"), F.lit("new"))
+        .when(F.col("prev_m") == F.col("m") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("st"),
+        # this user churns AFTER month m if their next active month
+        # is not m+1 (or never comes)
+        (
+            F.col("next_m").isNull() | (F.col("next_m") != F.col("m") + 1)
+        ).cast("long").alias("churns_after"),
+    )
+    per_m = status.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("mau"),
+        F.sum((F.col("st") == "new").cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("st") == "retained").cast("long")).cast("long").alias("n_retained"),
+        F.sum((F.col("st") == "resurrected").cast("long"))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum("churns_after").cast("long").alias("churn_next"),
+    )
+    wm = Window.orderBy("m")
+    out = per_m.select(
+        "m",
+        "mau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.lag("churn_next").over(wm), F.lit(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
+    return out.select(
+        "m",
+        "mau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+        F.round(
+            F.try_divide(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double"),
+                F.nullif(F.col("n_churned").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("quick_ratio"),
+    )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences estimator on the parity split with
+    the corpus-midpoint period boundary (:func:`cuped_adjust`'s
+    layout): DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre) — the
+    canonical causal read when arm B receives a treatment at the
+    period boundary and arm A is the control; the pre-period
+    difference nets out fixed between-group gaps a naive post-only
+    comparison misattributes.
+
+    Exactness: the four cell sums and counts are exact cent BIGINTs
+    from ONE per-user partial-agged groupBy + one global aggregate
+    (the CUPED moment shape without the cross products); each cell
+    mean divides once; degenerate arms are NULL via try_divide.
+    Returns one row ``(n_a, n_b, pre_a, pre_b, post_a, post_b,
+    did)`` — means in dollars, 6 dp.
+    """
+    bounds = events.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("mid_us"))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_user = (
+        events.join(F.broadcast(bounds))
+        .groupBy(user_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col(ts_col)) <= F.col("mid_us"), cents)),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col(ts_col)) > F.col("mid_us"), cents)),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    arm_a = (F.col(user_col) % 2 == 0).cast("long")
+    g = per_user.groupBy().agg(
+        F.coalesce(F.sum(arm_a), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(1 - arm_a), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(arm_a == 1, F.col("x"))), F.lit(0)).alias("sxa"),
+        F.coalesce(F.sum(F.when(arm_a == 0, F.col("x"))), F.lit(0)).alias("sxb"),
+        F.coalesce(F.sum(F.when(arm_a == 1, F.col("y"))), F.lit(0)).alias("sya"),
+        F.coalesce(F.sum(F.when(arm_a == 0, F.col("y"))), F.lit(0)).alias("syb"),
+    )
+
+    def mean(s, cnt):
+        return F.try_divide(
+            F.col(s).cast("double") / 100.0,
+            F.nullif(F.col(cnt).cast("double"), F.lit(0.0)),
+        )
+
+    pre_a, pre_b = mean("sxa", "n_a"), mean("sxb", "n_b")
+    post_a, post_b = mean("sya", "n_a"), mean("syb", "n_b")
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(pre_a, 6).alias("pre_a"),
+        F.round(pre_b, 6).alias("pre_b"),
+        F.round(post_a, 6).alias("post_a"),
+        F.round(post_b, 6).alias("post_b"),
+        F.round((post_b - pre_b) - (post_a - pre_a), 6).alias("did"),
+    )

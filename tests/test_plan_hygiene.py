@@ -133,7 +133,10 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "token_dispersion",
            # session_paths attaches its 1-row session-total aggregate
            # to the k-row path heap (same scalar-attach shape)
-           "session_paths"}
+           "session_paths",
+           # diff_in_diff attaches the same 1-row corpus time-midpoint
+           # broadcast as cuped_adjust
+           "diff_in_diff"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -596,3 +596,41 @@ def test_lift_table_top_bucket_concentration(spark):
     assert b1["cum_capture"] == pytest.approx(1.0, abs=1e-6)
     assert b2["response_rate"] == pytest.approx(0.0, abs=1e-6)
     assert b2["cum_capture"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_growth_accounting_bridge_identities(spark):
+    """u1 active m1,m2,m4; u2 active m2 only.  m2: u1 retained, u2
+    new; m2's silent-next users (u1 skips m3, u2 gone) churn into the
+    next ACTIVE month's row (m4): n_churned(m4) = 2; u1 is
+    resurrected in m4.  mau = new + retained + resurrected holds on
+    every row."""
+    m = lambda month, day: dt.datetime(2024, month, day)
+    rows = [
+        (1, m(1, 5)), (1, m(2, 5)), (1, m(4, 5)),
+        (2, m(2, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["m"]: r for r in ev_ops.growth_accounting(df).collect()}
+    base = 2024 * 12
+    m1, m2, m4 = out[base + 1], out[base + 2], out[base + 4]
+    assert (m1["mau"], m1["n_new"], m1["n_churned"]) == (1, 1, 0)
+    assert (m2["n_new"], m2["n_retained"], m2["n_resurrected"]) == (1, 1, 0)
+    assert (m4["n_resurrected"], m4["n_churned"]) == (1, 2)
+    for r in out.values():
+        assert r["mau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+def test_diff_in_diff_nets_out_fixed_gap(spark):
+    """Arm B (odd users) runs 10 above arm A in BOTH periods plus a
+    +5 treatment effect post: DiD isolates exactly 5."""
+    rows = [
+        # arm A (even): pre 10, post 20
+        (0, _d(1), 10.0), (0, _d(4), 20.0),
+        # arm B (odd): pre 20 (fixed +10 gap), post 35 (= 30 + 5 effect)
+        (1, _d(1), 20.0), (1, _d(4), 35.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = ev_ops.diff_in_diff(df).collect()[0]
+    assert r["pre_a"] == pytest.approx(10.0, abs=1e-6)
+    assert r["pre_b"] == pytest.approx(20.0, abs=1e-6)
+    assert r["did"] == pytest.approx(5.0, abs=1e-6)
