@@ -4207,6 +4207,25 @@ def _q_diff_in_diff(spark, sf):
     return events_ops.diff_in_diff(ev)
 
 
+def _q_cramers_v(spark, sf):
+    """Cramér's V effect size for nation × market segment
+    (operators/events.py:cramers_v): chisq's magnitude companion on a
+    fixed 0-1 scale."""
+    cust = scan(spark, sf, "customer")
+    return events_ops.cramers_v(cust, "c_nationkey", "c_mktsegment")
+
+
+def _q_durbin_watson(spark, sf):
+    """Durbin-Watson autocorrelation of daily order counts
+    (operators/events.py:durbin_watson): n-scaled exact-integer
+    residuals, one lag window, one final division."""
+    orders = scan(spark, sf, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    return events_ops.durbin_watson(daily, "d", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4393,6 +4412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_refresh": _q_tpch_refresh,
         "growth_accounting": _q_growth_accounting,
         "diff_in_diff": _q_diff_in_diff,
+        "cramers_v": _q_cramers_v,
+        "durbin_watson": _q_durbin_watson,
         "token_dispersion": _q_token_dispersion,
         "centroid_cosine_matrix": _q_centroid_cosine_matrix,
         "ewma_smooth": _q_ewma_smooth,
@@ -6148,7 +6169,10 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT max(n) AS n,
                            sum(pow(CAST(o AS DOUBLE) * n
                                    - CAST(r AS DOUBLE) * c, 2)
-                               / (CAST(r AS DOUBLE) * c * n)) AS chi2,
+                               / (CAST(r AS DOUBLE) * c * n))
+                             AS obs_terms,
+                           sum(CAST(r AS DOUBLE) * c / n)
+                             AS obs_expected,
                            count(DISTINCT a) AS r_levels,
                            count(DISTINCT b) AS c_levels
                     FROM cell)
@@ -6156,7 +6180,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_levels AS BIGINT) AS r_levels,
                    CAST(c_levels AS BIGINT) AS c_levels,
                    CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
-                   round(chi2, 6) AS chi2
+                   round(obs_terms - obs_expected + CAST(n AS DOUBLE), 6)
+                     AS chi2
             FROM agg
         """,
         "benford_digits": """
@@ -6674,6 +6699,67 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(mon) AS DOUBLE) / 100.0
                          / CAST(count(*) AS BIGINT), 6) AS avg_monetary
             FROM sc GROUP BY 1, 2, 3
+        """,
+        "cramers_v": """
+            WITH obs AS (SELECT c_nationkey AS a, c_mktsegment AS b,
+                                CAST(count(*) AS BIGINT) AS o
+                         FROM customer GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r
+                   FROM obs GROUP BY a),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+                   FROM obs GROUP BY b),
+            t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+            cell AS (SELECT a, b, o, r, c, n
+                     FROM obs JOIN rm USING (a) JOIN cm USING (b)
+                     CROSS JOIN t),
+            agg AS (SELECT max(n) AS n,
+                           sum(pow(CAST(o AS DOUBLE) * n
+                                   - CAST(r AS DOUBLE) * c, 2)
+                               / (CAST(r AS DOUBLE) * c * n))
+                             AS obs_terms,
+                           sum(CAST(r AS DOUBLE) * c / n)
+                             AS obs_expected,
+                           count(DISTINCT a) AS r_levels,
+                           count(DISTINCT b) AS c_levels
+                    FROM cell),
+            fin AS (SELECT n, r_levels, c_levels,
+                           round(obs_terms - obs_expected
+                                 + CAST(n AS DOUBLE), 6) AS chi2
+                    FROM agg)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(r_levels AS BIGINT) AS r_levels,
+                   CAST(c_levels AS BIGINT) AS c_levels,
+                   chi2,
+                   round(CASE WHEN n * (least(r_levels, c_levels) - 1)
+                                   = 0 THEN NULL
+                              ELSE sqrt(chi2
+                                   / CAST(n * (least(r_levels,
+                                               c_levels) - 1)
+                                     AS DOUBLE)) END, 6) AS cramers_v
+            FROM fin
+        """,
+        "durbin_watson": """
+            WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                  CAST(count(*) AS BIGINT) AS v
+                           FROM orders GROUP BY 1),
+            tot AS (SELECT coalesce(CAST(sum(v) AS BIGINT), 0) AS s,
+                           CAST(count(*) AS BIGINT) AS n FROM daily),
+            sc AS (SELECT n, d, n * v - s AS ne
+                   FROM daily CROSS JOIN tot),
+            lg AS (SELECT n, ne, lag(ne) OVER (ORDER BY d) AS prev
+                   FROM sc),
+            g AS (SELECT max(n) AS n,
+                         coalesce(CAST(sum(ne * ne) AS BIGINT), 0)
+                           AS den,
+                         coalesce(CAST(sum(CASE WHEN prev IS NOT NULL
+                                  THEN (ne - prev) * (ne - prev) END)
+                                  AS BIGINT), 0) AS num
+                  FROM lg)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN den = 0 THEN NULL
+                              ELSE CAST(num AS DOUBLE)
+                                   / CAST(den AS DOUBLE) END, 6) AS dw
+            FROM g
         """,
         "growth_accounting": """
             WITH um AS (SELECT DISTINCT o_custkey AS u,

@@ -820,8 +820,17 @@ def chisq_independence(
     so the only float ops are the final per-cell division and the sum
     of R×C doubles-of-exact-ints (each term exact below 2⁵³; the sum's
     ordering slack is ~1 ulp over a ≤10³-cell table — ~10 orders of
-    magnitude inside the 6-dp rounding).  Scale shape: one
-    partial-agged shuffle to the
+    magnitude inside the 6-dp rounding).
+
+    EMPTY cells (O = 0, absent from the grouped table) still owe the
+    statistic their expected mass (0−E)²/E = E = r·c/N; rather than
+    densify the R×C grid, their total folds in analytically — since
+    Σ_all E = N,  χ² = Σ_observed (O−E)²/E − Σ_observed E + N  (the
+    unigram_kl zero-tail trick).  A sparse contingency table (the
+    round-9b cramers_v hand-pin caught the pre-fix omission) now gets
+    the full Pearson value.
+
+    Scale shape: one partial-agged shuffle to the
     contingency table (domain-sized, R×C rows — never row-count-sized),
     then broadcast margins onto it; the result is one row
     ``(n, r_levels, c_levels, dof, chi2)``.
@@ -845,21 +854,25 @@ def chisq_independence(
     contrib = (num * num) / (
         F.col("r").cast("double") * F.col("c") * F.col("n")
     )
+    expected = F.col("r").cast("double") * F.col("c") / F.col("n")
     per_cell = cell.select(
-        "a", "b", "n", contrib.alias("x")
+        "a", "b", "n", contrib.alias("x"), expected.alias("e")
     )
     agg = per_cell.groupBy().agg(
         F.max("n").alias("n"),
-        F.sum("x").alias("chi2"),
+        F.sum("x").alias("obs_terms"),
+        F.sum("e").alias("obs_expected"),
         F.count_distinct(F.col("a")).alias("r_levels"),
         F.count_distinct(F.col("b")).alias("c_levels"),
     )
+    # zero-cell fold: chi2 = Σ_obs terms − Σ_obs E + N
+    chi2 = F.col("obs_terms") - F.col("obs_expected") + F.col("n").cast("double")
     return agg.select(
         F.col("n").cast("long").alias("n"),
         F.col("r_levels").cast("long").alias("r_levels"),
         F.col("c_levels").cast("long").alias("c_levels"),
         ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).cast("long").alias("dof"),
-        F.round("chi2", 6).alias("chi2"),
+        F.round(chi2, 6).alias("chi2"),
     )
 
 
@@ -2725,4 +2738,91 @@ def diff_in_diff(
         F.round(post_a, 6).alias("post_a"),
         F.round(post_b, 6).alias("post_b"),
         F.round((post_b - pre_b) - (post_a - pre_a), 6).alias("did"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V effect size for a categorical association —
+    :func:`chisq_independence` gives significance (which saturates at
+    corpus scale: EVERYTHING is significant at n = 10⁹), V gives
+    MAGNITUDE on a fixed 0–1 scale, V = √(χ²/(n·(min(R,C)−1))) — the
+    number you can actually compare across tables and scales.
+
+    Same exact-integer contingency machinery as chisq (one shuffle to
+    the R×C table, broadcast margins, the expanded (O·N − r·c)²/(r·c·N)
+    form); the V closed form adds one division and square root.
+    try_divide NULLs the degenerate single-level cases.  Returns one
+    row ``(n, r_levels, c_levels, chi2, cramers_v)``.
+    """
+    base = chisq_independence(df, col_a, col_b)
+    k = F.least(F.col("r_levels"), F.col("c_levels")) - 1
+    v = F.sqrt(
+        F.try_divide(
+            F.col("chi2"), F.nullif((F.col("n") * k).cast("double"), F.lit(0.0))
+        )
+    )
+    return base.select(
+        "n", "r_levels", "c_levels", "chi2", F.round(v, 6).alias("cramers_v")
+    )
+
+
+def durbin_watson(
+    series: DataFrame,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic on a daily
+    series' deviations from its mean — the classic residual check
+    (DW ≈ 2 = uncorrelated, → 0 = positive autocorrelation / trending,
+    → 4 = alternating) run alongside :func:`runs_test` before trusting
+    an i.i.d. assumption.
+
+    Exactness through the n-scaling trick: the residual e_t = x_t − x̄
+    is rational, but n·e_t = n·x_t − Σx is an exact BIGINT, and the n²
+    factor CANCELS in DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² — so both sums accumulate
+    as exact integers (Σ(n·Δe)² ≤ n³·maxΔ² — BIGINT-safe for day-domain
+    series) and the statistic is one final division.  One 1-row sum
+    broadcast + one lag window over the day domain.  Returns one row
+    ``(n, dw)`` (NULL for constant or < 2-point series).
+    """
+    v = F.col(value_col).cast("long")
+    tot = series.agg(
+        F.coalesce(F.sum(v), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    scaled = series.join(F.broadcast(tot)).select(
+        F.col("n"),
+        F.col(date_col).alias("d"),
+        (F.col("n") * v - F.col("s")).alias("ne"),
+    )
+    wd = Window.orderBy("d")
+    lagged = scaled.select(
+        "n", "ne", F.lag("ne").over(wd).alias("prev")
+    )
+    g = lagged.groupBy().agg(
+        F.max("n").alias("n"),
+        F.coalesce(F.sum(F.col("ne") * F.col("ne")), F.lit(0)).alias("den"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull(),
+                    (F.col("ne") - F.col("prev")) * (F.col("ne") - F.col("prev")),
+                )
+            ),
+            F.lit(0),
+        ).alias("num"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.try_divide(
+                F.col("num").cast("double"),
+                F.nullif(F.col("den").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("dw"),
     )

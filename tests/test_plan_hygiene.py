@@ -136,7 +136,11 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "session_paths",
            # diff_in_diff attaches the same 1-row corpus time-midpoint
            # broadcast as cuped_adjust
-           "diff_in_diff"}
+           "diff_in_diff",
+           # cramers_v inherits chisq_independence's 1-row grand-total
+           # attach; durbin_watson attaches its 1-row (sum, count)
+           # aggregate to the day-domain series (scalar attaches)
+           "cramers_v", "durbin_watson"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

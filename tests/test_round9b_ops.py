@@ -634,3 +634,41 @@ def test_diff_in_diff_nets_out_fixed_gap(spark):
     assert r["pre_a"] == pytest.approx(10.0, abs=1e-6)
     assert r["pre_b"] == pytest.approx(20.0, abs=1e-6)
     assert r["did"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_cramers_v_perfect_association(spark):
+    """a == b exactly (2x2, balanced): V = 1.  Independent uniform
+    2x2: V = 0."""
+    dep = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    ind = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")] * 3,
+        "a string, b string",
+    )
+    rv = lambda df: ev_ops.cramers_v(df, "a", "b").collect()[0]["cramers_v"]
+    assert rv(dep) == pytest.approx(1.0, abs=1e-6)
+    assert rv(ind) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_durbin_watson_trending_vs_alternating(spark):
+    """A strong trend -> DW near 0; perfect alternation -> DW near 4;
+    hand value for the 4-point alternating series [1,3,1,3]:
+    residual ne = [-4,4,-4,4] (n-scaled), num = 3*64 = 192,
+    den = 4*16 = 64 -> DW = 3.0."""
+    trend = spark.createDataFrame(
+        [(_d(i + 1), i * 10) for i in range(10)], "d timestamp, v long"
+    )
+    alt = spark.createDataFrame(
+        [(_d(1), 1), (_d(2), 3), (_d(3), 1), (_d(4), 3)], "d timestamp, v long"
+    )
+    dw = lambda df: ev_ops.durbin_watson(df, "d", "v").collect()[0]["dw"]
+    assert dw(trend) < 0.5
+    assert dw(alt) == pytest.approx(3.0, abs=1e-6)
+
+
+def test_durbin_watson_constant_is_null(spark):
+    df = spark.createDataFrame(
+        [(_d(1), 5), (_d(2), 5)], "d timestamp, v long"
+    )
+    assert ev_ops.durbin_watson(df, "d", "v").collect()[0]["dw"] is None
