@@ -6744,16 +6744,16 @@ def oracle_sql() -> dict[str, str]:
                            FROM orders GROUP BY 1),
             tot AS (SELECT coalesce(CAST(sum(v) AS BIGINT), 0) AS s,
                            CAST(count(*) AS BIGINT) AS n FROM daily),
-            sc AS (SELECT n, d, n * v - s AS ne
+            sc AS (SELECT n, d,
+                          CAST(n AS HUGEINT) * v - s AS ne
                    FROM daily CROSS JOIN tot),
             lg AS (SELECT n, ne, lag(ne) OVER (ORDER BY d) AS prev
                    FROM sc),
             g AS (SELECT max(n) AS n,
-                         coalesce(CAST(sum(ne * ne) AS BIGINT), 0)
-                           AS den,
-                         coalesce(CAST(sum(CASE WHEN prev IS NOT NULL
-                                  THEN (ne - prev) * (ne - prev) END)
-                                  AS BIGINT), 0) AS num
+                         coalesce(sum(ne * ne), 0) AS den,
+                         coalesce(sum(CASE WHEN prev IS NOT NULL
+                                  THEN (ne - prev) * (ne - prev) END),
+                                  0) AS num
                   FROM lg)
             SELECT CAST(n AS BIGINT) AS n,
                    round(CASE WHEN den = 0 THEN NULL
@@ -7062,10 +7062,16 @@ def oracle_sql() -> dict[str, str]:
             {_SHINGLES_LOWER},
             sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
                       FROM sh GROUP BY doc_id),
+            -- mirror the operator's join-side df cap (sizes stay
+            -- uncapped, exactly like the Spark plan)
+            rare AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 10000),
+            shr AS (SELECT sh.doc_id, sh.shingle
+                    FROM sh JOIN rare USING (shingle)),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(count(*) AS BIGINT) AS common
-              FROM sh a JOIN sh b
+              FROM shr a JOIN shr b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
             scored AS (
@@ -7293,6 +7299,9 @@ def oracle_sql() -> dict[str, str]:
                               CAST(sum(CAST(round(o_totalprice * 100)
                                        AS BIGINT)) AS BIGINT) AS y
                        FROM orders GROUP BY 1),
+            sr AS (SELECT m, x, y,
+                          row_number() OVER (ORDER BY m, x, y) AS rn
+                   FROM s),
             cd AS (SELECT coalesce(CAST(sum(CASE WHEN (b.x - a.x)
                                         * (b.y - a.y) > 0 THEN 1 ELSE 0
                                         END) AS BIGINT), 0) AS concordant,
@@ -7300,7 +7309,10 @@ def oracle_sql() -> dict[str, str]:
                                         * (b.y - a.y) < 0 THEN 1 ELSE 0
                                         END) AS BIGINT), 0) AS discordant,
                           CAST(count(*) AS BIGINT) AS n0
-                   FROM s a JOIN s b ON a.m < b.m),
+                   -- rn pairing (not a.m < b.m): mirrors the Spark
+                   -- wedge's array-index pairs, so duplicate-t rows
+                   -- still pair exactly once on both engines
+                   FROM sr a JOIN sr b ON a.rn < b.rn),
             t1 AS (SELECT coalesce(CAST(sum(t * (t - 1)) AS BIGINT), 0)
                             AS n1_2
                    FROM (SELECT CAST(count(*) AS BIGINT) AS t

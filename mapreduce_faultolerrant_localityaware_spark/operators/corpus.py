@@ -2075,7 +2075,8 @@ def token_dispersion(
     no global sort.  Returns ``(token, total_count, doc_freq, vmr)``.
     """
     per_doc = (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("t")
         )
         .groupBy(id_col, "t")

@@ -1812,6 +1812,38 @@ def mannwhitney_u(
     )
 
 
+def _parity_pre_post_sums(
+    events: DataFrame, user_col: str, ts_col: str, value_col: str
+):
+    """(per_user DataFrame with exact cent sums ``x`` (pre-period) and
+    ``y`` (post-period), arm-A indicator column) — ONE definition of
+    the corpus-midpoint period boundary (integer-µs ``div 2`` on a
+    1-row min/max broadcast) and the ``user % 2`` parity split, shared
+    by :func:`cuped_adjust` and :func:`diff_in_diff` so the two
+    estimators provably read the identical cells."""
+    bounds = events.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("mid_us"))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_user = (
+        events.join(F.broadcast(bounds))
+        .groupBy(user_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col(ts_col)) <= F.col("mid_us"), cents)),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros(F.col(ts_col)) > F.col("mid_us"), cents)),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    arm_a = (F.col(user_col) % 2 == 0).cast("long")
+    return per_user, arm_a
+
+
 def cuped_adjust(
     events: DataFrame,
     user_col: str = "user_id",
@@ -1841,28 +1873,9 @@ def cuped_adjust(
     global 1-row moment aggregate.  Returns one row ``(n_a, n_b,
     theta, lift_raw, lift_cuped, var_reduction)``.
     """
-    bounds = events.agg(
-        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
-        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
-    ).select(F.expr("(lo + hi) div 2").alias("mid_us"))
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    per_user = (
-        events.join(F.broadcast(bounds))
-        .groupBy(user_col)
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.unix_micros(F.col(ts_col)) <= F.col("mid_us"), cents)),
-                F.lit(0),
-            ).alias("x"),
-            F.coalesce(
-                F.sum(F.when(F.unix_micros(F.col(ts_col)) > F.col("mid_us"), cents)),
-                F.lit(0),
-            ).alias("y"),
-        )
-    )
+    per_user, arm_a = _parity_pre_post_sums(events, user_col, ts_col, value_col)
     xd = F.col("x").cast("decimal(19,0)")
     yd = F.col("y").cast("decimal(19,0)")
-    arm_a = (F.col(user_col) % 2 == 0).cast("long")
     g = per_user.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum(arm_a), F.lit(0)).cast("long").alias("n_a"),
@@ -2043,8 +2056,13 @@ def _floor_div(a, b):
     floor on negative numerators; the pmod-adjusted form is exact for
     any sign, and oracles mirror it with an explicit -1 CASE
     correction on inexact negative dividends (the attribution
-    floor-division lesson, generalized)."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    floor-division lesson, generalized).  The division runs in
+    DECIMAL(38,0) — the pmod-adjusted numerator divides EVENLY, and a
+    double intermediate would misround quotients beyond 2⁵³ (verified:
+    (1e17+7) div 3 is off by 3 in the double path)."""
+    return (
+        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("long")
 
 
 def theil_sen(
@@ -2693,26 +2711,7 @@ def diff_in_diff(
     Returns one row ``(n_a, n_b, pre_a, pre_b, post_a, post_b,
     did)`` — means in dollars, 6 dp.
     """
-    bounds = events.agg(
-        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
-        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
-    ).select(F.expr("(lo + hi) div 2").alias("mid_us"))
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    per_user = (
-        events.join(F.broadcast(bounds))
-        .groupBy(user_col)
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.unix_micros(F.col(ts_col)) <= F.col("mid_us"), cents)),
-                F.lit(0),
-            ).alias("x"),
-            F.coalesce(
-                F.sum(F.when(F.unix_micros(F.col(ts_col)) > F.col("mid_us"), cents)),
-                F.lit(0),
-            ).alias("y"),
-        )
-    )
-    arm_a = (F.col(user_col) % 2 == 0).cast("long")
+    per_user, arm_a = _parity_pre_post_sums(events, user_col, ts_col, value_col)
     g = per_user.groupBy().agg(
         F.coalesce(F.sum(arm_a), F.lit(0)).cast("long").alias("n_a"),
         F.coalesce(F.sum(1 - arm_a), F.lit(0)).cast("long").alias("n_b"),
@@ -2794,10 +2793,16 @@ def durbin_watson(
         F.coalesce(F.sum(v), F.lit(0)).cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    # ne and its squares accumulate in DECIMAL(38,0): ne ~ n·value, so
+    # a BIGINT ne² wraps at only ~2400 days × 1e6-cent deviations —
+    # the neyman/cuped HUGEINT-parity discipline applies here too
     scaled = series.join(F.broadcast(tot)).select(
         F.col("n"),
         F.col(date_col).alias("d"),
-        (F.col("n") * v - F.col("s")).alias("ne"),
+        (
+            F.col("n").cast("decimal(19,0)") * v.cast("decimal(19,0)")
+            - F.col("s").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("ne"),
     )
     wd = Window.orderBy("d")
     lagged = scaled.select(
@@ -2805,7 +2810,9 @@ def durbin_watson(
     )
     g = lagged.groupBy().agg(
         F.max("n").alias("n"),
-        F.coalesce(F.sum(F.col("ne") * F.col("ne")), F.lit(0)).alias("den"),
+        F.coalesce(
+            F.sum(F.col("ne") * F.col("ne")), F.lit(0).cast("decimal(38,0)")
+        ).alias("den"),
         F.coalesce(
             F.sum(
                 F.when(
@@ -2813,7 +2820,7 @@ def durbin_watson(
                     (F.col("ne") - F.col("prev")) * (F.col("ne") - F.col("prev")),
                 )
             ),
-            F.lit(0),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("num"),
     )
     return g.select(

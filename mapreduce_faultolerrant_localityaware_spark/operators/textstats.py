@@ -848,7 +848,7 @@ def readability_scores(
     nsyl = F.aggregate(syl_per, F.lit(0), lambda a, x: a + x).cast("long")
     wps = F.try_divide(nw.cast("double"), F.nullif(ns.cast("double"), F.lit(0.0)))
     spw = F.try_divide(nsyl.cast("double"), F.nullif(nw.cast("double"), F.lit(0.0)))
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col),
         nw.alias("n_words"),
         ns.alias("n_sentences"),
