@@ -1748,46 +1748,48 @@ def mannwhitney_u(
     normality assumption (the test of record for skewed metrics like
     revenue, where a t/z-test on means is driven by whales).
 
-    Exactness: values quantize to cents; pooled DOUBLED average ranks
-    ``2r = 2·rank() + count_over_value − 1`` are exact BIGINTs (the
-    :func:`spearman_corr` tie trick), so the rank sum, tie-correction
-    term Σ(t³−t), and the doubled statistic 2·U_a = Σ2r·[a] − n_a(n_a+1)
-    are all exact integers; the normal-approximation z with tie-corrected
-    variance converts to double once.  ``try_divide``/``nullif`` make an
-    empty group or an all-tied sample NULL, not an ANSI error.
+    Exactness: values quantize to cents; rows collapse to DISTINCT
+    values with per-group counts FIRST (the :func:`ks_test`
+    discipline), then the DOUBLED average rank of every row at value
+    v is ``2r_v = 2·cum_below(v) + t_v + 1`` — an exact BIGINT
+    identity with the per-row ``2·rank() + count_over − 1`` form, so
+    the rank sum Σa_v·2r_v, tie-correction term Σ(t³−t), and the
+    doubled statistic 2·U_a = Σ2r·[a] − n_a(n_a+1) are all exact
+    integers; the normal-approximation z with tie-corrected variance
+    converts to double once.  ``try_divide``/``nullif`` make an empty
+    group or an all-tied sample NULL, not an ANSI error.
 
-    Scale shape: one ordered rank window over the pooled values (the
-    value domain), one partial-agged tie groupBy, two 1-row broadcasts.
+    Scale shape: one partial-agged groupBy to the distinct-value
+    domain, ONE cumulative window over that domain-sized table (never
+    the row table — a row-level ``Window.orderBy`` funnels the whole
+    pooled sample through a single-partition sort, exactly the
+    WindowExec warning :func:`ks_test` was built to avoid), one final
+    1-row rollup that also folds in Σ(t³−t).
     Returns one row ``(n_a, n_b, u_a, z_stat)``.
     """
     two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         (F.col(group_col) == group_a).cast("long").alias("is_a"),
         F.round(F.col(value_col) * 100).cast("long").alias("v"),
     )
-    wr = Window.orderBy("v")
-    wv = Window.partitionBy("v")
-    ranked = two.select(
-        "is_a",
-        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wv) - 1)
-        .cast("long")
-        .alias("r2"),
+    per = two.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.coalesce(F.sum("is_a"), F.lit(0)).cast("long").alias("a"),
     )
-    s = ranked.groupBy().agg(
-        F.coalesce(F.sum("is_a"), F.lit(0)).cast("long").alias("n_a"),
-        F.coalesce(F.sum(1 - F.col("is_a")), F.lit(0)).cast("long").alias("n_b"),
-        F.coalesce(F.sum(F.col("is_a") * F.col("r2")), F.lit(0)).cast("long").alias("ra2"),
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "t",
+        "a",
+        (F.sum("t").over(wc) - F.col("t")).cast("long").alias("cb"),
     )
-    ties = (
-        two.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .groupBy()
-        .agg(
-            F.coalesce(
-                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
-            ).cast("long").alias("tie3")
-        )
+    r2 = 2 * F.col("cb") + F.col("t") + 1  # doubled avg rank of value v
+    j = cum.groupBy().agg(
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.col("t") - F.col("a")), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("a") * r2), F.lit(0)).cast("long").alias("ra2"),
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        ).cast("long").alias("tie3"),
     )
-    j = s.join(F.broadcast(ties))
     n1, n2 = F.col("n_a"), F.col("n_b")
     n = n1 + n2
     u2 = F.col("ra2") - n1 * (n1 + 1)  # doubled U_a, exact BIGINT
@@ -2506,10 +2508,17 @@ def roc_auc(
     """Exact ROC-AUC of a score against a binary label via the
     Mann-Whitney identity AUC = U⁺/(n⁺·n⁻) — the model-evaluation
     number computed the way a 100 TB eval set demands: no curve
-    materialization, no threshold sweep, ONE ordered rank window and
-    one aggregate.  Ties get average-rank treatment (the standard
-    trapezoidal-AUC equivalence), exact through the
-    :func:`mannwhitney_u` doubled-rank trick.
+    materialization, no threshold sweep, and NO row-level sort.  Rows
+    collapse to DISTINCT score values with per-class counts first
+    (the :func:`ks_test` discipline — a hash aggregate to the score
+    domain), then every row at score v carries the doubled average
+    rank ``2r_v = 2·cum_below(v) + t_v + 1`` (exact-BIGINT identity
+    with per-row ``2·rank() + count_over − 1``; ties get average-rank
+    treatment, the standard trapezoidal-AUC equivalence), and the
+    rank sum is Σp_v·2r_v over the domain-sized table.  The only
+    ordered window runs on the distinct-value aggregate — a row-level
+    ``Window.orderBy`` here would single-partition-sort the whole
+    eval set.
 
     AUC = (Σ2r⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — exact BIGINTs until the one
     final division; degenerate label sets (single class) are NULL.
@@ -2518,20 +2527,23 @@ def roc_auc(
     two = df.select(
         label_col.cast("long").alias("is_pos"), score_col.alias("v")
     )
-    wr = Window.orderBy("v")
-    wv = Window.partitionBy("v")
-    ranked = two.select(
-        "is_pos",
-        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wv) - 1)
-        .cast("long")
-        .alias("r2"),
+    per = two.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.coalesce(F.sum("is_pos"), F.lit(0)).cast("long").alias("p"),
     )
-    s = ranked.groupBy().agg(
-        F.coalesce(F.sum("is_pos"), F.lit(0)).cast("long").alias("n_pos"),
-        F.coalesce(F.sum(1 - F.col("is_pos")), F.lit(0)).cast("long").alias("n_neg"),
-        F.coalesce(F.sum(F.col("is_pos") * F.col("r2")), F.lit(0))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "t",
+        "p",
+        (F.sum("t").over(wc) - F.col("t")).cast("long").alias("cb"),
+    )
+    r2 = 2 * F.col("cb") + F.col("t") + 1  # doubled avg rank of value v
+    s = cum.groupBy().agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum(F.col("t") - F.col("p")), F.lit(0))
         .cast("long")
-        .alias("rp2"),
+        .alias("n_neg"),
+        F.coalesce(F.sum(F.col("p") * r2), F.lit(0)).cast("long").alias("rp2"),
     )
     n1, n2 = F.col("n_pos"), F.col("n_neg")
     auc = F.try_divide(
@@ -2554,20 +2566,31 @@ def lift_table(
     rate, its LIFT over the base rate, and the cumulative share of
     all positives captured (the gains curve).
 
-    Determinism: ntile over the (score DESC, id ASC) total order —
-    identical bucket assignment on both engines; counts are exact
-    BIGINTs; rate/lift/capture are per-row divisions of exact
-    integers (lift = rate·N/P computed in one expression).  One rank
-    window + one n_bins-row rollup + one cumulative window on the
-    bucket domain.  Returns ``(bucket, n, n_pos, response_rate,
-    lift, cum_capture)``.
+    Determinism: exact ntile over the (score DESC, id ASC) total
+    order — identical bucket assignment on both engines, via
+    :func:`~..operators.relational.exact_ntile`'s bucketed two-pass
+    (distinct-score collapse + value-partitioned straddle rank) so no
+    unpartitioned row-level ntile window ever sorts the full scored
+    set through one task; counts are exact BIGINTs; rate/lift/capture
+    are per-row divisions of exact integers (lift = rate·N/P computed
+    in one expression).  One n_bins-row rollup + one cumulative
+    window on the bucket domain finish it.  Returns ``(bucket, n,
+    n_pos, response_rate, lift, cum_capture)``.
     """
-    binned = df.select(
-        F.ntile(n_bins)
-        .over(Window.orderBy(score_col.desc(), id_col.asc()))
-        .alias("bucket"),
-        label_col.cast("long").alias("is_pos"),
-    )
+    from .relational import exact_ntile
+
+    binned = exact_ntile(
+        df.select(
+            score_col.alias("__score"),
+            id_col.alias("__id"),
+            label_col.cast("long").alias("is_pos"),
+        ),
+        n_bins,
+        F.col("__score"),
+        F.col("__id"),
+        ascending=False,
+        out_col="bucket",
+    ).select("bucket", "is_pos")
     per = binned.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("is_pos"), F.lit(0)).cast("long").alias("n_pos"),

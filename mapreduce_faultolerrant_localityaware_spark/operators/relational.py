@@ -1052,6 +1052,109 @@ def gini_index(
     )
 
 
+def _pos_div(a: Column, b: Column) -> Column:
+    """Exact integer floor division for NON-NEGATIVE operands as a
+    Column: the pmod-adjusted numerator divides evenly, and the
+    division runs in DECIMAL(38,0) so quotients stay exact beyond 2⁵³
+    (the events._floor_div lesson; this copy drops the negative-sign
+    handling because every ntile rank/size here is ≥ 0)."""
+    return (
+        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("long")
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: Column,
+    id_col: Column,
+    ascending: bool = True,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY value [DESC], id ASC)`` without
+    the single-partition sort — the scale-safe global-rank bucket
+    assignment :func:`rfm_segments` and ``lift_table`` ride on.  A
+    naive unpartitioned ntile window moves EVERY row to one task (the
+    ``WindowExec: No Partition Defined`` warning); this computes the
+    identical bucket (SQL ntile remainder semantics: with N rows the
+    first ``N mod n`` buckets get ``N div n + 1`` rows) in two
+    distributed passes, the :func:`~..operators.corpus.shard_assign` /
+    ``histogram_equidepth`` discipline adapted to an arbitrary total
+    order:
+
+    1. collapse to the DISTINCT value domain (hash aggregate), run
+       ONE cumulative-count window over that domain-sized table to
+       get each value's strictly-below row count ``cb`` and the total
+       N, and derive each tie group's start/end bucket from the exact
+       ntile arithmetic — pure integer expressions;
+    2. join the per-value frame back by value (equi-join, AQE picks
+       broadcast when the domain is small — it may be row-sized, e.g.
+       near-unique monetary cents, so it is never force-broadcast): a
+       group whose row span ``[cb+1, cb+t]`` sits inside one bucket
+       takes that bucket outright; only the ≤ ``n−1`` STRADDLING
+       groups (each of the ``n−1`` boundaries is crossed by at most
+       one tie group) consult the row's rank-within-value.  The rank
+       window partitions by value and rides the join's existing hash
+       partitioning — a local sort within tasks, NO extra exchange
+       and no single-partition funnel.
+
+    The plan is LINEAR (the input subtree appears once per side of
+    one join — no flat/straddle union that would double lineage, so
+    callers can apply it repeatedly without exponential plan growth).
+    Degenerate worst case — one giant all-tied group — costs that
+    group's within-task sort, which is exactly where a naive
+    unpartitioned ntile ALWAYS was for the whole table; every other
+    shape runs fully parallel.  Output: the input columns plus
+    ``out_col`` (1-based bucket, LONG).
+    """
+    vo = F.col("__v").asc() if ascending else F.col("__v").desc()
+    base = df.withColumn("__v", value_col).withColumn("__i", id_col)
+    per = base.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    wc = Window.orderBy(vo).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dom = per.select(
+        "__v",
+        "__t",
+        (F.sum("__t").over(wc) - F.col("__t")).cast("long").alias("__cb"),
+        F.sum("__t").over(wn).cast("long").alias("__n"),
+    ).select(
+        "__v",
+        "__t",
+        "__cb",
+        _pos_div(F.col("__n"), F.lit(n_tiles)).alias("__bsz"),
+        F.pmod(F.col("__n"), F.lit(n_tiles)).cast("long").alias("__rem"),
+    )
+
+    def _bucket_of(rn: Column) -> Column:
+        # SQL ntile: first __rem buckets hold __bsz+1 rows.  Integer
+        # ceil via (x + d − 1) div d; greatest() keeps the untaken
+        # __bsz = 0 branch from dividing by zero.
+        big = F.col("__rem") * (F.col("__bsz") + 1)
+        first = _pos_div(rn + F.col("__bsz"), F.col("__bsz") + 1)
+        rest = F.col("__rem") + _pos_div(
+            rn - big + F.col("__bsz") - 1, F.greatest(F.col("__bsz"), F.lit(1))
+        )
+        return F.when(rn <= big, first).otherwise(rest)
+
+    spanned = dom.select(
+        F.col("__v").alias("__dv"),
+        "__cb",
+        "__bsz",
+        "__rem",
+        _bucket_of(F.col("__cb") + 1).alias("__b0"),
+        _bucket_of(F.col("__cb") + F.col("__t")).alias("__b1"),
+    )
+    joined = base.join(spanned, base["__v"].eqNullSafe(spanned["__dv"]), "inner")
+    ws = Window.partitionBy("__v").orderBy(F.col("__i").asc())
+    bucket = F.when(F.col("__b0") == F.col("__b1"), F.col("__b0")).otherwise(
+        _bucket_of(F.col("__cb") + F.row_number().over(ws))
+    )
+    helper = ["__v", "__i", "__dv", "__cb", "__bsz", "__rem", "__b0", "__b1"]
+    return joined.withColumn(out_col, bucket.cast("long")).drop(*helper)
+
+
 def rfm_segments(
     orders: DataFrame,
     cust_col: str = "o_custkey",
@@ -1068,17 +1171,19 @@ def rfm_segments(
     Determinism: each ntile orders by (metric, custkey) — a total
     order, so bucket assignment is engine-stable, and ntile's
     first-buckets-get-the-remainder split is identical in Spark and
-    DuckDB.  Recency ranks DESCENDING (oldest first) so the most
-    recent customers land in the top bucket; frequency/monetary rank
-    ascending.  Metrics are exact BIGINTs (days, counts, cents); the
-    per-cell average spend is one division at the end.
+    DuckDB (:func:`exact_ntile` reproduces it bit-for-bit).  Recency
+    ranks DESCENDING (oldest first) so the most recent customers land
+    in the top bucket; frequency/monetary rank ascending.  Metrics
+    are exact BIGINTs (days, counts, cents); the per-cell average
+    spend is one division at the end.
 
     Scale shape: one per-customer partial-agged groupBy, a 1-row
-    max-date broadcast, three ntile windows over the CUSTOMER domain
-    (not raw orders; for corpora where even the customer table
-    overwhelms one sort, the bucketed two-pass rank of
-    quantile_normalize/shard_assign swaps in), then a partial-agged
-    groupBy to the ≤ n_tiles³ cell table.
+    max-date broadcast, then three :func:`exact_ntile` passes over
+    the CUSTOMER domain — each a distinct-metric-value collapse plus
+    a value-partitioned straddle rank, NEVER an unpartitioned ntile
+    window (billions of customers is exactly the 100× case where a
+    single-partition sort of the customer table dies) — then a
+    partial-agged groupBy to the ≤ n_tiles³ cell table.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     mx = orders.agg(F.max(F.to_date(date_col)).alias("max_d"))
@@ -1097,17 +1202,37 @@ def rfm_segments(
             "mon",
         )
     )
-    scored = per.select(
-        F.ntile(n_tiles)
-        .over(Window.orderBy(F.col("rec").desc(), F.col("cust").asc()))
-        .alias("r_score"),
-        F.ntile(n_tiles)
-        .over(Window.orderBy(F.col("freq").asc(), F.col("cust").asc()))
-        .alias("f_score"),
-        F.ntile(n_tiles)
-        .over(Window.orderBy(F.col("mon").asc(), F.col("cust").asc()))
-        .alias("m_score"),
-        "mon",
+    # three INDEPENDENT per-metric bucketings re-joined on the
+    # customer key — chaining exact_ntile calls would nest each
+    # call's aggregate side inside the next's lineage (exponential
+    # plan growth); as siblings the per-customer aggregate subtree is
+    # identical in all branches and AQE exchange reuse dedupes it.
+    r_s = exact_ntile(
+        per.select("cust", "rec"),
+        n_tiles,
+        F.col("rec"),
+        F.col("cust"),
+        ascending=False,
+        out_col="r_score",
+    ).select("cust", "r_score")
+    f_s = exact_ntile(
+        per.select("cust", "freq"),
+        n_tiles,
+        F.col("freq"),
+        F.col("cust"),
+        ascending=True,
+        out_col="f_score",
+    ).select(F.col("cust").alias("f_cust"), "f_score")
+    m_s = exact_ntile(
+        per.select("cust", "mon"),
+        n_tiles,
+        F.col("mon"),
+        F.col("cust"),
+        ascending=True,
+        out_col="m_score",
+    ).select(F.col("cust").alias("m_cust"), "m_score", "mon")
+    scored = r_s.join(f_s, r_s["cust"] == f_s["f_cust"]).join(
+        m_s, r_s["cust"] == m_s["m_cust"]
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
