@@ -4030,16 +4030,20 @@ def _q_k_anonymity(spark, sf):
     """k-anonymity / l-diversity privacy audit of the customer table
     (operators/relational.py:k_anonymity): quasi-identifiers =
     (nation, account-balance decile), sensitive = market segment;
-    exact class sizes, corpus-wide minima, exposure mass below k=5."""
-    from pyspark.sql import Window
-
+    exact class sizes, corpus-wide minima, exposure mass below k=5.
+    The decile comes from relational.exact_ntile (distinct-balance
+    collapse + value-partitioned straddle rank) — identical bucket
+    values to the oracle's ntile(10), no single-partition sort of the
+    customer table."""
     cust = scan(spark, sf, "customer")
-    decile = F.ntile(10).over(
-        Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    )
-    qi = cust.select(
-        "c_nationkey", decile.alias("bal_decile"), "c_mktsegment"
-    )
+    qi = relational.exact_ntile(
+        cust.select("c_nationkey", "c_acctbal", "c_custkey", "c_mktsegment"),
+        10,
+        F.col("c_acctbal"),
+        F.col("c_custkey"),
+        ascending=True,
+        out_col="bal_decile",
+    ).select("c_nationkey", "bal_decile", "c_mktsegment")
     return relational.k_anonymity(
         qi, ["c_nationkey", "bal_decile"], "c_mktsegment", k_threshold=5
     )
@@ -6791,11 +6795,23 @@ def oracle_sql() -> dict[str, str]:
                           CAST(sum(churns_after) AS BIGINT)
                             AS churn_next
                    FROM st GROUP BY m),
+            dm AS (SELECT unnest(generate_series(lo, hi)) AS m
+                   FROM (SELECT min(m) AS lo, max(m) AS hi FROM um)),
+            dn AS (SELECT dm.m,
+                          CAST(coalesce(mau, 0) AS BIGINT) AS mau,
+                          CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+                          CAST(coalesce(n_retained, 0) AS BIGINT)
+                            AS n_retained,
+                          CAST(coalesce(n_resurrected, 0) AS BIGINT)
+                            AS n_resurrected,
+                          CAST(coalesce(churn_next, 0) AS BIGINT)
+                            AS churn_next
+                   FROM dm LEFT JOIN pm ON dm.m = pm.m),
             o AS (SELECT m, mau, n_new, n_retained, n_resurrected,
                          CAST(coalesce(lag(churn_next)
                               OVER (ORDER BY m), 0) AS BIGINT)
                            AS n_churned
-                  FROM pm)
+                  FROM dn)
             SELECT m, mau, n_new, n_retained, n_resurrected, n_churned,
                    round(CASE WHEN n_churned = 0 THEN NULL
                               ELSE CAST(n_new + n_resurrected AS DOUBLE)
@@ -7060,14 +7076,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simjoin_containment": f"""
             {_SHINGLES_LOWER},
-            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
-                      FROM sh GROUP BY doc_id),
-            -- mirror the operator's join-side df cap (sizes stay
-            -- uncapped, exactly like the Spark plan)
+            -- mirror the operator's df cap on BOTH the join side and
+            -- the set sizes: numerator and denominator share the same
+            -- rare-shingle universe (round-10 fix)
             rare AS (SELECT shingle FROM sh GROUP BY shingle
                      HAVING count(*) <= 10000),
             shr AS (SELECT sh.doc_id, sh.shingle
                     FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                      FROM shr GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(count(*) AS BIGINT) AS common

@@ -1697,17 +1697,21 @@ def simjoin_containment(
 
     Exactness & shape: identical inverted-index equi-join on the
     shingle as the Jaccard op (docs must share ≥1 shingle — never a
-    cross product), the same ``max_shingle_df`` skew cap on the join
-    side only (intersections UNDER-count slightly — conservative),
-    exact BIGINT set sizes, both direction ratios as single divisions.
-    A pair survives if EITHER direction reaches the threshold.
+    cross product), with the ``max_shingle_df`` skew cap applied to
+    BOTH the join side and the per-doc set sizes, so numerator and
+    denominator share the same (rare-shingle) universe — containment
+    is then exact OVER THAT UNIVERSE, and a genuinely contained doc
+    still reaches 1.0 even when its common shingles were capped away
+    (the round-9 advice finding: a join-side-only cap makes the ratio
+    an undercount with no ceiling).  Exact BIGINT set sizes, both
+    direction ratios as single divisions.  A pair survives if EITHER
+    direction reaches the threshold.
     Returns ``(doc_a, doc_b, common, c_a_in_b, c_b_in_a)``.
     """
     sh = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
     ).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1715,6 +1719,7 @@ def simjoin_containment(
         .select("shingle")
     )
     sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, "shingle")

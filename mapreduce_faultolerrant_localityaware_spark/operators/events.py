@@ -2648,9 +2648,15 @@ def growth_accounting(
     gap-to-previous-active-month per row (no self-join), a month-domain
     rollup of exact BIGINTs; churned attributes month m's silent users
     via lead() — the (user, month+1) absence test — inside the same
-    window pass.  Quick-ratio is the single final division.  Returns
-    ``(m, mau, n_new, n_retained, n_resurrected, n_churned,
-    quick_ratio)`` per active month.
+    window pass.  The month domain is DENSIFIED (sequence over the
+    1-row min/max aggregate) before the churn lag, so a calendar month
+    with zero actives still appears (mau = 0) and the users who went
+    silent before the gap are churned INTO the gap month — without
+    this the lag skips absent rows and the bridge identity
+    Δmau = new + resurrected − churned breaks across the gap (the
+    round-9 advice finding).  Quick-ratio is the single final
+    division.  Returns ``(m, mau, n_new, n_retained, n_resurrected,
+    n_churned, quick_ratio)`` for EVERY month in [min, max].
     """
     um = events.select(
         F.col(user_col).alias("u"),
@@ -2685,8 +2691,18 @@ def growth_accounting(
         .alias("n_resurrected"),
         F.sum("churns_after").cast("long").alias("churn_next"),
     )
+    dom = um.agg(F.min("m").alias("lo"), F.max("m").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    dense = dom.join(per_m, "m", "left").select(
+        "m",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("mau", "n_new", "n_retained", "n_resurrected", "churn_next")
+        ],
+    )
     wm = Window.orderBy("m")
-    out = per_m.select(
+    out = dense.select(
         "m",
         "mau",
         "n_new",

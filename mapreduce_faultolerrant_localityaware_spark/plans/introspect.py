@@ -146,6 +146,49 @@ def bnlj_build_sides(df: DataFrame):
             yield node, _plan_children(node)[idx]
 
 
+def unpartitioned_windows(df: DataFrame):
+    """Yield (window_node, input_child) for every WindowExec-family node
+    with an EMPTY partition spec — the `WindowExec: No Partition Defined`
+    shape that moves every input row to one task."""
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in walk_plan(plan):
+        name = node.nodeName()
+        if name == "Window" or name.startswith(("Window ", "WindowGroupLimit", "WindowInPandas")):
+            try:
+                if node.partitionSpec().length() != 0:
+                    continue
+            except Exception:  # noqa: BLE001 — node variant without a spec
+                continue
+            kids = _plan_children(node)
+            yield node, (kids[0] if kids else node)
+
+
+def is_domain_collapsed(node) -> bool:
+    """True iff every leaf-to-root path of this physical subtree passes
+    through a row-collapsing node — an Aggregate (rows → group domain),
+    a TakeOrdered/Limit (rows → k), or a provably row-bounded shape.
+
+    This is the property an UNPARTITIONED window's input must have: a
+    single-partition sort over a group domain / k-row list is the
+    engine's accepted pattern (ks_test's distinct-value CDF, day/month
+    series, bucket tables); the same sort over a raw row-level table is
+    the 100 TB scale-killer the round-9 roc_auc/lift_table family
+    shipped and round 10 removed."""
+    name = node.nodeName()
+    if "Aggregate" in name:
+        return True
+    if "TakeOrderedAndProject" in name or "Limit" in name:
+        return True
+    if name == "Range":
+        return is_row_bounded(node)
+    if name.startswith("Scan ExistingRDD") or name.startswith("LocalTableScan"):
+        return True  # driver-created k-row data / checkpoint of a bounded fit
+    kids = _plan_children(node)
+    if not kids:
+        return False  # parquet scan or other unbounded leaf
+    return all(is_domain_collapsed(c) for c in kids)
+
+
 def subtree_sketch(node, depth: int = 0, max_lines: int = 40) -> str:
     """Human-readable node sketch for assertion messages."""
     lines = ["  " * depth + node.nodeName()]

@@ -21,8 +21,10 @@ from mapreduce_faultolerrant_localityaware_spark.plans import formatted_plan
 from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
     bnlj_build_sides,
     exchange_counts,
+    is_domain_collapsed,
     is_row_bounded,
     subtree_sketch,
+    unpartitioned_windows,
 )
 
 #: queries whose plans intentionally contain a broadcast nested-loop
@@ -146,6 +148,16 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
 #: final labels frame is a checkpoint scan, nothing to audit
 SKIP = {"dedup_clusters"}
 
+#: queries allowed an UNPARTITIONED window over a NON-collapsed input.
+#: Deliberately empty (round 10): every legitimate unpartitioned window
+#: in the engine runs over an aggregated / k-row input and passes
+#: `is_domain_collapsed` structurally — the round-9 roc_auc /
+#: mannwhitney_u / lift_table / rfm_segments single-partition row sorts
+#: were rewritten to the distinct-value-collapse / exact_ntile patterns
+#: rather than whitelisted.  Add a name here ONLY with a comment proving
+#: the input is domain-sized in a way the prover cannot see.
+UNPART_WINDOW_OK: set[str] = set()
+
 _QUERIES = sorted(entry_mod.queries())
 
 
@@ -230,3 +242,51 @@ def test_plan_hygiene(spark, sf_dir, name):
                 f"{name}: BNLJ build side is not provably row-bounded:\n"
                 + subtree_sketch(build)
             )
+    # unpartitioned-window guard (round 10): a WindowExec with an empty
+    # partition spec single-partition-sorts its WHOLE input — fine over
+    # a group-domain / k-row table (ks_test's distinct-value CDF, day
+    # series, bucket rollups; all prove `is_domain_collapsed`), a
+    # 100 TB scale-killer over raw rows (the round-9 roc_auc family).
+    if name not in UNPART_WINDOW_OK:
+        for win, child in unpartitioned_windows(df):
+            assert is_domain_collapsed(child), (
+                f"{name}: unpartitioned window over a non-collapsed "
+                "(row-level) input — use the distinct-value-collapse or "
+                "exact_ntile pattern, or whitelist with proof:\n"
+                + subtree_sketch(child)
+            )
+
+
+def test_window_guard_rejects_naive_global_ntile(spark, sf_dir):
+    """Negative control: the guard must FLAG a naive unpartitioned
+    ntile over a raw parquet table — otherwise the sweep above is
+    vacuous."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    naive = docs.select(
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"), "doc_id"
+    )
+    hits = list(unpartitioned_windows(naive))
+    assert hits, "expected an unpartitioned WindowExec in the probe plan"
+    assert all(not is_domain_collapsed(child) for _, child in hits), (
+        "guard accepted a naive global ntile over a raw table"
+    )
+
+
+def test_window_guard_accepts_domain_collapsed(spark, sf_dir):
+    """And it must PASS the engine's accepted shape — a cumulative
+    window over a grouped-aggregate (domain-sized) input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cum = per.select(
+        "lang", F.sum("n").over(Window.orderBy("lang")).alias("cum_n")
+    )
+    hits = list(unpartitioned_windows(cum))
+    assert hits, "expected an unpartitioned WindowExec in the probe plan"
+    for _, child in hits:
+        assert is_domain_collapsed(child), subtree_sketch(child)
