@@ -1326,6 +1326,26 @@ def _q_streaming_sessionize(spark, sf):
     )
 
 
+def _q_streaming_session_window(spark, sf):
+    """NATIVE session-window streaming aggregation (streaming/
+    wordcount_stream.py:session_window_counts) under the bounded
+    availableNow replay gate: F.session_window(ts, 30 min) per user —
+    the state store merges overlapping event windows itself (vs the
+    custom applyInPandasWithState sessionizer) — must equal the batch
+    gaps-and-islands sessionization (break at gap >= 30 min, end =
+    last event + gap)."""
+    stream = streaming_ops.stream_table(spark, sf, "events")
+    sess = streaming_ops.session_window_counts(stream, gap="30 minutes")
+    out = streaming_ops.run_to_batch(sess, spark)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def _q_streaming_sessionize_flush(spark, sf):
     """Stateful sessionization with EVENT-TIME TIMEOUT (VERDICT r7
     item 6, streaming/sessionize_stream.py timeout=True): idle keys
@@ -4368,6 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": _q_streaming_dedup_keys,
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_session_window": _q_streaming_session_window,
         "streaming_sessionize_flush": _q_streaming_sessionize_flush,
         "streaming_idempotent_sink": _q_streaming_idempotent_sink,
         "streaming_dedup_update": _q_streaming_dedup_update,
@@ -5998,6 +6019,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
                    CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "streaming_session_window": """
+            -- batch gaps-and-islands mirror of F.session_window:
+            -- break only when the gap EXCEEDS 30 min (adjacent
+            -- windows merge: an event exactly at prev end extends
+            -- the session), session end = last event + gap
+            WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS t
+                       FROM events),
+            d AS (SELECT user_id, ts, value, t,
+                         CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                                    ORDER BY t)
+                                   > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, ts, value,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S')
+                     AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
         """,
         "streaming_idempotent_sink": """

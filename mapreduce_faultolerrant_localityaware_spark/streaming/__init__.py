@@ -19,6 +19,7 @@ from .sessionize_stream import sessionize_stream
 from .wordcount_stream import (
     ohlc_stream,
     quality_filter_stream,
+    session_window_counts,
     streaming_wordcount,
     windowed_event_counts,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "read_latest_per_key",
     "run_idempotent_replay",
     "run_to_batch",
+    "session_window_counts",
     "sessionize_stream",
     "sliding_event_counts",
     "stage_three_batch_input",

@@ -57,6 +57,49 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """NATIVE session-window aggregation — ``F.session_window`` with a
+    dynamic gap close, the built-in sibling of the custom
+    applyInPandasWithState sessionizer (sessionize_stream.py): Spark's
+    state store merges overlapping AND adjacent per-event windows
+    ``[t, t+gap)`` itself, so a session is a maximal run of events
+    with consecutive gaps of AT MOST ``gap`` (an event landing exactly
+    at the previous session's end EXTENDS it — empirically pinned in
+    tests/test_streaming_session_window.py; the break is strictly
+    greater), start = min event time, end = max event time + gap.
+
+    Watermark bounds state: sessions whose end falls behind the
+    watermark finalize and their state drops — unbounded input, bounded
+    memory (the state-expiry boundary is pinned in
+    tests/test_streaming_session_window.py).  Under the bounded
+    availableNow replay gate the final result must equal the batch
+    gaps-and-islands sessionization of the same input — the oracle.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def quality_filter_stream(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
