@@ -1083,6 +1083,34 @@ def _q_ann_ivf_kmeans(spark, sf):
     return similarity.ann_ivf_kmeans(emb, queries_df, k=5, n_cells=10, nprobe=2)
 
 
+def _q_ann_incremental(spark, sf):
+    """Incremental IVF maintenance (operators/similarity.py:
+    ann_incremental): quantizer fitted on the base corpus only
+    (vec_id % 10 != 0), the held-out tenth ingested by assign-only
+    broadcast-codebook join, search over the merged index.  No SQL
+    oracle (iterative k-means); rows-only + the recall>=0.9 and
+    stable-assignment pins in tests/test_ann_incremental.py."""
+    emb = scan(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    fresh = emb.filter(F.col("vec_id") % 10 == 0)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_incremental(
+        base, fresh, queries_df, k=5, n_cells=10, nprobe=2
+    )
+
+
+def _q_ann_index_drift(spark, sf):
+    """Per-cell occupancy drift of a new ingest batch vs the serving
+    corpus (operators/similarity.py:index_drift_report) — the refit
+    trigger for assign-only IVF ingest, here over the precomputed
+    label cells (the ann_ivf posture) so the report is exactly
+    SQL-oracle-checkable."""
+    emb = scan(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    fresh = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.index_drift_report(base, fresh, cell_col="label")
+
+
 # ---- multimodal (binary-column plumbing; blob = utf8 bytes of text) ----
 
 def _q_dedup_embedding_srp(spark, sf):
@@ -4366,6 +4394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _q_ann_recall_report,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "ann_incremental": _q_ann_incremental,
+        "ann_index_drift": _q_ann_index_drift,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
         "json_roundtrip": _q_json_roundtrip,
@@ -6020,6 +6050,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "ann_index_drift": """
+            WITH c AS (SELECT label AS cell,
+                              CAST(count(*) AS BIGINT) AS n_corpus
+                       FROM embeddings WHERE vec_id % 10 <> 0
+                       GROUP BY label),
+            b AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS n_new
+                  FROM embeddings WHERE vec_id % 10 = 0
+                  GROUP BY label),
+            j AS (SELECT coalesce(c.cell, b.cell) AS cell,
+                         CAST(coalesce(n_corpus, 0) AS BIGINT) AS n_corpus,
+                         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+                  FROM c FULL OUTER JOIN b ON c.cell = b.cell),
+            t AS (SELECT cell, n_corpus, n_new,
+                         CAST(sum(n_corpus) OVER () AS BIGINT) AS tc,
+                         CAST(sum(n_new) OVER () AS BIGINT) AS tn
+                  FROM j)
+            SELECT cell, n_corpus, n_new,
+                   round(CASE WHEN tc = 0 THEN NULL
+                              ELSE CAST(n_corpus AS DOUBLE) / tc END, 6)
+                     AS share_corpus,
+                   round(CASE WHEN tn = 0 THEN NULL
+                              ELSE CAST(n_new AS DOUBLE) / tn END, 6)
+                     AS share_new,
+                   round(CASE WHEN tn = 0 THEN NULL
+                              ELSE CAST(n_new AS DOUBLE) / tn END
+                         - CASE WHEN tc = 0 THEN NULL
+                                ELSE CAST(n_corpus AS DOUBLE) / tc END, 6)
+                     AS drift
+            FROM t
         """,
         "streaming_session_window": """
             -- batch gaps-and-islands mirror of F.session_window:

@@ -238,6 +238,126 @@ def ann_ivf_kmeans(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def ann_incremental(
+    emb: DataFrame,
+    new_batch: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 8,
+) -> DataFrame:
+    """Incremental IVF index maintenance — the serving-side sibling of
+    dedup_incremental: a NEW batch of embeddings joins the index by
+    assignment against the PERSISTED coarse quantizer (fitted on the
+    base corpus only — :func:`kmeans_fit` never sees the batch), and
+    search probes the MERGED index.  A 100 TB corpus grows; refitting
+    the quantizer per ingest would rescan everything and silently move
+    every cell boundary — the production posture is assign-only ingest
+    (broadcast k×d codebook, one map over the batch) with periodic
+    offline refits, exactly FAISS's add-after-train contract.
+
+    Base-vector cell assignments are therefore IDENTICAL to the
+    pre-ingest index (pinned in tests/test_ann_incremental.py), and
+    per-cell occupancy drift of the batch is the refit trigger —
+    :func:`index_drift_report` under the hash gate.
+
+    Search shape is :func:`ann_ivf_kmeans`'s probe join unchanged:
+    nprobe nearest cells per query, broadcast query side, equi-join on
+    cell, exact cosine re-rank.  Rows-only in the driver gate
+    (iterative fit); recall ≥ 0.9 vs brute force over the merged
+    corpus is the pytest bar, like its fitted siblings.
+    """
+    centroids = kmeans_fit(
+        emb, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter
+    )
+    base = assign_cells(emb, centroids, id_col, vec_col)
+    fresh = assign_cells(new_batch, centroids, id_col, vec_col)
+    corpus = base.unionByName(fresh)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_dists(F.col("v"), centroids)), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def index_drift_report(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-cell occupancy drift of a newly ingested batch against the
+    serving corpus — the REFIT TRIGGER for :func:`ann_incremental`'s
+    assign-only ingest: when new arrivals concentrate in cells out of
+    proportion to the corpus (data distribution moved), the coarse
+    quantizer is stale and probe recall decays; this report is the
+    number an index-maintenance job alerts on.
+
+    Exactness & shape: two partial-agged groupBys to the CELL domain,
+    one full-outer equi-join of those domain-sized tables (a cell may
+    exist on one side only), totals attached by an unpartitioned
+    unbounded window over the cell-domain frame (the bucket-rollup
+    class — never row-level), shares and drift as single divisions of
+    exact BIGINTs, rounded 6 dp.  Returns ``(cell, n_corpus, n_new,
+    share_corpus, share_new, drift)`` ordered by cell.
+    """
+    c = corpus.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    b = new_batch.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    j = c.join(b, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_corpus", F.lit(0)).cast("long").alias("n_corpus"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = j.select(
+        "cell",
+        "n_corpus",
+        "n_new",
+        F.sum("n_corpus").over(wt).alias("tc"),
+        F.sum("n_new").over(wt).alias("tn"),
+    )
+    share_c = F.try_divide(
+        F.col("n_corpus").cast("double"),
+        F.nullif(F.col("tc").cast("double"), F.lit(0.0)),
+    )
+    share_n = F.try_divide(
+        F.col("n_new").cast("double"),
+        F.nullif(F.col("tn").cast("double"), F.lit(0.0)),
+    )
+    return tot.select(
+        "cell",
+        "n_corpus",
+        "n_new",
+        F.round(share_c, 6).alias("share_corpus"),
+        F.round(share_n, 6).alias("share_new"),
+        F.round(share_n - share_c, 6).alias("drift"),
+    ).orderBy("cell")
+
+
 def ann_ivf(
     emb: DataFrame,
     queries: DataFrame,

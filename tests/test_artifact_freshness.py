@@ -29,6 +29,10 @@ NO_ORACLE = {
     "isotonic_fit",
     "approx_distinct",
     "ann_ivf_kmeans",
+    # assign-only ingest over the fitted quantizer: same iterative-fit
+    # exclusion as ann_ivf_kmeans; recall + stable-assignment pins in
+    # tests/test_ann_incremental.py
+    "ann_incremental",
     "ann_pq",
     "ann_ivfpq",
     # GK quantile sketch: estimates are engine-specific by design;
