@@ -4219,6 +4219,44 @@ def _q_lift_table(spark, sf):
     )
 
 
+def _q_calibration_table(spark, sf):
+    """Reliability-diagram calibration of order value vs fulfilled
+    status (operators/events.py:calibration_table): exact_ntile score
+    deciles, min-max-normalized mean score vs observed rate, gap."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.calibration_table(
+        orders,
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+        F.col("o_orderkey"),
+    )
+
+
+def _q_welch_ttest(spark, sf):
+    """Welch unequal-variance t-test: URGENT vs LOW priority order
+    values (operators/events.py:welch_ttest) — exact cent moment sums,
+    Welch-Satterthwaite df, one global aggregate."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.welch_ttest(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
+def _q_cohens_kappa(spark, sf):
+    """Cohen's kappa agreement between urgency (priority in
+    URGENT/HIGH) and a high-value flag (> $150k) on orders
+    (operators/relational.py:cohens_kappa): exact contingency counts,
+    DECIMAL(38,0) chance mass, one final division."""
+    orders = scan(spark, sf, "orders")
+    hi_pri = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("hi")
+    ).otherwise(F.lit("lo"))
+    hi_val = F.when(
+        F.round(F.col("o_totalprice") * 100).cast("long") > 15_000_000, F.lit("hi")
+    ).otherwise(F.lit("lo"))
+    return relational.cohens_kappa(orders, hi_pri, hi_val)
+
+
 def _q_tpch_refresh(spark, sf):
     """TPC-H refresh-function shape (RF1 insert + RF2 delete applied
     in one pass): a deterministic insert batch (keys % 97 == 0,
@@ -4464,6 +4502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_vs_returning": _q_new_vs_returning,
         "roc_auc": _q_roc_auc,
         "lift_table": _q_lift_table,
+        "calibration_table": _q_calibration_table,
+        "welch_ttest": _q_welch_ttest,
+        "cohens_kappa": _q_cohens_kappa,
         "tpch_refresh": _q_tpch_refresh,
         "growth_accounting": _q_growth_accounting,
         "diff_in_diff": _q_diff_in_diff,
@@ -7030,6 +7071,135 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(pos_all AS DOUBLE) END, 6)
                      AS cum_capture
             FROM tot
+        """,
+        "calibration_table": """
+            WITH base AS (SELECT CAST(round(o_totalprice * 100)
+                                   AS BIGINT) AS s,
+                                 o_orderkey AS id,
+                                 CASE WHEN o_orderstatus = 'F' THEN 1
+                                      ELSE 0 END AS is_pos
+                          FROM orders),
+            bounds AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+            b AS (SELECT ntile(10) OVER (ORDER BY s ASC, id ASC)
+                           AS bucket,
+                         s, is_pos, lo, hi
+                  FROM base CROSS JOIN bounds),
+            per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                           coalesce(CAST(sum(is_pos) AS BIGINT), 0)
+                             AS n_pos,
+                           CAST(sum(s - lo) AS HUGEINT) AS ds,
+                           CAST(max(hi - lo) AS BIGINT) AS rng
+                    FROM b GROUP BY bucket)
+            SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+                   round(CASE WHEN n * rng = 0 THEN NULL
+                              ELSE CAST(ds AS DOUBLE)
+                                   / CAST(n * rng AS DOUBLE) END, 6)
+                     AS avg_score_norm,
+                   round(CASE WHEN n = 0 THEN NULL
+                              ELSE CAST(n_pos AS DOUBLE)
+                                   / CAST(n AS DOUBLE) END, 6)
+                     AS obs_rate,
+                   round(CASE WHEN n * rng = 0 THEN NULL
+                              ELSE CAST(ds AS DOUBLE)
+                                   / CAST(n * rng AS DOUBLE) END
+                         - CASE WHEN n = 0 THEN NULL
+                                ELSE CAST(n_pos AS DOUBLE)
+                                     / CAST(n AS DOUBLE) END, 6)
+                     AS calib_gap
+            FROM per
+        """,
+        "welch_ttest": """
+            WITH two AS (SELECT o_orderpriority = '1-URGENT' AS a,
+                                CAST(round(o_totalprice * 100)
+                                  AS BIGINT) AS x
+                         FROM orders
+                         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            g AS (SELECT coalesce(CAST(sum(CASE WHEN a THEN 1 END)
+                                    AS BIGINT), 0) AS na,
+                         coalesce(CAST(sum(CASE WHEN NOT a THEN 1 END)
+                                    AS BIGINT), 0) AS nb,
+                         coalesce(CAST(sum(CASE WHEN a THEN x END)
+                                    AS BIGINT), 0) AS sa,
+                         coalesce(CAST(sum(CASE WHEN NOT a THEN x END)
+                                    AS BIGINT), 0) AS sb,
+                         coalesce(sum(CASE WHEN a
+                                  THEN CAST(x AS HUGEINT) * x END), 0)
+                           AS qa,
+                         coalesce(sum(CASE WHEN NOT a
+                                  THEN CAST(x AS HUGEINT) * x END), 0)
+                           AS qb
+                  FROM two),
+            d AS (SELECT na, nb,
+                         CAST(na AS DOUBLE) AS dna,
+                         CAST(nb AS DOUBLE) AS dnb,
+                         CAST(sa AS DOUBLE) AS dsa,
+                         CAST(sb AS DOUBLE) AS dsb,
+                         CAST(qa AS DOUBLE) AS dqa,
+                         CAST(qb AS DOUBLE) AS dqb
+                  FROM g),
+            v AS (SELECT na, nb, dna, dnb,
+                         dsa / nullif(dna, 0) AS ma,
+                         dsb / nullif(dnb, 0) AS mb,
+                         ((dqa - dsa * dsa / nullif(dna, 0))
+                          / nullif(dna - 1, 0)) / nullif(dna, 0) AS ua,
+                         ((dqb - dsb * dsb / nullif(dnb, 0))
+                          / nullif(dnb - 1, 0)) / nullif(dnb, 0) AS ub
+                  FROM d)
+            SELECT na AS n_a, nb AS n_b,
+                   round(ma / 100.0, 6) AS mean_a,
+                   round(mb / 100.0, 6) AS mean_b,
+                   round((ma - mb) / nullif(sqrt(ua + ub), 0), 6)
+                     AS t_stat,
+                   round((ua + ub) * (ua + ub)
+                         / nullif(ua * ua / nullif(dna - 1, 0)
+                                  + ub * ub / nullif(dnb - 1, 0), 0), 6)
+                     AS df_ws
+            FROM v
+        """,
+        "cohens_kappa": """
+            WITH base AS (SELECT CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                      THEN 'hi' ELSE 'lo' END AS a,
+                                 CASE WHEN CAST(round(o_totalprice * 100)
+                                        AS BIGINT) > 15000000
+                                      THEN 'hi' ELSE 'lo' END AS b
+                          FROM orders),
+            obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                    FROM base GROUP BY a, b),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r
+                   FROM obs GROUP BY a),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+                   FROM obs GROUP BY b),
+            diag AS (SELECT coalesce(CAST(sum(o) AS BIGINT), 0) AS d
+                     FROM obs WHERE a = b),
+            pe AS (SELECT coalesce(sum(CAST(r AS HUGEINT) * c), 0)
+                            AS rc
+                   FROM rm JOIN cm ON rm.a = cm.b),
+            t AS (SELECT coalesce(CAST(sum(o) AS BIGINT), 0) AS n
+                  FROM obs)
+            SELECT n,
+                   round(CASE WHEN n = 0 THEN NULL
+                              ELSE CAST(d AS DOUBLE)
+                                   / CAST(n AS DOUBLE) END, 6) AS p_o,
+                   round(CASE WHEN n = 0 THEN NULL
+                              ELSE CAST(rc AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE)) END, 6)
+                     AS p_e,
+                   round((CASE WHEN n = 0 THEN NULL
+                               ELSE CAST(d AS DOUBLE)
+                                    / CAST(n AS DOUBLE) END
+                          - CASE WHEN n = 0 THEN NULL
+                                 ELSE CAST(rc AS DOUBLE)
+                                      / (CAST(n AS DOUBLE)
+                                         * CAST(n AS DOUBLE)) END)
+                         / nullif(1.0
+                                  - CASE WHEN n = 0 THEN NULL
+                                         ELSE CAST(rc AS DOUBLE)
+                                              / (CAST(n AS DOUBLE)
+                                                 * CAST(n AS DOUBLE))
+                                    END, 0), 6) AS kappa
+            FROM t CROSS JOIN diag CROSS JOIN pe
         """,
         "tpch_refresh": """
             WITH after AS (

@@ -109,6 +109,14 @@ HEADLINE = [
     "window_distinct",
     # round-8 third batch: lookback-bounded interval-join attribution
     "attribution_multi_touch",
+    # round-10 additions: the rank-statistics family rewritten off
+    # unpartitioned row-level windows (distinct-value collapse /
+    # exact_ntile) — benched so the fix shows in the record, plus the
+    # assign-only incremental ANN ingest
+    "roc_auc",
+    "lift_table",
+    "rfm_segments",
+    "ann_incremental",
 ]
 
 

@@ -2630,6 +2630,148 @@ def lift_table(
     )
 
 
+def calibration_table(
+    df: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    id_col: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram calibration table — the third leg of the
+    model-eval battery (:func:`roc_auc` ranks, :func:`lift_table`
+    targets, this CALIBRATES): rows bucketed into ``n_bins`` score
+    deciles (the :func:`~..operators.relational.exact_ntile` bucketed
+    two-pass — never an unpartitioned ntile sort), and per bucket the
+    MEAN min-max-normalized score (predicted rate) against the
+    observed positive rate, plus their gap — the number that says
+    whether a score of 0.9 actually means 90%.
+
+    Exactness: scores normalize to [0, 1] against the corpus min/max
+    (1-row broadcast of exact integer bounds); per-bucket Σscore and
+    counts are exact BIGINTs; predicted/observed/gap are single
+    divisions of exact integers, IEEE-identical on both engines.
+    Returns ``(bucket, n, n_pos, avg_score_norm, obs_rate,
+    calib_gap)`` — gap = predicted − observed, positive means the
+    score OVERSTATES the outcome in that bucket.
+    """
+    from .relational import exact_ntile
+
+    base = df.select(
+        score_col.cast("long").alias("__s"),
+        id_col.alias("__id"),
+        label_col.cast("long").alias("is_pos"),
+    )
+    bounds = base.agg(
+        F.min("__s").alias("s_lo"), F.max("__s").alias("s_hi")
+    )
+    binned = exact_ntile(
+        base.join(F.broadcast(bounds)),
+        n_bins,
+        F.col("__s"),
+        F.col("__id"),
+        ascending=True,
+        out_col="bucket",
+    )
+    per = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("is_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.sum(F.col("__s") - F.col("s_lo")).cast("decimal(38,0)").alias("ds"),
+        F.max(F.col("s_hi") - F.col("s_lo")).cast("long").alias("rng"),
+    )
+    pred = F.try_divide(
+        F.col("ds").cast("double"),
+        F.nullif((F.col("n") * F.col("rng")).cast("double"), F.lit(0.0)),
+    )
+    obs = F.try_divide(
+        F.col("n_pos").cast("double"),
+        F.nullif(F.col("n").cast("double"), F.lit(0.0)),
+    )
+    return per.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "n_pos",
+        F.round(pred, 6).alias("avg_score_norm"),
+        F.round(obs, 6).alias("obs_rate"),
+        F.round(pred - obs, 6).alias("calib_gap"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the
+    parametric companion to :func:`mannwhitney_u` (that one asks
+    "does one distribution dominate", this one "do the MEANS differ"
+    without pooling variances — the default recommendation over
+    Student's t since group variances are never equal in practice),
+    with the Welch–Satterthwaite effective degrees of freedom.
+
+    Exactness: values quantize to cents; per-group n, Σx, Σx² are
+    exact integers (Σx² in DECIMAL(38,0) — cents² overflows BIGINT at
+    ~3e9 rows of 100-dollar values); means, variances
+    s² = (Σx² − (Σx)²/n)/(n−1), the t statistic and the WS df are
+    computed in DOUBLE over those exact sums in a fixed expression
+    order, IEEE-identical on both engines.  Degenerate inputs
+    (a group with n < 2, or both variances zero) are NULL via
+    try_divide/nullif, not an ANSI error.
+
+    Scale shape: ONE partial-agged global aggregate carrying six
+    conditional sums — the group_agg shape, no window, no join.
+    Returns one row ``(n_a, n_b, mean_a, mean_b, t_stat, df_ws)``.
+    """
+    is_a = F.col(group_col) == group_a
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        is_a.alias("a"), cents.alias("x")
+    )
+    g = two.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("a"), 1)), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum(F.when(~F.col("a"), 1)), F.lit(0)).cast("long").alias("nb"),
+        F.coalesce(F.sum(F.when(F.col("a"), F.col("x"))), F.lit(0))
+        .cast("long")
+        .alias("sa"),
+        F.coalesce(F.sum(F.when(~F.col("a"), F.col("x"))), F.lit(0))
+        .cast("long")
+        .alias("sb"),
+        F.coalesce(
+            F.sum(F.when(F.col("a"), F.col("x").cast("decimal(19,0)") * F.col("x"))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("qa"),
+        F.coalesce(
+            F.sum(F.when(~F.col("a"), F.col("x").cast("decimal(19,0)") * F.col("x"))),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    mean_a, mean_b = sa / F.nullif(na, F.lit(0.0)), sb / F.nullif(nb, F.lit(0.0))
+    va = (qa - sa * sa / F.nullif(na, F.lit(0.0))) / F.nullif(na - 1, F.lit(0.0))
+    vb = (qb - sb * sb / F.nullif(nb, F.lit(0.0))) / F.nullif(nb - 1, F.lit(0.0))
+    ua, ub = va / F.nullif(na, F.lit(0.0)), vb / F.nullif(nb, F.lit(0.0))
+    t = F.try_divide(mean_a - mean_b, F.nullif(F.sqrt(ua + ub), F.lit(0.0)))
+    df_ws = F.try_divide(
+        (ua + ub) * (ua + ub),
+        F.nullif(
+            ua * ua / F.nullif(na - 1, F.lit(0.0))
+            + ub * ub / F.nullif(nb - 1, F.lit(0.0)),
+            F.lit(0.0),
+        ),
+    )
+    return g.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(mean_a / 100.0, 6).alias("mean_a"),
+        F.round(mean_b / 100.0, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_ws, 6).alias("df_ws"),
+    )
+
+
 def growth_accounting(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1246,6 +1246,61 @@ def rfm_segments(
     )
 
 
+def cohens_kappa(
+    df: DataFrame,
+    col_a: Column,
+    col_b: Column,
+) -> DataFrame:
+    """Cohen's κ chance-corrected agreement between two categorical
+    labelings of the same rows — the annotator-agreement /
+    classifier-vs-classifier number every labeling pipeline reports
+    (raw accuracy flatters agreement when the label distribution is
+    skewed; κ subtracts the agreement two independent raters with
+    these marginals would reach by chance):
+    ``κ = (p_o − p_e) / (1 − p_e)`` with p_o = Σdiag/N and
+    p_e = Σ_k row_k·col_k / N².
+
+    Exactness: one groupBy to the (a, b) contingency domain, marginals
+    as two domain-sized rollups joined back by label (broadcast-sized
+    in any real label space), Σdiag and the Σrow·col products carried
+    in DECIMAL(38,0) (row·col reaches N² — wraps BIGINT at ~3e9 rows),
+    p_o/p_e/κ as single divisions of exact integers.  A single-label
+    domain (p_e = 1) is NULL via try_divide, not an ANSI error.
+    Returns one row ``(n, p_o, p_e, kappa)``.
+    """
+    obs = df.select(col_a.alias("a"), col_b.alias("b")).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rm = obs.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
+    cm = obs.groupBy(F.col("b").alias("bb")).agg(F.sum("o").cast("long").alias("c"))
+    # diagonal mass: per-label rows where a == b
+    diag = obs.filter(F.col("a").eqNullSafe(F.col("b"))).agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("d")
+    )
+    # chance mass: Σ row_k · col_k over the label domain (labels in
+    # only one marginal contribute 0 — inner join is exact)
+    pe_sum = rm.join(cm, rm["a"].eqNullSafe(cm["bb"])).agg(
+        F.coalesce(
+            F.sum(F.col("r").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("rc")
+    )
+    n = obs.agg(F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("n"))
+    j = n.join(F.broadcast(diag)).join(F.broadcast(pe_sum))
+    nn = F.col("n").cast("double")
+    po = F.try_divide(F.col("d").cast("double"), F.nullif(nn, F.lit(0.0)))
+    pe = F.try_divide(
+        F.col("rc").cast("double"), F.nullif(nn * nn, F.lit(0.0))
+    )
+    kappa = F.try_divide(po - pe, F.nullif(F.lit(1.0) - pe, F.lit(0.0)))
+    return j.select(
+        "n",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
 def k_anonymity(
     df: DataFrame,
     quasi_cols: Sequence[str],

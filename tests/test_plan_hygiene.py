@@ -142,7 +142,12 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # cramers_v inherits chisq_independence's 1-row grand-total
            # attach; durbin_watson attaches its 1-row (sum, count)
            # aggregate to the day-domain series (scalar attaches)
-           "cramers_v", "durbin_watson"}
+           "cramers_v", "durbin_watson",
+           # round 10: calibration_table attaches its 1-row min/max
+           # score bounds; cohens_kappa its 1-row N, diagonal-mass and
+           # chance-mass aggregates — all the tfidf-style scalar-attach
+           # shape, structurally proven below
+           "calibration_table", "cohens_kappa"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

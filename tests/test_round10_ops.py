@@ -19,8 +19,13 @@ import datetime as dt
 
 import pytest
 
+import math
+
+from pyspark.sql import functions as F
+
 from mapreduce_faultolerrant_localityaware_spark.operators import dedup
 from mapreduce_faultolerrant_localityaware_spark.operators import events as ev_ops
+from mapreduce_faultolerrant_localityaware_spark.operators import relational as rel
 
 
 def test_growth_accounting_gap_month_gets_the_churn(spark):
@@ -84,3 +89,82 @@ def test_containment_reaches_one_despite_df_cap(spark):
     assert r["c_b_in_a"] == pytest.approx(0.5, abs=1e-9)
     # the noise docs' only shared shingle was capped away: no pairs
     assert all(a == 1 and b == 2 for a, b in pairs)
+
+
+def test_calibration_table_worked_example(spark):
+    """4 rows, 2 bins: bucket 1 holds scores {0, 10} (no positives),
+    bucket 2 {20, 30} (all positive); normalization against lo=0,
+    hi=30 gives predicted rates 10/60 and 50/60."""
+    rows = [(1, 0, 0), (2, 10, 0), (3, 20, 1), (4, 30, 1)]
+    df = spark.createDataFrame(rows, "id long, s long, y long")
+    out = {
+        r["bucket"]: r
+        for r in ev_ops.calibration_table(
+            df, F.col("s"), F.col("y"), F.col("id"), n_bins=2
+        ).collect()
+    }
+    b1, b2 = out[1], out[2]
+    assert (b1["n"], b1["n_pos"]) == (2, 0)
+    assert b1["avg_score_norm"] == round(10 / 60, 6)
+    assert b1["obs_rate"] == 0.0 and b1["calib_gap"] == round(10 / 60, 6)
+    assert (b2["n"], b2["n_pos"]) == (2, 2)
+    assert b2["avg_score_norm"] == round(50 / 60, 6)
+    assert b2["obs_rate"] == 1.0
+    assert b2["calib_gap"] == round(50 / 60 - 1.0, 6)
+
+
+def test_welch_ttest_worked_example(spark):
+    """a = $1,2,3 vs b = $2,4,6 — the full Welch pipeline against the
+    textbook formula computed inline on exact cents."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    # reference: cents moments
+    va, vb = 10000.0, 40000.0  # sample variances of (100,200,300), (200,400,600)
+    ua, ub = va / 3, vb / 3
+    t = (200.0 - 400.0) / math.sqrt(ua + ub)
+    dfw = (ua + ub) ** 2 / (ua**2 / 2 + ub**2 / 2)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 4.0)
+    assert r["t_stat"] == round(t, 6)
+    assert r["df_ws"] == round(dfw, 6)
+
+
+def test_welch_ttest_degenerate_single_row_group(spark):
+    """n = 1 in one group: variance undefined -> t and df NULL, not an
+    ANSI error."""
+    rows = [("a", 5.0), ("b", 2.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 2)
+    assert r["t_stat"] is None and r["df_ws"] is None
+
+
+def test_cohens_kappa_worked_example(spark):
+    """Textbook 2x2: 20 a/a, 5 a/b, 10 b/a, 15 b/b -> p_o = 0.7,
+    p_e = 0.5, kappa = 0.4."""
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = rel.cohens_kappa(df, F.col("x"), F.col("y")).collect()[0]
+    assert r["n"] == 50
+    assert r["p_o"] == 0.7
+    assert r["p_e"] == 0.5
+    assert r["kappa"] == 0.4
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    """Identical raters -> kappa = 1; a constant rater -> p_e captures
+    all agreement and kappa is NULL (p_e = 1) or 0."""
+    same = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 2, "x string, y string"
+    )
+    r1 = rel.cohens_kappa(same, F.col("x"), F.col("y")).collect()[0]
+    assert r1["kappa"] == 1.0
+    const = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("a", "a")], "x string, y string"
+    )
+    r2 = rel.cohens_kappa(const, F.col("x"), F.col("y")).collect()[0]
+    # rater y is constant 'a': p_e = p_o iff x's 'a'-share equals p_o
+    assert r2["p_e"] is not None
