@@ -4257,6 +4257,54 @@ def _q_cohens_kappa(spark, sf):
     return relational.cohens_kappa(orders, hi_pri, hi_val)
 
 
+def _q_wilson_ci(spark, sf):
+    """Per-event-type user-reach share with Wilson 95% bounds
+    (operators/events.py:wilson_ci): exact distinct counts, fixed
+    IEEE expression order, interval stays inside [0,1]."""
+    ev = scan(spark, sf, "events")
+    return events_ops.wilson_ci(ev)
+
+
+def _q_column_profile(spark, sf):
+    """Per-column data-quality profile of the customer table
+    (operators/relational.py:column_profile): one global aggregate for
+    all 4k stats, map-side stack unpivot, native-type min/max."""
+    cust = scan(spark, sf, "customer")
+    return relational.column_profile(
+        cust,
+        [
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ],
+    )
+
+
+def _q_referential_audit(spark, sf):
+    """Referential-integrity audit of the three TPC-H FK edges
+    (operators/relational.py:fk_audit): orphan counts via left anti
+    joins, one row per relation."""
+    orders = scan(spark, sf, "orders")
+    cust = scan(spark, sf, "customer")
+    li = scan(spark, sf, "lineitem")
+    nation = scan(spark, sf, "nation")
+    return (
+        relational.fk_audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(
+            relational.fk_audit(
+                li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"
+            )
+        )
+        .unionByName(
+            relational.fk_audit(
+                cust, "c_nationkey", nation, "n_nationkey", "customer->nation"
+            )
+        )
+    )
+
+
 def _q_tpch_refresh(spark, sf):
     """TPC-H refresh-function shape (RF1 insert + RF2 delete applied
     in one pass): a deterministic insert batch (keys % 97 == 0,
@@ -4505,6 +4553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": _q_calibration_table,
         "welch_ttest": _q_welch_ttest,
         "cohens_kappa": _q_cohens_kappa,
+        "wilson_ci": _q_wilson_ci,
+        "column_profile": _q_column_profile,
+        "referential_audit": _q_referential_audit,
         "tpch_refresh": _q_tpch_refresh,
         "growth_accounting": _q_growth_accounting,
         "diff_in_diff": _q_diff_in_diff,
@@ -7071,6 +7122,88 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(pos_all AS DOUBLE) END, 6)
                      AS cum_capture
             FROM tot
+        """,
+        "wilson_ci": """
+            WITH pairs AS (SELECT DISTINCT event_type AS t,
+                                  user_id AS u
+                           FROM events),
+            per AS (SELECT t, CAST(count(*) AS BIGINT) AS k
+                    FROM pairs GROUP BY t),
+            tot AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n
+                    FROM pairs),
+            j AS (SELECT t, k, n,
+                         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                         CAST(n AS DOUBLE) AS nd
+                  FROM per CROSS JOIN tot)
+            SELECT t AS event_type, k AS n_users, n AS n_total,
+                   round(p, 6) AS share,
+                   round((p + (1.96*1.96) / (2.0 * nd)
+                          - 1.96 * sqrt(p * (1.0 - p) / nd
+                                        + (1.96*1.96) / (4.0 * nd * nd)))
+                         / (1.0 + (1.96*1.96) / nd), 6) AS ci_lo,
+                   round((p + (1.96*1.96) / (2.0 * nd)
+                          + 1.96 * sqrt(p * (1.0 - p) / nd
+                                        + (1.96*1.96) / (4.0 * nd * nd)))
+                         / (1.0 + (1.96*1.96) / nd), 6) AS ci_hi
+            FROM j
+        """,
+        "column_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
+            FROM customer"""
+            for c in (
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment",
+            )
+        ),
+        "referential_audit": """
+            SELECT 'orders->customer' AS relation,
+                   CAST((SELECT count(*) FROM orders) AS BIGINT)
+                     AS n_child,
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+                     AS BIGINT) AS n_orphans,
+                   round(CAST((SELECT count(*) FROM orders o
+                               WHERE NOT EXISTS (SELECT 1
+                                      FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+                            AS DOUBLE)
+                         / nullif(CAST((SELECT count(*) FROM orders)
+                                    AS DOUBLE), 0), 6) AS orphan_share
+            UNION ALL
+            SELECT 'lineitem->orders',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+                     AS BIGINT),
+                   round(CAST((SELECT count(*) FROM lineitem l
+                               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                            AS DOUBLE)
+                         / nullif(CAST((SELECT count(*) FROM lineitem)
+                                    AS DOUBLE), 0), 6)
+            UNION ALL
+            SELECT 'customer->nation',
+                   CAST((SELECT count(*) FROM customer) AS BIGINT),
+                   CAST((SELECT count(*) FROM customer c
+                         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+                     AS BIGINT),
+                   round(CAST((SELECT count(*) FROM customer c
+                               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey
+                                            = c.c_nationkey))
+                            AS DOUBLE)
+                         / nullif(CAST((SELECT count(*) FROM customer)
+                                    AS DOUBLE), 0), 6)
         """,
         "calibration_table": """
             WITH base AS (SELECT CAST(round(o_totalprice * 100)

@@ -2630,6 +2630,55 @@ def lift_table(
     )
 
 
+def wilson_ci(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-event-type user-reach share with a Wilson score confidence
+    interval — the interval every experimentation dashboard should
+    draw instead of the Wald ±z√(p̂(1−p̂)/n) (which collapses to a
+    zero-width bracket at p̂ ∈ {0, 1} and escapes [0, 1] near the
+    edges; Wilson stays inside and stays honest at small n):
+
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Share semantics: for each event type, the fraction of ALL active
+    users who emitted that type at least once — distinct (user, type)
+    pairs over the distinct-user total.
+
+    Exactness: numerator and denominator are exact BIGINT distinct
+    counts (one partial-agged distinct-pair groupBy + a 1-row
+    distinct-user broadcast); p̂ and the Wilson algebra run in DOUBLE
+    over those exact integers in a fixed expression order — sqrt is
+    IEEE-correctly-rounded, so both engines produce identical bits.
+    Returns ``(event_type, n_users, n_total, share, ci_lo, ci_hi)``.
+    """
+    pairs = events.select(
+        F.col(type_col).alias("t"), F.col(user_col).alias("u")
+    ).distinct()
+    per = pairs.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = pairs.agg(F.count_distinct("u").cast("long").alias("n"))
+    j = per.join(F.broadcast(tot))
+    kd, nd = F.col("k").cast("double"), F.col("n").cast("double")
+    p = kd / nd
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / nd
+    center = p + z2 / (2.0 * nd)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2 / (4.0 * nd * nd)
+    )
+    return j.select(
+        F.col("t").alias(type_col),
+        F.col("k").alias("n_users"),
+        F.col("n").alias("n_total"),
+        F.round(p, 6).alias("share"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
 def calibration_table(
     df: DataFrame,
     score_col: Column,

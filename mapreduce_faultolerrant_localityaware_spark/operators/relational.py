@@ -1246,6 +1246,89 @@ def rfm_segments(
     )
 
 
+def column_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-column data-quality profile — the ingest-time table summary
+    every pipeline prints before anything trains: row count, NULL
+    count, exact distinct count, and min/max (stringified on the
+    NATIVE type, so numeric columns report numeric extremes, not
+    lexicographic ones).
+
+    Shape at scale: ONE global aggregate computes all 4·k statistics
+    (count_distinct over k columns costs Catalyst's Expand — a k×
+    map-side row amplification, no extra shuffle rounds), then a
+    map-side ``stack`` unpivots the single row to k output rows.  The
+    corpus is scanned once, shuffled never (partial aggs only).
+    Returns ``(column, n_rows, n_null, n_distinct, min_value,
+    max_value)`` — one row per requested column.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("long")).cast("long").alias(f"__z_{c}"),
+            F.count_distinct(col).cast("long").alias(f"__d_{c}"),
+            F.min(col).cast("string").alias(f"__lo_{c}"),
+            F.max(col).cast("string").alias(f"__hi_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, coalesce(__z_{c}, 0), __d_{c}, __lo_{c}, __hi_{c}"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+def fk_audit(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one foreign-key edge — the
+    orphan count a pipeline checks BEFORE joining 100 TB of facts
+    against a dimension (a silent orphan row becomes a silently
+    dropped row in every downstream inner join): child rows whose
+    ``fk_col`` has no match in ``parent.pk_col`` (NULL fks count as
+    orphans — they too vanish from an inner join).
+
+    Shape: one LEFT ANTI join (broadcast for dimension-sized parents
+    under AQE) + two 1-row aggregates; exact BIGINTs, one final
+    division.  Returns one row ``(relation, n_child, n_orphans,
+    orphan_share)``.
+    """
+    n_child = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+    orphans = child.join(
+        parent.select(F.col(pk_col).alias("__pk")),
+        F.col(fk_col) == F.col("__pk"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    return (
+        n_child.join(F.broadcast(orphans))
+        .select(
+            F.lit(relation).alias("relation"),
+            "n_child",
+            "n_orphans",
+            F.round(
+                F.try_divide(
+                    F.col("n_orphans").cast("double"),
+                    F.nullif(F.col("n_child").cast("double"), F.lit(0.0)),
+                ),
+                6,
+            ).alias("orphan_share"),
+        )
+    )
+
+
 def cohens_kappa(
     df: DataFrame,
     col_a: Column,

@@ -145,9 +145,12 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            "cramers_v", "durbin_watson",
            # round 10: calibration_table attaches its 1-row min/max
            # score bounds; cohens_kappa its 1-row N, diagonal-mass and
-           # chance-mass aggregates — all the tfidf-style scalar-attach
-           # shape, structurally proven below
-           "calibration_table", "cohens_kappa"}
+           # chance-mass aggregates; wilson_ci its 1-row distinct-user
+           # total; referential_audit joins three pairs of 1-row
+           # child/orphan count aggregates — all the tfidf-style
+           # scalar-attach shape, structurally proven below
+           "calibration_table", "cohens_kappa", "wilson_ci",
+           "referential_audit"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit

@@ -168,3 +168,49 @@ def test_cohens_kappa_perfect_and_chance(spark):
     r2 = rel.cohens_kappa(const, F.col("x"), F.col("y")).collect()[0]
     # rater y is constant 'a': p_e = p_o iff x's 'a'-share equals p_o
     assert r2["p_e"] is not None
+
+
+def test_wilson_ci_worked_example(spark):
+    """One event type reaching 1 of 4 users: p = 0.25, Wilson bounds
+    from the closed form; interval inside [0,1] even at p-hat = 1."""
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["event_type"]: r for r in ev_ops.wilson_ci(df).collect()}
+    z, n = 1.96, 4.0
+    p = 0.25
+    denom = 1.0 + z * z / n
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    b = out["b"]
+    assert (b["n_users"], b["n_total"]) == (1, 4)
+    assert b["ci_lo"] == round((center - half) / denom, 6)
+    assert b["ci_hi"] == round((center + half) / denom, 6)
+    a = out["a"]  # p-hat = 1: Wald would give a zero-width [1,1]
+    assert a["share"] == 1.0 and a["ci_lo"] < 1.0 and a["ci_hi"] == 1.0
+
+
+def test_fk_audit_counts_orphans_and_null_fks(spark):
+    """2 orphans of 4 children (one dangling key, one NULL fk — both
+    vanish from an inner join, both must count)."""
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = rel.fk_audit(child, "fk", parent, "pk", "t->p").collect()[0]
+    assert (r["relation"], r["n_child"], r["n_orphans"]) == ("t->p", 4, 2)
+    assert r["orphan_share"] == 0.5
+
+
+def test_column_profile_nulls_distincts_native_minmax(spark):
+    """NULL counting, exact distincts, and NUMERIC (not lexicographic)
+    min/max: 9 < 10 numerically though '10' < '9' as strings."""
+    df = spark.createDataFrame(
+        [(9, "x"), (10, "x"), (10, None)], "num long, s string"
+    )
+    out = {r["column"]: r for r in rel.column_profile(df, ["num", "s"]).collect()}
+    num = out["num"]
+    assert (num["n_rows"], num["n_null"], num["n_distinct"]) == (3, 0, 2)
+    assert (num["min_value"], num["max_value"]) == ("9", "10")
+    s = out["s"]
+    assert (s["n_null"], s["n_distinct"]) == (1, 1)
+    assert (s["min_value"], s["max_value"]) == ("x", "x")
