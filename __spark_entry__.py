@@ -1861,6 +1861,13 @@ def _q_supplier_affinity(spark, sf):
     )
 
 
+def _q_source_vocab_overlap(spark, sf):
+    """Pairwise vocabulary Jaccard between sources
+    (operators/corpus.py:source_vocab_overlap): distinct per-source
+    vocabularies, inverted-index intersection, exact set algebra."""
+    return corpus.source_vocab_overlap(scan(spark, sf, "documents"))
+
+
 def _q_heaps_fit(spark, sf):
     """Heaps'-law vocabulary-growth fit: first-appearance doc per
     type + exact doc-id percentile cutoffs (no global ntile), log-log
@@ -4616,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_growth": _q_user_growth,
         "conversion_latency": _q_conversion_latency,
         "heaps_fit": _q_heaps_fit,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "supplier_affinity": _q_supplier_affinity,
         "asof_join": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
@@ -7204,6 +7212,25 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE)
                          / nullif(CAST((SELECT count(*) FROM customer)
                                     AS DOUBLE), 0), 6)
+        """,
+        "source_vocab_overlap": f"""
+            WITH v AS (SELECT DISTINCT source AS s, w
+                       FROM (SELECT source, unnest({_TOK_LOWER}) AS w
+                             FROM documents)),
+            sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS nv
+                      FROM v GROUP BY s),
+            inter AS (SELECT a.s AS source_a, b.s AS source_b,
+                             CAST(count(*) AS BIGINT) AS common
+                      FROM v a JOIN v b ON a.w = b.w AND a.s < b.s
+                      GROUP BY 1, 2)
+            SELECT source_a, source_b, common,
+                   sa.nv AS n_a, sb.nv AS n_b,
+                   round(CASE WHEN sa.nv + sb.nv - common = 0 THEN NULL
+                              ELSE CAST(common AS DOUBLE)
+                                   / CAST(sa.nv + sb.nv - common
+                                     AS DOUBLE) END, 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.s = source_a
+                       JOIN sizes sb ON sb.s = source_b
         """,
         "calibration_table": """
             WITH base AS (SELECT CAST(round(o_totalprice * 100)

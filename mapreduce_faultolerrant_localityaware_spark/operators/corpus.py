@@ -1867,6 +1867,76 @@ def inverted_index(
     )
 
 
+def source_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    mixing-audit that says which feeds are near-copies of each other
+    BEFORE a mixture weighting (dsir_weights / mixture_sample) treats
+    them as independent: two crawls of the same site share most of
+    their vocabulary and double-weight its distribution.
+
+    Exactness & shape: one distinct (source, lowercased-token) pass —
+    the per-source VOCABULARY, not token occurrences — then the
+    intersection comes from the inverted-index equi-join on the token
+    (the dedup_ngram_jaccard shape, never a source cross product):
+    a token in s sources fans out to C(s,2) ≤ |sources|² pairs, so
+    the join is vocabulary-sized with a DOMAIN-bounded per-token
+    fan-out (no df cap needed — the "document" side here IS the
+    source domain).  Set sizes attach by source equi-join; Jaccard
+    |A∩B|/(|A|+|B|−|A∩B|) is one division of exact BIGINTs.  Pairs
+    with an EMPTY intersection are absent by construction (their
+    Jaccard is 0; the inner join cannot see them).
+    Returns ``(source_a, source_b, common, n_a, n_b, jaccard)`` with
+    source_a < source_b.
+    """
+    v = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(source_col).alias("s"),
+            F.explode(tokens(text_col, lowercase=True)).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = v.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(
+            F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("s").alias("source_a"), F.col("nv").alias("n_a"))
+    sb = sizes.select(F.col("s").alias("source_b"), F.col("nv").alias("n_b"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.try_divide(
+                    F.col("common").cast("double"),
+                    F.nullif(
+                        (F.col("n_a") + F.col("n_b") - F.col("common")).cast(
+                            "double"
+                        ),
+                        F.lit(0.0),
+                    ),
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def heaps_fit(
     docs: DataFrame,
     n_checkpoints: int = 20,

@@ -214,3 +214,25 @@ def test_column_profile_nulls_distincts_native_minmax(spark):
     s = out["s"]
     assert (s["n_null"], s["n_distinct"]) == (1, 1)
     assert (s["min_value"], s["max_value"]) == ("x", "x")
+
+
+def test_source_vocab_overlap_worked_example(spark):
+    """Two near-copy sources share 2 of 3 vocab words; a disjoint
+    source pairs with nothing (empty intersections absent)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import corpus
+
+    rows = [
+        ("s1", "alpha beta"),
+        ("s1", "beta"),
+        ("s2", "alpha beta gamma"),
+        ("s3", "zeta"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in corpus.source_vocab_overlap(df).collect()
+    }
+    assert set(out) == {("s1", "s2")}  # s3 intersects nothing
+    r = out[("s1", "s2")]
+    assert (r["common"], r["n_a"], r["n_b"]) == (2, 2, 3)
+    assert r["jaccard"] == round(2 / 3, 6)
