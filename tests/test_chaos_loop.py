@@ -19,6 +19,8 @@ import textwrap
 
 import pytest
 
+pytestmark = [pytest.mark.slow, pytest.mark.chaos]
+
 SCRIPT = textwrap.dedent(
     """
     import os, random, signal, subprocess, sys, tempfile, threading, time

@@ -23,6 +23,8 @@ import __spark_entry__ as entry_mod
 
 from pyspark.sql import functions as F
 
+pytestmark = [pytest.mark.slow]
+
 #: per-table degenerate projections: column → replacement expression
 #: (None means NULL of the original type)
 _DEGENERATE: dict[str, dict[str, object]] = {

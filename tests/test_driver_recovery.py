@@ -24,6 +24,10 @@ import tempfile
 import textwrap
 import time
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.chaos]
+
 # The driver script: chain components of 8 nodes (diameter 7 — enough
 # propagation rounds that the kill lands mid-loop), PLUS the real
 # dedup_clusters edge shape is covered by the parity test below.

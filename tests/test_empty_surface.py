@@ -19,6 +19,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = [pytest.mark.slow]
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

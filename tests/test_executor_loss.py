@@ -18,6 +18,10 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.chaos]
+
 SCRIPT = textwrap.dedent(
     """
     import os, signal, subprocess, sys, tempfile, threading, time

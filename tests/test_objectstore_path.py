@@ -215,6 +215,10 @@ MOCKS3_SCRIPT = textwrap.dedent(
 
 import glob as glob_mod
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -23,6 +23,10 @@ import tempfile
 import textwrap
 import time
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.chaos]
+
 # chain graph + enough iterations that the kill provably lands mid-loop
 SCRIPT = textwrap.dedent(
     """

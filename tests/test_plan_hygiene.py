@@ -27,6 +27,8 @@ from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
     unpartitioned_windows,
 )
 
+pytestmark = [pytest.mark.slow]
+
 #: queries whose plans intentionally contain a broadcast nested-loop
 #: join (tiny broadcast side × theta predicate)
 #: (join_skew_salted: the salt-replication crossJoin of the small side

@@ -601,9 +601,12 @@ def test_lift_table_top_bucket_concentration(spark):
 def test_growth_accounting_bridge_identities(spark):
     """u1 active m1,m2,m4; u2 active m2 only.  m2: u1 retained, u2
     new; m2's silent-next users (u1 skips m3, u2 gone) churn into the
-    next ACTIVE month's row (m4): n_churned(m4) = 2; u1 is
-    resurrected in m4.  mau = new + retained + resurrected holds on
-    every row."""
+    DENSIFIED gap month m3 (r10: the month domain includes zero-active
+    months, so churn lands in the month the users actually went
+    silent, not the next active month); u1 is resurrected in m4.
+    mau = new + retained + resurrected holds on every row and the
+    bridge mau − prev_mau = new + resurrected − churned holds across
+    the gap."""
     m = lambda month, day: dt.datetime(2024, month, day)
     rows = [
         (1, m(1, 5)), (1, m(2, 5)), (1, m(4, 5)),
@@ -612,12 +615,18 @@ def test_growth_accounting_bridge_identities(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out = {r["m"]: r for r in ev_ops.growth_accounting(df).collect()}
     base = 2024 * 12
-    m1, m2, m4 = out[base + 1], out[base + 2], out[base + 4]
+    assert set(out) == {base + 1, base + 2, base + 3, base + 4}
+    m1, m2, m3, m4 = (out[base + i] for i in (1, 2, 3, 4))
     assert (m1["mau"], m1["n_new"], m1["n_churned"]) == (1, 1, 0)
     assert (m2["n_new"], m2["n_retained"], m2["n_resurrected"]) == (1, 1, 0)
-    assert (m4["n_resurrected"], m4["n_churned"]) == (1, 2)
-    for r in out.values():
+    assert (m3["mau"], m3["n_churned"]) == (0, 2)
+    assert (m4["n_resurrected"], m4["n_churned"]) == (1, 0)
+    prev = {base + 1: 0, base + 2: 1, base + 3: 2, base + 4: 0}
+    for k, r in out.items():
         assert r["mau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        assert r["mau"] - prev[k] == (
+            r["n_new"] + r["n_resurrected"] - r["n_churned"]
+        )
 
 
 def test_diff_in_diff_nets_out_fixed_gap(spark):

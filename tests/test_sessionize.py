@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 from mapreduce_faultolerrant_localityaware_spark.operators.events import sessionize
 from mapreduce_faultolerrant_localityaware_spark.streaming import sessionize_stream
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
+
 
 def _ts(minute):
     return dt.datetime(2024, 1, 1, 10, minute)

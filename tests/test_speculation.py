@@ -27,6 +27,10 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.chaos]
+
 SCRIPT = textwrap.dedent(
     """
     import sys, time

@@ -34,6 +34,9 @@ from mapreduce_faultolerrant_localityaware_spark.streaming.enrich_stream import 
 from mapreduce_faultolerrant_localityaware_spark.streaming.materialize import (
     run_to_batch,
 )
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
 
 
 def _stage(spark, root, sub, rows):

@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from mapreduce_faultolerrant_localityaware_spark.streaming.enrich_stream import (
     deduped_update_counts,
 )
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
 
 
 def _stage(spark, tmp_path, batches):

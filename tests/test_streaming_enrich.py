@@ -12,6 +12,9 @@ from mapreduce_faultolerrant_localityaware_spark.streaming import (
     enrich_stream,
     sliding_event_counts,
 )
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
 
 
 def _run_until(query, predicate, timeout=60.0):

@@ -31,6 +31,9 @@ from mapreduce_faultolerrant_localityaware_spark.streaming.idempotent_sink impor
 from mapreduce_faultolerrant_localityaware_spark.streaming.late_data import (
     stage_three_batch_input,
 )
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
 
 
 def _staged_events(spark, sf_dir):

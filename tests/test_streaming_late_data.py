@@ -23,6 +23,10 @@ from mapreduce_faultolerrant_localityaware_spark.streaming import (
 )
 from mapreduce_faultolerrant_localityaware_spark.streaming.materialize import run_to_batch
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
+
 
 def _mk(spark, rows):
     return spark.createDataFrame(

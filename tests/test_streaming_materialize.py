@@ -9,6 +9,10 @@ from mapreduce_faultolerrant_localityaware_spark import streaming as S
 from mapreduce_faultolerrant_localityaware_spark.operators.wordcount import wordcount_from_text
 from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
+
 
 def test_streaming_wordcount_equals_batch(spark, sf_dir):
     stream = S.stream_table(spark, sf_dir, "documents")

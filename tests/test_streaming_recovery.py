@@ -12,6 +12,10 @@ import time
 
 from pyspark.sql import functions as F
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
+
 
 def _counts(spark, table):
     return {

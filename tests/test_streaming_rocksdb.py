@@ -29,6 +29,8 @@ from mapreduce_faultolerrant_localityaware_spark.streaming.materialize import (
     stream_table,
 )
 
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
+
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -24,6 +24,9 @@ from mapreduce_faultolerrant_localityaware_spark.streaming import (
     run_to_batch,
     session_window_counts,
 )
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.streaming]
 
 
 def _mk(spark, rows):
