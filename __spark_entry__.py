@@ -4371,6 +4371,52 @@ def _q_durbin_watson(spark, sf):
     return events_ops.durbin_watson(daily, "d", "v")
 
 
+def _q_anova_oneway(spark, sf):
+    """One-way ANOVA F across the five order priorities on order value
+    (operators/events.py:anova_oneway): exact BIGINT/DECIMAL(38,0)
+    sufficient statistics, one k-row rollup, no windows."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.anova_oneway(orders, "o_orderpriority", "o_totalprice")
+
+
+def _q_kruskal_wallis(spark, sf):
+    """Kruskal-Wallis H across event types on event value
+    (operators/events.py:kruskal_wallis): doubled average ranks from
+    the aggregated value domain — never a row-level rank window."""
+    ev = scan(spark, sf, "events")
+    return events_ops.kruskal_wallis(ev, "event_type", "value")
+
+
+def _q_levene_test(spark, sf):
+    """Brown-Forsythe variance-homogeneity W across order priorities
+    (operators/events.py:levene_test): integer doubled medians from
+    per-group cumulative counts, weighted ANOVA on exact doubled-cent
+    deviations."""
+    orders = scan(spark, sf, "orders")
+    return events_ops.levene_test(orders, "o_orderpriority", "o_totalprice")
+
+
+def _q_cochran_armitage(spark, sf):
+    """Cochran-Armitage trend: does the high-value-order rate trend
+    with priority tier 1..5 (operators/events.py:cochran_armitage) —
+    N-scaled exact-integer numerator, one k-row rollup."""
+    orders = scan(spark, sf, "orders")
+    prepped = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("tier"),
+        (F.col("o_totalprice") > 250000.0).alias("hi"),
+    )
+    return events_ops.cochran_armitage(prepped, "tier", "hi")
+
+
+def _q_power_sample_size(spark, sf):
+    """Two-proportion power analysis of the parity A/B split's
+    purchase conversion (operators/events.py:power_sample_size):
+    required per-arm n for the observed lift and the MDE at the
+    current size, fixed z literals."""
+    ev = scan(spark, sf, "events")
+    return events_ops.power_sample_size(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4561,6 +4607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": _q_welch_ttest,
         "cohens_kappa": _q_cohens_kappa,
         "wilson_ci": _q_wilson_ci,
+        "anova_oneway": _q_anova_oneway,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "levene_test": _q_levene_test,
+        "cochran_armitage": _q_cochran_armitage,
+        "power_sample_size": _q_power_sample_size,
         "column_profile": _q_column_profile,
         "referential_audit": _q_referential_audit,
         "tpch_refresh": _q_tpch_refresh,
@@ -7360,6 +7411,178 @@ def oracle_sql() -> dict[str, str]:
                                                  * CAST(n AS DOUBLE))
                                     END, 0), 6) AS kappa
             FROM t CROSS JOIN diag CROSS JOIN pe
+        """,
+        "anova_oneway": """
+            WITH pg AS (SELECT o_orderpriority AS g,
+                               CAST(count(*) AS BIGINT) AS n_g,
+                               CAST(sum(CAST(round(o_totalprice * 100)
+                                      AS BIGINT)) AS BIGINT) AS s_g,
+                               sum(CAST(round(o_totalprice * 100)
+                                     AS HUGEINT)
+                                   * CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS q_g
+                        FROM orders GROUP BY o_orderpriority),
+            r AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(s_g) AS BIGINT) AS s,
+                         CAST(sum(q_g) AS HUGEINT) AS q,
+                         sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                             / CAST(n_g AS DOUBLE)) AS a
+                  FROM pg),
+            d AS (SELECT n, k,
+                         a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS ssb,
+                         CAST(q AS DOUBLE) - a AS ssw
+                  FROM r)
+            SELECT n, k AS k_groups,
+                   CAST(k - 1 AS BIGINT) AS df_between,
+                   CAST(n - k AS BIGINT) AS df_within,
+                   round((ssb / CAST(k - 1 AS DOUBLE))
+                         / nullif(ssw / CAST(n - k AS DOUBLE), 0), 6)
+                     AS f_stat,
+                   round(ssb / nullif(ssb + ssw, 0), 6) AS eta_sq
+            FROM d
+        """,
+        "kruskal_wallis": """
+            WITH two AS (SELECT event_type AS g,
+                                CAST(round(value * 100) AS BIGINT) AS v
+                         FROM events),
+            rk AS (SELECT g,
+                          CAST(2 * rank() OVER (ORDER BY v)
+                               + count(*) OVER (PARTITION BY v) - 1
+                            AS BIGINT) AS r2
+                   FROM two),
+            pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                          CAST(sum(r2) AS BIGINT) AS r2g
+                   FROM rk GROUP BY g),
+            tz AS (SELECT coalesce(CAST(sum(t * t * t - t) AS BIGINT), 0)
+                            AS tie3
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                         FROM two GROUP BY v)),
+            r AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS k,
+                         sum(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                             / CAST(n_g AS DOUBLE)) AS srn
+                  FROM pg)
+            SELECT n, k AS k_groups,
+                   round((3.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * srn
+                          - 3.0 * (n + 1.0))
+                         / nullif(1.0 - CAST(tie3 AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * n * n - n), 0),
+                         6) AS h_stat
+            FROM r CROSS JOIN tz
+        """,
+        "levene_test": """
+            WITH gv AS (SELECT o_orderpriority AS g,
+                               CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS v,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM orders GROUP BY 1, 2),
+            cum AS (SELECT g, v, c,
+                           CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
+                             AS BIGINT) AS cum
+                    FROM gv),
+            png AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g
+                    FROM gv GROUP BY g),
+            lo AS (SELECT cum.g, min(v) AS lo
+                   FROM cum JOIN png ON cum.g = png.g
+                   WHERE cum >= (n_g + 1) // 2 GROUP BY cum.g),
+            hi AS (SELECT cum.g, min(v) AS hi
+                   FROM cum JOIN png ON cum.g = png.g
+                   WHERE cum >= n_g // 2 + 1 GROUP BY cum.g),
+            med AS (SELECT lo.g, CAST(lo + hi AS BIGINT) AS m2
+                    FROM lo JOIN hi ON lo.g = hi.g),
+            pg AS (SELECT gv.g, CAST(sum(c) AS BIGINT) AS n_g,
+                          CAST(sum(c * abs(2 * v - m2)) AS BIGINT) AS s_g,
+                          sum(CAST(c AS HUGEINT) * abs(2 * v - m2)
+                              * abs(2 * v - m2)) AS q_g
+                   FROM gv JOIN med ON gv.g = med.g GROUP BY gv.g),
+            r AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(s_g) AS BIGINT) AS s,
+                         CAST(sum(q_g) AS HUGEINT) AS q,
+                         sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                             / CAST(n_g AS DOUBLE)) AS a
+                  FROM pg),
+            d AS (SELECT n, k,
+                         a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS ssb,
+                         CAST(q AS DOUBLE) - a AS ssw
+                  FROM r)
+            SELECT n, k AS k_groups,
+                   round((ssb / CAST(k - 1 AS DOUBLE))
+                         / nullif(ssw / CAST(n - k AS DOUBLE), 0), 6)
+                     AS w_stat
+            FROM d
+        """,
+        "cochran_armitage": """
+            WITH b AS (SELECT CAST(substring(o_orderpriority, 1, 1)
+                                AS BIGINT) AS s_i,
+                              CASE WHEN o_totalprice > 250000.0
+                                   THEN 1 ELSE 0 END AS f
+                       FROM orders),
+            lvl AS (SELECT s_i, CAST(count(*) AS BIGINT) AS n_i,
+                           coalesce(CAST(sum(f) AS BIGINT), 0) AS r_i
+                    FROM b GROUP BY s_i),
+            m AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                         CAST(sum(r_i) AS BIGINT) AS r,
+                         CAST(count(*) AS BIGINT) AS k
+                  FROM lvl),
+            r2 AS (SELECT max(n) AS n, max(r) AS r, max(k) AS k,
+                          sum(CAST(s_i AS HUGEINT)
+                              * (CAST(r_i AS HUGEINT) * n
+                                 - CAST(n_i AS HUGEINT) * r)) AS tn,
+                          CAST(sum(n_i * s_i * s_i) AS BIGINT) AS ns2,
+                          CAST(sum(n_i * s_i) AS BIGINT) AS ns1
+                   FROM lvl CROSS JOIN m)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS k_levels,
+                   round((CAST(tn AS DOUBLE) / CAST(n AS DOUBLE))
+                         / nullif(sqrt((CAST(r AS DOUBLE) / n)
+                                       * (1.0 - CAST(r AS DOUBLE) / n)
+                                       * (CAST(ns2 AS DOUBLE)
+                                          - CAST(ns1 AS DOUBLE)
+                                            * CAST(ns1 AS DOUBLE)
+                                            / CAST(n AS DOUBLE))), 0),
+                         6) AS z_stat
+            FROM r2
+        """,
+        "power_sample_size": """
+            WITH pu AS (SELECT user_id AS u,
+                               max(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) AS conv
+                        FROM events GROUP BY user_id),
+            arm AS (SELECT CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+                           CAST(count(*) AS BIGINT) AS n_u,
+                           coalesce(CAST(sum(conv) AS BIGINT), 0) AS c_u
+                    FROM pu GROUP BY 1),
+            r AS (SELECT max(CASE WHEN is_a = 1 THEN n_u END) AS n_a,
+                         max(CASE WHEN is_a = 0 THEN n_u END) AS n_b,
+                         max(CASE WHEN is_a = 1 THEN c_u END) AS c_a,
+                         max(CASE WHEN is_a = 0 THEN c_u END) AS c_b
+                  FROM arm),
+            p AS (SELECT n_a, n_b,
+                         CAST(c_a AS DOUBLE) / n_a AS p_a,
+                         CAST(c_b AS DOUBLE) / n_b AS p_b,
+                         (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                           AS z2
+                  FROM r),
+            q AS (SELECT n_a, n_b, p_a, p_b, z2,
+                         p_a * (1.0 - p_a) + p_b * (1.0 - p_b) AS pq,
+                         p_a - p_b AS delta,
+                         2.0 * n_a * n_b
+                           / nullif(CAST(n_a + n_b AS DOUBLE), 0)
+                           AS n_harm
+                  FROM p)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(p_a, 6) AS p_a,
+                   round(p_b, 6) AS p_b,
+                   CAST(ceil(z2 * pq / nullif(delta * delta, 0))
+                     AS BIGINT) AS n_required_per_arm,
+                   round(sqrt(z2 * pq / nullif(n_harm, 0)), 6)
+                     AS mde_at_current_n
+            FROM q
         """,
         "tpch_refresh": """
             WITH after AS (

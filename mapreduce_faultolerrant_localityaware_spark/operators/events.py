@@ -3063,3 +3063,351 @@ def durbin_watson(
             6,
         ).alias("dw"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-test: does the mean of a numeric metric differ
+    across k groups — the multi-arm generalization of
+    :func:`welch_ttest` (equal-variance, k-sample form), the test of
+    record for "did ANY of these five treatments move the metric"
+    before pairwise drill-downs.
+
+    Exactness: values quantize to cents; the three sufficient
+    statistics are exact integers — per-group ``(n_g, s_g=Σv)`` as
+    BIGINT and the global ``Q=Σv²`` as DECIMAL(38,0) (v² alone can
+    reach ~4e14, so the sum wraps int64 at ~20k rows; decimal keeps it
+    exact AND partial-agg-order-independent).  The float stage is three
+    correctly-rounded expressions over those exact ints —
+    ``A = Σ_g s_g²/n_g`` (k terms, each deterministic; k-term ordering
+    slack ~1 ulp), ``SSB = A − S²/N``, ``SSW = Q − A`` — then one
+    division for F.  ``try_divide``/``nullif`` make k<2 or a
+    zero-variance corpus NULL, not an error.
+
+    Scale shape: ONE partial-agged groupBy to the k-row group table
+    (carrying the decimal Σv² alongside), one k-row rollup.  No
+    windows, no joins, nothing row-count-sized past the first combine.
+    Returns one row ``(n, k_groups, df_between, df_within, f_stat,
+    eta_sq)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_g = df.select(F.col(group_col).alias("g"), cents.alias("v")).groupBy(
+        "g"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q_g"),
+    )
+    a_term = F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    roll = per_g.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(a_term).alias("a"),
+    )
+    ssb = F.col("a") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q").cast("double") - F.col("a")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+        F.nullif(
+            F.try_divide(ssw, (F.col("n") - F.col("k")).cast("double")),
+            F.lit(0.0),
+        ),
+    )
+    eta = F.try_divide(ssb, F.nullif(ssb + ssw, F.lit(0.0)))
+    return roll.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test: the k-group generalization of
+    :func:`mannwhitney_u` — do ANY of the k groups' value
+    distributions stochastically differ, with no normality assumption
+    (for k=2 the tie-corrected H is exactly z² of the rank-sum test,
+    pinned by a property test).
+
+    Exactness: values quantize to cents; rows collapse to the DISTINCT
+    (group, value) count table, then the value-domain table ``(v, t)``,
+    and the DOUBLED average rank ``2r_v = 2·cum_below + t + 1`` makes
+    every per-group rank sum ``2R_g = Σ c_gv·2r_v`` an exact BIGINT
+    (the :func:`mannwhitney_u` identity).  The float stage is
+    ``Σ_g (2R_g)²/n_g`` (k deterministic terms), the H line, and the
+    tie correction ``1 − Σ(t³−t)/(N³−N)`` — each a correctly-rounded
+    expression over exact ints; an all-tied corpus nulls out via
+    ``nullif`` instead of dividing by zero.
+
+    Scale shape: groupBy to the (g,v) domain, groupBy to the v domain,
+    ONE cumulative window over the AGGREGATED value-domain table
+    (never the row table — the plan-hygiene guard rejects the naive
+    row-level rank), one equi-join back on v, one k-row rollup.
+    Returns one row ``(n, k_groups, h_stat)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    gv = df.select(F.col(group_col).alias("g"), cents.alias("v")).groupBy(
+        "g", "v"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_v = gv.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_v.select(
+        "v",
+        "t",
+        (2 * (F.sum("t").over(wc) - F.col("t")) + F.col("t") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    per_g = gv.join(ranked.select("v", "r2"), "v").groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2g"),
+    )
+    ties = per_v.groupBy().agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        ).cast("long").alias("tie3")
+    )
+    roll = per_g.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("r2g").cast("double") * F.col("r2g") / F.col("n_g")
+        ).alias("srn"),
+    ).join(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    # H = 12/(N(N+1))·ΣR²/n − 3(N+1) with R=r2g/2 ⇒ 3/(N(N+1))·Σ(2R)²/n
+    h_raw = 3.0 / (n * (n + 1.0)) * F.col("srn") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tie3").cast("double") / (n * n * n - n)
+    h = F.try_divide(h_raw, F.nullif(corr, F.lit(0.0)))
+    return roll.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity (Levene with
+    median centers — the robust form every stats package defaults to):
+    are the k groups' SPREADS equal — the precondition check for
+    :func:`anova_oneway`'s pooled-variance assumption, and a drift
+    monitor in its own right (a treatment that doesn't move the mean
+    but widens the tails fails this, not the t-test).
+
+    Exactness: per-group DOUBLED medians come from cumulative counts
+    over the per-group value domain — ``2m_g = lo + hi`` where lo/hi
+    are the ceil(n/2)-th and (floor(n/2)+1)-th order statistics read
+    off the cumulative table (integers, no float interpolation
+    disagreement between engines); the deviations ``z = |2v − 2m_g|``
+    are then exact BIGINTs in doubled-cent units, and the F statistic
+    of the one-way ANOVA on z is SCALE-INVARIANT, so the doubling
+    cancels.  Weighted sufficient statistics (Σcz, Σcz² as
+    DECIMAL(38,0)) ride the (g,v,c) table — never re-expanded to rows.
+
+    Scale shape: one groupBy to the (g,v) domain; the ONLY windows are
+    cumulative counts PARTITIONED BY GROUP over that aggregated
+    domain; one broadcast of the k-row median table; one k-row rollup.
+    Returns one row ``(n, k_groups, w_stat)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    gv = df.select(F.col(group_col).alias("g"), cents.alias("v")).groupBy(
+        "g", "v"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = gv.select(
+        "g", "v", "c", F.sum("c").over(wg).cast("long").alias("cum")
+    )
+    per_g_n = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    j = cum.join(F.broadcast(per_g_n), "g")
+    lo = j.filter(
+        F.col("cum") >= F.expr("(n_g + 1) div 2")
+    ).groupBy("g").agg(F.min("v").alias("lo"))
+    hi = j.filter(
+        F.col("cum") >= F.expr("n_g div 2") + 1
+    ).groupBy("g").agg(F.min("v").alias("hi"))
+    med2 = lo.join(hi, "g").select(
+        "g", (F.col("lo") + F.col("hi")).cast("long").alias("m2")
+    )
+    z = F.abs(2 * F.col("v") - F.col("m2")).cast("long")
+    per_g = gv.join(F.broadcast(med2), "g").groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * z).cast("long").alias("s_g"),
+        F.sum(F.col("c").cast("decimal(38,0)") * z * z).alias("q_g"),
+    )
+    a_term = F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    roll = per_g.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(a_term).alias("a"),
+    )
+    ssb = F.col("a") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q").cast("double") - F.col("a")
+    w = F.try_divide(
+        F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+        F.nullif(
+            F.try_divide(ssw, (F.col("n") - F.col("k")).cast("double")),
+            F.lit(0.0),
+        ),
+    )
+    return roll.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(w, 6).alias("w_stat"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary outcome's rate
+    MONOTONICALLY associated with an ordered exposure level — the
+    dose-response sibling of :func:`chisq_independence` (chi-square
+    asks "associated at all?"; this asks "trending with the order?",
+    e.g. does conversion rise with plan tier, does dup rate rise with
+    crawl depth).
+
+    Exactness: per-level ``(s_i, n_i, r_i)`` — integer score, total,
+    and positive count — are exact BIGINTs from one groupBy; the
+    numerator is carried N-SCALED, ``T·N = Σ s_i(r_i·N − n_i·R)``, an
+    exact BIGINT identity that defers every division to the final
+    z expression ``z = (T·N/N) / sqrt(p(1−p)·(Σns² − (Σns)²/N))``,
+    a single correctly-rounded double pipeline both engines share.
+    A one-level or all-positive/all-negative input nulls out via
+    ``try_divide``/``nullif``.
+
+    Scale shape: one partial-agged groupBy to the k-row level table,
+    one k-row rollup with the 1-row margins broadcast on.  Returns one
+    row ``(n, k_levels, z_stat)``.
+    """
+    lvl = df.select(
+        F.col(score_col).cast("long").alias("s_i"),
+        F.col(flag_col).cast("long").alias("f"),
+    ).groupBy("s_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("r_i"),
+    )
+    marg = lvl.groupBy().agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = lvl.join(F.broadcast(marg))
+    roll = j.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("k").alias("k"),
+        # r_i·N alone reaches N² — wraps int64 past ~3e9 rows; the
+        # DECIMAL(38,0) carry keeps the N-scaled numerator exact (and
+        # partial-agg-order-independent) to 1e38
+        F.sum(
+            F.col("s_i").cast("decimal(38,0)")
+            * (
+                F.col("r_i").cast("decimal(38,0)") * F.col("n")
+                - F.col("n_i").cast("decimal(38,0)") * F.col("r")
+            )
+        ).alias("tn"),
+        F.sum(F.col("n_i") * F.col("s_i") * F.col("s_i")).cast("long").alias("ns2"),
+        F.sum(F.col("n_i") * F.col("s_i")).cast("long").alias("ns1"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("r").cast("double") / n
+    var = p * (1.0 - p) * (
+        F.col("ns2").cast("double")
+        - F.col("ns1").cast("double") * F.col("ns1") / n
+    )
+    z = F.try_divide(
+        F.col("tn").cast("double") / n,
+        F.nullif(F.sqrt(var), F.lit(0.0)),
+    )
+    return roll.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_levels"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def power_sample_size(
+    events: DataFrame,
+    user_col: str = "user_id",
+    event_type_col: str = "event_type",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Two-proportion power analysis on the observed experiment: given
+    the parity A/B split's measured conversion rates (:func:`ab_test`'s
+    cells), the required per-arm sample size to detect the OBSERVED
+    lift at α=0.05 / power 0.80 —
+    ``n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/(p₁−p₂)²`` — plus the minimum
+    detectable effect at the CURRENT size (the same identity solved
+    for Δ).  The planning readout every experiment review asks for:
+    "is this test even powered to see what it claims to see?".
+
+    Exactness: per-arm user and converter counts are exact BIGINTs
+    from one groupBy (a user converts if ANY event matches — max of
+    indicator, not count); z constants are fixed literals (1.959964,
+    0.841621 — the same two both engines print for Φ⁻¹(0.975),
+    Φ⁻¹(0.80)), so the float stage is one shared expression over exact
+    ints.  A zero observed lift nulls the required-n via ``nullif``
+    rather than dividing by zero.
+
+    Scale shape: one partial-agged groupBy(user) to the user domain,
+    one groupBy(arm) to 2 rows, one 2-row pivot rollup.  Returns one
+    row ``(n_a, n_b, p_a, p_b, n_required_per_arm, mde_at_current_n)``.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max((F.col(event_type_col) == convert_type).cast("long")).alias("conv")
+    )
+    arm = per_user.select(
+        (F.col("u") % 2 == 0).cast("long").alias("is_a"), "conv"
+    ).groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("c_u"),
+    )
+    roll = arm.groupBy().agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("n_u"))).alias("n_a"),
+        F.max(F.when(F.col("is_a") == 0, F.col("n_u"))).alias("n_b"),
+        F.max(F.when(F.col("is_a") == 1, F.col("c_u"))).alias("c_a"),
+        F.max(F.when(F.col("is_a") == 0, F.col("c_u"))).alias("c_b"),
+    )
+    z_sum = 1.959964 + 0.841621  # Φ⁻¹(0.975) + Φ⁻¹(0.80), fixed literals
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pq = p_a * (1.0 - p_a) + p_b * (1.0 - p_b)
+    delta = p_a - p_b
+    n_req = F.ceil(
+        F.try_divide(z_sum * z_sum * pq, F.nullif(delta * delta, F.lit(0.0)))
+    ).cast("long")
+    # MDE at the current (harmonic-mean) per-arm size
+    n_harm = F.try_divide(
+        2.0 * F.col("n_a") * F.col("n_b"),
+        F.nullif((F.col("n_a") + F.col("n_b")).cast("double"), F.lit(0.0)),
+    )
+    mde = F.sqrt(F.try_divide(z_sum * z_sum * pq, F.nullif(n_harm, F.lit(0.0))))
+    return roll.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        n_req.alias("n_required_per_arm"),
+        F.round(mde, 6).alias("mde_at_current_n"),
+    )

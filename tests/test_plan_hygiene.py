@@ -52,6 +52,13 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # ann_filtered is ann_bruteforce over a filtered corpus —
            # the same intended broadcast theta join (k-row query side)
            "ann_filtered",
+           # cochran_armitage attaches its 1-row N/R/k margin aggregate
+           # to the k-row level table (the tfidf scalar-attach shape;
+           # the build side is a global aggregate, provably ≤1 row)
+           "cochran_armitage",
+           # kruskal_wallis attaches its 1-row tie-correction aggregate
+           # to the 1-row rank rollup (same scalar-attach shape)
+           "kruskal_wallis",
            "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8",
            "length_filter", "scalar_subquery", "tpch_q11", "tpch_q22", "ann_pq",
            # round 6: hard-negative mining broadcasts the query side

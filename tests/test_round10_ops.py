@@ -236,3 +236,137 @@ def test_source_vocab_overlap_worked_example(spark):
     r = out[("s1", "s2")]
     assert (r["common"], r["n_a"], r["n_b"]) == (2, 2, 3)
     assert r["jaccard"] == round(2 / 3, 6)
+
+
+def test_anova_oneway_worked_example(spark):
+    """Three groups $1,2,3 / $2,4,6 / $5,5,5 — the F pipeline against
+    the textbook sums-of-squares computed inline on exact cents."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 4.0), ("b", 6.0),
+            ("c", 5.0), ("c", 5.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.anova_oneway(df, "g", "v").collect()[0]
+    cents = {"a": [100, 200, 300], "b": [200, 400, 600], "c": [500, 500, 500]}
+    allv = [v for vs in cents.values() for v in vs]
+    gm = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in cents.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in cents.values() for v in vs)
+    f = (ssb / 2) / (ssw / 6)
+    assert (r["n"], r["k_groups"], r["df_between"], r["df_within"]) == (9, 3, 2, 6)
+    assert abs(r["f_stat"] - f) < 1e-6
+    assert abs(r["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_anova_oneway_zero_within_variance_is_null(spark):
+    """All groups constant -> SSW = 0 -> F NULL via nullif, not a
+    division error."""
+    rows = [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.anova_oneway(df, "g", "v").collect()[0]
+    assert r["f_stat"] is None and r["eta_sq"] == 1.0
+
+
+def test_kruskal_wallis_worked_example_with_ties(spark):
+    """Values 1,2,2 / 2,3,4 / 5,5,6 — H computed inline from average
+    ranks with the tie correction; exercises the doubled-rank BIGINT
+    path through a genuinely tied pool."""
+    groups = {"a": [1.0, 2.0, 2.0], "b": [2.0, 3.0, 4.0], "c": [5.0, 5.0, 6.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.kruskal_wallis(df, "g", "v").collect()[0]
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    avg_rank = {}
+    for v in set(pooled):
+        idx = [i + 1 for i, x in enumerate(pooled) if x == v]
+        avg_rank[v] = sum(idx) / len(idx)
+    srn = sum(
+        (sum(avg_rank[v] for v in vs)) ** 2 / len(vs) for vs in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * srn - 3 * (n + 1)
+    ties = {v: pooled.count(v) for v in set(pooled)}
+    corr = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    assert (r["n"], r["k_groups"]) == (9, 3)
+    assert abs(r["h_stat"] - h / corr) < 1e-6
+
+
+def test_kruskal_wallis_two_groups_equals_mannwhitney_z_squared(spark):
+    """The classic identity: for k = 2 the tie-corrected H IS z² of
+    the rank-sum test — pins the two rank pipelines against each
+    other on a tied, unbalanced sample."""
+    rows = [("a", 1.0), ("a", 3.0), ("a", 3.0), ("a", 7.0),
+            ("b", 2.0), ("b", 3.0), ("b", 8.0), ("b", 8.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    h = ev_ops.kruskal_wallis(df, "g", "v").collect()[0]["h_stat"]
+    z = ev_ops.mannwhitney_u(df, "g", "v", "a", "b").collect()[0]["z_stat"]
+    assert abs(h - z * z) < 1e-4
+
+
+def test_levene_test_worked_example(spark):
+    """Brown-Forsythe on $1,2,3,10 vs $4,5,6 — inline reference:
+    median-centered absolute deviations then the one-way F on them
+    (doubled-cent units cancel in the ratio)."""
+    groups = {"a": [1.0, 2.0, 3.0, 10.0], "b": [4.0, 5.0, 6.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ev_ops.levene_test(df, "g", "v").collect()[0]
+
+    def med(vs):
+        s = sorted(vs)
+        n = len(s)
+        return (s[(n - 1) // 2] + s[n // 2]) / 2
+
+    z = {g: [abs(v - med(vs)) for v in vs] for g, vs in groups.items()}
+    allz = [x for xs in z.values() for x in xs]
+    gm = sum(allz) / len(allz)
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - gm) ** 2 for xs in z.values())
+    ssw = sum((x - sum(xs) / len(xs)) ** 2 for xs in z.values() for x in xs)
+    w = (ssb / 1) / (ssw / 5)
+    assert (r["n"], r["k_groups"]) == (7, 2)
+    assert abs(r["w_stat"] - w) < 1e-6
+
+
+def test_cochran_armitage_worked_example(spark):
+    """Three dose levels with rising positive rates 1/4, 2/4, 3/4 —
+    z against the inline trend formula; a monotone trend must come
+    out positive and the flat counterpart zero."""
+    lv = [(1, 4, 1), (2, 4, 2), (3, 4, 3)]  # (score, n, positives)
+    rows = [(s, 1) for s, n, p in lv for _ in range(p)] + [
+        (s, 0) for s, n, p in lv for _ in range(n - p)
+    ]
+    df = spark.createDataFrame(rows, "s long, f long")
+    r = ev_ops.cochran_armitage(df, "s", "f").collect()[0]
+    n = sum(x[1] for x in lv)
+    rr = sum(x[2] for x in lv)
+    t = sum(s * (p - cnt * rr / n) for s, cnt, p in lv)
+    pbar = rr / n
+    var = pbar * (1 - pbar) * (
+        sum(cnt * s * s for s, cnt, p in lv)
+        - sum(cnt * s for s, cnt, p in lv) ** 2 / n
+    )
+    assert (r["n"], r["k_levels"]) == (12, 3)
+    assert abs(r["z_stat"] - t / math.sqrt(var)) < 1e-6
+    assert r["z_stat"] > 0
+    flat = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (2, 0), (3, 1), (3, 0)], "s long, f long"
+    )
+    assert ev_ops.cochran_armitage(flat, "s", "f").collect()[0]["z_stat"] == 0.0
+
+
+def test_power_sample_size_worked_example(spark):
+    """Arm A (even users) converts 2/2, arm B (odd users) 0/2 — the
+    closed-form n and MDE against the inline formula with the fixed z
+    literals."""
+    rows = [
+        (2, "purchase"), (4, "purchase"), (2, "view"),
+        (1, "view"), (3, "click"), (1, "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ev_ops.power_sample_size(df).collect()[0]
+    z2 = (1.959964 + 0.841621) ** 2
+    p_a, p_b = 1.0, 0.0
+    pq = p_a * (1 - p_a) + p_b * (1 - p_b)
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["p_a"], r["p_b"]) == (1.0, 0.0)
+    assert r["n_required_per_arm"] == math.ceil(z2 * pq / 1.0)
+    assert r["mde_at_current_n"] == round(math.sqrt(z2 * pq / 2.0), 6)
