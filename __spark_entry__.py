@@ -4417,6 +4417,37 @@ def _q_power_sample_size(spark, sf):
     return events_ops.power_sample_size(ev)
 
 
+def _q_interval_sweep(spark, sf):
+    """Sweep-line concurrency profile: line items ordered but not yet
+    shipped per change day (operators/temporal.py:interval_sweep over
+    the o_orderdate→l_shipdate interval) — day-domain deltas, one
+    cumulative window over the aggregated calendar, BIGINT throughout."""
+    li = scan(spark, sf, "lineitem")
+    orders = scan(spark, sf, "orders")
+    iv = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return temporal.interval_sweep(iv, "o_orderdate", "l_shipdate")
+
+
+def _q_graph_jaccard_neighbors(spark, sf):
+    """Neighborhood-Jaccard link prediction over the SimHash near-dup
+    graph (operators/graph.py:neighborhood_jaccard): wedge-counted
+    intersections, inclusion-exclusion unions on exact degrees."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import neighborhood_jaccard
+
+    pairs = dedup.dedup_simhash_pairs(scan(spark, sf, "documents"), max_hamming=3)
+    return neighborhood_jaccard(pairs.select("doc_a", "doc_b"))
+
+
+def _q_js_divergence(spark, sf):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/corpus.py:js_divergence): one tokenize
+    pass, analytic neither-support tail, integer-nano term rounding."""
+    return corpus.js_divergence(scan(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4612,6 +4643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levene_test": _q_levene_test,
         "cochran_armitage": _q_cochran_armitage,
         "power_sample_size": _q_power_sample_size,
+        "interval_sweep": _q_interval_sweep,
+        "graph_jaccard_neighbors": _q_graph_jaccard_neighbors,
+        "js_divergence": _q_js_divergence,
         "column_profile": _q_column_profile,
         "referential_audit": _q_referential_audit,
         "tpch_refresh": _q_tpch_refresh,
@@ -7583,6 +7617,111 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(z2 * pq / nullif(n_harm, 0)), 6)
                      AS mde_at_current_n
             FROM q
+        """,
+        "interval_sweep": """
+            WITH iv AS (SELECT o_orderdate AS od, l_shipdate AS sd
+                        FROM lineitem JOIN orders
+                          ON l_orderkey = o_orderkey),
+            valid AS (SELECT CAST(od AS DATE) AS s,
+                             CAST(sd AS DATE) AS e
+                      FROM iv WHERE sd >= od),
+            deltas AS (SELECT s AS d, CAST(1 AS BIGINT) AS delta FROM valid
+                       UNION ALL
+                       SELECT e + 1 AS d, CAST(-1 AS BIGINT) FROM valid),
+            pd AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta
+                   FROM deltas GROUP BY d)
+            SELECT d, delta,
+                   CAST(sum(delta) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS open_count
+            FROM pd ORDER BY d
+        """,
+        "graph_jaccard_neighbors": f"""
+            {simhash_pairs_ctes},
+            sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM cand WHERE doc_a <> doc_b
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM cand WHERE doc_a <> doc_b
+            ),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+                    FROM sym GROUP BY 1),
+            rays AS (SELECT sym.d AS n, sym.s AS a FROM sym),
+            w AS (
+              SELECT l.a AS a, r.a AS b
+              FROM rays l JOIN rays r ON l.n = r.n AND l.a < r.a
+            ),
+            sc AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+              FROM w GROUP BY 1, 2 HAVING count(*) >= 1
+            ),
+            es AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM sym)
+            SELECT sc.a AS node_a, sc.b AS node_b, sc.n_common,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   round(CAST(sc.n_common AS DOUBLE)
+                         / CAST(da.deg + db.deg - sc.n_common AS DOUBLE), 6)
+                     AS jaccard,
+                   CAST(CASE WHEN es.a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                     AS already_linked
+            FROM sc JOIN deg da ON da.s = sc.a
+                    JOIN deg db ON db.s = sc.b
+                    LEFT JOIN es ON es.a = sc.a AND es.b = sc.b
+        """,
+        "js_divergence": f"""
+            WITH tok AS (SELECT source AS grp, unnest({_TOK}) AS t
+                         FROM documents),
+            sc AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cs
+                   FROM tok GROUP BY 1, 2),
+            tt AS (SELECT grp, CAST(sum(cs) AS BIGINT) AS ns
+                   FROM sc GROUP BY 1),
+            nv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM sc),
+            pairs AS (SELECT a.grp AS ga, b.grp AS gb,
+                             a.ns AS na, b.ns AS nb
+                      FROM tt a JOIN tt b ON a.grp < b.grp),
+            l AS (SELECT p.ga, p.gb, sc.t, sc.cs AS csa
+                  FROM pairs p JOIN sc ON sc.grp = p.ga),
+            r AS (SELECT p.ga, p.gb, sc.t, sc.cs AS csb
+                  FROM pairs p JOIN sc ON sc.grp = p.gb),
+            u AS (SELECT coalesce(l.ga, r.ga) AS ga,
+                         coalesce(l.gb, r.gb) AS gb,
+                         coalesce(l.csa, 0) AS csa,
+                         coalesce(r.csb, 0) AS csb
+                  FROM l FULL JOIN r
+                    ON l.ga = r.ga AND l.gb = r.gb AND l.t = r.t),
+            terms AS (
+              SELECT u.ga, u.gb,
+                     CAST(round(
+                       (0.5 * ((csa + 1.0) / (na + v))
+                            * ln(((csa + 1.0) / (na + v))
+                                 / (((csa + 1.0) / (na + v)
+                                     + (csb + 1.0) / (nb + v)) / 2))
+                        + 0.5 * ((csb + 1.0) / (nb + v))
+                            * ln(((csb + 1.0) / (nb + v))
+                                 / (((csa + 1.0) / (na + v)
+                                     + (csb + 1.0) / (nb + v)) / 2)))
+                       * 1e9) AS BIGINT) AS term_nano
+              FROM u JOIN pairs p ON u.ga = p.ga AND u.gb = p.gb
+                     CROSS JOIN nv),
+            ps AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS union_types,
+                          CAST(sum(term_nano) AS BIGINT) AS s_nano
+                   FROM terms GROUP BY 1, 2)
+            SELECT ps.ga AS source_a, ps.gb AS source_b,
+                   CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+                   ps.union_types,
+                   round(ps.s_nano / 1e9
+                         + (v - ps.union_types)
+                           * (0.5 * (1.0 / (p.na + v))
+                                * ln((1.0 / (p.na + v))
+                                     / ((1.0 / (p.na + v)
+                                         + 1.0 / (p.nb + v)) / 2))
+                              + 0.5 * (1.0 / (p.nb + v))
+                                * ln((1.0 / (p.nb + v))
+                                     / ((1.0 / (p.na + v)
+                                         + 1.0 / (p.nb + v)) / 2))), 6)
+                     AS jsd
+            FROM ps JOIN pairs p ON ps.ga = p.ga AND ps.gb = p.gb
+                    CROSS JOIN nv
+            ORDER BY source_a, source_b
         """,
         "tpch_refresh": """
             WITH after AS (

@@ -2176,3 +2176,92 @@ def token_dispersion(
         "doc_freq",
         F.round(vmr, 6).alias("vmr"),
     )
+
+
+def js_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two corpus
+    slices' unigram token distributions — the SYMMETRIC, bounded
+    ([0, ln 2]) companion to :func:`unigram_kl` (KL ranks each slice
+    against the whole corpus; JSD says which PAIRS of sources are
+    interchangeable vs complementary — the number a mixture designer
+    actually reads before merging or re-weighting two crawls).
+
+    Both distributions smooth over the SAME support (the corpus
+    vocabulary V, add-one), so JSD's Gibbs bounds hold exactly.  The
+    Σ over tokens in NEITHER slice — |V|−|union| identical terms —
+    folds ANALYTICALLY: with p₀=1/(nₐ+V), q₀=1/(n_b+V), m₀=(p₀+q₀)/2
+    the tail is a constant-per-pair scalar, never materialized.
+
+    DETERMINISM: counts are exact integers; each in-support term
+    rounds to integer NANO units before summation (exact BIGINT
+    accumulation in any partial-agg order — the :func:`unigram_kl`
+    discipline); the tail is one scalar double expression over exact
+    ints both engines share.
+
+    Scale shape: ONE tokenize pass; the pair table is
+    source-domain-sized (P = S(S−1)/2 pairs, broadcast); each slice's
+    (token, count) rows are hit twice via broadcast pair fan-out
+    (≤ P·V rows, vocabulary-scale, never document-scale), merged with
+    one full-outer shuffle on (pair, token), then partial-agged back
+    to P rows.  Returns ``(source_a, source_b, n_a, n_b, union_types,
+    jsd)`` ordered by the pair.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    sc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    tt = sc.groupBy("grp").agg(F.sum("cs").cast("long").alias("ns"))
+    nv = sc.agg(F.count_distinct("t").cast("long").alias("v"))
+    pairs = (
+        tt.select(F.col("grp").alias("ga"), F.col("ns").alias("na"))
+        .join(tt.select(F.col("grp").alias("gb"), F.col("ns").alias("nb")))
+        .filter(F.col("ga") < F.col("gb"))
+        .join(nv)
+    )
+    left = sc.join(
+        F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("ga")
+    ).select("ga", "gb", "t", F.col("cs").alias("csa"))
+    right = sc.join(
+        F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("gb")
+    ).select("ga", "gb", "t", F.col("cs").alias("csb"))
+    both = (
+        left.join(right, ["ga", "gb", "t"], "full_outer")
+        .select(
+            "ga",
+            "gb",
+            F.coalesce("csa", F.lit(0)).cast("long").alias("csa"),
+            F.coalesce("csb", F.lit(0)).cast("long").alias("csb"),
+        )
+        .join(F.broadcast(pairs), ["ga", "gb"])
+    )
+    pa = (F.col("csa") + 1.0) / (F.col("na") + F.col("v"))
+    pb = (F.col("csb") + 1.0) / (F.col("nb") + F.col("v"))
+    m = (pa + pb) / 2
+    term_nano = F.round(
+        (0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)) * 1e9
+    ).cast("long")
+    per_pair = both.groupBy("ga", "gb").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("v").alias("v"),
+        F.count(F.lit(1)).cast("long").alias("union_types"),
+        F.sum(term_nano).alias("s_nano"),
+    )
+    p0 = 1.0 / (F.col("na") + F.col("v"))
+    q0 = 1.0 / (F.col("nb") + F.col("v"))
+    m0 = (p0 + q0) / 2
+    tail = (F.col("v") - F.col("union_types")) * (
+        0.5 * p0 * F.log(p0 / m0) + 0.5 * q0 * F.log(q0 / m0)
+    )
+    return per_pair.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "union_types",
+        F.round(F.col("s_nano") / 1e9 + tail, 6).alias("jsd"),
+    ).orderBy("source_a", "source_b")

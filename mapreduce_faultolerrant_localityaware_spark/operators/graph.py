@@ -1115,3 +1115,64 @@ def boruvka_msf(
     if prev_comp_ckpt is not None:
         _release_checkpoint(prev_comp_ckpt)
     return result
+
+
+def neighborhood_jaccard(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the near-dup graph:
+    for every node pair sharing >= ``min_common`` neighbors,
+    ``|N(a)∩N(b)| / |N(a)∪N(b)|`` — the normalized companion to
+    :func:`common_neighbors` (raw shared-neighbor counts favor hubs;
+    Jaccard asks what FRACTION of their combined neighborhoods
+    overlaps, the score that transfers across degree scales).
+
+    Exactness: the intersection count comes from the wedge
+    enumeration, the union from the inclusion-exclusion identity
+    ``deg_a + deg_b − common`` on exact BIGINT degrees — one division
+    to double at the end, no float set arithmetic.
+
+    Scale shape: :func:`triangle_count`'s one self-equi-join on the
+    center node (fan-out Σ deg(n)², bounded by LSH bucket caps), a
+    partial-agged groupBy(a,b), then ONE shuffle join of the pair
+    table against the node-domain degree table (hit twice via the
+    a-key and b-key join, both key-partitioned).  No all-pairs space.
+    """
+    sym = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    rays = sym.select(F.col("d").alias("n"), F.col("s").alias("a"))
+    wedges = (
+        rays.alias("l")
+        .join(rays.select(F.col("n"), F.col("a").alias("b")).alias("r"), "n")
+        .filter(F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    ).filter(F.col("n_common") >= min_common)
+    scored = (
+        common.join(deg.select(F.col("s").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("s").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    edge_set = sym.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct().withColumn("already_linked", F.lit(1))
+    union_sz = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return scored.join(edge_set, ["a", "b"], "left").select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "n_common",
+        "deg_a",
+        "deg_b",
+        F.round(
+            F.col("n_common").cast("double") / union_sz.cast("double"), 6
+        ).alias("jaccard"),
+        F.coalesce("already_linked", F.lit(0)).alias("already_linked"),
+    )

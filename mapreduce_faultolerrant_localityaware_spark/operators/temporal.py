@@ -506,3 +506,51 @@ def time_weighted_avg(
         "twap",
         "plain_avg",
     )
+
+
+def interval_sweep(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """How many intervals are OPEN on each day — the classic sweep-line
+    concurrency profile (items in transit, concurrent sessions, open
+    tickets, rooms occupied) that a naive days×intervals join turns
+    into a calendar-sized cartesian blowup.
+
+    Sweep-line form: every interval contributes +1 on its start day
+    and −1 on the day AFTER its end day (inclusive ends); the open
+    count on any boundary day is the running sum of the per-day
+    deltas.  The count is constant between boundaries, so reporting
+    only change days loses nothing.
+
+    Exactness: deltas and running sums are BIGINT; there is no float
+    anywhere.  Intervals with end < start are dropped (they never
+    open).
+
+    Scale shape: one union of two projections of the same scan, one
+    partial-agged groupBy to the DAY domain (calendar-bounded — years
+    of days, not rows), then ONE cumulative window over that
+    aggregated table: the same aggregate-first discipline as
+    :func:`~..operators.events.ks_test`; a row-level sweep would
+    single-partition-sort the fact table.  Returns
+    ``(d, delta, open_count)`` ordered by day.
+    """
+    valid = df.filter(F.col(end_col) >= F.col(start_col))
+    deltas = valid.select(
+        F.to_date(start_col).alias("d"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        valid.select(
+            F.date_add(F.to_date(end_col), 1).alias("d"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("d").agg(
+        F.sum("delta").cast("long").alias("delta")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d",
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("open_count"),
+    ).orderBy("d")

@@ -370,3 +370,65 @@ def test_power_sample_size_worked_example(spark):
     assert (r["p_a"], r["p_b"]) == (1.0, 0.0)
     assert r["n_required_per_arm"] == math.ceil(z2 * pq / 1.0)
     assert r["mde_at_current_n"] == round(math.sqrt(z2 * pq / 2.0), 6)
+
+
+def test_interval_sweep_worked_example(spark):
+    """Three intervals: [d1,d3], [d2,d2], and an inverted one that
+    must be dropped — boundary deltas and running open counts checked
+    day by day (ends inclusive: the -1 lands the day AFTER the end)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.temporal import interval_sweep
+
+    d = dt.date
+    rows = [
+        (d(2024, 1, 1), d(2024, 1, 3)),
+        (d(2024, 1, 2), d(2024, 1, 2)),
+        (d(2024, 1, 5), d(2024, 1, 4)),  # inverted: dropped
+    ]
+    df = spark.createDataFrame(rows, "s date, e date")
+    out = {r["d"]: (r["delta"], r["open_count"])
+           for r in interval_sweep(df, "s", "e").collect()}
+    assert out[d(2024, 1, 1)] == (1, 1)   # first opens
+    assert out[d(2024, 1, 2)] == (1, 2)   # second opens same-day
+    assert out[d(2024, 1, 3)] == (-1, 1)  # second closed after 1/2
+    assert out[d(2024, 1, 4)] == (-1, 0)  # first closed after 1/3
+    assert len(out) == 4
+
+
+def test_neighborhood_jaccard_worked_example(spark):
+    """Triangle 1-2-3 plus pendant 4 on 3: intersection from wedges,
+    union via inclusion-exclusion on degrees, non-edges scored too."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import neighborhood_jaccard
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {(r["node_a"], r["node_b"]): r
+           for r in neighborhood_jaccard(df).collect()}
+    assert out[(1, 2)]["n_common"] == 1 and out[(1, 2)]["already_linked"] == 1
+    assert out[(1, 2)]["jaccard"] == round(1 / 3, 6)   # {3} / {1,2,3}
+    assert out[(1, 4)]["already_linked"] == 0
+    assert out[(1, 4)]["jaccard"] == 0.5               # {3} / {2,3}
+    assert out[(2, 4)]["jaccard"] == 0.5
+    assert (3, 4) not in out and (1, 3) in out and (2, 3) in out
+
+
+def test_js_divergence_identical_zero_disjoint_high(spark):
+    """Two sources with IDENTICAL token multisets give JSD exactly 0
+    (every term and the tail cancel); disjoint vocabularies score
+    near the ln 2 ceiling; all pairs stay in [0, ln 2]."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.corpus import js_divergence
+
+    rows = [
+        ("a", "alpha beta beta gamma"),
+        ("b", "alpha beta beta gamma"),
+        ("c", "delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source_a"], r["source_b"]): r["jsd"]
+           for r in js_divergence(df).collect()}
+    assert out[("a", "b")] == 0.0
+    assert 0.0 <= out[("a", "c")] <= math.log(2) + 1e-9
+    # add-one smoothing over the tiny test vocab pulls both
+    # distributions toward uniform, so the disjoint pair lands well
+    # under ln 2 — what matters is strictly-positive and symmetric
+    assert out[("a", "c")] > 0.01
+    assert out[("a", "c")] == out[("b", "c")]
