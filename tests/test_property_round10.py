@@ -170,3 +170,74 @@ def test_lift_table_mass_and_monotone_capture(spark, data, n_bins):
         assert all(c is not None for c in caps)
         assert all(a <= b + 1e-9 for a, b in zip(caps, caps[1:]))
         assert caps[-1] == pytest.approx(1.0, abs=1e-6)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=6, max_size=40,
+    ).filter(lambda d: len({g for g, _ in d}) >= 2),
+    scale=st.sampled_from([2, 5, 10]),
+)
+@settings(**_SETTINGS)
+def test_anova_f_scale_and_shift_invariant(spark, data, scale):
+    """F is invariant under y → a·y + b (both SS scale by a²; the
+    shift cancels in every centered moment) — catches any lost
+    centering or mixed-unit bug in the moment pipeline."""
+    df1 = spark.createDataFrame([(str(g), float(v)) for g, v in data], "g string, v double")
+    df2 = spark.createDataFrame(
+        [(str(g), float(v * scale + 7)) for g, v in data], "g string, v double"
+    )
+    r1 = ev_ops.anova_oneway(df1, "g", "v").collect()[0]
+    r2 = ev_ops.anova_oneway(df2, "g", "v").collect()[0]
+    assert r1["n"] == r2["n"] and r1["k_groups"] == r2["k_groups"]
+    if r1["f_stat"] is None:
+        assert r2["f_stat"] is None
+    else:
+        assert abs(r1["f_stat"] - r2["f_stat"]) < 1e-3
+        assert abs(r1["eta_sq"] - r2["eta_sq"]) < 1e-6
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4),
+                  st.booleans()),
+        min_size=4, max_size=60,
+    ).filter(lambda d: len({s for s, _ in d}) >= 2
+             and 0 < sum(f for _, f in d) < len(d)),
+)
+@settings(**_SETTINGS)
+def test_cochran_armitage_score_flip_antisymmetry(spark, data):
+    """Reversing the score order (s → −s) must exactly negate the
+    trend z — the N-scaled integer numerator is odd in the scores and
+    the variance is even."""
+    df1 = spark.createDataFrame([(s, int(f)) for s, f in data], "s long, f long")
+    df2 = spark.createDataFrame([(-s, int(f)) for s, f in data], "s long, f long")
+    z1 = ev_ops.cochran_armitage(df1, "s", "f").collect()[0]["z_stat"]
+    z2 = ev_ops.cochran_armitage(df2, "s", "f").collect()[0]["z_stat"]
+    assert z1 is not None and z2 is not None
+    assert abs(z1 + z2) < 1e-9
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=-20, max_value=20)),
+        min_size=6, max_size=40,
+    ).filter(lambda d: len({g for g, _ in d}) >= 2),
+)
+@settings(**_SETTINGS)
+def test_kruskal_h_monotone_transform_invariant(spark, data):
+    """H depends only on ranks, so any strictly monotone value
+    transform (here v → 3v + 1) leaves it EXACTLY unchanged — the
+    doubled-rank integers are identical, not merely close."""
+    df1 = spark.createDataFrame([(str(g), float(v)) for g, v in data], "g string, v double")
+    df2 = spark.createDataFrame(
+        [(str(g), float(3 * v + 1)) for g, v in data], "g string, v double"
+    )
+    h1 = ev_ops.kruskal_wallis(df1, "g", "v").collect()[0]["h_stat"]
+    h2 = ev_ops.kruskal_wallis(df2, "g", "v").collect()[0]["h_stat"]
+    assert (h1 is None) == (h2 is None)
+    if h1 is not None:
+        assert abs(h1 - h2) < 1e-9
