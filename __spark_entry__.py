@@ -4448,6 +4448,38 @@ def _q_js_divergence(spark, sf):
     return corpus.js_divergence(scan(spark, sf, "documents"))
 
 
+def _q_contamination_embedding(spark, sf):
+    """Embedding-cosine test-set decontamination: training vectors
+    within cosine 0.3 of any held-out eval vector
+    (operators/similarity.py:contamination_embedding) — label-blocked
+    equi-join, rounded-cosine threshold."""
+    emb = scan(spark, sf, "embeddings")
+    return similarity.contamination_embedding(emb)
+
+
+def _q_forecast_baseline(spark, sf):
+    """Seasonal-naive (lag-7) forecast backtest on daily event value
+    (operators/events.py:forecast_baseline): exact-date seasonal join,
+    MASE and sMAPE from exact daily cent sums."""
+    ev = scan(spark, sf, "events")
+    return events_ops.forecast_baseline(ev, "ts", "value", season=7)
+
+
+def _q_delta_method_ratio(spark, sf):
+    """Delta-method SE for the value-per-event ratio metric under the
+    parity A/B split (operators/events.py:delta_method_ratio) —
+    per-user moment sums, exact BIGINT/DECIMAL carries."""
+    ev = scan(spark, sf, "events")
+    return events_ops.delta_method_ratio(ev)
+
+
+def _q_tokenizer_fertility(spark, sf):
+    """Per-language tokenizer fertility and chars-per-token
+    (operators/textstats.py:tokenizer_fertility): one map-only pass,
+    exact counts, two final ratios."""
+    return textstats.tokenizer_fertility(scan(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4646,6 +4678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_sweep": _q_interval_sweep,
         "graph_jaccard_neighbors": _q_graph_jaccard_neighbors,
         "js_divergence": _q_js_divergence,
+        "contamination_embedding": _q_contamination_embedding,
+        "forecast_baseline": _q_forecast_baseline,
+        "delta_method_ratio": _q_delta_method_ratio,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "column_profile": _q_column_profile,
         "referential_audit": _q_referential_audit,
         "tpch_refresh": _q_tpch_refresh,
@@ -7722,6 +7758,118 @@ def oracle_sql() -> dict[str, str]:
             FROM ps JOIN pairs p ON ps.ga = p.ga AND ps.gb = p.gb
                     CROSS JOIN nv
             ORDER BY source_a, source_b
+        """,
+        "contamination_embedding": f"""
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            t AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+            q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+            hits AS (SELECT t.vec_id,
+                            {_COS.format(a='t.v', b='q.v')} AS c
+                     FROM t JOIN q ON t.label = q.label
+                     WHERE {_COS.format(a='t.v', b='q.v')} >= 0.3)
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+                   max(c) AS max_cos
+            FROM hits GROUP BY vec_id
+        """,
+        "forecast_baseline": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                                  CAST(sum(CAST(round(value * 100)
+                                         AS BIGINT)) AS BIGINT) AS v
+                           FROM events GROUP BY 1),
+            wp AS (SELECT d, v, lag(v) OVER (ORDER BY d) AS prev
+                   FROM daily),
+            fc AS (SELECT d + 7 AS d, v AS yhat FROM daily),
+            j AS (SELECT wp.d, wp.v, wp.prev, fc.yhat
+                  FROM wp LEFT JOIN fc ON wp.d = fc.d),
+            r AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(count(yhat) AS BIGINT) AS n_forecast,
+                         coalesce(CAST(sum(abs(v - yhat)) AS BIGINT), 0)
+                           AS sum_err,
+                         coalesce(sum(2.0 * CAST(abs(v - yhat) AS DOUBLE)
+                                  / nullif(CAST(abs(v) + abs(yhat)
+                                         AS DOUBLE), 0)), 0.0)
+                           AS sum_smape,
+                         coalesce(CAST(sum(abs(v - prev)) AS BIGINT), 0)
+                           AS sum_naive,
+                         CAST(count(prev) AS BIGINT) AS n_naive
+                  FROM j)
+            SELECT n_days, n_forecast,
+                   round((CAST(sum_err AS DOUBLE)
+                          / nullif(CAST(n_forecast AS DOUBLE), 0))
+                         / nullif(CAST(sum_naive AS DOUBLE)
+                                  / nullif(CAST(n_naive AS DOUBLE), 0),
+                                  0), 6) AS mase,
+                   round(sum_smape
+                         / nullif(CAST(n_forecast AS DOUBLE), 0), 6)
+                     AS smape
+            FROM r
+        """,
+        "delta_method_ratio": """
+            WITH pu AS (SELECT user_id AS u,
+                               CAST(sum(CAST(round(value * 100)
+                                      AS BIGINT)) AS BIGINT) AS x,
+                               CAST(count(*) AS BIGINT) AS y
+                        FROM events GROUP BY 1),
+            arm AS (SELECT CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           sum(CAST(x AS HUGEINT) * x) AS sxx,
+                           sum(CAST(x AS HUGEINT) * y) AS sxy,
+                           sum(CAST(y AS HUGEINT) * y) AS syy
+                    FROM pu GROUP BY 1),
+            pa AS (SELECT is_a, n,
+                          CAST(sx AS DOUBLE)
+                            / nullif(CAST(sy AS DOUBLE), 0) AS r,
+                          sx, sy, sxx, sxy, syy
+                   FROM arm),
+            pv AS (SELECT is_a, n, r,
+                          CAST(n AS DOUBLE)
+                          * ((CAST(sxx AS DOUBLE)
+                              - 2.0 * r * CAST(sxy AS DOUBLE)
+                              + r * r * CAST(syy AS DOUBLE))
+                             / nullif(CAST(n - 1 AS DOUBLE), 0))
+                          / nullif(CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE), 0) AS var_r
+                   FROM pa),
+            roll AS (SELECT
+                       max(CASE WHEN is_a = 1 THEN n END) AS n_a,
+                       max(CASE WHEN is_a = 0 THEN n END) AS n_b,
+                       max(CASE WHEN is_a = 1 THEN r END) AS r_a,
+                       max(CASE WHEN is_a = 0 THEN r END) AS r_b,
+                       max(CASE WHEN is_a = 1 THEN var_r END) AS va,
+                       max(CASE WHEN is_a = 0 THEN var_r END) AS vb
+                     FROM pv)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(r_a / 100.0, 6) AS ratio_a,
+                   round(r_b / 100.0, 6) AS ratio_b,
+                   round((r_a - r_b) / 100.0, 6) AS diff,
+                   round((r_a - r_b) / nullif(sqrt(va + vb), 0), 6)
+                     AS z_stat
+            FROM roll
+        """,
+        "tokenizer_fertility": f"""
+            WITH per AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(list_filter(
+                            regexp_split_to_array(text, '\\s+'),
+                            w -> w <> ''))) AS BIGINT) AS n_words,
+                     CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens,
+                     CAST(sum(coalesce(list_sum(list_transform(
+                            {_TOK}, t -> length(t))), 0)) AS BIGINT)
+                       AS n_token_chars
+              FROM documents GROUP BY lang)
+            SELECT lang, n_docs, n_words, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE)
+                         / nullif(CAST(n_words AS DOUBLE), 0), 6)
+                     AS fertility,
+                   round(CAST(n_token_chars AS DOUBLE)
+                         / nullif(CAST(n_tokens AS DOUBLE), 0), 6)
+                     AS chars_per_token
+            FROM per ORDER BY lang
         """,
         "tpch_refresh": """
             WITH after AS (

@@ -2216,11 +2216,21 @@ def js_divergence(
     sc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).cast("long").alias("cs"))
     tt = sc.groupBy("grp").agg(F.sum("cs").cast("long").alias("ns"))
     nv = sc.agg(F.count_distinct("t").cast("long").alias("v"))
-    pairs = (
-        tt.select(F.col("grp").alias("ga"), F.col("ns").alias("na"))
-        .join(tt.select(F.col("grp").alias("gb"), F.col("ns").alias("nb")))
-        .filter(F.col("ga") < F.col("gb"))
-        .join(nv)
+    # the pair table is SOURCE-DOMAIN-sized (one row per slice pair):
+    # build it driver-side from the two bounded aggregates — the
+    # codebook-collect pattern (similarity.ann_ivf) — so the fan-out
+    # below is a provable broadcast HASH join, not a theta-join BNLJ
+    # the plan guard can't bound
+    tt_rows = tt.collect()
+    v_val = int(nv.collect()[0]["v"])
+    pair_rows = [
+        (a["grp"], b["grp"], int(a["ns"]), int(b["ns"]), v_val)
+        for a in tt_rows
+        for b in tt_rows
+        if a["grp"] < b["grp"]
+    ]
+    pairs = docs.sparkSession.createDataFrame(
+        pair_rows, "ga string, gb string, na long, nb long, v long"
     )
     left = sc.join(
         F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("ga")

@@ -3411,3 +3411,153 @@ def power_sample_size(
         n_req.alias("n_required_per_arm"),
         F.round(mde, 6).alias("mde_at_current_n"),
     )
+
+
+def forecast_baseline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily series: predict
+    each day with the value ``season`` days EARLIER and score the
+    baseline with MASE (mean |error| scaled by the in-sample naive-1
+    |step|) and sMAPE — the two scale-free accuracy numbers every
+    forecasting bake-off reports first, and the floor any real model
+    must beat before it ships.
+
+    Exactness: daily values are exact cent BIGINTs from one groupBy;
+    the seasonal forecast joins on the EXACT calendar date −``season``
+    (an equi-join — a row-offset lag silently mispredicts across gap
+    days); absolute errors and the naive-1 denominator are exact
+    BIGINTs; sMAPE's per-day ratio and the two final divisions are the
+    only float ops.  An all-constant or too-short series nulls out via
+    ``try_divide``/``nullif``.
+
+    Scale shape: one partial-agged groupBy to the day domain, ONE
+    self-equi-join on the shifted date, one ordered lag window over
+    the AGGREGATED day table (calendar-bounded) for the naive-1
+    denominator, one 1-row rollup.  Returns
+    ``(n_days, n_forecast, mase, smape)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    daily = df.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.sum(cents).cast("long").alias("v")
+    )
+    wd = Window.orderBy("d")
+    with_prev = daily.select(
+        "d", "v", F.lag("v").over(wd).alias("prev")
+    )
+    fc = daily.select(
+        F.date_add(F.col("d"), season).alias("d"), F.col("v").alias("yhat")
+    )
+    joined = with_prev.join(fc, "d", "left")
+    err = F.abs(F.col("v") - F.col("yhat"))
+    smape_term = F.try_divide(
+        2.0 * err.cast("double"),
+        F.nullif((F.abs(F.col("v")) + F.abs(F.col("yhat"))).cast("double"), F.lit(0.0)),
+    )
+    roll = joined.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("yhat").cast("long").alias("n_forecast"),
+        F.coalesce(F.sum(err), F.lit(0)).cast("long").alias("sum_err"),
+        F.coalesce(F.sum(smape_term), F.lit(0.0)).alias("sum_smape"),
+        F.coalesce(
+            F.sum(F.abs(F.col("v") - F.col("prev"))), F.lit(0)
+        ).cast("long").alias("sum_naive"),
+        F.count("prev").cast("long").alias("n_naive"),
+    )
+    mae = F.try_divide(
+        F.col("sum_err").cast("double"),
+        F.nullif(F.col("n_forecast").cast("double"), F.lit(0.0)),
+    )
+    naive_mae = F.try_divide(
+        F.col("sum_naive").cast("double"),
+        F.nullif(F.col("n_naive").cast("double"), F.lit(0.0)),
+    )
+    return roll.select(
+        "n_days",
+        "n_forecast",
+        F.round(F.try_divide(mae, F.nullif(naive_mae, F.lit(0.0))), 6).alias("mase"),
+        F.round(
+            F.try_divide(
+                F.col("sum_smape"),
+                F.nullif(F.col("n_forecast").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("smape"),
+    )
+
+
+def delta_method_ratio(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ratio-metric A/B readout with delta-method standard errors:
+    the metric is value-per-EVENT aggregated per USER (Σx_i/Σy_i over
+    the arm), whose naive per-event variance is WRONG because events
+    within a user correlate — the delta method (the linearization
+    every experimentation platform ships for ratio metrics) gives the
+    asymptotically correct SE from per-user moment sums.
+
+    Exactness: per-user ``(x_i, y_i)`` are exact cent/count BIGINTs;
+    per-arm ``(n, Sx, Sy)`` are BIGINT and the quadratic moments
+    ``(Sxx, Sxy, Syy)`` DECIMAL(38,0); R = Sx/Sy and the residual
+    variance ``s² = (Sxx − 2R·Sxy + R²·Syy)/(n−1)`` (exact-zero mean
+    residual by construction) are one shared float pipeline;
+    ``var(R) = n·s²/Sy²``.  Degenerate arms null via ``try_divide``.
+
+    Scale shape: one partial-agged groupBy(user) to the user domain,
+    one groupBy(arm) to 2 rows, one 2-row pivot rollup.  Returns one
+    row ``(n_a, n_b, ratio_a, ratio_b, diff, z_stat)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(cents).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    arm = per_user.select(
+        (F.col("u") % 2 == 0).cast("long").alias("is_a"), "x", "y"
+    ).groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    r = F.try_divide(
+        F.col("sx").cast("double"), F.nullif(F.col("sy").cast("double"), F.lit(0.0))
+    )
+    s2 = F.try_divide(
+        F.col("sxx").cast("double")
+        - 2.0 * r * F.col("sxy").cast("double")
+        + r * r * F.col("syy").cast("double"),
+        F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
+    )
+    var_r = F.try_divide(
+        F.col("n").cast("double") * s2,
+        F.nullif(F.col("sy").cast("double") * F.col("sy"), F.lit(0.0)),
+    )
+    per_arm = arm.select("is_a", "n", r.alias("r"), var_r.alias("var_r"))
+    roll = per_arm.groupBy().agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("is_a") == 0, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("is_a") == 1, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("is_a") == 0, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("is_a") == 1, F.col("var_r"))).alias("va"),
+        F.max(F.when(F.col("is_a") == 0, F.col("var_r"))).alias("vb"),
+    )
+    diff = F.col("r_a") - F.col("r_b")
+    z = F.try_divide(
+        diff, F.nullif(F.sqrt(F.col("va") + F.col("vb")), F.lit(0.0))
+    )
+    return roll.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("r_a") / 100.0, 6).alias("ratio_a"),
+        F.round(F.col("r_b") / 100.0, 6).alias("ratio_b"),
+        F.round(diff / 100.0, 6).alias("diff"),
+        F.round(z, 6).alias("z_stat"),
+    )

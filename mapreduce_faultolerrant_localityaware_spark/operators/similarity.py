@@ -1793,3 +1793,54 @@ def centroid_cosine_matrix(
     return scored.select(
         "label_a", "label_b", "n_a", "n_b", F.round(cos, 6).alias("cosine")
     )
+
+
+def contamination_embedding(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    holdout_mod: int = 10,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-level test-set decontamination — the semantic sibling
+    of the n-gram :func:`~..operators.dedup.contamination` screens:
+    which TRAINING vectors sit within cosine ``threshold`` of any
+    held-out eval vector (``id % holdout_mod == 0``)?  n-gram overlap
+    misses paraphrases; embedding cosine is the screen that catches a
+    benchmark answer reworded into the training set (the SemDeDup /
+    data-contamination literature's standard second pass).
+
+    Output: one row per contaminated TRAIN vector — its nearest eval
+    hit count ``n_eval_hits`` and ``max_cos`` — so the caller can drop
+    or down-weight.  Cosines round to 6 dp before the threshold so
+    both engines agree at the boundary.
+
+    Scale shape: the same ``block_col`` equi-join discipline as
+    :func:`~..operators.dedup.dedup_embedding_cosine` — the
+    train×eval comparison runs per coarse-quantizer cell, never n².
+    At 100 TB the blocking column is the fitted IVF cell
+    (:func:`ann_ivf_kmeans`'s assignment path); the eval side is
+    typically small enough to broadcast, and the partial-agged
+    groupBy(train id) is the only row-scale shuffle.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    test = e.filter(F.col("vid") % holdout_mod == 0)
+    train = e.filter(F.col("vid") % holdout_mod != 0)
+    cos = F.round(cosine_similarity(F.col("t.v"), F.col("q.v")), 6)
+    hits = (
+        train.alias("t")
+        .join(test.alias("q"), "blk")
+        .select(F.col("t.vid").alias("vec_id"), cos.alias("c"))
+        .filter(F.col("c") >= threshold)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        F.max("c").alias("max_cos"),
+    )

@@ -908,3 +908,57 @@ def lang_mixture(
         h2.alias("hits_second"),
         ((h2 > 0) & (2 * h2 >= h1)).alias("mixed"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility: regex tokens per whitespace
+    word, plus characters per token — THE comparative readout of
+    tokenizer evals (Scao et al., BLOOM; a language whose fertility is
+    2× pays 2× the sequence length for the same text, which is 2× the
+    training compute and half the effective context).  Here the
+    tokenizer is the engine's Unicode-letter regex
+    (:func:`~..functions.text.tokens` — the reference's own rule); a
+    fitted BPE drops in by swapping the token expression.
+
+    All counts are exact BIGINTs from ONE map-only pass (per-doc token
+    / word / letter-char counts partial-agg straight into the language
+    domain); the two ratios are final divisions.  Returns
+    ``(lang, n_docs, n_words, n_tokens, fertility, chars_per_token)``
+    ordered by language.
+    """
+    toks = tokens(F.col(text_col))
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    per = docs.groupBy(F.col(group_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("n_words"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+        ).cast("long").alias("n_token_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.try_divide(
+                F.col("n_tokens").cast("double"),
+                F.nullif(F.col("n_words").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(
+                F.col("n_token_chars").cast("double"),
+                F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

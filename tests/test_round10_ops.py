@@ -432,3 +432,93 @@ def test_js_divergence_identical_zero_disjoint_high(spark):
     # under ln 2 — what matters is strictly-positive and symmetric
     assert out[("a", "c")] > 0.01
     assert out[("a", "c")] == out[("b", "c")]
+
+
+def test_contamination_embedding_worked_example(spark):
+    """Eval vectors are id%10==0; an identical-direction train vector
+    in the SAME label block is flagged with cos 1.0, an orthogonal one
+    is not, and a cross-block near-dup is invisible (blocking is the
+    declared completeness boundary)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.similarity import (
+        contamination_embedding,
+    )
+
+    rows = [
+        (10, [1.0, 0.0], 0),   # eval, block 0
+        (1, [2.0, 0.0], 0),    # train, same block, same direction -> hit
+        (2, [0.0, 1.0], 0),    # train, same block, orthogonal -> no hit
+        (3, [1.0, 0.0], 1),    # train, OTHER block -> invisible
+        (20, [0.5, 0.5], 1),   # eval, block 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in contamination_embedding(df, threshold=0.9).collect()}
+    assert out[1]["n_eval_hits"] == 1 and out[1]["max_cos"] == 1.0
+    assert 2 not in out
+    assert 3 not in out  # same direction as eval 10 but blocked apart
+
+
+def test_forecast_baseline_worked_example(spark):
+    """Nine days of known values: lag-7 forecasts exist for days 8-9
+    only; MASE and sMAPE recomputed inline."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as ev
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 12.0, 11.0]
+    rows = [(dt.datetime(2024, 1, 1 + i, 12, 0), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = ev.forecast_baseline(df, "ts", "value", season=7).collect()[0]
+    cents = [int(v * 100) for v in vals]
+    errs = [abs(cents[7] - cents[0]), abs(cents[8] - cents[1])]
+    naive = [abs(cents[i] - cents[i - 1]) for i in range(1, 9)]
+    mae = sum(errs) / 2
+    naive_mae = sum(naive) / 8
+    smape = sum(
+        2 * e / (abs(a) + abs(b))
+        for e, a, b in [(errs[0], cents[7], cents[0]), (errs[1], cents[8], cents[1])]
+    ) / 2
+    assert (r["n_days"], r["n_forecast"]) == (9, 2)
+    assert r["mase"] == round(mae / naive_mae, 6)
+    assert r["smape"] == round(smape, 6)
+
+
+def test_delta_method_ratio_worked_example(spark):
+    """Two users per arm with hand-set (value sum, event count): the
+    ratio, residual variance, and z recomputed inline."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as ev
+
+    # user -> list of event values; even users = arm A
+    data = {2: [1.0, 3.0], 4: [2.0], 1: [5.0], 3: [1.0, 1.0, 1.0]}
+    rows = [(u, v) for u, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    r = ev.delta_method_ratio(df).collect()[0]
+
+    def arm_stats(users):
+        xy = [(int(sum(data[u]) * 100), len(data[u])) for u in users]
+        n = len(xy)
+        sx, sy = sum(x for x, _ in xy), sum(y for _, y in xy)
+        rr = sx / sy
+        s2 = sum((x - rr * y) ** 2 for x, y in xy) / (n - 1)
+        return n, rr, n * s2 / sy**2
+
+    na, ra, va = arm_stats([2, 4])
+    nb, rb, vb = arm_stats([1, 3])
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["ratio_a"] == round(ra / 100, 6)
+    assert r["ratio_b"] == round(rb / 100, 6)
+    assert r["z_stat"] == round((ra - rb) / math.sqrt(va + vb), 6)
+
+
+def test_tokenizer_fertility_worked_example(spark):
+    """'ab cd1ef' = 2 whitespace words but 3 letter-regex tokens of 6
+    chars — fertility 1.5, chars/token 2.0; per-language grouping."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+
+    rows = [("en", "ab cd1ef"), ("en", "x y"), ("it", "ciao")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens"]) == (2, 4, 5)
+    assert en["fertility"] == round(5 / 4, 6)
+    assert en["chars_per_token"] == round(8 / 5, 6)
+    assert out["it"]["n_tokens"] == 1 and out["it"]["chars_per_token"] == 4.0
