@@ -4480,6 +4480,14 @@ def _q_tokenizer_fertility(spark, sf):
     return textstats.tokenizer_fertility(scan(spark, sf, "documents"))
 
 
+def _q_bh_significance(spark, sf):
+    """Benjamini-Hochberg FDR screen over per-event-type proportion
+    tests (operators/events.py:bh_significance): exact integer cells,
+    shared erf-polynomial p-values, k-row step-up windows."""
+    ev = scan(spark, sf, "events")
+    return events_ops.bh_significance(ev, "event_type", "value", alpha=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4679,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard_neighbors": _q_graph_jaccard_neighbors,
         "js_divergence": _q_js_divergence,
         "contamination_embedding": _q_contamination_embedding,
+        "bh_significance": _q_bh_significance,
         "forecast_baseline": _q_forecast_baseline,
         "delta_method_ratio": _q_delta_method_ratio,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -7870,6 +7879,72 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(CAST(n_tokens AS DOUBLE), 0), 6)
                      AS chars_per_token
             FROM per ORDER BY lang
+        """,
+        "bh_significance": """
+            WITH base AS (SELECT event_type AS grp,
+                                 CAST(round(value * 100) AS BIGINT) AS v
+                          FROM events),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                           CAST(sum(v) AS HUGEINT) AS s_tot
+                    FROM base),
+            fl AS (SELECT grp, n_tot,
+                          CASE WHEN CAST(v AS HUGEINT) * n_tot > s_tot
+                               THEN 1 ELSE 0 END AS hi
+                   FROM base CROSS JOIN tot),
+            pg AS (SELECT grp, max(n_tot) AS n_tot,
+                          CAST(count(*) AS BIGINT) AS n_g,
+                          coalesce(CAST(sum(hi) AS BIGINT), 0) AS k_g
+                   FROM fl GROUP BY grp),
+            kt AS (SELECT CAST(sum(k_g) AS BIGINT) AS k_tot FROM pg),
+            sc AS (SELECT grp, n_g, k_g,
+                          (CAST(k_g AS DOUBLE) / n_g
+                           - CAST(k_tot - k_g AS DOUBLE)
+                             / nullif(CAST(n_tot - n_g AS DOUBLE), 0))
+                          / nullif(sqrt((CAST(k_tot AS DOUBLE) / n_tot)
+                                 * (1.0 - CAST(k_tot AS DOUBLE) / n_tot)
+                                 * (1.0 / n_g
+                                    + 1.0 / nullif(CAST(n_tot - n_g
+                                          AS DOUBLE), 0))), 0) AS z
+                   FROM pg CROSS JOIN kt),
+            pv AS (SELECT grp, n_g, k_g, z,
+                          (1.0 / (1.0 + 0.3275911 * (abs(z)
+                              / 1.4142135623730951)))
+                          * (0.254829592
+                             + (1.0 / (1.0 + 0.3275911 * (abs(z)
+                                   / 1.4142135623730951)))
+                               * (-0.284496736
+                                  + (1.0 / (1.0 + 0.3275911 * (abs(z)
+                                        / 1.4142135623730951)))
+                                    * (1.421413741
+                                       + (1.0 / (1.0 + 0.3275911
+                                             * (abs(z)
+                                                / 1.4142135623730951)))
+                                         * (-1.453152027
+                                            + (1.0 / (1.0 + 0.3275911
+                                                  * (abs(z)
+                                                     / 1.4142135623730951)))
+                                              * 1.061405429))))
+                          * exp(-((abs(z) / 1.4142135623730951)
+                                  * (abs(z) / 1.4142135623730951)))
+                            AS p_raw
+                   FROM sc),
+            rk AS (SELECT grp, n_g, k_g, z, p_raw,
+                          CAST(row_number() OVER (ORDER BY p_raw, grp)
+                            AS BIGINT) AS bh_rank,
+                          CAST(count(*) OVER () AS BIGINT) AS m
+                   FROM pv),
+            mh AS (SELECT *,
+                          max(CASE WHEN p_raw <= bh_rank * 0.05 / m
+                                   THEN bh_rank END) OVER () AS max_hit
+                   FROM rk)
+            SELECT grp, n_g AS n, k_g AS n_high,
+                   round(z, 6) AS z_stat,
+                   round(p_raw, 6) AS p_value,
+                   bh_rank,
+                   CAST(CASE WHEN max_hit IS NOT NULL
+                                  AND bh_rank <= max_hit
+                             THEN 1 ELSE 0 END AS INT) AS significant
+            FROM mh ORDER BY bh_rank
         """,
         "tpch_refresh": """
             WITH after AS (

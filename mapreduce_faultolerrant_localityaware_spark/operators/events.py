@@ -3561,3 +3561,119 @@ def delta_method_ratio(
         F.round(diff / 100.0, 6).alias("diff"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+def bh_significance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over a FAMILY of per-segment
+    two-proportion tests — the multiple-comparisons step every
+    segment-drilldown dashboard skips at its peril: with k segments at
+    α=0.05, ~k/20 "significant" segments are noise; BH controls the
+    expected false-discovery rate across the whole family.
+
+    The per-segment test: is the segment's rate of ABOVE-GLOBAL-MEAN
+    values different from the complement's?  The high flag compares
+    ``v·N > S`` in exact integers (no float mean), the pooled
+    two-proportion z comes from exact BIGINT cell counts, and the
+    two-sided p uses the Abramowitz-Stegun 7.1.26 erf polynomial
+    (max err 1.5e-7) — an APPROXIMATION to Φ, but a deterministic
+    closed form both engines evaluate identically, which is what the
+    hash gate needs (neither Spark nor DuckDB ships erf).
+    ``p = poly(t)·exp(−x²)`` with ``x = |z|/√2`` IS the two-sided
+    p-value directly.
+
+    BH step-up: rank the k p-values ascending, find the largest rank
+    with ``p ≤ rank·α/k``, everything at or below that rank is
+    significant.  Scale shape: one partial-agged groupBy to the
+    segment domain, 1-row margins broadcast on, then the rank window
+    and the max-hit attach run over the K-ROW segment table — the
+    family size, never the row count.  Returns per segment
+    ``(grp, n, n_high, z_stat, p_value, bh_rank, significant)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(F.col(group_col).alias("grp"), cents.alias("v"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("v").cast("decimal(38,0)").alias("s_tot"),
+    )
+    flagged = base.join(F.broadcast(tot)).select(
+        "grp",
+        "n_tot",
+        (F.col("v").cast("decimal(38,0)") * F.col("n_tot") > F.col("s_tot"))
+        .cast("long")
+        .alias("hi"),
+    )
+    per_g = flagged.groupBy("grp").agg(
+        F.max("n_tot").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.coalesce(F.sum("hi"), F.lit(0)).cast("long").alias("k_g"),
+    )
+    k_tot = per_g.agg(F.sum("k_g").cast("long").alias("k_tot"))
+    cells = per_g.join(F.broadcast(k_tot))
+    n_r = F.col("n_tot") - F.col("n_g")
+    k_r = F.col("k_tot") - F.col("k_g")
+    p_pool = F.col("k_tot").cast("double") / F.col("n_tot")
+    diff = F.col("k_g").cast("double") / F.col("n_g") - F.try_divide(
+        k_r.cast("double"), F.nullif(n_r.cast("double"), F.lit(0.0))
+    )
+    se = F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (
+            1.0 / F.col("n_g")
+            + F.try_divide(F.lit(1.0), F.nullif(n_r.cast("double"), F.lit(0.0)))
+        )
+    )
+    z = F.try_divide(diff, F.nullif(se, F.lit(0.0)))
+    # two-sided p = 1 − erf(|z|/√2) = poly(t)·exp(−x²), A&S 7.1.26
+    x = F.abs(z) / F.lit(1.4142135623730951)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    p_val = poly * F.exp(-(x * x))
+    scored = cells.select(
+        "grp",
+        F.col("n_g").alias("n"),
+        F.col("k_g").alias("n_high"),
+        F.round(z, 6).alias("z_stat"),
+        p_val.alias("p_raw"),
+    )
+    wr = Window.orderBy("p_raw", "grp")
+    m = Window.partitionBy()  # k-row family: whole-table max is domain-sized
+    ranked = scored.select(
+        "grp",
+        "n",
+        "n_high",
+        "z_stat",
+        "p_raw",
+        F.row_number().over(wr).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(m).cast("long").alias("m"),
+    )
+    hit = F.when(
+        F.col("p_raw") <= F.col("bh_rank") * F.lit(alpha) / F.col("m"),
+        F.col("bh_rank"),
+    )
+    with_max = ranked.select(
+        "*", F.max(hit).over(m).alias("max_hit")
+    )
+    return with_max.select(
+        "grp",
+        "n",
+        "n_high",
+        "z_stat",
+        F.round(F.col("p_raw"), 6).alias("p_value"),
+        "bh_rank",
+        F.when(
+            F.col("max_hit").isNotNull() & (F.col("bh_rank") <= F.col("max_hit")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("significant"),
+    ).orderBy("bh_rank")

@@ -59,6 +59,9 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # kruskal_wallis attaches its 1-row tie-correction aggregate
            # to the 1-row rank rollup (same scalar-attach shape)
            "kruskal_wallis",
+           # bh_significance attaches its 1-row corpus-mean and 1-row
+           # family-total aggregates (both global aggregates, ≤1 row)
+           "bh_significance",
            "tfidf_top_terms", "embedding_quantize", "key_skew_report", "ann_sq8",
            "length_filter", "scalar_subquery", "tpch_q11", "tpch_q22", "ann_pq",
            # round 6: hard-negative mining broadcasts the query side

@@ -522,3 +522,45 @@ def test_tokenizer_fertility_worked_example(spark):
     assert en["fertility"] == round(5 / 4, 6)
     assert en["chars_per_token"] == round(8 / 5, 6)
     assert out["it"]["n_tokens"] == 1 and out["it"]["chars_per_token"] == 4.0
+
+
+def test_bh_significance_worked_example(spark):
+    """Three segments: one with ALL values above the mean, one with
+    none, one mixed — the extreme segments must be significant, the z
+    and polynomial p recomputed inline, and the BH step-up must mark
+    every rank at or below the last passing rank."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as ev
+
+    rows = (
+        [("hot", 10.0)] * 20       # all above the global mean
+        + [("cold", 1.0)] * 20     # all below
+        + [("mid", 1.0)] * 10 + [("mid", 10.0)] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["grp"]: r for r in ev.bh_significance(df, "g", "v").collect()}
+    # global mean = (200+20+110)/60 cents-scale; hi iff v == 10.0
+    assert (out["hot"]["n_high"], out["cold"]["n_high"], out["mid"]["n_high"]) == (
+        20, 0, 10,
+    )
+
+    def p_two_sided(z):
+        x = abs(z) / 1.4142135623730951
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429))))
+        return poly * math.exp(-(x * x))
+
+    def z_two_prop(k_g, n_g, k_r, n_r):
+        pp = (k_g + k_r) / (n_g + n_r)
+        return (k_g / n_g - k_r / n_r) / math.sqrt(
+            pp * (1 - pp) * (1 / n_g + 1 / n_r)
+        )
+
+    z_hot = z_two_prop(20, 20, 10, 40)
+    assert out["hot"]["z_stat"] == round(z_hot, 6)
+    assert out["hot"]["p_value"] == round(p_two_sided(z_hot), 6)
+    assert out["hot"]["significant"] == 1 and out["cold"]["significant"] == 1
+    assert out["mid"]["significant"] == 0  # exactly the pooled rate
+    ranks = sorted((r["bh_rank"], r["significant"]) for r in out.values())
+    sig_ranks = [rk for rk, s in ranks if s == 1]
+    assert sig_ranks == list(range(1, len(sig_ranks) + 1))  # step-up prefix
