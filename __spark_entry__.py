@@ -4488,6 +4488,15 @@ def _q_bh_significance(spark, sf):
     return events_ops.bh_significance(ev, "event_type", "value", alpha=0.05)
 
 
+def _q_hll_rollup(spark, sf):
+    """Per-day HLL user sketches re-aggregated into weekly + all-time
+    distinct estimates by sketch union (operators/events.py:
+    hll_rollup).  Approximate by design — rows-only in the gate;
+    the 4% accuracy pin is tests/test_round10_ops.py."""
+    ev = scan(spark, sf, "events")
+    return events_ops.hll_rollup(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4688,6 +4697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence": _q_js_divergence,
         "contamination_embedding": _q_contamination_embedding,
         "bh_significance": _q_bh_significance,
+        "hll_rollup": _q_hll_rollup,
         "forecast_baseline": _q_forecast_baseline,
         "delta_method_ratio": _q_delta_method_ratio,
         "tokenizer_fertility": _q_tokenizer_fertility,

@@ -3677,3 +3677,50 @@ def bh_significance(
         .cast("int")
         .alias("significant"),
     ).orderBy("bh_rank")
+
+
+def hll_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HyperLogLog sketches of the
+    user set, re-aggregated into per-WEEK distinct-user estimates by
+    UNIONING THE SKETCHES — never re-touching the raw rows.  This is
+    the pattern that makes distinct counts tractable at 100 TB: the
+    expensive pass materializes one ~2^lg_k-byte sketch per day
+    (normally persisted to the lake), and every coarser rollup —
+    weeks, months, arbitrary date ranges, the whole corpus — is a
+    byte-level register-max merge of those sketches
+    (``hll_union_agg``), milliseconds instead of a rescan.  A plain
+    ``approx_count_distinct`` per week would re-shuffle the raw rows
+    once per granularity.
+
+    Apache-DataSketches HLL is order-independent (register max), so
+    the estimates are DETERMINISTIC for a given input and lg_k — the
+    output is stable across partial-agg orders — but DuckDB's
+    approx_count_distinct is a different sketch, so the driver gate is
+    rows-only by design; the accuracy pin (estimate within 4% of
+    exact, the 3σ bound for lg_k=12) lives in
+    tests/test_round10_ops.py.
+
+    Scale shape: one partial-agged groupBy(day) carrying sketch
+    BINARYs (map-side sketch build — rows never cross the wire, the
+    sketches do), one groupBy(week) over the DAY-DOMAIN sketch table,
+    plus a 1-row all-time union from the same day table.  Returns per
+    week ``(week, n_days, est_users)`` plus a ``week = NULL`` all-time
+    row, ordered with the all-time row last.
+    """
+    daily = events.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.hll_sketch_agg(F.col(user_col), F.lit(lg_k)).alias("sk")
+    )
+    weekly = daily.groupBy(F.date_trunc("week", F.col("d")).cast("date").alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))).cast("long").alias("est_users"),
+    )
+    alltime = daily.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))).cast("long").alias("est_users"),
+    ).select(F.lit(None).cast("date").alias("week"), "n_days", "est_users")
+    return weekly.unionByName(alltime).orderBy(F.col("week").asc_nulls_last())

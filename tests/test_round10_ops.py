@@ -564,3 +564,30 @@ def test_bh_significance_worked_example(spark):
     ranks = sorted((r["bh_rank"], r["significant"]) for r in out.values())
     sig_ranks = [rk for rk, s in ranks if s == 1]
     assert sig_ranks == list(range(1, len(sig_ranks) + 1))  # step-up prefix
+
+
+@pytest.mark.slow
+def test_hll_rollup_accuracy_and_merge_consistency(spark):
+    """The sketch-union weekly estimates and the all-time union must
+    each land within 4% of the exact distinct counts (3-sigma for
+    lg_k=12), and the all-time row must aggregate every day."""
+    from mapreduce_faultolerrant_localityaware_spark.operators import events as ev
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    evts = scan(spark, "/root/testdata/sf0.01", "events")
+    out = ev.hll_rollup(evts).collect()
+    weekly = {r["week"]: r for r in out if r["week"] is not None}
+    alltime = [r for r in out if r["week"] is None]
+    assert len(alltime) == 1
+    exact_all = evts.select("user_id").distinct().count()
+    assert abs(alltime[0]["est_users"] - exact_all) <= max(2, 0.04 * exact_all)
+    ex_week = {
+        r["week"]: r["n"]
+        for r in evts.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        ).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(weekly) == set(ex_week)
+    for w, r in weekly.items():
+        assert abs(r["est_users"] - ex_week[w]) <= max(2, 0.04 * ex_week[w]), w
+    assert sum(r["n_days"] for r in weekly.values()) == alltime[0]["n_days"]
