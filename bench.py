@@ -117,6 +117,12 @@ HEADLINE = [
     "lift_table",
     "rfm_segments",
     "ann_incremental",
+    # round-10 second wave: the k-group rank statistic on the
+    # aggregated value domain, the vocab×pair JSD fan-out, and the
+    # mergeable-sketch rollup
+    "kruskal_wallis",
+    "js_divergence",
+    "hll_rollup",
 ]
 
 

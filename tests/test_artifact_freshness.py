@@ -57,6 +57,10 @@ NO_ORACLE = {
     # gated (embedding_covariance) and the projection is pytest-pinned
     # against a pure-numpy reference
     "pca_project",
+    # DataSketches HLL is a different sketch family than DuckDB's
+    # approx_count_distinct; the 4% (3σ at lg_k=12) accuracy pin vs
+    # exact weekly distincts is tests/test_round10_ops.py
+    "hll_rollup",
 }
 
 
