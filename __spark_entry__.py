@@ -3691,10 +3691,10 @@ def _q_autocorr(spark, sf):
     (operators/events.py:autocorr): domain-sized series, one window
     pass materializes all lags, exact-integer Pearson terms per lag."""
     orders = scan(spark, sf, "orders")
-    daily = orders.groupBy("o_orderdate").agg(
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    return events_ops.autocorr(daily, "o_orderdate", "n", max_lag=7)
+    return events_ops.autocorr(daily, "d", "n", max_lag=7)
 
 
 def _q_hampel_outliers(spark, sf):
@@ -3803,10 +3803,10 @@ def _q_changepoint(spark, sf):
     (operators/events.py:changepoint_detect): CUSUM-style separation
     maximized over exact BIGINT prefix sums, earliest-split tiebreak."""
     orders = scan(spark, sf, "orders")
-    daily = orders.groupBy("o_orderdate").agg(
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    return events_ops.changepoint_detect(daily, "o_orderdate", "n")
+    return events_ops.changepoint_detect(daily, "d", "n")
 
 
 def _q_crosscorr(spark, sf):
@@ -3911,10 +3911,10 @@ def _q_seasonal_decompose(spark, sf):
     (operators/events.py:seasonal_decompose): centered 7-day trend,
     per-weekday seasonal from exact 7y−Σ₇y integers, remainder."""
     orders = scan(spark, sf, "orders")
-    daily = orders.groupBy("o_orderdate").agg(
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    return events_ops.seasonal_decompose(daily, "o_orderdate", "n", period=7)
+    return events_ops.seasonal_decompose(daily, "d", "n", period=7)
 
 
 def _q_survival_km(spark, sf):
@@ -4497,6 +4497,34 @@ def _q_hll_rollup(spark, sf):
     return events_ops.hll_rollup(ev)
 
 
+def _q_quantile_rollup(spark, sf):
+    """Per-day mergeable GK percentile grids re-aggregated into weekly
+    + all-time p50/p95/p99 without rescanning raw rows
+    (operators/events.py:quantile_rollup) — the percentile sibling of
+    hll_rollup.  GK summaries are a different sketch family than
+    DuckDB's approx quantiles, so rows-only in the gate; the ±2%-rank
+    accuracy pin vs exact percentiles is tests/test_round11_ops.py."""
+    ev = scan(spark, sf, "events")
+    return events_ops.quantile_rollup(ev)
+
+
+def _q_roc_auc_continuous(spark, sf):
+    """Exact ROC-AUC over a NEAR-UNIQUE continuous score domain — the
+    round-11 scale fixture: md5-derived 48-bit scores are distinct per
+    order with overwhelming probability, so the distinct-value
+    'domain' is row-sized and the rank pass MUST be the range-bucketed
+    two-pass (operators/relational.py:bucketed_cum_counts), never a
+    single cumulative-window task (the round-10 residual funnel; the
+    repo's other rank fixtures are tie-heavy, which hides it)."""
+    orders = scan(spark, sf, "orders")
+    score = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return events_ops.roc_auc(
+        orders, score, (F.col("o_orderstatus") == "F").cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4698,6 +4726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_embedding": _q_contamination_embedding,
         "bh_significance": _q_bh_significance,
         "hll_rollup": _q_hll_rollup,
+        "quantile_rollup": _q_quantile_rollup,
+        "roc_auc_continuous": _q_roc_auc_continuous,
         "forecast_baseline": _q_forecast_baseline,
         "delta_method_ratio": _q_delta_method_ratio,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -6551,7 +6581,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN t
         """,
         "autocorr": """
-            WITH daily AS (SELECT o_orderdate AS d,
+            WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
                                   CAST(count(*) AS BIGINT) AS n
                            FROM orders GROUP BY 1),
             l AS (SELECT n AS y,
@@ -6777,7 +6807,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "seasonal_decompose": """
-            WITH daily AS (SELECT o_orderdate AS d,
+            WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
                                   CAST(count(*) AS BIGINT) AS y
                            FROM orders GROUP BY 1),
             base AS (SELECT d, y,
@@ -7210,6 +7240,33 @@ def oracle_sql() -> dict[str, str]:
                    round(post_b, 6) AS post_b,
                    round((post_b - pre_b) - (post_a - pre_a), 6) AS did
             FROM mm
+        """,
+        "roc_auc_continuous": """
+            WITH two AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1
+                                     ELSE 0 END AS is_pos,
+                                CAST(('0x' || substring(
+                                    md5(CAST(o_orderkey AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS v
+                         FROM orders),
+            rk AS (SELECT is_pos,
+                          CAST(2 * rank() OVER (ORDER BY v)
+                               + count(*) OVER (PARTITION BY v) - 1
+                            AS BIGINT) AS r2
+                   FROM two),
+            s AS (SELECT coalesce(CAST(sum(is_pos) AS BIGINT), 0)
+                           AS n_pos,
+                         coalesce(CAST(sum(1 - is_pos) AS BIGINT), 0)
+                           AS n_neg,
+                         coalesce(CAST(sum(is_pos * r2) AS BIGINT), 0)
+                           AS rp2
+                  FROM rk)
+            SELECT n_pos, n_neg,
+                   round(CASE WHEN n_pos * n_neg = 0 THEN NULL
+                              ELSE CAST(rp2 - n_pos * (n_pos + 1)
+                                     AS DOUBLE)
+                                   / CAST(2 * n_pos * n_neg AS DOUBLE)
+                         END, 6) AS auc
+            FROM s
         """,
         "roc_auc": """
             WITH two AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1
@@ -8453,7 +8510,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked GROUP BY channel
         """,
         "changepoint_detect": """
-            WITH daily AS (SELECT o_orderdate AS d,
+            WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
                                   CAST(count(*) AS BIGINT) AS y
                            FROM orders GROUP BY 1),
             pref AS (SELECT d AS split_at,

@@ -132,6 +132,46 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: a record whose calibration exceeds this multiple of the previous
+#: committed record's calibration is NOISY — the host is too loaded
+#: for the numbers to be comparable round-over-round
+CAL_GATE_RATIO = 1.5
+
+
+def previous_committed_calibration(repo_dir: str | None = None) -> float | None:
+    """Calibration of the most recent committed ``BENCH_local_r*.json``
+    — the mechanical reference the round-10 adjudication prose used by
+    hand (three same-code runs spanned calibration 0.414→1.273; each
+    round then re-litigated host noise in text).  Returns None when no
+    prior record exists (first round, or a fresh checkout)."""
+    import glob
+    import re as _re
+
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, float] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_local_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                cal = float(json.load(fh)["calibration_sec"])
+        except Exception:  # noqa: BLE001 — unreadable/legacy record
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, cal)
+    return best[1] if best else None
+
+
+def calibration_noisy(calibration: float, prev: float | None) -> bool:
+    """The mechanical commit gate (round 11): True iff this run's
+    calibration says the host is >CAL_GATE_RATIO× slower than the
+    previous committed record's host — numbers from such a run are
+    dominated by external load, not code, and must not be committed."""
+    return prev is not None and calibration > CAL_GATE_RATIO * prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -159,7 +199,35 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
+    # mechanical commit gate (round 11, VERDICT r10 "what's wrong" #3):
+    # a run whose calibration exceeds CAL_GATE_RATIO× the previous
+    # committed record's is host noise, not code — retry for a quiet
+    # window instead of committing it, and if none arrives, mark the
+    # record noisy (written to *.noisy, never the committed path) so
+    # round-over-round comparisons stay mechanical instead of prose.
+    prev_cal = previous_committed_calibration()
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_ATTEMPTS", "4"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_CAL_SLEEP", "20"))
     calibration = calibrate()
+    attempt = 1
+    while calibration_noisy(calibration, prev_cal) and attempt < max_attempts:
+        print(
+            f"WARNING: calibration {calibration} > {CAL_GATE_RATIO}x previous "
+            f"committed {prev_cal} — host loaded; retrying in {retry_sleep}s "
+            f"({attempt}/{max_attempts})",
+            file=sys.stderr,
+        )
+        time.sleep(retry_sleep)
+        calibration = calibrate()
+        attempt += 1
+    noisy = calibration_noisy(calibration, prev_cal)
+    if noisy:
+        print(
+            f"WARNING: calibration still {calibration} after {max_attempts} "
+            f"attempts (previous committed {prev_cal}) — record marked noisy; "
+            "re-run on a quiet machine before committing",
+            file=sys.stderr,
+        )
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -213,12 +281,17 @@ def main() -> None:
         "warm_passes": warm_passes,
         "warm_slower_than_cold": suspect,
         "calibration_sec": calibration,
+        "calibration_noisy": noisy,
         "sf": float(sf) if sf else None,
     }
     # full per-query maps: earlier stdout line + optional committed file
     print(json.dumps(full))
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:
+        if noisy:
+            # the gate: a noisy record never lands on the committed
+            # path — it goes to a .noisy sidecar for forensics only
+            out_path = out_path + ".noisy"
         with open(out_path, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
@@ -226,7 +299,7 @@ def main() -> None:
     # tail window with room to spare (this is the line it parses)
     compact = {k: full[k] for k in (
         "metric", "value", "unit", "warm_passes",
-        "warm_slower_than_cold", "calibration_sec", "sf",
+        "warm_slower_than_cold", "calibration_sec", "calibration_noisy", "sf",
     )}
     compact["n_queries"] = len(times)
     print(json.dumps(compact))

@@ -2202,27 +2202,53 @@ def js_divergence(
     discipline); the tail is one scalar double expression over exact
     ints both engines share.
 
-    Scale shape: ONE tokenize pass; the pair table is
-    source-domain-sized (P = S(S−1)/2 pairs, broadcast); each slice's
-    (token, count) rows are hit twice via broadcast pair fan-out
-    (≤ P·V rows, vocabulary-scale, never document-scale), merged with
-    one full-outer shuffle on (pair, token), then partial-agged back
-    to P rows.  Returns ``(source_a, source_b, n_a, n_b, union_types,
-    jsd)`` ordered by the pair.
+    Scale shape: ONE tokenize pass, made literal in round 11 — the
+    (grp, token, count) table is CHECKPOINTED (reliable when a
+    checkpoint dir is set, else local — the graph-op posture) before
+    the driver-side codebook collect, so the corpus is scanned once
+    and both the collect and the final pair job read the materialized
+    blocks (round 10 re-evaluated the uncached tokenize+groupBy
+    lineage in each of its two collects AND the final job — three
+    corpus scans); the per-slice totals and the global vocabulary
+    size fold into ONE collected rollup aggregate (one job, not two).
+    The pair table is source-domain-sized (P = S(S−1)/2 pairs,
+    broadcast); each slice's (token, count) rows are hit twice via
+    broadcast pair fan-out (≤ P·V rows, vocabulary-scale, never
+    document-scale), merged with one full-outer shuffle on
+    (pair, token), then partial-agged back to P rows.  Returns
+    ``(source_a, source_b, n_a, n_b, union_types, jsd)`` ordered by
+    the pair.
     """
     tok = docs.select(
         F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("t")
     )
     sc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).cast("long").alias("cs"))
-    tt = sc.groupBy("grp").agg(F.sum("cs").cast("long").alias("ns"))
-    nv = sc.agg(F.count_distinct("t").cast("long").alias("v"))
+    # materialize the tokenize aggregate ONCE: lazy checkpoint — the
+    # rollup collect below is the first action and writes the blocks,
+    # the final pair job re-reads them (storage is vocabulary-scale,
+    # (grp, token, count) rows); blocks age out via the ContextCleaner
+    # when the returned frame is garbage-collected
+    try:
+        reliable = (
+            docs.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+        )
+    except Exception:  # noqa: BLE001
+        reliable = False
+    sc = sc.checkpoint(eager=False) if reliable else sc.localCheckpoint(eager=False)
     # the pair table is SOURCE-DOMAIN-sized (one row per slice pair):
-    # build it driver-side from the two bounded aggregates — the
+    # build it driver-side from ONE bounded rollup aggregate — the
     # codebook-collect pattern (similarity.ann_ivf) — so the fan-out
     # below is a provable broadcast HASH join, not a theta-join BNLJ
-    # the plan guard can't bound
-    tt_rows = tt.collect()
-    v_val = int(nv.collect()[0]["v"])
+    # the plan guard can't bound.  The rollup's grand-total row
+    # carries the global distinct-token count V; the per-grp rows the
+    # slice totals — one collected aggregate instead of round 10's two.
+    stats = sc.rollup("grp").agg(
+        F.coalesce(F.sum("cs"), F.lit(0)).cast("long").alias("ns"),
+        F.count_distinct("t").cast("long").alias("v"),
+        F.grouping("grp").cast("int").alias("is_total"),
+    ).collect()
+    v_val = next(int(r["v"]) for r in stats if r["is_total"] == 1)
+    tt_rows = [r for r in stats if r["is_total"] == 0]
     pair_rows = [
         (a["grp"], b["grp"], int(a["ns"]), int(b["ns"]), v_val)
         for a in tt_rows

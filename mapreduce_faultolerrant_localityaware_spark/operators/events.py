@@ -570,7 +570,12 @@ def ks_test(
 
     Exact at scale: values collapse to DISTINCT cents with per-side
     counts FIRST (a hash aggregate — the value domain, not the row
-    count), cumulative counts run over that domain-sized table, and
+    count), cumulative counts come from
+    :func:`~.relational.bucketed_cum_counts` (range-bucket partials +
+    partitioned within-bucket ranks, with the per-side totals folded
+    into the bucket-offset frame — fully parallel even when the value
+    domain is near-row-cardinality, the continuous-metric shape
+    round 10's single domain-table window still funneled), and
     D = max |F1 − F2| compares the cross products |c1·n2 − c2·n1| in
     DOUBLE over the exact integer counts (exact below 2⁵³ — any
     realistic corpus; a long×long product would wrap int64 silently
@@ -593,14 +598,16 @@ def ks_test(
         F.sum(F.col("is_ref").cast("long")).alias("r"),
         F.sum((~F.col("is_ref")).cast("long")).alias("q"),
     )
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = per_val.agg(F.sum("r").alias("n1"), F.sum("q").alias("n2"))
-    cum = per_val.join(F.broadcast(tot)).select(
+    from .relational import bucketed_cum_counts
+
+    cum = bucketed_cum_counts(
+        per_val, "c", [("r", "c1"), ("q", "c2")], with_totals=True
+    ).select(
         "c",
-        "n1",
-        "n2",
-        F.sum("r").over(w).alias("c1"),
-        F.sum("q").over(w).alias("c2"),
+        F.col("c1_tot").alias("n1"),
+        F.col("c2_tot").alias("n2"),
+        "c1",
+        "c2",
     )
     # the cross products run in DOUBLE over the exact integer counts:
     # LONG×LONG c1·n2 wraps int64 silently once each half exceeds
@@ -1760,13 +1767,18 @@ def mannwhitney_u(
     group or an all-tied sample NULL, not an ANSI error.
 
     Scale shape: one partial-agged groupBy to the distinct-value
-    domain, ONE cumulative window over that domain-sized table (never
-    the row table — a row-level ``Window.orderBy`` funnels the whole
-    pooled sample through a single-partition sort, exactly the
-    WindowExec warning :func:`ks_test` was built to avoid), one final
-    1-row rollup that also folds in Σ(t³−t).
+    domain, cumulative counts via
+    :func:`~.relational.bucketed_cum_counts` (range-bucket partials +
+    partitioned within-bucket ranks — fully parallel even when the
+    value domain is near-row-cardinality; a row-level
+    ``Window.orderBy`` funnels the whole pooled sample through a
+    single-partition sort, and round 10's single domain-table window
+    still funneled a continuous domain), one final 1-row rollup that
+    also folds in Σ(t³−t).
     Returns one row ``(n_a, n_b, u_a, z_stat)``.
     """
+    from .relational import bucketed_cum_counts
+
     two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         (F.col(group_col) == group_a).cast("long").alias("is_a"),
         F.round(F.col(value_col) * 100).cast("long").alias("v"),
@@ -1775,11 +1787,10 @@ def mannwhitney_u(
         F.count(F.lit(1)).cast("long").alias("t"),
         F.coalesce(F.sum("is_a"), F.lit(0)).cast("long").alias("a"),
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per.select(
+    cum = bucketed_cum_counts(per, "v", [("t", "ct")]).select(
         "t",
         "a",
-        (F.sum("t").over(wc) - F.col("t")).cast("long").alias("cb"),
+        (F.col("ct") - F.col("t")).cast("long").alias("cb"),
     )
     r2 = 2 * F.col("cb") + F.col("t") + 1  # doubled avg rank of value v
     j = cum.groupBy().agg(
@@ -2515,15 +2526,22 @@ def roc_auc(
     rank ``2r_v = 2·cum_below(v) + t_v + 1`` (exact-BIGINT identity
     with per-row ``2·rank() + count_over − 1``; ties get average-rank
     treatment, the standard trapezoidal-AUC equivalence), and the
-    rank sum is Σp_v·2r_v over the domain-sized table.  The only
-    ordered window runs on the distinct-value aggregate — a row-level
+    rank sum is Σp_v·2r_v over the domain-sized table.  Cumulative
+    counts come from :func:`~.relational.bucketed_cum_counts` — range-
+    bucket partials, a bucket-domain offset window, PARTITIONED
+    within-bucket ranks — so even a NEAR-UNIQUE continuous score
+    domain (the realistic model-score shape, where the distinct-value
+    "domain" is row-sized) stays fully parallel; a row-level
     ``Window.orderBy`` here would single-partition-sort the whole
-    eval set.
+    eval set, and round 10's domain-collapse still funneled the
+    distinct-score table through one cumulative task.
 
     AUC = (Σ2r⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — exact BIGINTs until the one
     final division; degenerate label sets (single class) are NULL.
     Returns one row ``(n_pos, n_neg, auc)``.
     """
+    from .relational import bucketed_cum_counts
+
     two = df.select(
         label_col.cast("long").alias("is_pos"), score_col.alias("v")
     )
@@ -2531,11 +2549,10 @@ def roc_auc(
         F.count(F.lit(1)).cast("long").alias("t"),
         F.coalesce(F.sum("is_pos"), F.lit(0)).cast("long").alias("p"),
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per.select(
+    cum = bucketed_cum_counts(per, "v", [("t", "ct")]).select(
         "t",
         "p",
-        (F.sum("t").over(wc) - F.col("t")).cast("long").alias("cb"),
+        (F.col("ct") - F.col("t")).cast("long").alias("cb"),
     )
     r2 = 2 * F.col("cb") + F.col("t") + 1  # doubled avg rank of value v
     s = cum.groupBy().agg(
@@ -3151,21 +3168,26 @@ def kruskal_wallis(
     ``nullif`` instead of dividing by zero.
 
     Scale shape: groupBy to the (g,v) domain, groupBy to the v domain,
-    ONE cumulative window over the AGGREGATED value-domain table
-    (never the row table — the plan-hygiene guard rejects the naive
-    row-level rank), one equi-join back on v, one k-row rollup.
+    cumulative counts via :func:`~.relational.bucketed_cum_counts`
+    (range-bucket partials + partitioned within-bucket ranks — the
+    value domain may be near-row-cardinality for continuous metrics,
+    so the ordered pass must be parallel, never the round-10 single
+    domain-table window; the plan-hygiene guard rejects both the naive
+    row-level rank and a non-reducing aggregate funnel), one equi-join
+    back on v, one k-row rollup.
     Returns one row ``(n, k_groups, h_stat)``.
     """
+    from .relational import bucketed_cum_counts
+
     cents = F.round(F.col(value_col) * 100).cast("long")
     gv = df.select(F.col(group_col).alias("g"), cents.alias("v")).groupBy(
         "g", "v"
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     per_v = gv.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per_v.select(
+    ranked = bucketed_cum_counts(per_v, "v", [("t", "ct")]).select(
         "v",
         "t",
-        (2 * (F.sum("t").over(wc) - F.col("t")) + F.col("t") + 1)
+        (2 * (F.col("ct") - F.col("t")) + F.col("t") + 1)
         .cast("long")
         .alias("r2"),
     )
@@ -3219,20 +3241,23 @@ def levene_test(
     cancels.  Weighted sufficient statistics (Σcz, Σcz² as
     DECIMAL(38,0)) ride the (g,v,c) table — never re-expanded to rows.
 
-    Scale shape: one groupBy to the (g,v) domain; the ONLY windows are
-    cumulative counts PARTITIONED BY GROUP over that aggregated
-    domain; one broadcast of the k-row median table; one k-row rollup.
+    Scale shape: one groupBy to the (g,v) domain; cumulative counts
+    via :func:`~.relational.bucketed_cum_counts` partitioned by group
+    — with FEW groups a per-group window funnels each group's whole
+    (near-row-cardinality, for continuous metrics) value domain
+    through one task, so the ordered pass range-buckets WITHIN each
+    group and ranks per (group, bucket); one broadcast of the k-row
+    median table; one k-row rollup.
     Returns one row ``(n, k_groups, w_stat)``.
     """
+    from .relational import bucketed_cum_counts
+
     cents = F.round(F.col(value_col) * 100).cast("long")
     gv = df.select(F.col(group_col).alias("g"), cents.alias("v")).groupBy(
         "g", "v"
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = gv.select(
-        "g", "v", "c", F.sum("c").over(wg).cast("long").alias("cum")
+    cum = bucketed_cum_counts(
+        gv, "v", [("c", "cum")], partition_cols=["g"]
     )
     per_g_n = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
     j = cum.join(F.broadcast(per_g_n), "g")
@@ -3598,7 +3623,10 @@ def bh_significance(
     base = df.select(F.col(group_col).alias("grp"), cents.alias("v"))
     tot = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_tot"),
-        F.sum("v").cast("decimal(38,0)").alias("s_tot"),
+        # cast INSIDE the sum: a BIGINT accumulation can silently wrap
+        # int64 before an outer decimal cast, while the DuckDB oracle
+        # sums in HUGEINT (the cochran_armitage/anova_oneway carry)
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s_tot"),
     )
     flagged = base.join(F.broadcast(tot)).select(
         "grp",
@@ -3723,4 +3751,88 @@ def hll_rollup(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.round(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))).cast("long").alias("est_users"),
     ).select(F.lit(None).cast("date").alias("week"), "n_days", "est_users")
+    return weekly.unionByName(alltime).orderBy(F.col("week").asc_nulls_last())
+
+
+def quantile_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    m_grid: int = 100,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Mergeable QUANTILE rollup — the percentile sibling of
+    :func:`hll_rollup`, completing the sketch-rollup posture a 100 TB
+    metrics layer needs (distinct counts AND latency/value
+    percentiles re-aggregated per period without rescanning raw rows).
+
+    The expensive pass builds one bounded summary per DAY: an
+    ``m_grid``-point equi-spaced percentile grid from Spark's
+    Greenwald–Khanna ``percentile_approx`` (per-value rank error
+    ≤ n_d/accuracy) plus the exact day count — the summary a lake
+    would persist next to the day's HLL sketch.  Every coarser
+    period — weeks, the whole corpus — then MERGES grids only: each
+    grid point carries mass ``n_d/m_grid``, the pooled points are
+    rank-scanned per period (a window over the day-domain × m_grid
+    table — calendar-bounded, never row-bounded), and p50/p95/p99 are
+    the smallest pooled values covering the target mass.  Pooled rank
+    error ≤ N/(2·m_grid) + Σn_d/accuracy — ~0.6 % of rank at the
+    defaults, pinned against exact percentiles in
+    tests/test_round11_ops.py (the hll_rollup 3σ-pin pattern).
+
+    The mass bookkeeping is exact-integer: point mass is the BIGINT
+    ``n_d`` (per-period total is then ``m_grid·N``), and the
+    percentile conditions compare ``100·cum ≥ k·tot`` — no float
+    ranks.  GK summaries are a different sketch family than DuckDB's
+    approx quantiles, so the driver gate is rows-only by design, like
+    hll_rollup.
+
+    Scale shape: ONE partial-agged groupBy(day) over raw rows (GK
+    buffers bounded by ``accuracy``, never by the value domain), then
+    every rollup touches only the day×m_grid grid table.  Returns per
+    week ``(week, n_rows, p50, p95, p99)`` plus a ``week = NULL``
+    all-time row, ordered with the all-time row last.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    probs = F.array(*[F.lit((i + 0.5) / m_grid) for i in range(m_grid)])
+    daily = events.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.percentile_approx(cents, probs, F.lit(accuracy)).alias("qs"),
+    )
+    pts = daily.select("d", "n_d", F.posexplode("qs").alias("idx", "q"))
+
+    def _ranked(points: DataFrame, *part_cols: str) -> DataFrame:
+        w_cum = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("q").asc(), F.col("d").asc(), F.col("idx").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy(*part_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = points.select(
+            *part_cols,
+            "q",
+            F.sum("n_d").over(w_cum).cast("long").alias("cum"),
+            F.sum("n_d").over(w_tot).cast("long").alias("tot"),
+        )
+
+        def pick(k: int) -> Column:
+            return F.min(
+                F.when(100 * F.col("cum") >= k * F.col("tot"), F.col("q"))
+            )
+
+        return cum.groupBy(*part_cols).agg(
+            (F.max("tot") / m_grid).cast("long").alias("n_rows"),
+            F.round(pick(50) / 100.0, 6).alias("p50"),
+            F.round(pick(95) / 100.0, 6).alias("p95"),
+            F.round(pick(99) / 100.0, 6).alias("p99"),
+        )
+
+    weekly = _ranked(
+        pts.withColumn("week", F.date_trunc("week", "d").cast("date")), "week"
+    )
+    alltime = _ranked(pts).select(
+        F.lit(None).cast("date").alias("week"), "n_rows", "p50", "p95", "p99"
+    )
     return weekly.unionByName(alltime).orderBy(F.col("week").asc_nulls_last())

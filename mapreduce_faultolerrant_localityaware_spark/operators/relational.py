@@ -711,24 +711,28 @@ def revenue_concentration(
 
     Shape: per-key exact cent totals (partial-agged groupBy), then a
     running share over the AGGREGATED key table ordered by
-    (total desc, key) — a domain-sized window, never raw rows (the
-    same posture as key_skew_report).  Deterministic: exact bigint
-    cents, integer-ratio share rounded at the edge.
+    (total desc, key) via :func:`bucketed_cum_counts` — the key
+    domain (customers, crawl domains) SCALES WITH DATA, so the
+    cumulative pass range-buckets and ranks per bucket instead of
+    funneling the whole key table through one ordered-window task
+    (the round-10 shape); the grand total folds into the bucket-
+    offset frame, dropping the former 1-row broadcast attach.
+    Deterministic: exact bigint cents, integer-ratio share rounded at
+    the edge.
 
     Returns one row: (n_keys, n_top, top_share_pct, total_value).
     """
-    from pyspark.sql import Window
-
     per = orders.groupBy(F.col(key_col).alias("k")).agg(
         F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("k")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot = per.agg(F.sum("cents").alias("tot"))
-    run = per.join(F.broadcast(tot)).select(
-        "k", "cents", F.sum("cents").over(w).alias("cum"), "tot"
-    )
+    run = bucketed_cum_counts(
+        per,
+        "cents",
+        [("cents", "cum")],
+        ascending=False,
+        tiebreak_cols=["k"],
+        with_totals=True,
+    ).select("k", "cents", "cum", F.col("cum_tot").alias("tot"))
     # a key is needed while the PREVIOUS cumulative share is still
     # below the threshold: (cum − cents)/tot < thr/100, compared as
     # exact integers with the fraction REDUCED (gcd) so the cross
@@ -1063,6 +1067,139 @@ def _pos_div(a: Column, b: Column) -> Column:
     ).cast("long")
 
 
+def bucketed_cum_counts(
+    per: DataFrame,
+    order_col: str,
+    sums: Sequence[tuple[str, str]],
+    ascending: bool = True,
+    n_buckets: int = 8192,
+    partition_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+    with_totals: bool = False,
+) -> DataFrame:
+    """Fully parallel inclusive cumulative sums over a total order —
+    the bucketed two-pass that replaces ``Window.orderBy(v)`` over a
+    value-domain table.  The distinct-value collapse (round 10)
+    already shrank the rank family's ordered window to the DOMAIN
+    table, but a near-row-cardinality domain (continuous model scores,
+    unique monetary cents) still funneled ~N (value, count) rows
+    through ONE cumulative-window task.  This generalizes the
+    :func:`~..operators.corpus.shard_assign` prefix-bucket discipline
+    to an arbitrary NUMERIC total order:
+
+    1. one 1-row (min, max) aggregate broadcasts back (the tfidf-style
+       scalar attach) and every row gets a DETERMINISTIC equi-width
+       cell id ``pmod(least(K−1, floor((v−mn)·K/span)), K)`` — a pure
+       function of the VALUE, monotone non-decreasing in the order, so
+       bucketing is order-consistent by construction.  Deliberately
+       NOT ``repartitionByRange`` + ``spark_partition_id()``: range
+       boundaries come from a reservoir sample of the child, and when
+       the exchange is NOT reused between this frame's two consumers
+       (AQE reuse is an optimization, not a guarantee) the two
+       materializations can sample DIFFERENT boundaries — bucket ids
+       would disagree between the offsets branch and the join branch
+       and the offsets silently corrupt (observed intermittently at
+       sf0.01).  Min/max are order-independent aggregates: re-
+       evaluation always yields the same cells;
+    2. per-cell totals (a ≤ ``n_buckets``-row aggregate), prefix-
+       summed with ONE ordered window over that cell-domain frame —
+       the only unpartitioned window, provably bounded because its
+       grouping key is the pmod-literal cell expression (the plan
+       guard's strict prover accepts exactly this shape);
+    3. broadcast the offsets back and rank WITHIN (cell) — a
+       partitioned window, fully parallel however unique the value
+       domain is.
+
+    Cell boundaries only affect load balance, never values: any
+    order-consistent assignment yields the same cumulative sums.
+    Equi-width cells balance worse than sampled quantiles under skew,
+    but a cell only overloads when >domain/K of the DISTINCT VALUES
+    concentrate in 1/K of the range — and the adversarial case
+    (massive mass on few values) is exactly the tie-heavy shape whose
+    domain table is small anyway.  K = 8192 keeps per-cell work at
+    ~domain/8192 rows while the offset frame stays window-trivial.
+
+    ``per`` must be a DOMAIN table:
+    ``partition_cols + [order_col] + tiebreak_cols`` unique per row
+    (a ``groupBy`` output) with a NUMERIC ``order_col``, so the cell
+    assignment and the within-cell order agree on one total order
+    (``tiebreak_cols`` break ties in ``order_col`` ascending — the
+    ``ORDER BY cents DESC, key ASC`` shape).  ``sums`` maps input
+    count columns to output running-sum names; ``with_totals`` adds a
+    ``<dst>_tot`` grand total per partition group (computed on the
+    tiny cell-totals frame, not the data).  Returns ``per``'s columns
+    plus the requested cumulative columns (LONG).
+    """
+    vo = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    vo += [F.col(c).asc() for c in tiebreak_cols]
+    parts = list(partition_cols)
+    mn_mx = per.agg(
+        F.min(order_col).cast("double").alias("__mn"),
+        F.max(order_col).cast("double").alias("__mx"),
+    )
+    # monotone non-decreasing in v (floor of a positive-scaled exact
+    # double difference), so equal values share a cell and cells
+    # respect the order; least() caps the v == max edge, pmod() is a
+    # no-op on [0, K−1] that makes the bounded image PROVABLE to the
+    # plan guard's grouping-key tracer
+    cell = F.pmod(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(order_col).cast("double") - F.col("__mn"))
+                * (
+                    F.lit(float(n_buckets))
+                    / (F.col("__mx") - F.col("__mn") + F.lit(1.0))
+                )
+            ).cast("long"),
+        ),
+        F.lit(n_buckets),
+    ).cast("long")
+    bkt = per.join(F.broadcast(mn_mx)).withColumn("__bkt", cell).drop(
+        "__mn", "__mx"
+    )
+    btot = bkt.groupBy(*parts, "__bkt").agg(
+        *[F.sum(src).cast("long").alias(f"__bs_{i}") for i, (src, _) in enumerate(sums)]
+    )
+    # cells ascend with v, so the cross-cell prefix order follows the
+    # requested direction by flipping the cell order, not the cell id
+    # (which must stay the raw pmod expression for the plan guard)
+    bo = F.col("__bkt").asc() if ascending else F.col("__bkt").desc()
+    w_off = (
+        Window.partitionBy(*parts)
+        .orderBy(bo)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [
+        F.coalesce(F.sum(f"__bs_{i}").over(w_off), F.lit(0))
+        .cast("long")
+        .alias(f"__off_{i}")
+        for i in range(len(sums))
+    ]
+    if with_totals:
+        w_tot = Window.partitionBy(*parts).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols += [
+            F.sum(f"__bs_{i}").over(w_tot).cast("long").alias(f"{dst}_tot")
+            for i, (_, dst) in enumerate(sums)
+        ]
+    offs = btot.select(*parts, "__bkt", *off_cols)
+    w_in = (
+        Window.partitionBy(*parts, "__bkt")
+        .orderBy(*vo)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = bkt.join(F.broadcast(offs), parts + ["__bkt"])
+    out_cols = [
+        (F.col(f"__off_{i}") + F.sum(src).over(w_in)).cast("long").alias(dst)
+        for i, (src, dst) in enumerate(sums)
+    ]
+    if with_totals:
+        out_cols += [F.col(f"{dst}_tot") for _, dst in sums]
+    return joined.select(*per.columns, *out_cols)
+
+
 def exact_ntile(
     df: DataFrame,
     n_tiles: int,
@@ -1082,11 +1219,15 @@ def exact_ntile(
     ``histogram_equidepth`` discipline adapted to an arbitrary total
     order:
 
-    1. collapse to the DISTINCT value domain (hash aggregate), run
-       ONE cumulative-count window over that domain-sized table to
-       get each value's strictly-below row count ``cb`` and the total
-       N, and derive each tie group's start/end bucket from the exact
-       ntile arithmetic — pure integer expressions;
+    1. collapse to the DISTINCT value domain (hash aggregate), then
+       compute each value's strictly-below row count ``cb`` and the
+       total N with :func:`bucketed_cum_counts` — range-bucket
+       partials, a bucket-domain cumulative offset, then per-bucket
+       PARTITIONED ranks, so even a NEAR-UNIQUE continuous domain
+       (unique monetary cents, model scores) never funnels one
+       cumulative-window task (the round-10 residual) — and derive
+       each tie group's start/end bucket from the exact ntile
+       arithmetic — pure integer expressions;
     2. join the per-value frame back by value (equi-join, AQE picks
        broadcast when the domain is small — it may be row-sized, e.g.
        near-unique monetary cents, so it is never force-broadcast): a
@@ -1107,18 +1248,15 @@ def exact_ntile(
     shape runs fully parallel.  Output: the input columns plus
     ``out_col`` (1-based bucket, LONG).
     """
-    vo = F.col("__v").asc() if ascending else F.col("__v").desc()
     base = df.withColumn("__v", value_col).withColumn("__i", id_col)
     per = base.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__t"))
-    wc = Window.orderBy(vo).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    dom = per.select(
+    dom = bucketed_cum_counts(
+        per, "__v", [("__t", "__ct")], ascending=ascending, with_totals=True
+    ).select(
         "__v",
         "__t",
-        (F.sum("__t").over(wc) - F.col("__t")).cast("long").alias("__cb"),
-        F.sum("__t").over(wn).cast("long").alias("__n"),
+        (F.col("__ct") - F.col("__t")).cast("long").alias("__cb"),
+        F.col("__ct_tot").cast("long").alias("__n"),
     ).select(
         "__v",
         "__t",

@@ -163,20 +163,125 @@ def unpartitioned_windows(df: DataFrame):
             yield node, (kids[0] if kids else node)
 
 
-def is_domain_collapsed(node) -> bool:
+#: grouping-key expressions whose IMAGE is bounded independent of row
+#: count: the range-bucket id (≤ the exchange's explicit partition
+#: count), calendar truncations (≤ days/months/... in the data's time
+#: span — the accepted time-series posture), literal-modulus buckets,
+#: and 1–2-char prefixes (≤ 256 values).  Everything else — in
+#: particular a RAW scan column, however low-cardinality the tester's
+#: data happens to be — must be whitelisted per-query with a proof
+#: comment (tests/test_plan_hygiene.py DOMAIN_OK): round 10's prover
+#: accepted ANY Aggregate, which let a `groupBy(score)` over continuous
+#: parquet doubles prove "domain-collapsed" while being row-sized.
+_BOUNDED_KEY = re.compile(
+    r"SPARK_PARTITION_ID\(\)"
+    r"|\b(?:to_date|date_trunc|trunc|window|year|month|quarter|weekofyear"
+    r"|dayofweek|dayofmonth|day|hour|minute|unix_date|datediff)\("
+    r"|\bas date\)"  # to_date(timestamp) compiles to cast(ts as date)
+    r"|\bdate_format\([^,]+, yyyy(-MM)?[,)]"  # coarse calendar formats only
+    r"|\bpmod\([^,()]*(?:\([^()]*\))?[^,()]*, \d+\)"
+    r"|% \d+\)"
+)
+
+#: a defining expression that IS a bounded-image extraction at its
+#: outermost level (anchored — nested occurrences don't count):
+#: a 1–2-char prefix (image ≤ charset², SNM bucket keys — note
+#: `substring(x, 1, 24)` does NOT qualify) or a literal-modulus pmod
+#: (image ≤ the literal, bucketed_cum_counts' cell id — anchored
+#: because the loose _BOUNDED_KEY pmod pattern can't cross nested
+#: parens).
+_PREFIX_KEY = re.compile(
+    r"^substring\(.*, 1, [12]\)$|^pmod\(.*, \d+\)$", re.S
+)
+_CAST_WRAP = re.compile(r"^cast\((.*) as \w+(\(\d+(,\d+)?\))?\)$", re.S)
+
+_ATTR_REF = re.compile(r"^(\w+)#(\d+)L?$")
+
+
+def _named_expr_strings(node):
+    """Render this node's defining NamedExpressions (Project list,
+    Aggregate result expressions) — where `x AS y#id` aliases live."""
+    out = []
+    for getter in ("projectList", "resultExpressions"):
+        try:
+            seq = getattr(node, getter)()
+            out.extend(seq.apply(i).toString() for i in range(seq.size()))
+        except Exception:  # noqa: BLE001 — node without that member
+            pass
+    return out
+
+
+def _grouping_keys_bounded(agg_node, depth: int = 0) -> bool:
+    """True iff every grouping expression of this physical Aggregate has
+    a provably bounded image: a global aggregate (no keys), a key that
+    matches `_BOUNDED_KEY` directly, or an attribute whose DEFINING
+    alias expression in the subtree matches it (traced through up to
+    three alias hops, e.g. `to_date(ts#3) AS d#5` → `d#5 AS day#9`)."""
+    try:
+        keys = agg_node.groupingExpressions()
+    except Exception:  # noqa: BLE001
+        return False
+    if keys.size() == 0:
+        return True  # global aggregate: ≤1 row
+
+    def expr_bounded(expr: str, hops: int) -> bool:
+        expr = expr.strip()
+        m = _CAST_WRAP.match(expr)
+        while m:  # peel cast wrappers: cast(pmod(...) as bigint)
+            expr = m.group(1).strip()
+            m = _CAST_WRAP.match(expr)
+        if _BOUNDED_KEY.search(expr) or _PREFIX_KEY.match(expr):
+            return True
+        m = _ATTR_REF.match(expr)
+        if not (m and hops < 3):
+            return False
+        marker = f"AS {m.group(1)}#{m.group(2)}"
+        for node in walk_plan(agg_node):
+            for s in _named_expr_strings(node):
+                idx = s.find(marker)
+                if idx >= 0:
+                    return expr_bounded(s[:idx], hops + 1)
+        return False
+
+    def key_bounded(i: int) -> bool:
+        e = keys.apply(i)
+        try:
+            # a DATE-typed grouping key is calendar-bounded whatever
+            # produced it (raw date scan column, cast, truncation) —
+            # note: TIMESTAMP keys are NOT (micros ≈ row cardinality)
+            if e.dataType().typeName() == "date":
+                return True
+        except Exception:  # noqa: BLE001
+            pass
+        return expr_bounded(e.toString(), 0)
+
+    return all(key_bounded(i) for i in range(keys.size()))
+
+
+def is_domain_collapsed(node, allow_any_aggregate: bool = False) -> bool:
     """True iff every leaf-to-root path of this physical subtree passes
-    through a row-collapsing node — an Aggregate (rows → group domain),
-    a TakeOrdered/Limit (rows → k), or a provably row-bounded shape.
+    through a row-collapsing node — an Aggregate with a PROVABLY
+    BOUNDED grouping domain (global aggregate, spark_partition_id
+    range-bucket id, calendar truncation, literal modulus — see
+    `_BOUNDED_KEY`), a TakeOrdered/Limit (rows → k), or a provably
+    row-bounded shape.
 
     This is the property an UNPARTITIONED window's input must have: a
-    single-partition sort over a group domain / k-row list is the
-    engine's accepted pattern (ks_test's distinct-value CDF, day/month
-    series, bucket tables); the same sort over a raw row-level table is
-    the 100 TB scale-killer the round-9 roc_auc/lift_table family
-    shipped and round 10 removed."""
+    single-partition sort over a bounded domain / k-row list is the
+    engine's accepted pattern (day/month series, range-bucket offset
+    tables); the same sort over a raw row-level table is the 100 TB
+    scale-killer the round-9 roc_auc/lift_table family shipped and
+    round 10 removed.  Round 11 tightened the Aggregate rule: a
+    grouped aggregate no longer proves "collapsed" merely by being an
+    aggregate — `groupBy(score)` over near-unique continuous values IS
+    row-sized (the round-10 residual).  Queries whose grouping domain
+    is bounded by DATA SEMANTICS the plan cannot show (ISO language
+    codes, a source-name domain) pass ``allow_any_aggregate=True`` via
+    a per-query whitelist with a proof comment
+    (tests/test_plan_hygiene.py DOMAIN_OK)."""
     name = node.nodeName()
     if "Aggregate" in name:
-        return True
+        return allow_any_aggregate or _grouping_keys_bounded(node)
     if "TakeOrderedAndProject" in name or "Limit" in name:
         return True
     if name == "Range":
@@ -186,7 +291,7 @@ def is_domain_collapsed(node) -> bool:
     kids = _plan_children(node)
     if not kids:
         return False  # parquet scan or other unbounded leaf
-    return all(is_domain_collapsed(c) for c in kids)
+    return all(is_domain_collapsed(c, allow_any_aggregate) for c in kids)
 
 
 def subtree_sketch(node, depth: int = 0, max_lines: int = 40) -> str:

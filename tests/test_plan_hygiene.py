@@ -162,7 +162,14 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # child/orphan count aggregates — all the tfidf-style
            # scalar-attach shape, structurally proven below
            "calibration_table", "cohens_kappa", "wilson_ci",
-           "referential_audit"}
+           "referential_audit",
+           # round 11: bucketed_cum_counts attaches its 1-row (min,
+           # max) cell-boundary aggregate as a broadcast scalar join —
+           # every rank-discipline query now carries that shape
+           # (structurally proven ≤1 row below, like every other
+           # scalar attach)
+           "roc_auc", "roc_auc_continuous", "levene_test",
+           "lift_table", "k_anonymity"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
@@ -177,6 +184,48 @@ SKIP = {"dedup_clusters"}
 #: rather than whitelisted.  Add a name here ONLY with a comment proving
 #: the input is domain-sized in a way the prover cannot see.
 UNPART_WINDOW_OK: set[str] = set()
+
+#: round 11: the STRICT prover no longer accepts ANY Aggregate as
+#: "domain-collapsed" — a `groupBy(score)` over near-unique continuous
+#: values is row-sized (the round-10 residual; the rank family now
+#: runs on `bucketed_cum_counts`, whose only unpartitioned window
+#: aggregates on spark_partition_id() and proves bounded structurally).
+#: Queries here window over a grouped aggregate whose domain is bounded
+#: by DATA SEMANTICS the physical plan cannot show; each entry carries
+#: the cardinality proof.  An entry whose plan stops containing an
+#: unpartitioned window should be removed (asserted non-vacuous below).
+DOMAIN_OK: dict[str, str] = {
+    "ann_index_drift": (
+        "windows over the per-CELL occupancy table: cell ids come from "
+        "the fitted IVF codebook join, so the domain is the k-means k "
+        "(a fit parameter, 16–256), never corpus rows"
+    ),
+    "bh_significance": (
+        "the BH step-up rank runs over the per-GROUP test-family table "
+        "(grp = event_type): one row per hypothesis tested — the "
+        "k-row family a multiple-testing correction is defined on"
+    ),
+    "lift_table": (
+        "cumulative gains run over the per-BUCKET table: bucket is "
+        "exact_ntile output, an integer in 1..n_tiles (=10) by the "
+        "ntile arithmetic — the prover cannot bound the CASE expression"
+    ),
+    "mixture_report": (
+        "windows over the per-(source, lang) table: both are corpus "
+        "slice labels (crawl/source names × ISO language codes) — a "
+        "mixture design domain of tens of rows, not data-scaled"
+    ),
+    "mixture_weights": (
+        "windows over the per-source mixture table — one row per "
+        "corpus slice in the sampling design, same domain as "
+        "mixture_report"
+    ),
+    "pareto_front": (
+        "skyline scan over the per-distinct-token-count table: the "
+        "domain is bounded by the maximum document LENGTH (≤ ~1e6 "
+        "values however many documents), not corpus row count"
+    ),
+}
 
 _QUERIES = sorted(entry_mod.queries())
 
@@ -268,12 +317,13 @@ def test_plan_hygiene(spark, sf_dir, name):
     # series, bucket rollups; all prove `is_domain_collapsed`), a
     # 100 TB scale-killer over raw rows (the round-9 roc_auc family).
     if name not in UNPART_WINDOW_OK:
+        lenient = name in DOMAIN_OK
         for win, child in unpartitioned_windows(df):
-            assert is_domain_collapsed(child), (
-                f"{name}: unpartitioned window over a non-collapsed "
-                "(row-level) input — use the distinct-value-collapse or "
-                "exact_ntile pattern, or whitelist with proof:\n"
-                + subtree_sketch(child)
+            assert is_domain_collapsed(child, allow_any_aggregate=lenient), (
+                f"{name}: unpartitioned window over an input the strict "
+                "prover cannot bound — use bucketed_cum_counts / the "
+                "exact_ntile pattern, or annotate DOMAIN_OK with a "
+                "cardinality proof:\n" + subtree_sketch(child)
             )
 
 
@@ -296,17 +346,74 @@ def test_window_guard_rejects_naive_global_ntile(spark, sf_dir):
 
 
 def test_window_guard_accepts_domain_collapsed(spark, sf_dir):
-    """And it must PASS the engine's accepted shape — a cumulative
-    window over a grouped-aggregate (domain-sized) input."""
+    """And it must PASS the engine's accepted shapes: a cumulative
+    window over an aggregate grouped on a provably bounded-image key
+    (a calendar truncation — day domain), and bucketed_cum_counts'
+    bucket-offset window (aggregate on spark_partition_id())."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    cum = per.select(
-        "lang", F.sum("n").over(Window.orderBy("lang")).alias("cum_n")
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        bucketed_cum_counts,
     )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cum = per.select("d", F.sum("n").over(Window.orderBy("d")).alias("cum_n"))
     hits = list(unpartitioned_windows(cum))
     assert hits, "expected an unpartitioned WindowExec in the probe plan"
     for _, child in hits:
         assert is_domain_collapsed(child), subtree_sketch(child)
+
+    dom = events.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    bucketed = bucketed_cum_counts(dom, "v", [("t", "ct")], with_totals=True)
+    hits = list(unpartitioned_windows(bucketed))
+    assert hits, "expected the bucket-offset WindowExec in the probe plan"
+    for _, child in hits:
+        assert is_domain_collapsed(child), subtree_sketch(child)
+
+
+def test_window_guard_rejects_nonreducing_aggregate(spark, sf_dir):
+    """Round-11 negative control (VERDICT r10 'what's wrong' #2): an
+    Aggregate whose grouping key is a raw high-cardinality scan column
+    (`groupBy(score)` over parquet doubles) must NOT prove
+    'domain-collapsed' — the distinct-value 'domain' of a continuous
+    score is row-sized, and an unpartitioned cumulative window over it
+    is the round-10 residual funnel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = events.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    naive = per.select(
+        "v", F.sum("t").over(Window.orderBy("v")).alias("cum")
+    )
+    hits = list(unpartitioned_windows(naive))
+    assert hits, "expected an unpartitioned WindowExec in the probe plan"
+    assert all(not is_domain_collapsed(child) for _, child in hits), (
+        "strict prover accepted a non-reducing aggregate funnel"
+    )
+
+
+def test_domain_ok_entries_not_vacuous(spark, sf_dir):
+    """Every DOMAIN_OK annotation must still be needed: its query's
+    plan contains an unpartitioned window the STRICT prover rejects.
+    A stale entry (query rewritten onto bucketed_cum_counts) weakens
+    the sweep and must be removed."""
+    for name, proof in sorted(DOMAIN_OK.items()):
+        assert proof.strip(), f"{name}: DOMAIN_OK entry without a proof"
+        df = entry_mod.queries()[name](spark, sf_dir)
+        needs = any(
+            not is_domain_collapsed(child)
+            for _, child in unpartitioned_windows(df)
+        )
+        assert needs, (
+            f"{name}: DOMAIN_OK entry is stale — the strict prover now "
+            "accepts every unpartitioned window in its plan"
+        )

@@ -1,0 +1,237 @@
+"""Round-11 operator tests: the range-bucketed cumulative-rank
+discipline (`bucketed_cum_counts`), the mergeable quantile rollup, and
+the mechanical bench calibration gate."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_faultolerrant_localityaware_spark.operators import events as events_ops
+from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+    bucketed_cum_counts,
+    exact_ntile,
+)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_cum_counts: the range-bucketed two-pass vs a naive window
+# ---------------------------------------------------------------------------
+
+def _naive_cum(per, order_col, src, ascending=True, parts=()):
+    vo = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(vo)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(*per.columns, F.sum(src).over(w).cast("long").alias("ref"))
+
+
+def test_bucketed_cum_counts_matches_window_near_unique(spark, sf_dir):
+    """NEAR-UNIQUE continuous domain — exactly the shape that hid the
+    round-10 funnel (tie-heavy fixtures collapse to small domains):
+    md5-derived 48-bit values over documents are unique with
+    overwhelming probability, so the 'domain' table is row-sized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = (
+        docs.select(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    got = {
+        (r.v, r.ct, r.ct_tot)
+        for r in bucketed_cum_counts(
+            per, "v", [("t", "ct")], with_totals=True, n_buckets=16
+        ).collect()
+    }
+    ref_rows = _naive_cum(per, "v", "t").collect()
+    n = sum(r.t for r in ref_rows)
+    ref = {(r.v, r.ref, n) for r in ref_rows}
+    assert got == ref and len(got) > 100
+
+
+def test_bucketed_cum_counts_descending_and_ties(spark, sf_dir):
+    """Descending order + a tie-heavy domain (few distinct values,
+    many buckets empty) — ordering and empty-bucket offsets must both
+    hold."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = (
+        ev.select((F.round(F.col("value")) % 7).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    got = {
+        (r.v, r.ct)
+        for r in bucketed_cum_counts(
+            per, "v", [("t", "ct")], ascending=False, n_buckets=16
+        ).collect()
+    }
+    ref = {(r.v, r.ref) for r in _naive_cum(per, "v", "t", ascending=False).collect()}
+    assert got == ref
+
+
+def test_bucketed_cum_counts_partitioned(spark, sf_dir):
+    """partition_cols variant (levene_test's per-group cumulative):
+    cumulative restarts per group and never leaks across groups."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    got = {
+        (r.g, r.v, r.cum)
+        for r in bucketed_cum_counts(
+            per, "v", [("c", "cum")], partition_cols=["g"], n_buckets=8
+        ).collect()
+    }
+    ref = {
+        (r.g, r.v, r.ref)
+        for r in _naive_cum(per, "v", "c", parts=("g",)).collect()
+    }
+    assert got == ref
+
+
+def test_bucketed_cum_counts_multi_sums(spark, sf_dir):
+    """Two simultaneous running sums + totals (the ks_test shape)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            (F.col("user_id") % 2 == 0).cast("long").alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("long").alias("r"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("q"),
+        )
+    )
+    out = bucketed_cum_counts(
+        per, "v", [("r", "c1"), ("q", "c2")], with_totals=True, n_buckets=8
+    )
+    rows = out.collect()
+    n1 = sum(r["r"] for r in per.collect())
+    last = max(rows, key=lambda r: r.v)
+    assert all(r.c1_tot == n1 for r in rows)
+    assert last.c1 == n1
+    ref = {(r.v, r.ref) for r in _naive_cum(per, "v", "r").collect()}
+    assert {(r.v, r.c1) for r in rows} == ref
+
+
+def test_exact_ntile_near_unique_continuous(spark, sf_dir):
+    """exact_ntile over a NEAR-UNIQUE continuous value domain must
+    still reproduce SQL ntile bit-for-bit (remainder semantics) — the
+    round-11 fixture the judge asked for: tie-heavy fixtures are
+    exactly the shape that hid the domain-collapse funnel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("double")
+            / 2.0**48
+        ).alias("score"),
+    )
+    got = exact_ntile(scored, 7, F.col("score"), F.col("doc_id"), out_col="b")
+    ref = scored.select(
+        "doc_id",
+        F.ntile(7)
+        .over(Window.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        .alias("b"),
+    )
+    g = {(r.doc_id, r.b) for r in got.select("doc_id", "b").collect()}
+    r = {(r.doc_id, r.b) for r in ref.collect()}
+    assert g == r and len(g) > 100
+
+
+# ---------------------------------------------------------------------------
+# quantile_rollup: mergeable per-day grids vs exact percentiles
+# ---------------------------------------------------------------------------
+
+def test_quantile_rollup_accuracy(spark, sf_dir):
+    """The merged p50/p95/p99 must sit within ±2% RANK of the exact
+    percentile (the hll_rollup 3σ-pin pattern: grid error N/(2·m_grid)
+    = 0.5% + GK error, so 2% is a 2× safety margin), per week and
+    all-time."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = events_ops.quantile_rollup(ev).collect()
+    assert out and out[-1]["week"] is None
+
+    rows = ev.select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).collect()
+    by_week: dict = {}
+    for r in rows:
+        by_week.setdefault(r.week, []).append(r.c)
+        by_week.setdefault(None, []).append(r.c)
+
+    for rec in out:
+        vals = sorted(by_week[rec["week"]])
+        n = len(vals)
+        assert rec["n_rows"] == n
+        for p, key in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99")):
+            lo = vals[max(0, min(n - 1, int((p - 0.02) * n)))] / 100.0
+            hi = vals[max(0, min(n - 1, int((p + 0.02) * n)))] / 100.0
+            assert lo - 1e-9 <= rec[key] <= hi + 1e-9, (
+                rec["week"], key, lo, rec[key], hi,
+            )
+
+
+def test_quantile_rollup_merges_not_rescans(spark, sf_dir):
+    """All-time row must be derivable from the day grids alone — its
+    percentile values are members of the pooled per-day grid value
+    set, not re-read raw values (proves the rollup merges summaries)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = {r["week"]: r for r in events_ops.quantile_rollup(ev).collect()}
+    cents = F.round(F.col("value") * 100).cast("long")
+    probs = F.array(*[F.lit((i + 0.5) / 100) for i in range(100)])
+    grid_vals = set()
+    for r in (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.percentile_approx(cents, probs, F.lit(10_000)).alias("qs"))
+        .collect()
+    ):
+        grid_vals.update(r.qs)
+    at = out[None]
+    for key in ("p50", "p95", "p99"):
+        assert round(at[key] * 100) in grid_vals
+
+
+# ---------------------------------------------------------------------------
+# bench calibration gate (no Spark needed)
+# ---------------------------------------------------------------------------
+
+def test_bench_calibration_gate(tmp_path):
+    import bench
+
+    # synthetic previous committed record
+    with open(tmp_path / "BENCH_local_r3.json", "w") as fh:
+        json.dump({"calibration_sec": 0.4}, fh)
+    with open(tmp_path / "BENCH_local_r2.json", "w") as fh:
+        json.dump({"calibration_sec": 9.9}, fh)  # older round must be ignored
+    prev = bench.previous_committed_calibration(str(tmp_path))
+    assert prev == 0.4
+    # quiet host: within 1.5x — commit
+    assert not bench.calibration_noisy(0.55, prev)
+    # loaded host: the synthetic slow-calibration input — refuse
+    assert bench.calibration_noisy(0.61, prev)
+    assert bench.calibration_noisy(1.2, prev)
+    # no prior record: nothing to gate against
+    assert bench.previous_committed_calibration(str(tmp_path / "empty")) is None
+    assert not bench.calibration_noisy(99.0, None)
