@@ -123,6 +123,11 @@ HEADLINE = [
     "kruskal_wallis",
     "js_divergence",
     "hll_rollup",
+    # round-11 additions: the near-unique continuous-score rank fixture
+    # (the shape the bucketed_cum_counts rewrite exists for) and the
+    # mergeable quantile rollup
+    "roc_auc_continuous",
+    "quantile_rollup",
 ]
 
 
