@@ -568,18 +568,80 @@ def corr_matrix(
     )
 
 
+def percentile_edges_bucketed(
+    edge_df: DataFrame, col: str, qs: Sequence[float]
+) -> DataFrame:
+    """1-row frame of EXACT interpolated percentiles of an integer
+    column (``e0..e{m-1}``), computed from bucketed cumulative counts
+    instead of the built-in exact ``percentile`` aggregate.  The
+    built-in buffers a value→count map whose size is the DISTINCT
+    value domain **in one final-aggregation task** — fine for
+    tie-heavy columns, the round-10 continuous-domain caveat in
+    aggregate-buffer form when values are near-unique.  Here the
+    domain collapses to (value, count) rows, cumulative counts come
+    from :func:`bucketed_cum_counts` (fully parallel), and each
+    requested percentile reads its two order statistics with one
+    conditional aggregate.
+
+    Bit-parity: reproduces ``Percentile.getPercentile``'s exact IEEE
+    expression — ``pos = (n−1)·q``; lower/higher order statistics at
+    ``floor(pos)``/``ceil(pos)``; result
+    ``v_lo·(higher−pos) + v_hi·(pos−lower)`` (NOT the algebraically
+    equal ``v_lo + frac·Δ``, which rounds differently) — so swapping
+    it under :func:`equidepth_bins` changes no output bit and the
+    DuckDB oracles keep matching.
+    """
+    per = edge_df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    cum = bucketed_cum_counts(per, "__v", [("__t", "__ct")], with_totals=True)
+    n = F.col("__ct_tot")
+    lo_rank = (F.col("__ct") - F.col("__t")).cast("long")  # first 0-based rank
+    hi_rank = (F.col("__ct") - 1).cast("long")             # last 0-based rank
+    aggs = [F.max(n).alias("__n")]
+    for i, q in enumerate(qs):
+        pos = (n - 1).cast("double") * F.lit(float(q))
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        aggs.append(
+            F.min(F.when((lo_rank <= lo) & (lo <= hi_rank), F.col("__v")))
+            .cast("double")
+            .alias(f"__vl{i}")
+        )
+        aggs.append(
+            F.min(F.when((lo_rank <= hi) & (hi <= hi_rank), F.col("__v")))
+            .cast("double")
+            .alias(f"__vh{i}")
+        )
+    s = cum.agg(*aggs)
+    outs = []
+    for i, q in enumerate(qs):
+        pos = (F.col("__n") - 1).cast("double") * F.lit(float(q))
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        outs.append(
+            F.when(lo == hi, F.col(f"__vl{i}"))
+            .otherwise(
+                F.col(f"__vl{i}") * (hi.cast("double") - pos)
+                + F.col(f"__vh{i}") * (pos - lo.cast("double"))
+            )
+            .alias(f"e{i}")
+        )
+    return s.select(*outs)
+
+
 def equidepth_bins(apply_df: DataFrame, edge_df: DataFrame, col: str, n_bins: int) -> DataFrame:
     """Shared equi-depth binning core (histogram_equidepth, psi_drift):
     edges are EXACT percentiles of ``edge_df[col]`` from one 1-row
-    aggregate (percentile-of-integers — deterministic), binning is a
-    map-side comparison chain against the broadcast edge row.  Never a
-    global sort or a raw-row ntile.  Returns ``apply_df`` + ``bin``
-    (1-based) with the edge columns still attached (select them away).
+    aggregate (:func:`percentile_edges_bucketed` — r11: bucketed
+    order statistics, so a near-unique value domain no longer rides
+    one task's percentile buffer), binning is a map-side comparison
+    chain against the broadcast edge row.  Never a global sort or a
+    raw-row ntile.  Returns ``apply_df`` + ``bin`` (1-based) with the
+    edge columns still attached (select them away).
     """
     qs = [i / n_bins for i in range(1, n_bins)]
-    edges = edge_df.agg(
-        *[F.percentile(col, F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)]
-    )
+    edges = percentile_edges_bucketed(edge_df, col, qs)
     j = apply_df.join(F.broadcast(edges))
     b = F.lit(1)
     for i in range(len(qs)):

@@ -159,6 +159,33 @@ def test_exact_ntile_near_unique_continuous(spark, sf_dir):
     assert g == r and len(g) > 100
 
 
+def test_percentile_edges_bucketed_bit_equal(spark, sf_dir):
+    """percentile_edges_bucketed must reproduce the built-in exact
+    `percentile` aggregate BIT-for-bit (it replicates
+    Percentile.getPercentile's IEEE expression, not an algebraic
+    equivalent) — on a tie-heavy domain AND a near-unique one."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        percentile_edges_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qs = [i / 10 for i in range(1, 10)] + [0.333, 0.007, 0.999]
+    for base in (
+        ev.select(F.round(F.col("value") * 100).cast("long").alias("v")),
+        ev.select(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("v")
+        ),
+    ):
+        ref = base.agg(
+            *[F.percentile("v", F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)]
+        ).collect()[0]
+        got = percentile_edges_bucketed(base, "v", qs).collect()[0]
+        for i in range(len(qs)):
+            assert ref[f"e{i}"] == got[f"e{i}"], (qs[i], ref[f"e{i}"], got[f"e{i}"])
+
+
 # ---------------------------------------------------------------------------
 # quantile_rollup: mergeable per-day grids vs exact percentiles
 # ---------------------------------------------------------------------------
