@@ -4508,6 +4508,37 @@ def _q_quantile_rollup(spark, sf):
     return events_ops.quantile_rollup(ev)
 
 
+def _q_percent_rank_global(spark, sf):
+    """Exact per-row global percent_rank of event value cents
+    (operators/relational.py:percent_rank_global): quantile
+    normalization without the single-task percent_rank window —
+    distinct-value collapse + bucketed_cum_counts + equi-join back."""
+    ev = scan(spark, sf, "events")
+    return relational.percent_rank_global(
+        ev, F.round(F.col("value") * 100).cast("long"), F.col("event_id")
+    ).select(
+        F.col("__id").alias("event_id"),
+        F.col("__v").alias("cents"),
+        "pct_rank",
+    )
+
+
+def _q_ndcg_eval(spark, sf):
+    """Mean NDCG@10 of the per-customer order ranking (value cents
+    desc) against fulfilled status as relevance
+    (operators/retrieval.py:ndcg_at_k): partitioned rank windows,
+    shared literal discounts, nano-integer DCG sums."""
+    orders = scan(spark, sf, "orders")
+    return retrieval.ndcg_at_k(
+        orders,
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+        F.col("o_orderkey"),
+        k=10,
+    )
+
+
 def _q_roc_auc_continuous(spark, sf):
     """Exact ROC-AUC over a NEAR-UNIQUE continuous score domain — the
     round-11 scale fixture: md5-derived 48-bit scores are distinct per
@@ -4728,6 +4759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": _q_hll_rollup,
         "quantile_rollup": _q_quantile_rollup,
         "roc_auc_continuous": _q_roc_auc_continuous,
+        "percent_rank_global": _q_percent_rank_global,
+        "ndcg_eval": _q_ndcg_eval,
         "forecast_baseline": _q_forecast_baseline,
         "delta_method_ratio": _q_delta_method_ratio,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -7240,6 +7273,46 @@ def oracle_sql() -> dict[str, str]:
                    round(post_b, 6) AS post_b,
                    round((post_b - pre_b) - (post_a - pre_a), 6) AS did
             FROM mm
+        """,
+        "ndcg_eval": """
+            WITH base AS (SELECT o_custkey AS q,
+                                 CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS s,
+                                 CASE WHEN o_orderstatus = 'F' THEN 1
+                                      ELSE 0 END AS rel,
+                                 o_orderkey AS i
+                          FROM orders),
+            r AS (SELECT q, rel,
+                         row_number() OVER (PARTITION BY q
+                             ORDER BY s DESC, i ASC) AS rn,
+                         row_number() OVER (PARTITION BY q
+                             ORDER BY rel DESC, s DESC, i ASC) AS ri
+                  FROM base),
+            per_q AS (SELECT q,
+                             sum(CASE WHEN rn <= 10 THEN CAST(round(
+                                 CAST(rel AS DOUBLE) * (CASE WHEN rn = 1 THEN 1.0 WHEN rn = 2 THEN 0.6309297535714575 WHEN rn = 3 THEN 0.5 WHEN rn = 4 THEN 0.43067655807339306 WHEN rn = 5 THEN 0.38685280723454163 WHEN rn = 6 THEN 0.3562071871080222 WHEN rn = 7 THEN 0.3333333333333333 WHEN rn = 8 THEN 0.31546487678572877 WHEN rn = 9 THEN 0.3010299956639812 WHEN rn = 10 THEN 0.2890648263178879 ELSE 0.0 END)
+                                 * 1e9) AS BIGINT) ELSE 0 END) AS dcg9,
+                             sum(CASE WHEN ri <= 10 THEN CAST(round(
+                                 CAST(rel AS DOUBLE) * (CASE WHEN ri = 1 THEN 1.0 WHEN ri = 2 THEN 0.6309297535714575 WHEN ri = 3 THEN 0.5 WHEN ri = 4 THEN 0.43067655807339306 WHEN ri = 5 THEN 0.38685280723454163 WHEN ri = 6 THEN 0.3562071871080222 WHEN ri = 7 THEN 0.3333333333333333 WHEN ri = 8 THEN 0.31546487678572877 WHEN ri = 9 THEN 0.3010299956639812 WHEN ri = 10 THEN 0.2890648263178879 ELSE 0.0 END)
+                                 * 1e9) AS BIGINT) ELSE 0 END) AS idcg9
+                      FROM r GROUP BY q),
+            scored AS (SELECT CAST(round(CAST(dcg9 AS DOUBLE)
+                                 / CAST(idcg9 AS DOUBLE) * 1e9) AS BIGINT)
+                              AS ndcg9
+                       FROM per_q WHERE idcg9 > 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   round(CAST(sum(ndcg9) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+                     AS mean_ndcg
+            FROM scored
+        """,
+        "percent_rank_global": """
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   round(CAST(percent_rank() OVER (
+                       ORDER BY CAST(round(value * 100) AS BIGINT))
+                     AS DOUBLE), 6) AS pct_rank
+            FROM events
         """,
         "roc_auc_continuous": """
             WITH two AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1

@@ -1355,6 +1355,51 @@ def exact_ntile(
     return joined.withColumn(out_col, bucket.cast("long")).drop(*helper)
 
 
+def percent_rank_global(
+    df: DataFrame,
+    value_col: Column,
+    id_col: Column,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Exact global ``percent_rank()`` for EVERY row — quantile
+    normalization, the preprocessing step behind calibration curves,
+    rank-transformed features, and cross-corpus score alignment.
+    ``percent_rank = (r − 1)/(N − 1)`` with r the tie group's minimum
+    rank (SQL semantics: ties share).
+
+    A naive ``percent_rank() OVER (ORDER BY v)`` is the canonical
+    100 TB scale-killer: every row through ONE window task.  Shape
+    here: distinct-value collapse, strictly-below counts from
+    :func:`bucketed_cum_counts` (range-free deterministic cells,
+    fully parallel even when the value domain is near-row-unique),
+    one equi-join back — the round-11 rank primitive exposed as a
+    user-facing normalizer.  The one division runs in double over
+    exact BIGINTs, identically on both engines; a single-row input
+    yields 0.0 (the SQL convention), not a division error.
+
+    Returns the input's ``__id``/``__v`` projections plus
+    ``out_col``, 6-dp rounded.
+    """
+    base = df.select(id_col.alias("__id"), value_col.alias("__v"))
+    per = base.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    dom = bucketed_cum_counts(
+        per, "__v", [("__t", "__ct")], with_totals=True
+    ).select(
+        "__v",
+        (F.col("__ct") - F.col("__t")).cast("long").alias("__cb"),
+        F.col("__ct_tot").cast("long").alias("__n"),
+    )
+    pr = F.coalesce(
+        F.try_divide(
+            F.col("__cb").cast("double"), (F.col("__n") - 1).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return base.join(dom, "__v").select(
+        "__id", "__v", F.round(pr, 6).alias(out_col)
+    )
+
+
 def rfm_segments(
     orders: DataFrame,
     cust_col: str = "o_custkey",

@@ -206,4 +206,81 @@ def rrf_fuse(
     )
 
 
-__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse"]
+def ndcg_discounts(k: int) -> list[float]:
+    """The k position discounts 1/log2(pos+1) as PYTHON-computed
+    doubles.  Embedded as literals in BOTH the Spark plan and the
+    DuckDB oracle SQL (via ``repr``), so neither engine evaluates a
+    transcendental — the cross-engine log2-ULP hazard the
+    js_divergence nano-rounding discipline works around is removed at
+    the source for this bounded table."""
+    import math
+
+    return [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    runs: DataFrame,
+    query_col: str,
+    score_col,
+    rel_col,
+    id_col,
+    k: int = 10,
+) -> DataFrame:
+    """Mean NDCG@k of a scored run against graded relevance — the
+    ranking-quality number every retrieval/reranker eval reports.
+    Per query: DCG = Σ rel_i·d_i over the top-k by score (ties broken
+    by id), IDCG the same sum under the ideal (relevance-ordered)
+    permutation, NDCG = DCG/IDCG; queries with zero relevant items
+    are skipped (NDCG undefined), per the standard convention.
+
+    Determinism at scale: both rankings are PARTITIONED windows (per
+    query — never a global sort); each position's discount is a
+    shared literal (:func:`ndcg_discounts`); every DCG term rounds to
+    integer NANOS before the per-query sum (exact BIGINT in any
+    partial-agg order), the one NDCG division runs over exact ints,
+    rounds to nanos again, and the final mean is one division of an
+    exact BIGINT sum — bit-stable on both engines.
+
+    Returns one row ``(n_queries, mean_ndcg)``.
+    """
+    d = ndcg_discounts(k)
+    base = runs.select(
+        F.col(query_col).alias("q"),
+        score_col.alias("s"),
+        rel_col.cast("long").alias("rel"),
+        id_col.alias("i"),
+    )
+    wr = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("i"))
+    wi = Window.partitionBy("q").orderBy(F.desc("rel"), F.desc("s"), F.asc("i"))
+    disc = F.array(*[F.lit(x) for x in d])
+    ranked = base.select(
+        "q",
+        "rel",
+        F.row_number().over(wr).alias("rn"),
+        F.row_number().over(wi).alias("ri"),
+    )
+    term = lambda pos: F.round(  # noqa: E731
+        F.col("rel").cast("double") * F.element_at(disc, pos) * 1e9
+    ).cast("long")
+    per_q = ranked.groupBy("q").agg(
+        F.sum(F.when(F.col("rn") <= k, term(F.col("rn"))).otherwise(0)).alias("dcg9"),
+        F.sum(F.when(F.col("ri") <= k, term(F.col("ri"))).otherwise(0)).alias("idcg9"),
+    )
+    scored = per_q.filter(F.col("idcg9") > 0).select(
+        F.round(
+            F.col("dcg9").cast("double") / F.col("idcg9").cast("double") * 1e9
+        ).cast("long").alias("ndcg9")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.try_divide(
+                F.sum("ndcg9").cast("double"),
+                (F.count(F.lit(1)).cast("double") * 1e9),
+            ),
+            6,
+        ).alias("mean_ndcg"),
+    )
+
+
+__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse", "ndcg_at_k", "ndcg_discounts"]

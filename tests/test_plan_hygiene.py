@@ -169,7 +169,7 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # (structurally proven ≤1 row below, like every other
            # scalar attach)
            "roc_auc", "roc_auc_continuous", "levene_test",
-           "lift_table", "k_anonymity"}
+           "lift_table", "k_anonymity", "percent_rank_global"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
