@@ -4539,6 +4539,22 @@ def _q_ndcg_eval(spark, sf):
     )
 
 
+def _q_retrieval_metrics(spark, sf):
+    """MRR@10 / recall@10 / precision@10 of the per-customer order
+    ranking vs fulfilled relevance
+    (operators/retrieval.py:retrieval_metrics_at_k): partitioned rank
+    window, nano-integer per-query ratios, exact BIGINT divisions."""
+    orders = scan(spark, sf, "orders")
+    return retrieval.retrieval_metrics_at_k(
+        orders,
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        (F.col("o_orderstatus") == "F").cast("long"),
+        F.col("o_orderkey"),
+        k=10,
+    )
+
+
 def _q_roc_auc_continuous(spark, sf):
     """Exact ROC-AUC over a NEAR-UNIQUE continuous score domain — the
     round-11 scale fixture: md5-derived 48-bit scores are distinct per
@@ -4761,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_continuous": _q_roc_auc_continuous,
         "percent_rank_global": _q_percent_rank_global,
         "ndcg_eval": _q_ndcg_eval,
+        "retrieval_metrics": _q_retrieval_metrics,
         "forecast_baseline": _q_forecast_baseline,
         "delta_method_ratio": _q_delta_method_ratio,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -7273,6 +7290,47 @@ def oracle_sql() -> dict[str, str]:
                    round(post_b, 6) AS post_b,
                    round((post_b - pre_b) - (post_a - pre_a), 6) AS did
             FROM mm
+        """,
+        "retrieval_metrics": """
+            WITH base AS (SELECT o_custkey AS q,
+                                 CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS s,
+                                 CASE WHEN o_orderstatus = 'F' THEN 1
+                                      ELSE 0 END AS rel,
+                                 o_orderkey AS i
+                          FROM orders),
+            r AS (SELECT q, rel,
+                         row_number() OVER (PARTITION BY q
+                             ORDER BY s DESC, i ASC) AS rn
+                  FROM base),
+            per_q AS (SELECT q,
+                             CAST(count(*) AS BIGINT) AS n_rows,
+                             CAST(sum(rel) AS BIGINT) AS n_rel,
+                             CAST(sum(CASE WHEN rn <= 10 THEN rel
+                                      ELSE 0 END) AS BIGINT) AS rel_topk,
+                             min(CASE WHEN rn <= 10 AND rel > 0
+                                      THEN rn END) AS first_rel
+                      FROM r GROUP BY q),
+            scored AS (SELECT
+                         coalesce(CAST(round(1e9 / first_rel) AS BIGINT),
+                                  0) AS rr9,
+                         CAST(round(CAST(rel_topk AS DOUBLE)
+                              / CAST(n_rel AS DOUBLE) * 1e9) AS BIGINT)
+                           AS rec9,
+                         CAST(round(CAST(rel_topk AS DOUBLE)
+                              / CAST(least(10, n_rows) AS DOUBLE) * 1e9)
+                           AS BIGINT) AS prec9
+                       FROM per_q WHERE n_rel > 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   round(CAST(sum(rr9) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS mrr,
+                   round(CAST(sum(rec9) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+                     AS recall_at_k,
+                   round(CAST(sum(prec9) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+                     AS precision_at_k
+            FROM scored
         """,
         "ndcg_eval": """
             WITH base AS (SELECT o_custkey AS q,

@@ -283,4 +283,75 @@ def ndcg_at_k(
     )
 
 
-__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse", "ndcg_at_k", "ndcg_discounts"]
+def retrieval_metrics_at_k(
+    runs: DataFrame,
+    query_col: str,
+    score_col,
+    rel_col,
+    id_col,
+    k: int = 10,
+) -> DataFrame:
+    """MRR@k, recall@k and precision@k of a scored run against binary
+    relevance — :func:`ndcg_at_k`'s companions, the three numbers a
+    retrieval eval reports next to NDCG.  Per query: reciprocal rank
+    of the FIRST relevant hit within the top-k (0 if none), recall =
+    relevant-in-top-k / total-relevant, precision = relevant-in-top-k
+    / min(k, results); queries with zero relevant items are skipped
+    (all three undefined), matching ndcg's convention.
+
+    Determinism: ranking is a PARTITIONED window (per query); each
+    per-query ratio is one double division of exact BIGINTs rounded
+    to integer NANOS before the cross-query sum (partial-agg order
+    independent), and each mean is one final division.  Returns one
+    row ``(n_queries, mrr, recall_at_k, precision_at_k)``.
+    """
+    base = runs.select(
+        F.col(query_col).alias("q"),
+        score_col.alias("s"),
+        rel_col.cast("long").alias("rel"),
+        id_col.alias("i"),
+    )
+    wr = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("i"))
+    ranked = base.select("q", "rel", F.row_number().over(wr).alias("rn"))
+    per_q = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("rel"), F.lit(0)).cast("long").alias("n_rel"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") <= k, F.col("rel")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("rel_topk"),
+        F.min(
+            F.when((F.col("rn") <= k) & (F.col("rel") > 0), F.col("rn"))
+        ).alias("first_rel"),
+    )
+    nano = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double") * 1e9
+    ).cast("long")
+    scored = per_q.filter(F.col("n_rel") > 0).select(
+        # 1e9/rank as ONE division (the oracle's exact IEEE expression,
+        # not 1.0/rank*1e9 — identical for rank ≤ k anyway, aligned on
+        # principle)
+        F.coalesce(
+            F.round(F.lit(1e9) / F.col("first_rel").cast("double")).cast("long"),
+            F.lit(0),
+        ).alias("rr9"),
+        nano(F.col("rel_topk"), F.col("n_rel")).alias("rec9"),
+        nano(F.col("rel_topk"), F.least(F.lit(k), F.col("n_rows"))).alias("prec9"),
+    )
+    mean9 = lambda c: F.round(  # noqa: E731
+        F.try_divide(
+            F.sum(c).cast("double"), F.count(F.lit(1)).cast("double") * 1e9
+        ),
+        6,
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        mean9(F.col("rr9")).alias("mrr"),
+        mean9(F.col("rec9")).alias("recall_at_k"),
+        mean9(F.col("prec9")).alias("precision_at_k"),
+    )
+
+
+__all__ = [
+    "bm25_topk", "bm25_oracle_sql", "rrf_fuse", "ndcg_at_k",
+    "ndcg_discounts", "retrieval_metrics_at_k",
+]
