@@ -1201,9 +1201,13 @@ def bucketed_cum_counts(
     )
     # monotone non-decreasing in v (floor of a positive-scaled exact
     # double difference), so equal values share a cell and cells
-    # respect the order; least() caps the v == max edge, pmod() is a
-    # no-op on [0, K−1] that makes the bounded image PROVABLE to the
-    # plan guard's grouping-key tracer
+    # respect the order; the scale divides by the RAW range (a `+1`
+    # pad would be harmless for integer cents but collapses a
+    # narrow-range DOUBLE domain — scores in [0.4999, 0.5001] — into
+    # ~2 cells), least() caps the v == max edge onto the last cell,
+    # and pmod() is a no-op on [0, K−1] that makes the bounded image
+    # PROVABLE to the plan guard's grouping-key tracer
+    rng = F.col("__mx") - F.col("__mn")
     cell = F.pmod(
         F.least(
             F.lit(n_buckets - 1),
@@ -1211,7 +1215,7 @@ def bucketed_cum_counts(
                 (F.col(order_col).cast("double") - F.col("__mn"))
                 * (
                     F.lit(float(n_buckets))
-                    / (F.col("__mx") - F.col("__mn") + F.lit(1.0))
+                    / F.when(rng > 0, rng).otherwise(F.lit(1.0))
                 )
             ).cast("long"),
         ),
