@@ -2226,8 +2226,11 @@ def js_divergence(
     # materialize the tokenize aggregate ONCE: lazy checkpoint — the
     # rollup collect below is the first action and writes the blocks,
     # the final pair job re-reads them (storage is vocabulary-scale,
-    # (grp, token, count) rows); blocks age out via the ContextCleaner
-    # when the returned frame is garbage-collected
+    # (grp, token, count) rows); blocks AND reliable-checkpoint files
+    # age out via the ContextCleaner when the returned frame is
+    # garbage-collected (session.py sets
+    # spark.cleaner.referenceTracking.cleanCheckpoints — without it,
+    # reliable checkpoint FILES would outlive the frame)
     try:
         reliable = (
             docs.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isDefined()

@@ -589,10 +589,14 @@ def percentile_edges_bucketed(
     ``v_lo·(higher−pos) + v_hi·(pos−lower)`` (NOT the algebraically
     equal ``v_lo + frac·Δ``, which rounds differently) — so swapping
     it under :func:`equidepth_bins` changes no output bit and the
-    DuckDB oracles keep matching.
+    DuckDB oracles keep matching.  NULLs are EXCLUDED before counting
+    (the built-in percentile aggregate skips them; counting the NULL
+    group would inflate n and shift every order statistic).
     """
-    per = edge_df.groupBy(F.col(col).alias("__v")).agg(
-        F.count(F.lit(1)).cast("long").alias("__t")
+    per = (
+        edge_df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
     )
     cum = bucketed_cum_counts(per, "__v", [("__t", "__ct")], with_totals=True)
     n = F.col("__ct_tot")
@@ -1189,8 +1193,18 @@ def bucketed_cum_counts(
     ``ORDER BY cents DESC, key ASC`` shape).  ``sums`` maps input
     count columns to output running-sum names; ``with_totals`` adds a
     ``<dst>_tot`` grand total per partition group (computed on the
-    tiny cell-totals frame, not the data).  Returns ``per``'s columns
-    plus the requested cumulative columns (LONG).
+    tiny cell-totals frame, not the data).  NULL order values sort
+    exactly where the replaced window put them (first under ASC, last
+    under DESC — see the cell-0 coalesce below).  Cost note: the
+    domain aggregate's subtree appears three times in the plan (the
+    min/max scalar, the cell totals, the join-back); its shuffle MAP
+    stage runs once (shuffle files are shared across jobs) and AQE
+    reuses the materialized exchanges where it can, so the worst case
+    is re-running reduce-side aggregation — deliberately NOT an
+    unconditional persist, which would materialize a possibly
+    row-sized domain to storage (the dedup.py PB-materialization
+    lesson).  Returns ``per``'s columns plus the requested cumulative
+    columns (LONG).
     """
     vo = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     vo += [F.col(c).asc() for c in tiebreak_cols]
@@ -1206,18 +1220,28 @@ def bucketed_cum_counts(
     # narrow-range DOUBLE domain — scores in [0.4999, 0.5001] — into
     # ~2 cells), least() caps the v == max edge onto the last cell,
     # and pmod() is a no-op on [0, K−1] that makes the bounded image
-    # PROVABLE to the plan guard's grouping-key tracer
+    # PROVABLE to the plan guard's grouping-key tracer.  A NULL value
+    # COALESCEs into cell 0, which reproduces the replaced window's
+    # null placement in BOTH directions: ascending offsets walk cell 0
+    # first and the within-cell `v ASC` sort puts NULLs before values
+    # (Spark NULLS FIRST); descending offsets walk cell 0 last and
+    # `v DESC` puts NULLs after (NULLS LAST).  Without the coalesce,
+    # least() SKIPS the null floor() and silently sent NULLs to the
+    # LAST cell — wrong side under ascending order (round-11 review).
     rng = F.col("__mx") - F.col("__mn")
     cell = F.pmod(
         F.least(
             F.lit(n_buckets - 1),
-            F.floor(
-                (F.col(order_col).cast("double") - F.col("__mn"))
-                * (
-                    F.lit(float(n_buckets))
-                    / F.when(rng > 0, rng).otherwise(F.lit(1.0))
-                )
-            ).cast("long"),
+            F.coalesce(
+                F.floor(
+                    (F.col(order_col).cast("double") - F.col("__mn"))
+                    * (
+                        F.lit(float(n_buckets))
+                        / F.when(rng > 0, rng).otherwise(F.lit(1.0))
+                    )
+                ).cast("long"),
+                F.lit(0),
+            ),
         ),
         F.lit(n_buckets),
     ).cast("long")
@@ -1399,7 +1423,14 @@ def percent_rank_global(
         ),
         F.lit(0.0),
     )
-    return base.join(dom, "__v").select(
+    # null-SAFE equi-join: a plain `__v` join key drops every NULL
+    # value row, while percent_rank() emits them (ranked first, the
+    # Spark NULLS FIRST convention the cell-0 coalesce preserves);
+    # the domain side's key is renamed so the condition references
+    # two distinct attributes (dom derives from base — same-name
+    # columns would resolve to one side and compare trivially true)
+    dom = dom.withColumnRenamed("__v", "__vd")
+    return base.join(dom, F.col("__v").eqNullSafe(F.col("__vd"))).select(
         "__id", "__v", F.round(pr, 6).alias(out_col)
     )
 

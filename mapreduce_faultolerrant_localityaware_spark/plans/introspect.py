@@ -173,27 +173,30 @@ def unpartitioned_windows(df: DataFrame):
 #: comment (tests/test_plan_hygiene.py DOMAIN_OK): round 10's prover
 #: accepted ANY Aggregate, which let a `groupBy(score)` over continuous
 #: parquet doubles prove "domain-collapsed" while being row-sized.
+#: every alternative is ANCHORED: the bounded function must BE the
+#: expression's outermost call, not merely appear inside it — a
+#: composite key like `concat(user_id#1, (x#2 % 7))` is row-scale
+#: even though a bounded fragment occurs within it (the round-11
+#: review's false-accept class; an unanchored `.search` would have
+#: recreated the round-10 any-Aggregate hole one level down).
+#: Accepted outermost shapes: spark_partition_id; calendar
+#: truncations; coarse date_format (yyyy / yyyy-MM only); a top-level
+#: literal modulus; a 1–2-char prefix (image ≤ charset² — note
+#: `substring(x, 1, 24)` does NOT qualify); a literal-modulus pmod
+#: (bucketed_cum_counts' cell id).  Casts are peeled before matching;
+#: a cast TO DATE is itself accepted (calendar image), as is any
+#: DATE-typed direct grouping key via dataType().
 _BOUNDED_KEY = re.compile(
-    r"SPARK_PARTITION_ID\(\)"
-    r"|\b(?:to_date|date_trunc|trunc|window|year|month|quarter|weekofyear"
-    r"|dayofweek|dayofmonth|day|hour|minute|unix_date|datediff)\("
-    r"|\bas date\)"  # to_date(timestamp) compiles to cast(ts as date)
-    r"|\bdate_format\([^,]+, yyyy(-MM)?[,)]"  # coarse calendar formats only
-    r"|\bpmod\([^,()]*(?:\([^()]*\))?[^,()]*, \d+\)"
-    r"|% \d+\)"
+    r"^SPARK_PARTITION_ID\(\)$"
+    r"|^(?:to_date|date_trunc|trunc|window|year|month|quarter|weekofyear"
+    r"|dayofweek|dayofmonth|day|hour|minute|unix_date|datediff)\(.*\)$"
+    r"|^date_format\([^,]+, yyyy(-MM)?[,)].*$"
+    r"|^\(.* % \d+\)$"
+    r"|^substring\(.*, 1, [12]\)$"
+    r"|^pmod\(.*, \d+\)$",
+    re.S,
 )
-
-#: a defining expression that IS a bounded-image extraction at its
-#: outermost level (anchored — nested occurrences don't count):
-#: a 1–2-char prefix (image ≤ charset², SNM bucket keys — note
-#: `substring(x, 1, 24)` does NOT qualify) or a literal-modulus pmod
-#: (image ≤ the literal, bucketed_cum_counts' cell id — anchored
-#: because the loose _BOUNDED_KEY pmod pattern can't cross nested
-#: parens).
-_PREFIX_KEY = re.compile(
-    r"^substring\(.*, 1, [12]\)$|^pmod\(.*, \d+\)$", re.S
-)
-_CAST_WRAP = re.compile(r"^cast\((.*) as \w+(\(\d+(,\d+)?\))?\)$", re.S)
+_CAST_WRAP = re.compile(r"^cast\((.*) as (\w+)(\(\d+(,\d+)?\))?\)$", re.S)
 
 _ATTR_REF = re.compile(r"^(\w+)#(\d+)L?$")
 
@@ -228,19 +231,25 @@ def _grouping_keys_bounded(agg_node, depth: int = 0) -> bool:
         expr = expr.strip()
         m = _CAST_WRAP.match(expr)
         while m:  # peel cast wrappers: cast(pmod(...) as bigint)
+            if m.group(2) == "date":
+                return True  # cast TO DATE: calendar-bounded image
             expr = m.group(1).strip()
             m = _CAST_WRAP.match(expr)
-        if _BOUNDED_KEY.search(expr) or _PREFIX_KEY.match(expr):
+        if _BOUNDED_KEY.match(expr):
             return True
         m = _ATTR_REF.match(expr)
         if not (m and hops < 3):
             return False
-        marker = f"AS {m.group(1)}#{m.group(2)}"
+        # word-boundary on the expr id: `AS d#5` must not bind to the
+        # unrelated alias `... AS d#52L` (round-11 review)
+        marker = re.compile(
+            rf"AS {re.escape(m.group(1))}#{m.group(2)}(?![0-9])"
+        )
         for node in walk_plan(agg_node):
             for s in _named_expr_strings(node):
-                idx = s.find(marker)
-                if idx >= 0:
-                    return expr_bounded(s[:idx], hops + 1)
+                hit = marker.search(s)
+                if hit:
+                    return expr_bounded(s[: hit.start()], hops + 1)
         return False
 
     def key_bounded(i: int) -> bool:

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable-checkpoint files (graph rounds, js_divergence's
+        # tokenize cache) are deleted by the ContextCleaner when their
+        # RDD is GC'd — default false LEAKS one vocabulary-scale file
+        # set per query into the checkpoint dir for the session's life
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # events.parquet is TIMESTAMP(NANOS) in some testdata
         # generations; read nanos as long once, globally, instead of
         # mutating session conf inside scan().

@@ -159,6 +159,92 @@ def test_exact_ntile_near_unique_continuous(spark, sf_dir):
     assert g == r and len(g) > 100
 
 
+def test_bucketed_cum_counts_null_values(spark):
+    """NULL order values must land exactly where the replaced window
+    put them: FIRST under ascending (Spark NULLS FIRST), LAST under
+    descending — the round-11 review caught least() silently skipping
+    the null floor() and sending NULLs to the last cell."""
+    per = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 5), (3, 1)], "v long, t long"
+    )
+    got_asc = {
+        (r.v, r.ct)
+        for r in bucketed_cum_counts(per, "v", [("t", "ct")], n_buckets=8).collect()
+    }
+    ref_asc = {(r.v, r.ref) for r in _naive_cum(per, "v", "t").collect()}
+    assert got_asc == ref_asc  # NULL first: (None,5),(1,15),(2,35),(3,36)
+    got_desc = {
+        (r.v, r.ct)
+        for r in bucketed_cum_counts(
+            per, "v", [("t", "ct")], ascending=False, n_buckets=8
+        ).collect()
+    }
+    ref_desc = {
+        (r.v, r.ref) for r in _naive_cum(per, "v", "t", ascending=False).collect()
+    }
+    assert got_desc == ref_desc  # NULL last under DESC
+
+
+def test_percent_rank_global_keeps_null_rows(spark):
+    """A NULL value row must appear in the output (ranked first, the
+    window convention) — the plain equi-join silently dropped it."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        percent_rank_global,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 20.0)], "id long, v double"
+    )
+    out = {
+        r["__id"]: r["pct_rank"]
+        for r in percent_rank_global(df, F.col("v"), F.col("id")).collect()
+    }
+    assert len(out) == 4 and out[2] == 0.0
+    assert out[1] == pytest.approx(1 / 3) and out[3] == 1.0
+
+
+def test_percentile_edges_excludes_nulls(spark):
+    """The built-in percentile aggregate skips NULLs; the bucketed
+    replacement must too (counting the NULL group shifts every order
+    statistic)."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.relational import (
+        percentile_edges_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, None, None, 5]], "v long"
+    )
+    ref = df.agg(
+        *[F.percentile("v", F.lit(q)).alias(f"e{i}") for i, q in enumerate([0.25, 0.5, 0.9])]
+    ).collect()[0]
+    got = percentile_edges_bucketed(df, "v", [0.25, 0.5, 0.9]).collect()[0]
+    for i in range(3):
+        assert ref[f"e{i}"] == got[f"e{i}"]
+
+
+def test_grouping_key_tracer_rejects_composite_and_id_collision(spark, sf_dir):
+    """Round-11 review regressions pinned: (a) a composite key that
+    merely CONTAINS a bounded fragment (id % 7 inside concat) must not
+    prove bounded; (b) tracing `d#5` must not bind to an unrelated
+    alias `AS d#52`."""
+    from pyspark.sql import Window
+
+    from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
+        is_domain_collapsed,
+        unpartitioned_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.groupBy(
+        F.concat(F.col("doc_id").cast("string"), (F.col("doc_id") % 7).cast("string")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    probe = per.select("k", F.sum("n").over(Window.orderBy("k")).alias("c"))
+    hits = list(unpartitioned_windows(probe))
+    assert hits and all(not is_domain_collapsed(ch) for _, ch in hits), (
+        "composite key containing a bounded fragment must NOT prove bounded"
+    )
+
+
 def test_percentile_edges_bucketed_bit_equal(spark, sf_dir):
     """percentile_edges_bucketed must reproduce the built-in exact
     `percentile` aggregate BIT-for-bit (it replicates
