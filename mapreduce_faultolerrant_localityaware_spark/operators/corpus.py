@@ -2250,7 +2250,9 @@ def js_divergence(
         F.count_distinct("t").cast("long").alias("v"),
         F.grouping("grp").cast("int").alias("is_total"),
     ).collect()
-    v_val = next(int(r["v"]) for r in stats if r["is_total"] == 1)
+    # rollup of an EMPTY input yields ZERO rows (no grand-total row,
+    # unlike a plain global aggregate) — an empty corpus means V = 0
+    v_val = next((int(r["v"]) for r in stats if r["is_total"] == 1), 0)
     tt_rows = [r for r in stats if r["is_total"] == 0]
     pair_rows = [
         (a["grp"], b["grp"], int(a["ns"]), int(b["ns"]), v_val)
