@@ -191,12 +191,19 @@ _BOUNDED_KEY = re.compile(
     r"|^(?:to_date|date_trunc|trunc|window|year|month|quarter|weekofyear"
     r"|dayofweek|dayofmonth|day|hour|minute|unix_date|datediff)\(.*\)$"
     r"|^date_format\([^,]+, yyyy(-MM)?[,)].*$"
+    # the repo's canonical month index: (year(d)·12 + month(d)) —
+    # an arithmetic combination of two calendar-bounded terms
+    r"|^\(\(year\(.*\) \* \d+\) \+ month\(.*\)\)$"
     r"|^\(.* % \d+\)$"
     r"|^substring\(.*, 1, [12]\)$"
     r"|^pmod\(.*, \d+\)$",
     re.S,
 )
 _CAST_WRAP = re.compile(r"^cast\((.*) as (\w+)(\(\d+(,\d+)?\))?\)$", re.S)
+#: min/max (aggregate results render with a trailing `#id`) preserve a
+#: bounded image — min over per-group values of a calendar truncation
+#: is still a calendar value (user_growth's first-seen day)
+_MINMAX_WRAP = re.compile(r"^(?:min|max)\((.*)\)(?:#\d+L?)?$", re.S)
 
 _ATTR_REF = re.compile(r"^(\w+)#(\d+)L?$")
 
@@ -229,12 +236,18 @@ def _grouping_keys_bounded(agg_node, depth: int = 0) -> bool:
 
     def expr_bounded(expr: str, hops: int) -> bool:
         expr = expr.strip()
-        m = _CAST_WRAP.match(expr)
-        while m:  # peel cast wrappers: cast(pmod(...) as bigint)
-            if m.group(2) == "date":
-                return True  # cast TO DATE: calendar-bounded image
-            expr = m.group(1).strip()
+        while True:  # peel image-preserving wrappers: casts, min/max
             m = _CAST_WRAP.match(expr)
+            if m:
+                if m.group(2) == "date":
+                    return True  # cast TO DATE: calendar-bounded image
+                expr = m.group(1).strip()
+                continue
+            m = _MINMAX_WRAP.match(expr)
+            if m:
+                expr = m.group(1).strip()
+                continue
+            break
         if _BOUNDED_KEY.match(expr):
             return True
         m = _ATTR_REF.match(expr)
