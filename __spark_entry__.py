@@ -4572,6 +4572,94 @@ def _q_roc_auc_continuous(spark, sf):
     )
 
 
+def _q_logrank_test(spark, sf):
+    """Two-cohort log-rank test on time-to-first-purchase
+    (operators/events.py:logrank_test): day-domain death table,
+    cumulative at-risk window over the bounded calendar, nano-integer
+    expected/variance carries."""
+    ev = scan(spark, sf, "events")
+    return events_ops.logrank_test(ev)
+
+
+def _q_info_gain(spark, sf):
+    """Information gain of event_type vs three calendar/value features
+    (operators/events.py:info_gain): one unioned contingency pass,
+    count-only entropies ln(n) − Σc·ln(c)/n with micro-integer
+    carries."""
+    ev = scan(spark, sf, "events")
+    return events_ops.info_gain(ev)
+
+
+def _q_ab_sequential(spark, sf):
+    """Group-sequential A/B monitor: per-day cumulative two-proportion
+    z vs an O'Brien-Fleming-style boundary
+    (operators/events.py:ab_sequential) — user-day trials, DATE-domain
+    cumulative windows, sqrt-only float path."""
+    ev = scan(spark, sf, "events")
+    return events_ops.ab_sequential(ev)
+
+
+def _q_offpolicy_eval(spark, sf):
+    """IPS/SNIPS off-policy evaluation with propensities estimated
+    from the log (operators/events.py:offpolicy_eval): broadcast
+    context×action codebook, micro-integer clipped weights,
+    DECIMAL(38,0) sums, Kish ESS."""
+    ev = scan(spark, sf, "events")
+    return events_ops.offpolicy_eval(ev)
+
+
+def _q_simpsons_check(spark, sf):
+    """Simpson's-paradox audit of A/B conversion by day-of-week
+    segment (operators/events.py:simpsons_check): integer
+    cross-multiplied direction signs, 1-row pooled broadcast."""
+    ev = scan(spark, sf, "events")
+    return events_ops.simpsons_check(ev)
+
+
+def _q_feature_hash(spark, sf):
+    """Hashing-trick featurizer audit over documents
+    (operators/textstats.py:feature_hash): md5-derived 64-bucket fold,
+    per-bucket mass / collision / doc-frequency table."""
+    docs = scan(spark, sf, "documents")
+    return textstats.feature_hash(docs)
+
+
+def _q_graph_modularity(spark, sf):
+    """Newman-Girvan modularity of the NATION partition on the
+    customer—supplier transaction graph
+    (operators/graph.py:modularity): exact-integer L_c/D_c/m carries,
+    k-row community table.  Edges = distinct (cust, supp) pairs from
+    orders⋈lineitem; supplier nodes offset into their own namespace;
+    both community maps are broadcastable dimension tables."""
+    from mapreduce_faultolerrant_localityaware_spark.operators.graph import (
+        modularity,
+    )
+
+    orders = scan(spark, sf, "orders")
+    li = scan(spark, sf, "lineitem")
+    cust = scan(spark, sf, "customer")
+    supp = scan(spark, sf, "supplier")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_suppkey"), orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(20_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    comms = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_nationkey").cast("long").alias("comm"),
+    ).unionByName(
+        supp.select(
+            (F.col("s_suppkey") + F.lit(20_000_000)).alias("node"),
+            F.col("s_nationkey").cast("long").alias("comm"),
+        )
+    )
+    return modularity(edges, comms)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -4934,6 +5022,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": _q_interval_merge,
         "dedup_rep_pagerank": _q_dedup_rep_pagerank,
         "approx_distinct": _q_approx_distinct,
+        "logrank_test": _q_logrank_test,
+        "info_gain": _q_info_gain,
+        "ab_sequential": _q_ab_sequential,
+        "offpolicy_eval": _q_offpolicy_eval,
+        "simpsons_check": _q_simpsons_check,
+        "feature_hash": _q_feature_hash,
+        "graph_modularity": _q_graph_modularity,
     }
 
 
@@ -11297,4 +11392,321 @@ def oracle_sql() -> dict[str, str]:
         # two-phase CC computes the SAME component-min labels, so the
         # same recursive-CTE oracle pins both implementations.
         "dedup_clusters_two_phase": dedup_clusters_sql,
+        "logrank_test": """
+            WITH pu AS (SELECT CAST(((user_id % 2) + 2) % 2 AS INT) AS g,
+                               min(CASE WHEN event_type = 'purchase'
+                                        THEN CAST(ts AS DATE) END) AS dd
+                        FROM events GROUP BY user_id),
+            tot AS (SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS na,
+                           CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS nb
+                    FROM pu),
+            d AS (SELECT dd,
+                         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS d1,
+                         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS d2
+                  FROM pu WHERE dd IS NOT NULL GROUP BY dd),
+            r AS (SELECT d1, d2,
+                         na - coalesce(sum(d1) OVER (ORDER BY dd
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS n1,
+                         nb - coalesce(sum(d2) OVER (ORDER BY dd
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS n2
+                  FROM d, tot),
+            t AS (SELECT d1, d2, d1 + d2 AS dt, n1, n2, n1 + n2 AS nt
+                  FROM r),
+            s AS (SELECT coalesce(CAST(sum(d1) AS BIGINT), 0) AS o1,
+                         coalesce(CAST(sum(d2) AS BIGINT), 0) AS o2,
+                         coalesce(CAST(sum(CAST(round(
+                             CAST(dt * n1 AS DOUBLE) / CAST(nt AS DOUBLE)
+                             * 1e9) AS BIGINT)) AS BIGINT), 0) AS e19,
+                         coalesce(CAST(sum(CASE WHEN nt > 1 THEN
+                             CAST(round(CAST(dt AS DOUBLE)
+                               * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               * CAST(nt - dt AS DOUBLE)
+                               / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                                  * CAST(nt - 1 AS DOUBLE))
+                               * 1e9) AS BIGINT)
+                             ELSE 0 END) AS BIGINT), 0) AS v9
+                  FROM t)
+            SELECT na AS n_a, nb AS n_b, o1 AS deaths_a, o2 AS deaths_b,
+                   round(CAST(o1 AS DOUBLE) - CAST(e19 AS DOUBLE) / 1e9, 6)
+                     AS o_minus_e,
+                   round(CAST(v9 AS DOUBLE) / 1e9, 6) AS var_lr,
+                   round(CASE WHEN v9 > 0 THEN
+                       (CAST(o1 AS DOUBLE) - CAST(e19 AS DOUBLE) / 1e9)
+                       * (CAST(o1 AS DOUBLE) - CAST(e19 AS DOUBLE) / 1e9)
+                       / (CAST(v9 AS DOUBLE) / 1e9) END, 6) AS chi2
+            FROM s, tot
+        """,
+        "info_gain": """
+            WITH base AS (
+              SELECT 'dow' AS f,
+                     CAST(dayofweek(ts) + 1 AS VARCHAR) AS x,
+                     event_type AS y
+              FROM events
+              UNION ALL
+              SELECT 'hour6',
+                     CAST(CAST(floor(extract(hour FROM ts) / 6) AS BIGINT)
+                       AS VARCHAR),
+                     event_type
+              FROM events
+              UNION ALL
+              SELECT 'value_band',
+                     CASE WHEN value < 0 THEN 'neg'
+                          WHEN value < 10 THEN 'low'
+                          WHEN value < 100 THEN 'mid'
+                          ELSE 'high' END,
+                     event_type
+              FROM events),
+            xy AS (SELECT f, x, y, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY f, x, y),
+            sxy AS (SELECT f,
+                           CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(c)
+                               * 1e6) AS BIGINT)) AS BIGINT) AS s_xy,
+                           CAST(sum(c) AS BIGINT) AS n_xy
+                    FROM xy GROUP BY f),
+            xm AS (SELECT f, x, CAST(sum(c) AS BIGINT) AS c
+                   FROM xy GROUP BY f, x),
+            sx AS (SELECT f,
+                          CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(c)
+                              * 1e6) AS BIGINT)) AS BIGINT) AS s_x
+                   FROM xm GROUP BY f),
+            ym AS (SELECT f, y, CAST(sum(c) AS BIGINT) AS c
+                   FROM xy GROUP BY f, y),
+            sy AS (SELECT f,
+                          CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(c)
+                              * 1e6) AS BIGINT)) AS BIGINT) AS s_y
+                   FROM ym GROUP BY f)
+            SELECT f AS feature, n_xy AS n,
+                   round(ln(CAST(n_xy AS DOUBLE))
+                         - CAST(s_y AS DOUBLE) / 1e6
+                           / CAST(n_xy AS DOUBLE), 6) AS h_y,
+                   round(ln(CAST(n_xy AS DOUBLE))
+                         - CAST(s_x AS DOUBLE) / 1e6
+                           / CAST(n_xy AS DOUBLE), 6) AS h_x,
+                   round(ln(CAST(n_xy AS DOUBLE))
+                         - CAST(s_xy AS DOUBLE) / 1e6
+                           / CAST(n_xy AS DOUBLE), 6) AS h_xy,
+                   round((ln(CAST(n_xy AS DOUBLE))
+                          - CAST(s_x AS DOUBLE) / 1e6
+                            / CAST(n_xy AS DOUBLE))
+                         + (ln(CAST(n_xy AS DOUBLE))
+                            - CAST(s_y AS DOUBLE) / 1e6
+                              / CAST(n_xy AS DOUBLE))
+                         - (ln(CAST(n_xy AS DOUBLE))
+                            - CAST(s_xy AS DOUBLE) / 1e6
+                              / CAST(n_xy AS DOUBLE)), 6) AS info_gain,
+                   round(((ln(CAST(n_xy AS DOUBLE))
+                           - CAST(s_x AS DOUBLE) / 1e6
+                             / CAST(n_xy AS DOUBLE))
+                          + (ln(CAST(n_xy AS DOUBLE))
+                             - CAST(s_y AS DOUBLE) / 1e6
+                               / CAST(n_xy AS DOUBLE))
+                          - (ln(CAST(n_xy AS DOUBLE))
+                             - CAST(s_xy AS DOUBLE) / 1e6
+                               / CAST(n_xy AS DOUBLE)))
+                         / (ln(CAST(n_xy AS DOUBLE))
+                            - CAST(s_y AS DOUBLE) / 1e6
+                              / CAST(n_xy AS DOUBLE)), 6) AS ig_ratio
+            FROM sxy JOIN sx USING (f) JOIN sy USING (f)
+            ORDER BY info_gain DESC, feature ASC
+        """,
+        "ab_sequential": """
+            WITH ud AS (SELECT CAST(ts AS DATE) AS d,
+                               CAST(((user_id % 2) + 2) % 2 AS INT) AS g,
+                               user_id AS u,
+                               max(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) AS cv
+                        FROM events GROUP BY 1, 2, 3),
+            daily AS (SELECT d,
+                   CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS t_a,
+                   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS t_b,
+                   CAST(sum(CASE WHEN g = 0 THEN cv ELSE 0 END) AS BIGINT)
+                     AS c_a,
+                   CAST(sum(CASE WHEN g = 1 THEN cv ELSE 0 END) AS BIGINT)
+                     AS c_b
+                 FROM ud GROUP BY d),
+            cum AS (SELECT d,
+                   CAST(sum(t_a) OVER w AS BIGINT) AS n_a,
+                   CAST(sum(t_b) OVER w AS BIGINT) AS n_b,
+                   CAST(sum(c_a) OVER w AS BIGINT) AS x_a,
+                   CAST(sum(c_b) OVER w AS BIGINT) AS x_b
+                 FROM daily
+                 WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+            tot AS (SELECT CAST(sum(t_a) + sum(t_b) AS BIGINT) AS n_tot
+                    FROM daily),
+            z AS (SELECT d, n_a, n_b, x_a, x_b,
+                   (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p,
+                   CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+                   CAST(x_a AS DOUBLE) AS xad, CAST(x_b AS DOUBLE) AS xbd,
+                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   / CAST(n_tot AS DOUBLE) AS frac
+                  FROM cum, tot),
+            zz AS (SELECT d, n_a, n_b, x_a, x_b,
+                    CASE WHEN sqrt(p * (1.0 - p)
+                                   * (1.0 / nad + 1.0 / nbd)) > 0
+                         THEN (xbd / nbd - xad / nad)
+                              / sqrt(p * (1.0 - p)
+                                     * (1.0 / nad + 1.0 / nbd))
+                         ELSE 0.0 END AS zv,
+                    2.963 / sqrt(frac) AS bound
+                   FROM z)
+            SELECT d, n_a, n_b, x_a, x_b,
+                   round(zv, 6) AS z, round(bound, 6) AS boundary,
+                   (abs(round(zv, 6)) >= round(bound, 6)) AS crossed
+            FROM zz ORDER BY d
+        """,
+        "offpolicy_eval": """
+            WITH base AS (SELECT CAST(((user_id % 4) + 4) % 4 AS INT) AS x,
+                                 event_type AS a,
+                                 greatest(CAST(round(value * 100) AS BIGINT),
+                                          0) AS r
+                          FROM events),
+            prop AS (SELECT x, a, CAST(count(*) AS BIGINT) AS c_xa
+                     FROM base GROUP BY x, a),
+            ctx AS (SELECT x, CAST(sum(c_xa) AS BIGINT) AS c_x
+                    FROM prop GROUP BY x),
+            cb AS (SELECT prop.x, prop.a, c_xa, c_x
+                   FROM prop JOIN ctx USING (x)),
+            scored AS (SELECT CAST(round(least(20.0,
+                           (CASE WHEN b.a IN ('click', 'view') THEN 0.5
+                                 ELSE 0.0 END)
+                           * CAST(c_x AS DOUBLE) / CAST(c_xa AS DOUBLE))
+                           * 1e6) AS BIGINT) AS w6,
+                              r
+                       FROM base b JOIN cb ON b.x = cb.x AND b.a = cb.a),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN w6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_matched,
+                    CAST(sum(CASE WHEN w6 = 20000000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clip,
+                    coalesce(sum(CAST(w6 AS HUGEINT)), 0) AS sw6,
+                    coalesce(sum(CAST(w6 * r AS HUGEINT)), 0) AS swr6,
+                    coalesce(sum(CAST(w6 * w6 AS HUGEINT)), 0) AS sww12
+                    FROM scored)
+            SELECT n, n_matched,
+                   round(CAST(n_clip AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS clip_frac,
+                   round(CAST(sw6 AS DOUBLE) / 1e6, 6) AS sum_w,
+                   round(CAST(swr6 AS DOUBLE) / 1e6 / 100.0
+                         / CAST(n AS DOUBLE), 6) AS ips,
+                   round(CASE WHEN sw6 > 0 THEN
+                       (CAST(swr6 AS DOUBLE) / 1e6 / 100.0)
+                       / (CAST(sw6 AS DOUBLE) / 1e6) END, 6) AS snips,
+                   round(CASE WHEN sww12 > 0 THEN
+                       (CAST(sw6 AS DOUBLE) / 1e6)
+                       * (CAST(sw6 AS DOUBLE) / 1e6)
+                       / (CAST(sww12 AS DOUBLE) / 1e12) END, 6) AS ess
+            FROM agg
+        """,
+        "simpsons_check": """
+            WITH base AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS seg,
+                                 CAST(((user_id % 2) + 2) % 2 AS INT) AS g,
+                                 CASE WHEN event_type = 'purchase' THEN 1
+                                      ELSE 0 END AS cv
+                          FROM events),
+            per AS (SELECT seg,
+                   CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                   CAST(sum(CASE WHEN g = 0 THEN cv ELSE 0 END) AS BIGINT)
+                     AS x_a,
+                   CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_b,
+                   CAST(sum(CASE WHEN g = 1 THEN cv ELSE 0 END) AS BIGINT)
+                     AS x_b
+                 FROM base GROUP BY seg),
+            pooled AS (SELECT CAST(sum(n_a) AS BIGINT) AS p_na,
+                              CAST(sum(x_a) AS BIGINT) AS p_xa,
+                              CAST(sum(n_b) AS BIGINT) AS p_nb,
+                              CAST(sum(x_b) AS BIGINT) AS p_xb
+                       FROM per)
+            SELECT seg AS segment, n_a, x_a, n_b, x_b,
+                   round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                     AS rate_a,
+                   round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                     AS rate_b,
+                   CAST(CASE WHEN x_b * n_a - x_a * n_b > 0 THEN 1
+                             WHEN x_b * n_a - x_a * n_b < 0 THEN -1
+                             ELSE 0 END AS INT) AS seg_dir,
+                   CAST(CASE WHEN p_xb * p_na - p_xa * p_nb > 0 THEN 1
+                             WHEN p_xb * p_na - p_xa * p_nb < 0 THEN -1
+                             ELSE 0 END AS INT) AS pooled_dir,
+                   ((CASE WHEN x_b * n_a - x_a * n_b > 0 THEN 1
+                          WHEN x_b * n_a - x_a * n_b < 0 THEN -1
+                          ELSE 0 END)
+                    * (CASE WHEN p_xb * p_na - p_xa * p_nb > 0 THEN 1
+                            WHEN p_xb * p_na - p_xa * p_nb < 0 THEN -1
+                            ELSE 0 END) < 0) AS reversed
+            FROM per, pooled ORDER BY segment
+        """,
+        "feature_hash": f"""
+            WITH tok AS (SELECT doc_id AS doc, unnest({_TOK}) AS t
+                         FROM documents),
+            bt AS (SELECT CAST(((CAST(('0x' || substring(md5(t), 1, 12))
+                       AS BIGINT) % 64) + 64) % 64 AS INT) AS b, t, doc
+                   FROM tok),
+            pt AS (SELECT b, t, CAST(count(*) AS BIGINT) AS c
+                   FROM bt GROUP BY b, t),
+            pb AS (SELECT b, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          CAST(count(*) AS BIGINT) AS n_distinct_tokens
+                   FROM pt GROUP BY b),
+            db AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM (SELECT DISTINCT b, doc FROM bt) GROUP BY b),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tot FROM pb)
+            SELECT b AS bucket, n_tokens, n_distinct_tokens, n_docs,
+                   round(CAST(n_tokens AS DOUBLE) / CAST(n_tot AS DOUBLE),
+                         6) AS mass_share
+            FROM pb JOIN db USING (b), tot ORDER BY bucket
+        """,
+        "graph_modularity": """
+            WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                               l_suppkey + 20000000 AS dst
+                        FROM orders JOIN lineitem
+                          ON o_orderkey = l_orderkey),
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v
+                    FROM e0 WHERE src <> dst),
+            cm AS (SELECT c_custkey AS nid,
+                          CAST(c_nationkey AS BIGINT) AS c
+                   FROM customer
+                   UNION ALL
+                   SELECT s_suppkey + 20000000,
+                          CAST(s_nationkey AS BIGINT)
+                   FROM supplier),
+            tg AS (SELECT u, v, a.c AS cu, b.c AS cv
+                   FROM und JOIN cm a ON und.u = a.nid
+                            JOIN cm b ON und.v = b.nid),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tg),
+            intra AS (SELECT cu AS community,
+                             CAST(count(*) AS BIGINT) AS l_intra
+                      FROM tg WHERE cu = cv GROUP BY cu),
+            ends AS (SELECT u AS nid, cu AS community FROM tg
+                     UNION ALL SELECT v, cv FROM tg),
+            deg AS (SELECT nid, community,
+                           CAST(count(*) AS BIGINT) AS deg
+                    FROM ends GROUP BY nid, community),
+            dm AS (SELECT community,
+                          CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(sum(deg) AS BIGINT) AS d_total
+                   FROM deg GROUP BY community)
+            SELECT community, n_nodes,
+                   CAST(coalesce(l_intra, 0) AS BIGINT) AS l_intra,
+                   d_total,
+                   round(CAST(coalesce(l_intra, 0) AS DOUBLE)
+                           / CAST(m AS DOUBLE)
+                         - (CAST(d_total AS DOUBLE)
+                            / (2.0 * CAST(m AS DOUBLE)))
+                           * (CAST(d_total AS DOUBLE)
+                              / (2.0 * CAST(m AS DOUBLE))), 6) AS q_c
+            FROM dm LEFT JOIN intra USING (community), m
+            ORDER BY community
+        """,
     }

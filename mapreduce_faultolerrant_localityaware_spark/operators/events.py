@@ -3836,3 +3836,417 @@ def quantile_rollup(
         F.lit(None).cast("date").alias("week"), "n_rows", "p50", "p95", "p99"
     )
     return weekly.unionByName(alltime).orderBy(F.col("week").asc_nulls_last())
+
+
+def logrank_test(
+    events: DataFrame,
+    death_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-group log-rank test on time-to-first-conversion — the
+    survival-curve companion to :func:`survival_km` (KM says WHAT the
+    curves look like; log-rank says whether the two cohorts' hazard is
+    distinguishable).  Cohorts split on ``pmod(user_id, 2)``; the
+    event clock is calendar time (every user enters at the study
+    start, the synthetic-events convention) and users without a
+    conversion are right-censored at the corpus' last day, so they
+    stay in every risk set — the single-censor-date simplification
+    that keeps at-risk counts an exact cumulative sum of deaths.
+
+    Exact carries: deaths/at-risk per day are BIGINTs; the expected
+    term ``d·n1/n`` and the hypergeometric variance
+    ``d·n1·n2·(n−d)/(n²·(n−1))`` round to nano-integer BIGINTs per day
+    (the variance numerator exceeds int64 at fleet scale, so it is an
+    identically-parenthesized double on both engines, inside the 6-dp
+    roundoff).  χ² = (O−E)²/V, 1 df.
+
+    Scale shape: ONE partial-agged groupBy(user) over raw events, one
+    groupBy(conversion day) to the DAY-domain death table, then the
+    cumulative at-risk window runs over the bounded calendar — never
+    over rows (the prover's DATE-key discipline).  Returns one row
+    ``(n_a, n_b, deaths_a, deaths_b, o_minus_e, var_lr, chi2)``.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(
+            F.when(F.col(type_col) == death_type, F.to_date(ts_col))
+        ).alias("dd")
+    )
+    per_user = per_user.select(
+        F.pmod(F.col("u"), F.lit(2)).cast("int").alias("g"), "dd"
+    )
+    totals = per_user.groupBy().agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    deaths = (
+        per_user.where(F.col("dd").isNotNull())
+        .groupBy("dd")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("d1"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("d2"),
+        )
+    )
+    w = Window.orderBy("dd").rowsBetween(Window.unboundedPreceding, -1)
+    risk = deaths.join(F.broadcast(totals)).select(
+        "dd",
+        "d1",
+        "d2",
+        (F.col("na") - F.coalesce(F.sum("d1").over(w), F.lit(0))).alias("n1"),
+        (F.col("nb") - F.coalesce(F.sum("d2").over(w), F.lit(0))).alias("n2"),
+    )
+    d = (F.col("d1") + F.col("d2")).cast("long")
+    n = (F.col("n1") + F.col("n2")).cast("long")
+    e1_9 = F.round(
+        (d * F.col("n1")).cast("double") / n.cast("double") * F.lit(1e9)
+    ).cast("long")
+    v_9 = F.when(
+        n > 1,
+        F.round(
+            d.cast("double")
+            * F.col("n1").cast("double")
+            * F.col("n2").cast("double")
+            * (n - d).cast("double")
+            / (n.cast("double") * n.cast("double") * (n - F.lit(1)).cast("double"))
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = risk.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("o2"),
+        F.coalesce(F.sum(e1_9), F.lit(0)).cast("long").alias("e19"),
+        F.coalesce(F.sum(v_9), F.lit(0)).cast("long").alias("v9"),
+    )
+    o1d = F.col("o1").cast("double")
+    e1d = F.col("e19").cast("double") / F.lit(1e9)
+    vd = F.col("v9").cast("double") / F.lit(1e9)
+    return agg.join(F.broadcast(totals)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("o1").alias("deaths_a"),
+        F.col("o2").alias("deaths_b"),
+        F.round(o1d - e1d, 6).alias("o_minus_e"),
+        F.round(vd, 6).alias("var_lr"),
+        F.round(
+            F.when(F.col("v9") > 0, (o1d - e1d) * (o1d - e1d) / vd), 6
+        ).alias("chi2"),
+    )
+
+
+def info_gain(
+    events: DataFrame,
+    target_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Information gain (mutual information, nats) of the event type
+    against three candidate calendar/value features — the feature-
+    selection readout (which cheap feature most reduces label
+    entropy), the ranking companion to :func:`mutual_information`'s
+    single-pair magnitude.
+
+    Every entropy is the count-only form ``ln n − Σ c·ln c / n``, so
+    ALL log arguments are exact BIGINT counts (the text_entropy
+    discipline — both engines' libm agree on ln of integers far
+    inside the 6-dp roundoff); the per-term carry is a micro-integer
+    BIGINT sum.  IG = H(Y) + H(X) − H(X,Y) ≥ 0, and
+    ``ig_ratio = IG/H(Y)`` is the normalized (0..1) score.
+
+    Scale shape: the three feature frames union into ONE
+    partial-agged groupBy(feature, x, y) contingency pass; margins
+    are per-feature aggregates of the contingency table (k-row), so
+    raw events are scanned once.  Returns one row per feature
+    ``(feature, n, h_y, h_x, h_xy, info_gain, ig_ratio)`` ordered by
+    info_gain desc.
+    """
+    y = F.col(target_col).cast("string")
+    feats = [
+        ("dow", F.dayofweek(F.col(ts_col)).cast("string")),
+        ("hour6", (F.floor(F.hour(F.col(ts_col)) / 6)).cast("string")),
+        (
+            "value_band",
+            F.when(F.col(value_col) < 0, "neg")
+            .when(F.col(value_col) < 10, "low")
+            .when(F.col(value_col) < 100, "mid")
+            .otherwise("high"),
+        ),
+    ]
+    parts = [
+        events.select(F.lit(name).alias("f"), x.alias("x"), y.alias("y"))
+        for name, x in feats
+    ]
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    xy = base.groupBy("f", "x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def ent_sum(counts: DataFrame, key: str) -> DataFrame:
+        micro = F.sum(
+            F.round(F.col("c").cast("double") * F.log("c") * F.lit(1e6)).cast("long")
+        )
+        return counts.groupBy("f").agg(
+            micro.alias(f"s_{key}"), F.sum("c").cast("long").alias(f"n_{key}")
+        )
+
+    s_xy = ent_sum(xy, "xy")
+    s_x = ent_sum(
+        xy.groupBy("f", "x").agg(F.sum("c").cast("long").alias("c")), "x"
+    )
+    s_y = ent_sum(
+        xy.groupBy("f", "y").agg(F.sum("c").cast("long").alias("c")), "y"
+    )
+    j = (
+        s_xy.join(s_x, "f")
+        .join(s_y, "f")
+    )
+    nn = F.col("n_xy").cast("double")
+
+    def h(skey: str) -> Column:
+        return F.log(nn) - F.col(skey).cast("double") / F.lit(1e6) / nn
+
+    ig = h("s_x") + h("s_y") - h("s_xy")
+    return j.select(
+        F.col("f").alias("feature"),
+        F.col("n_xy").alias("n"),
+        F.round(h("s_y"), 6).alias("h_y"),
+        F.round(h("s_x"), 6).alias("h_x"),
+        F.round(h("s_xy"), 6).alias("h_xy"),
+        F.round(ig, 6).alias("info_gain"),
+        F.round(ig / h("s_y"), 6).alias("ig_ratio"),
+    ).orderBy(F.col("info_gain").desc(), F.col("feature").asc())
+
+
+def ab_sequential(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z_alpha: float = 2.963,
+) -> DataFrame:
+    """Group-sequential A/B monitoring: the per-day cumulative
+    two-proportion z-statistic against an O'Brien-Fleming-style
+    spending boundary ``z_alpha / sqrt(information fraction)`` — the
+    peek-every-day readout that says WHEN (if ever) the experiment
+    could have stopped without inflating false positives, the
+    always-valid companion to the fixed-horizon :func:`ab_test`.
+
+    Unit = user-day (a user active on a day is one trial; a purchase
+    that day converts it) so both arms' denominators grow with the
+    calendar, the classic streaming-experiment bookkeeping.  All
+    counts are exact BIGINTs off ONE distinct user-day aggregate; z
+    uses the pooled-variance form with only arithmetic and sqrt —
+    sqrt is IEEE-correctly-rounded, so both engines agree bit-for-bit
+    before the 6-dp round.
+
+    Scale shape: one distinct (day, arm, user, converted) collapse,
+    one groupBy(day) to the DAY domain, cumulative windows over the
+    bounded calendar, and a 1-row broadcast of the final totals for
+    the information fraction.  Returns per day ``(d, n_a, n_b, x_a,
+    x_b, z, boundary, crossed)`` ordered by day.
+    """
+    ud = (
+        events.select(
+            F.to_date(ts_col).alias("d"),
+            F.pmod(F.col(user_col), F.lit(2)).cast("int").alias("g"),
+            F.col(user_col).alias("u"),
+            F.when(F.col(type_col) == conv_type, 1).otherwise(0).alias("cv"),
+        )
+        .groupBy("d", "g", "u")
+        .agg(F.max("cv").alias("cv"))
+    )
+    daily = ud.groupBy("d").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("t_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("t_b"),
+        F.sum(F.when(F.col("g") == 0, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("g") == 1, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("t_a").over(w).cast("long").alias("n_a"),
+        F.sum("t_b").over(w).cast("long").alias("n_b"),
+        F.sum("c_a").over(w).cast("long").alias("x_a"),
+        F.sum("c_b").over(w).cast("long").alias("x_b"),
+    )
+    tot = daily.agg(
+        (F.sum("t_a") + F.sum("t_b")).cast("long").alias("n_tot")
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    p = (xa + xb) / (na + nb)
+    se = F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (xb / nb - xa / na) / se).otherwise(F.lit(0.0))
+    frac = (na + nb) / F.col("n_tot").cast("double")
+    bound = F.lit(float(z_alpha)) / F.sqrt(frac)
+    return cum.join(F.broadcast(tot)).select(
+        "d",
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.round(z, 6).alias("z"),
+        F.round(bound, 6).alias("boundary"),
+        (F.abs(F.round(z, 6)) >= F.round(bound, 6)).alias("crossed"),
+    ).orderBy("d")
+
+
+def offpolicy_eval(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    clip: int = 20,
+    n_contexts: int = 4,
+) -> DataFrame:
+    """Off-policy evaluation of a candidate action policy from logged
+    interaction data — the counterfactual readout an RLHF/bandit data
+    pipeline runs before any online test: IPS (inverse-propensity
+    estimate of the target policy's mean reward), the self-normalized
+    SNIPS variant, the clipped-weight fraction, and Kish's effective
+    sample size for the weights.
+
+    Logging propensities are ESTIMATED from the log itself
+    (``p̂(a|x) = c_xa / c_x`` over pmod-derived user contexts) — a
+    k×|actions|-row table; the target policy is uniform over the two
+    engagement actions.  Weights are micro-integer BIGINTs
+    ``w6 = round(1e6·min(clip, π/p̂))`` (ratios of exact counts),
+    reward is exact cents, and every sum carries in DECIMAL(38,0) so
+    the accumulation never wraps int64 at fleet scale (the
+    bh_significance discipline).
+
+    Scale shape: one partial-agged groupBy(context, action) builds the
+    propensity codebook (broadcast back — bounded by contexts×actions,
+    never rows), then one map + global aggregate over the log.
+    Returns one row ``(n, n_matched, clip_frac, sum_w, ips, snips,
+    ess)``.
+    """
+    base = events.select(
+        F.pmod(F.col(user_col), F.lit(n_contexts)).cast("int").alias("x"),
+        F.col(type_col).alias("a"),
+        F.greatest(
+            F.round(F.col(value_col) * 100).cast("long"), F.lit(0)
+        ).alias("r"),
+    )
+    prop = base.groupBy("x", "a").agg(F.count(F.lit(1)).cast("long").alias("c_xa"))
+    ctx = prop.groupBy("x").agg(F.sum("c_xa").cast("long").alias("c_x"))
+    codebook = prop.join(F.broadcast(ctx), "x")
+    target = F.when(F.col("a").isin("click", "view"), F.lit(0.5)).otherwise(
+        F.lit(0.0)
+    )
+    w6 = F.round(
+        F.least(
+            F.lit(float(clip)),
+            target * F.col("c_x").cast("double") / F.col("c_xa").cast("double"),
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    scored = base.join(F.broadcast(codebook), ["x", "a"]).select(
+        w6.alias("w6"), "r"
+    )
+    dec = "decimal(38,0)"
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("w6") > 0, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(
+            F.when(F.col("w6") == F.lit(clip * 1_000_000), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clip"),
+        F.coalesce(F.sum(F.col("w6").cast(dec)), F.lit(0).cast(dec)).alias("sw6"),
+        F.coalesce(
+            F.sum((F.col("w6") * F.col("r")).cast(dec)), F.lit(0).cast(dec)
+        ).alias("swr6"),
+        F.coalesce(
+            F.sum((F.col("w6") * F.col("w6")).cast(dec)), F.lit(0).cast(dec)
+        ).alias("sww12"),
+    )
+    nd = F.col("n").cast("double")
+    sw = F.col("sw6").cast("double") / F.lit(1e6)
+    swr = F.col("swr6").cast("double") / F.lit(1e6) / F.lit(100.0)
+    sww = F.col("sww12").cast("double") / F.lit(1e12)
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(F.col("n_clip").cast("double") / nd, 6).alias("clip_frac"),
+        F.round(sw, 6).alias("sum_w"),
+        F.round(swr / nd, 6).alias("ips"),
+        F.round(F.when(F.col("sw6") > 0, swr / sw), 6).alias("snips"),
+        F.round(F.when(F.col("sww12") > 0, sw * sw / sww), 6).alias("ess"),
+    )
+
+
+def simpsons_check(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Simpson's-paradox audit: does any segment's A-vs-B conversion
+    direction contradict the pooled direction?  The aggregation-bias
+    tripwire every experiment readout should run before trusting a
+    pooled lift — a reversed segment means the pooled number is
+    confounded by segment mix, not evidence.
+
+    Direction comparisons are EXACT integer cross-multiplications
+    (``x_b·n_a − x_a·n_b``) — no float rate ever decides a sign, so
+    the reversed flag cannot flap on roundoff.  Rates are reported at
+    6 dp for humans only.
+
+    Scale shape: one partial-agged groupBy(segment) over raw events
+    (segments = day-of-week, bounded domain), pooled row via a 1-row
+    broadcast join.  Returns per segment ``(segment, n_a, x_a, n_b,
+    x_b, rate_a, rate_b, seg_dir, pooled_dir, reversed)`` ordered by
+    segment.
+    """
+    base = events.select(
+        F.dayofweek(F.col(ts_col)).cast("int").alias("seg"),
+        F.pmod(F.col(user_col), F.lit(2)).cast("int").alias("g"),
+        F.when(F.col(type_col) == conv_type, 1).otherwise(0).alias("cv"),
+    )
+    per = base.groupBy("seg").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pooled = per.agg(
+        F.sum("n_a").cast("long").alias("p_na"),
+        F.sum("x_a").cast("long").alias("p_xa"),
+        F.sum("n_b").cast("long").alias("p_nb"),
+        F.sum("x_b").cast("long").alias("p_xb"),
+    )
+    seg_dir = F.signum(
+        (F.col("x_b") * F.col("n_a") - F.col("x_a") * F.col("n_b")).cast("double")
+    ).cast("int")
+    pooled_dir = F.signum(
+        (F.col("p_xb") * F.col("p_na") - F.col("p_xa") * F.col("p_nb")).cast(
+            "double"
+        )
+    ).cast("int")
+    return per.join(F.broadcast(pooled)).select(
+        F.col("seg").alias("segment"),
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(F.col("x_a").cast("double") / F.col("n_a").cast("double"), 6).alias(
+            "rate_a"
+        ),
+        F.round(F.col("x_b").cast("double") / F.col("n_b").cast("double"), 6).alias(
+            "rate_b"
+        ),
+        seg_dir.alias("seg_dir"),
+        pooled_dir.alias("pooled_dir"),
+        ((seg_dir * pooled_dir) < 0).alias("reversed"),
+    ).orderBy("segment")

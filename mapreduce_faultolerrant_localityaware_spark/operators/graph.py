@@ -1176,3 +1176,83 @@ def neighborhood_jaccard(
         ).alias("jaccard"),
         F.coalesce("already_linked", F.lit(0)).alias("already_linked"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    comm: str = "comm",
+) -> DataFrame:
+    """Newman-Girvan modularity of a given node partition on the
+    undirected simple graph — per community
+    ``Q_c = L_c/m − (D_c/(2m))²`` and its exact integer carriers: the
+    quality score for ANY community assignment (an attribute
+    partition, label-prop output, a dedup clustering), answering
+    "does this partition bind more edge mass than degree chance".
+
+    Exact-integer discipline: m, the intra-community edge count
+    ``L_c`` and the community degree mass ``D_c`` are BIGINTs off the
+    canonicalized (u<v, distinct) edge list, so
+    ``Q_c = (4m·L_c − D_c²) / (4m²)`` is a ratio of exact integers —
+    one float division per community row, bit-stable across
+    partitionings (the assortativity discipline).
+
+    Scale shape: two equi-joins attach the community map to the edge
+    ends (broadcastable when the node universe is a dimension table),
+    then k-row aggregates — no all-pairs term anywhere; the m²
+    normalizer is arithmetic on a 1-row broadcast.  Returns per
+    community ``(community, n_nodes, l_intra, d_total, q_c)`` ordered
+    by community, where sum(q_c) is the partition's modularity.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cmap = communities.select(
+        F.col(node).alias("nid"), F.col(comm).alias("c")
+    ).distinct()
+    tagged = (
+        und.join(cmap.select(F.col("nid").alias("u"), F.col("c").alias("cu")), "u")
+        .join(cmap.select(F.col("nid").alias("v"), F.col("c").alias("cv")), "v")
+    )
+    m_row = tagged.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        tagged.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l_intra"))
+    )
+    ends = tagged.select(F.col("u").alias("nid"), F.col("cu").alias("community")).unionByName(
+        tagged.select(F.col("v").alias("nid"), F.col("cv").alias("community"))
+    )
+    deg = ends.groupBy("nid", "community").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dmass = deg.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("d_total"),
+    )
+    md = F.col("m").cast("double")
+    q = (
+        F.coalesce(F.col("l_intra"), F.lit(0)).cast("double") / md
+        - (F.col("d_total").cast("double") / (F.lit(2.0) * md))
+        * (F.col("d_total").cast("double") / (F.lit(2.0) * md))
+    )
+    return (
+        dmass.join(intra, "community", "left")
+        .join(F.broadcast(m_row))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("l_intra"), F.lit(0)).cast("long").alias("l_intra"),
+            "d_total",
+            F.round(q, 6).alias("q_c"),
+        )
+        .orderBy("community")
+    )

@@ -962,3 +962,68 @@ def tokenizer_fertility(
             6,
         ).alias("chars_per_token"),
     ).orderBy("lang")
+
+
+def feature_hash(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurizer audit: project the unbounded token
+    vocabulary onto ``n_buckets`` fixed feature slots via an
+    md5-derived bucket id — the fixed-width featurization every
+    vocabulary-free text model (Vowpal-Wabbit-style linear models,
+    sketch features for dedup/quality classifiers) runs at corpus
+    scale, where a learned vocabulary would be a second full pass.
+
+    Reports, per bucket: total token mass, distinct tokens folded in
+    (the collision load the model actually absorbs), document
+    frequency, and the share of total mass — exactly the table you
+    read to size ``n_buckets`` before training.  The bucket id is
+    ``md5(token)``'s first 48 bits mod n_buckets, reproducible
+    bit-identically in ANSI SQL (the roc_auc_continuous idiom), never
+    a JVM-internal hash.
+
+    Scale shape: tokenize is map-side (flatMap via explode), then ONE
+    partial-agged groupBy(bucket, token) collapses to the
+    token-domain table; bucket rollups and the distinct-doc count run
+    over (bucket, token) / (bucket, doc) frames — shuffles carry
+    48-bit ints and token strings, never documents.  Returns
+    ``(bucket, n_tokens, n_distinct_tokens, n_docs, mass_share)``
+    ordered by bucket.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("t")), 1, 12), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+    bt = tok.select(b.alias("b"), "t", "doc")
+    per_token = bt.groupBy("b", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_bucket = per_token.groupBy("b").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+    )
+    docs_per_bucket = (
+        bt.select("b", "doc")
+        .distinct()
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = per_bucket.agg(F.sum("n_tokens").cast("long").alias("n_tot"))
+    return (
+        per_bucket.join(docs_per_bucket, "b")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bucket"),
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_docs",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_tot").cast("double"), 6
+            ).alias("mass_share"),
+        )
+        .orderBy("bucket")
+    )

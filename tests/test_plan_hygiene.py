@@ -169,7 +169,17 @@ BNLJ_OK = {"range_join", "ann_bruteforce", "dedup_ngram_jaccard", "join_skew_sal
            # (structurally proven ≤1 row below, like every other
            # scalar attach)
            "roc_auc", "roc_auc_continuous", "levene_test",
-           "lift_table", "k_anonymity", "percent_rank_global"}
+           "lift_table", "k_anonymity", "percent_rank_global",
+           # round 11b: more 1-row scalar attaches, all global
+           # aggregates structurally proven ≤1 row below —
+           # logrank_test attaches its 1-row cohort totals (twice:
+           # at-risk offsets and the final O/E/V rollup);
+           # ab_sequential its 1-row grand-total for the information
+           # fraction; simpsons_check its 1-row pooled-direction row;
+           # feature_hash its 1-row total token mass; graph_modularity
+           # its 1-row edge count m
+           "logrank_test", "ab_sequential", "simpsons_check",
+           "feature_hash", "graph_modularity"}
 
 #: iterative driver-loop queries — plan is per-round, explain of the
 #: final labels frame is a checkpoint scan, nothing to audit
