@@ -1202,10 +1202,16 @@ def modularity(
 
     Scale shape: two equi-joins attach the community map to the edge
     ends (broadcastable when the node universe is a dimension table),
-    then k-row aggregates — no all-pairs term anywhere; the m²
-    normalizer is arithmetic on a 1-row broadcast.  Returns per
-    community ``(community, n_nodes, l_intra, d_total, q_c)`` ordered
-    by community, where sum(q_c) is the partition's modularity.
+    then the tagged edge list is consumed EXACTLY ONCE — each edge
+    explodes into its two end rows carrying an intra flag, and every
+    readout (per-node degrees, community node counts, intra edge mass
+    ``2·L_c``, and ``2m = Σ D_c``) folds out of that single pass, so
+    the expensive edge join is never re-evaluated per consumer branch
+    (the js_divergence scan-once discipline).  No all-pairs term
+    anywhere; the m² normalizer is arithmetic on a 1-row broadcast.
+    Returns per community ``(community, n_nodes, l_intra, d_total,
+    q_c)`` ordered by community, where sum(q_c) is the partition's
+    modularity.
     """
     und = (
         edges.select(
@@ -1222,35 +1228,57 @@ def modularity(
         und.join(cmap.select(F.col("nid").alias("u"), F.col("c").alias("cu")), "u")
         .join(cmap.select(F.col("nid").alias("v"), F.col("c").alias("cv")), "v")
     )
-    m_row = tagged.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    intra = (
-        tagged.where(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("l_intra"))
-    )
-    ends = tagged.select(F.col("u").alias("nid"), F.col("cu").alias("community")).unionByName(
-        tagged.select(F.col("v").alias("nid"), F.col("cv").alias("community"))
-    )
+    ii = (F.col("cu") == F.col("cv")).cast("long")
+    ends = tagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("nid"),
+                    F.col("cu").alias("community"),
+                    ii.alias("ii"),
+                ),
+                F.struct(
+                    F.col("v").alias("nid"),
+                    F.col("cv").alias("community"),
+                    ii.alias("ii"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.nid", "e.community", "e.ii")
     deg = ends.groupBy("nid", "community").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+        F.count(F.lit(1)).cast("long").alias("deg"),
+        F.sum("ii").cast("long").alias("di"),
     )
     dmass = deg.groupBy("community").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("deg").cast("long").alias("d_total"),
+        # every intra edge contributes one flagged end to EACH side,
+        # so the community's flagged-end mass is exactly 2·L_c
+        F.sum("di").cast("long").alias("l2"),
     )
-    md = F.col("m").cast("double")
+    # materialize the community-domain table ONCE: the 1-row 2m total
+    # and the output rows both read the checkpointed k-row frame, so
+    # the edge join never re-evaluates for the scalar-attach branch
+    # (AQE does NOT reuse the shared aggregate stage across branches —
+    # measured, not assumed; the k-row footprint makes this the
+    # bounded-codebook checkpoint shape, not a raw-data cache)
+    dmass = _truncate_lineage(dmass)
+    # Σ D_c over all communities counts every edge end once = 2m;
+    # `div` keeps both halvings exact BIGINT arithmetic
+    tot = dmass.agg(F.sum("d_total").cast("long").alias("dd"))
+    md = F.expr("dd div 2").cast("double")
+    li = F.expr("l2 div 2").cast("long")
     q = (
-        F.coalesce(F.col("l_intra"), F.lit(0)).cast("double") / md
+        li.cast("double") / md
         - (F.col("d_total").cast("double") / (F.lit(2.0) * md))
         * (F.col("d_total").cast("double") / (F.lit(2.0) * md))
     )
     return (
-        dmass.join(intra, "community", "left")
-        .join(F.broadcast(m_row))
+        dmass.join(F.broadcast(tot))
         .select(
             "community",
             "n_nodes",
-            F.coalesce(F.col("l_intra"), F.lit(0)).cast("long").alias("l_intra"),
+            li.alias("l_intra"),
             "d_total",
             F.round(q, 6).alias("q_c"),
         )
