@@ -1,0 +1,41 @@
+"""Shared one-evaluation materialization for multi-consumer frames.
+
+AQE does NOT reuse a shared aggregate stage across plan branches — a
+frame consumed by k sibling branches (a scalar min/max attach, a cell
+totals aggregate, a join-back) compiles into k copies of its subtree,
+and the base table is SCANNED k times per execution (measured in round
+11 with a minimal probe; tools/scan_multiplicity.py audits the whole
+surface).  At 100 TB every duplicated branch is a full corpus read.
+
+``materialize_once`` is the engine-wide discipline for those frames
+(the js_divergence round-11 fix, generalized): a LAZY checkpoint —
+no job at construction time; the first action computes the frame once
+and persists its blocks, and every other consumer (same action or
+later jobs) reads the blocks instead of re-deriving them.  Reliable
+checkpoint when the session has a checkpoint dir (chaos/loss tests:
+blocks survive executor death), localCheckpoint otherwise; blocks and
+reliable files age out via the ContextCleaner
+(``spark.cleaner.referenceTracking.cleanCheckpoints`` in session.py).
+
+Use it ONLY on bounded or collapsed frames (domain tables, per-entity
+aggregates, codebooks) — never on raw document/text frames, where the
+materialization itself would be the PB-scale cost (the dedup.py
+lesson).  For iterative loops that need an EAGER per-round barrier,
+keep :func:`..operators.graph._truncate_lineage`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Return ``df`` backed by a lazily-checkpointed RDD: computed at
+    most once across ALL consumers, with lineage severed."""
+    try:
+        reliable = (
+            df.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+        )
+    except Exception:  # noqa: BLE001
+        reliable = False
+    return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)

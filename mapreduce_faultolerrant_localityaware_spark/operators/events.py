@@ -845,6 +845,12 @@ def chisq_independence(
     obs = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    # the R×C contingency table feeds every margin branch and the
+    # cell join — materialize the domain-sized frame once so the raw
+    # table is scanned once, not once per branch (round-11 audit)
+    from ._materialize import materialize_once
+
+    obs = materialize_once(obs)
     rows = obs.groupBy("a").agg(F.sum("o").alias("r"))
     cols = obs.groupBy("b").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -1557,6 +1563,12 @@ def mutual_information(
     obs = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    # the R×C contingency table feeds every margin branch and the
+    # cell join — materialize the domain-sized frame once so the raw
+    # table is scanned once, not once per branch (round-11 audit)
+    from ._materialize import materialize_once
+
+    obs = materialize_once(obs)
     rows = obs.groupBy("a").agg(F.sum("o").alias("r"))
     cols = obs.groupBy("b").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -3980,6 +3992,12 @@ def info_gain(
     for p in parts[1:]:
         base = base.unionByName(p)
     xy = base.groupBy("f", "x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # three entropy branches + two margin rollups read the contingency
+    # table — materialize the domain-sized frame once (round-11 audit:
+    # 9 raw-table scans before this)
+    from ._materialize import materialize_once
+
+    xy = materialize_once(xy)
 
     def ent_sum(counts: DataFrame, key: str) -> DataFrame:
         micro = F.sum(

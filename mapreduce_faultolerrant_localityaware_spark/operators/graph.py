@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._materialize import materialize_once
+
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and truncate its lineage — per-round plan
@@ -282,12 +284,19 @@ def _edges_degrees_triangles(pairs: DataFrame, src: str, dst: str):
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # the edge set feeds the degree build, the orientation join, the
+    # wedge-closing semi-join and the summary union — and the PAIRS
+    # input is usually itself an LSH/minhash pipeline; materialize both
+    # bounded frames once so none of those branches re-derives them
+    # (scan_multiplicity counted 28 corpus scans here before this)
+    e = materialize_once(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    deg = materialize_once(deg)
     ed = (
         e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
@@ -851,6 +860,9 @@ def common_neighbors(
         .filter(F.col("s") != F.col("d"))
         .distinct()
     )
+    # consumed by degrees, both wedge-ray branches and the edge set —
+    # materialize once (the pairs input is an LSH pipeline upstream)
+    sym = materialize_once(sym)
     deg = sym.groupBy("d").agg(F.count(F.lit(1)).alias("deg"))
     # per-center micro contribution, attached once to the (n -> a) rays
     rays = sym.select(F.col("d").alias("n"), F.col("s").alias("a")).join(
@@ -946,6 +958,9 @@ def assortativity(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # consumed by the degree build and both degree-attach joins —
+    # materialize once instead of re-deriving the symmetrized set
+    sym = materialize_once(sym)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     pairs = (
         sym.join(deg.select(F.col("u"), F.col("deg").alias("dx")), "u")
@@ -1147,6 +1162,9 @@ def neighborhood_jaccard(
         .filter(F.col("s") != F.col("d"))
         .distinct()
     )
+    # consumed by degrees, both wedge-ray branches and the edge set —
+    # materialize once (the pairs input is an LSH pipeline upstream)
+    sym = materialize_once(sym)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     rays = sym.select(F.col("d").alias("n"), F.col("s").alias("a"))
     wedges = (

@@ -1196,16 +1196,21 @@ def bucketed_cum_counts(
     tiny cell-totals frame, not the data).  NULL order values sort
     exactly where the replaced window put them (first under ASC, last
     under DESC — see the cell-0 coalesce below).  Cost note: the
-    domain aggregate's subtree appears three times in the plan (the
-    min/max scalar, the cell totals, the join-back); its shuffle MAP
-    stage runs once (shuffle files are shared across jobs) and AQE
-    reuses the materialized exchanges where it can, so the worst case
-    is re-running reduce-side aggregation — deliberately NOT an
-    unconditional persist, which would materialize a possibly
-    row-sized domain to storage (the dedup.py PB-materialization
-    lesson).  Returns ``per``'s columns plus the requested cumulative
-    columns (LONG).
+    domain frame feeds THREE consumers (the min/max scalar, the cell
+    totals, the join-back), and AQE does NOT reuse a shared aggregate
+    stage across branches (measured, round 11 —
+    tools/scan_multiplicity.py counted the rank family's callers at
+    4–30 base-table scans per query), so ``per`` is lazily
+    checkpointed here: the first action computes the domain collapse
+    ONCE and every branch reads the persisted blocks.  The storage
+    footprint is the NARROW domain table — (order, tiebreaks, counts)
+    rows, never raw text (the dedup.py PB-materialization lesson
+    bounds what may be materialized, not whether).  Returns ``per``'s
+    columns plus the requested cumulative columns (LONG).
     """
+    from ._materialize import materialize_once
+
+    per = materialize_once(per)
     vo = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     vo += [F.col(c).asc() for c in tiebreak_cols]
     parts = list(partition_cols)
@@ -1485,8 +1490,13 @@ def rfm_segments(
     # three INDEPENDENT per-metric bucketings re-joined on the
     # customer key — chaining exact_ntile calls would nest each
     # call's aggregate side inside the next's lineage (exponential
-    # plan growth); as siblings the per-customer aggregate subtree is
-    # identical in all branches and AQE exchange reuse dedupes it.
+    # plan growth).  AQE does NOT dedupe the sibling subtrees (round
+    # 11, measured — this query planned 30 orders scans), so the
+    # customer-domain table materializes once and every ntile branch
+    # reads the blocks.
+    from ._materialize import materialize_once
+
+    per = materialize_once(per)
     r_s = exact_ntile(
         per.select("cust", "rec"),
         n_tiles,
