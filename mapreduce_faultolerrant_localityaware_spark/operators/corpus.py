@@ -523,7 +523,14 @@ def lm_bigram_score(
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # the per-doc bigram relation feeds the model aggregates AND the
+    # scoring join; the model table feeds ctx/vocab/scored — each
+    # materializes once (round-11 scan audit)
+    from ._materialize import materialize_once
+
+    per = materialize_once(per)
     big = per.groupBy("w1", "w2").agg(F.sum("cnt").alias("c_big"))
+    big = materialize_once(big)
     ctx = big.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
     vocab = big.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
     scored = (
@@ -813,6 +820,11 @@ def pmi_collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    from ._materialize import materialize_once
+
+    # vocabulary-sized count tables each feed a scalar total and a
+    # join side — materialize both so each tokenize pass runs once
+    uni = materialize_once(uni)
     bcounts = (
         base.select(F.explode(_bigrams(tk)).alias("bg"))
         .select(
@@ -822,6 +834,7 @@ def pmi_collocations(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
+    bcounts = materialize_once(bcounts)
     big = bcounts.filter(F.col("c12") >= min_count)
     # both totals derive from the COUNT tables (vocabulary-sized), not
     # from a second corpus pass — the bigram explode runs exactly once
@@ -1255,6 +1268,11 @@ def contamination_fuzzy(
     from .dedup import NUM_HASHES, minhash_bands, minhash_signatures
 
     sig = minhash_signatures(docs, text_col, id_col)
+    # signatures feed the band explode and both estimator sides —
+    # materialize the 12-int-per-doc frame once (round-11 scan audit)
+    from ._materialize import materialize_once
+
+    sig = materialize_once(sig)
     bands = minhash_bands(sig, id_col)
     is_bench = (F.col(id_col) % bench_mod) == 0
     bench_b = bands.where(is_bench)
@@ -1644,6 +1662,12 @@ def unigram_kl(
         F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("t")
     )
     slice_counts = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("cs"))
+    # the tokenize aggregate feeds the corpus rollup, the slice totals
+    # and the in-support join — materialize once so the docstring's
+    # "ONE tokenize pass" is what the engine executes (round-11 audit)
+    from ._materialize import materialize_once
+
+    slice_counts = materialize_once(slice_counts)
     corpus_counts = slice_counts.groupBy("t").agg(F.sum("cs").alias("cc"))
     totals = slice_counts.groupBy("grp").agg(
         F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("types")

@@ -362,6 +362,11 @@ def dedup_ngram_jaccard(
     sh = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle")
     ).distinct()
+    # feeds sizes, the df filter and both self-join sides — materialize
+    # the collapsed (doc, shingle) set once (round-11 scan audit)
+    from ._materialize import materialize_once
+
+    sh = materialize_once(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
@@ -998,6 +1003,12 @@ def minhash_accuracy_report(
     # here would hardwire its own 3-gram signatures regardless of
     # ``n``, auditing an estimator that never produced the pairs)
     sig = minhash_signatures(docs, text_col, id_col, n)
+    # the signature table feeds candidate generation AND both
+    # estimator-attach sides — materialize the 12-int-per-doc frame
+    # once so the minhash pipeline runs once (round-11 scan audit)
+    from ._materialize import materialize_once
+
+    sig = materialize_once(sig)
     cand = _lsh_pairs(sig, id_col, max_bucket_allpairs)
     sa = sig.select(
         F.col(id_col).alias("doc_a"),
@@ -1097,6 +1108,11 @@ def set_similarity_join_prefix(
         )
         .distinct()
     )
+    # the hashed shingle set feeds the df window chain AND both verify
+    # set builds — materialize once (round-11 scan audit)
+    from ._materialize import materialize_once
+
+    sh = materialize_once(sh)
     # df as a COUNT WINDOW over the shingle partition, not a separate
     # groupBy + join-back: one exchange on shingle serves both the df
     # computation and the (doc, shingle, df) attribution (same fusion
@@ -1122,6 +1138,8 @@ def set_similarity_join_prefix(
             F.transform(F.slice("ordered", F.lit(1), prefix_len), lambda s: s["h"])
         ).alias("pos", "pshingle"),
     )
+    # the prefix relation is both self-join sides — materialize once
+    pref = materialize_once(pref)
     a, b = pref.alias("a"), pref.alias("b")
     matched = (
         a.join(b, F.col("a.pshingle") == F.col("b.pshingle"))
@@ -1310,6 +1328,11 @@ def dedup_sorted_neighborhood(
         pairs = _snm_window_pairs(docs, keys[p], id_col, window)
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()
+    from ._materialize import materialize_once
+
+    # candidate ids feed both verify joins; the hashed shingle sets
+    # feed both sides too — materialize each once (round-11 scan audit)
+    cand = materialize_once(cand)
     # md5→long shingle hashing via EXPLODE, not an in-row
     # transform(shingles(...), md5) lambda: higher-order lambdas run
     # interpreted (outside whole-stage codegen), and md5-per-element
@@ -1330,6 +1353,7 @@ def dedup_sorted_neighborhood(
         .groupBy(id_col)
         .agg(F.collect_set("h").alias("shs"))
     )
+    sets = materialize_once(sets)
     return (
         cand.join(
             sets.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa")), "doc_a"
@@ -1398,7 +1422,12 @@ def dedup_incremental_jaccard(
             .distinct()
         )
 
-    bh, dh = hashed(base), hashed(delta)
+    from ._materialize import materialize_once
+
+    # both hashed-shingle relations feed the df index, the ordered-set
+    # build and the prefix explode — materialize the (id, 8-byte hash)
+    # frames once (round-11 scan audit)
+    bh, dh = materialize_once(hashed(base)), materialize_once(hashed(delta))
     dfb = bh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
 
     def ordered_sets(rel: DataFrame) -> DataFrame:

@@ -1631,6 +1631,12 @@ def session_rules(
     basket = sess.select(
         F.col(user_col).alias("u"), F.col("session_id").alias("sid"), F.col(type_col).alias("t")
     ).distinct()
+    # the session-type basket feeds the session count, the per-type
+    # margins and both self-join sides — materialize once (round-11
+    # scan audit: 5 raw scans before this)
+    from ._materialize import materialize_once
+
+    basket = materialize_once(basket)
     n_sessions = basket.select("u", "sid").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )

@@ -44,6 +44,11 @@ DEFAULT = [
     # round 11
     "roc_auc_continuous", "ks_test", "revenue_concentration",
     "quantile_rollup", "k_anonymity",
+    # round 11b: the experimentation/eval battery + the graph shapes
+    # touched by the scan-once materialization
+    "logrank_test", "ab_sequential", "info_gain", "offpolicy_eval",
+    "simpsons_check", "feature_hash", "graph_modularity",
+    "triangle_count", "graph_clustering",
 ]
 
 
