@@ -128,6 +128,14 @@ HEADLINE = [
     # mergeable quantile rollup
     "roc_auc_continuous",
     "quantile_rollup",
+    # round-11b additions: the experimentation/eval battery's heaviest
+    # members (survival χ², sequential monitor, featurizer audit,
+    # modularity over the transaction graph) — benched so the
+    # scan-once materialization discipline shows in the record
+    "logrank_test",
+    "ab_sequential",
+    "feature_hash",
+    "graph_modularity",
 ]
 
 

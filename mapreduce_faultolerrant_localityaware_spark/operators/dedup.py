@@ -1750,13 +1750,19 @@ def simjoin_containment(
         F.col(id_col),
         F.explode(shingles(tokens(text_col, lowercase=True), n)).alias("shingle"),
     ).distinct()
+    # the (doc, shingle) set feeds the df filter, the capped-universe
+    # sizes and both self-join sides — materialize the raw AND the
+    # capped relation once each (round-11 scan audit: 8 corpus scans)
+    from ._materialize import materialize_once
+
+    sh = materialize_once(sh)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_shingle_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
+    sh = materialize_once(sh.join(rare, "shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
