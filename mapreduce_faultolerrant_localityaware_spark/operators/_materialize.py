@@ -8,10 +8,16 @@ and the base table is SCANNED k times per execution (measured in round
 surface).  At 100 TB every duplicated branch is a full corpus read.
 
 ``materialize_once`` is the engine-wide discipline for those frames
-(the js_divergence round-11 fix, generalized): a LAZY checkpoint —
-no job at construction time; the first action computes the frame once
-and persists its blocks, and every other consumer (same action or
-later jobs) reads the blocks instead of re-deriving them.  Reliable
+(the js_divergence round-11 fix, generalized): a lazy checkpoint —
+the frame computes AT MOST ONCE and persists its blocks, and every
+consumer (same action or later jobs) reads the blocks instead of
+re-deriving them.  Under AQE, resolving the checkpoint RDD finalizes
+the adaptive plan, which materializes the frame's shuffle stages at
+construction time — so builders (bench, slopes) that time
+``query_fn(spark, sf)`` inside the stopwatch still charge the work to
+the query; plan-only tools (pin_exchanges, dump_plans) execute these
+small subtrees at the test SF, a deliberate trade for the N× scan
+savings at run time.  Reliable
 checkpoint when the session has a checkpoint dir (chaos/loss tests:
 blocks survive executor death), localCheckpoint otherwise; blocks and
 reliable files age out via the ContextCleaner

@@ -3894,6 +3894,12 @@ def logrank_test(
     per_user = per_user.select(
         F.pmod(F.col("u"), F.lit(2)).cast("int").alias("g"), "dd"
     )
+    # the per-user frame feeds the cohort totals AND the death table
+    # (and the totals re-attach twice) — materialize the entity-domain
+    # collapse once (the engine-wide scan-once discipline)
+    from ._materialize import materialize_once
+
+    per_user = materialize_once(per_user)
     totals = per_user.groupBy().agg(
         F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("na"),
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("nb"),
@@ -4090,6 +4096,11 @@ def ab_sequential(
         .cast("long")
         .alias("c_b"),
     )
+    # the day-domain table feeds the cumulative windows and the 1-row
+    # grand total — materialize the bounded calendar frame once
+    from ._materialize import materialize_once
+
+    daily = materialize_once(daily)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "d",
@@ -4244,6 +4255,11 @@ def simpsons_check(
         .cast("long")
         .alias("x_b"),
     )
+    from ._materialize import materialize_once
+
+    # the segment table feeds the output AND the pooled rollup —
+    # materialize the ≤7-row frame once
+    per = materialize_once(per)
     pooled = per.agg(
         F.sum("n_a").cast("long").alias("p_na"),
         F.sum("x_a").cast("long").alias("p_xa"),

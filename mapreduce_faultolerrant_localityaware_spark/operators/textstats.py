@@ -1001,6 +1001,11 @@ def feature_hash(
         F.lit(n_buckets),
     ).cast("int")
     bt = tok.select(b.alias("b"), "t", "doc")
+    # the bucketed token relation feeds the per-token counts AND the
+    # distinct-doc rollup — materialize once so tokenize runs once
+    from ._materialize import materialize_once
+
+    bt = materialize_once(bt)
     per_token = bt.groupBy("b", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
     per_bucket = per_token.groupBy("b").agg(
         F.sum("c").cast("long").alias("n_tokens"),

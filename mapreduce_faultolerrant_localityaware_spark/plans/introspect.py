@@ -346,3 +346,29 @@ def assert_no_python_udf(df: DataFrame) -> None:
     plan = formatted_plan(df)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python UDF in hot path:\n{plan}"
+
+
+def scan_counts_from_plan(plan: str) -> dict[str, int]:
+    """Per-table parquet-scan counts from a FORMATTED physical plan —
+    the scan-multiplicity ratchet's measurement (round 11b).
+
+    AQE does not reuse a shared aggregate stage across sibling plan
+    branches, so every duplicated subtree re-scans its base table; a
+    query's scan count is therefore the honest "how many times does
+    100 TB get read" number.  Counts the numbered ``(n) Scan parquet``
+    node details and attributes each to its Location table; RDD scans
+    (``Scan ExistingRDD`` — a lazily checkpointed frame, computed
+    once) deliberately do not count.
+    """
+    tabs: dict[str, int] = {}
+    chunks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    for ch in chunks:
+        if re.match(r"^\(\d+\) Scan parquet", ch):
+            m = re.search(r"(\w+)\.parquet", ch)
+            if m:
+                tabs[m.group(1)] = tabs.get(m.group(1), 0) + 1
+    return tabs
+
+
+def scan_counts(df: DataFrame) -> dict[str, int]:
+    return scan_counts_from_plan(formatted_plan(df))

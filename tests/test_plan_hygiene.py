@@ -301,10 +301,35 @@ def test_exchange_budget(spark, sf_dir, name):
     )
 
 
+_SCAN_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "scan_budget.json")
+_SCAN_BUDGET: dict[str, int] = {}
+if os.path.exists(_SCAN_BUDGET_PATH):
+    with open(_SCAN_BUDGET_PATH) as _fh:
+        _SCAN_BUDGET = json.load(_fh)
+
+
 @pytest.mark.parametrize("name", [q for q in _QUERIES if q not in SKIP])
 def test_plan_hygiene(spark, sf_dir, name):
     df = entry_mod.queries()[name](spark, sf_dir)
     plan = formatted_plan(df)
+    # scan-multiplicity ratchet (round 11b): AQE does not dedupe
+    # sibling plan branches, so every duplicated subtree re-scans its
+    # base table — at 100 TB that's a full corpus read per duplicate.
+    # The committed budget pins each query's total parquet-scan count;
+    # a refactor that adds (or removes) a scan must regenerate it in
+    # the same commit: `python tools/scan_multiplicity.py --json NAME`.
+    from mapreduce_faultolerrant_localityaware_spark.plans.introspect import (
+        scan_counts_from_plan,
+    )
+
+    if name in _SCAN_BUDGET:
+        got_scans = sum(scan_counts_from_plan(plan).values())
+        assert got_scans == _SCAN_BUDGET[name], (
+            f"{name}: parquet-scan count changed "
+            f"{_SCAN_BUDGET[name]} -> {got_scans}; if intentional, "
+            f"regenerate with `python tools/scan_multiplicity.py --json "
+            f"{name}` and commit tests/scan_budget.json in the same commit"
+        )
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     assert "ArrowEvalPython" not in plan, f"{name}: scalar Python UDF in plan"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
