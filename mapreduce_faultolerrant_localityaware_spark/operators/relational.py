@@ -1302,6 +1302,7 @@ def exact_ntile(
     id_col: Column,
     ascending: bool = True,
     out_col: str = "bucket",
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY value [DESC], id ASC)`` without
     the single-partition sort — the scale-safe global-rank bucket
@@ -1342,17 +1343,37 @@ def exact_ntile(
     unpartitioned ntile ALWAYS was for the whole table; every other
     shape runs fully parallel.  Output: the input columns plus
     ``out_col`` (1-based bucket, LONG).
+
+    ``partition_cols`` (round-11 optimization pass) computes an
+    INDEPENDENT ntile per group of existing columns — the stacked
+    form: k metrics exploded into (metric_id, value) rows get their k
+    ntile assignments from ONE domain collapse, ONE
+    :func:`bucketed_cum_counts` barrier and ONE join-back, instead of
+    k full machines (each with its own checkpoint barrier and
+    exchanges).  N, the remainder arithmetic and the straddle rank
+    are all evaluated per partition group; with the default ``()``
+    the behavior is bit-identical to the ungrouped form.
     """
+    parts = list(partition_cols)
     base = df.withColumn("__v", value_col).withColumn("__i", id_col)
-    per = base.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    per = base.groupBy(*parts, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
     dom = bucketed_cum_counts(
-        per, "__v", [("__t", "__ct")], ascending=ascending, with_totals=True
+        per,
+        "__v",
+        [("__t", "__ct")],
+        ascending=ascending,
+        with_totals=True,
+        partition_cols=parts,
     ).select(
+        *parts,
         "__v",
         "__t",
         (F.col("__ct") - F.col("__t")).cast("long").alias("__cb"),
         F.col("__ct_tot").cast("long").alias("__n"),
     ).select(
+        *parts,
         "__v",
         "__t",
         "__cb",
@@ -1372,6 +1393,7 @@ def exact_ntile(
         return F.when(rn <= big, first).otherwise(rest)
 
     spanned = dom.select(
+        *[F.col(c).alias(f"__d_{c}") for c in parts],
         F.col("__v").alias("__dv"),
         "__cb",
         "__bsz",
@@ -1379,12 +1401,16 @@ def exact_ntile(
         _bucket_of(F.col("__cb") + 1).alias("__b0"),
         _bucket_of(F.col("__cb") + F.col("__t")).alias("__b1"),
     )
-    joined = base.join(spanned, base["__v"].eqNullSafe(spanned["__dv"]), "inner")
-    ws = Window.partitionBy("__v").orderBy(F.col("__i").asc())
+    cond = base["__v"].eqNullSafe(spanned["__dv"])
+    for c in parts:
+        cond = cond & base[c].eqNullSafe(spanned[f"__d_{c}"])
+    joined = base.join(spanned, cond, "inner")
+    ws = Window.partitionBy(*parts, "__v").orderBy(F.col("__i").asc())
     bucket = F.when(F.col("__b0") == F.col("__b1"), F.col("__b0")).otherwise(
         _bucket_of(F.col("__cb") + F.row_number().over(ws))
     )
     helper = ["__v", "__i", "__dv", "__cb", "__bsz", "__rem", "__b0", "__b1"]
+    helper += [f"__d_{c}" for c in parts]
     return joined.withColumn(out_col, bucket.cast("long")).drop(*helper)
 
 
@@ -1462,13 +1488,21 @@ def rfm_segments(
     are exact BIGINTs (days, counts, cents); the per-cell average
     spend is one division at the end.
 
-    Scale shape: one per-customer partial-agged groupBy, a 1-row
-    max-date broadcast, then three :func:`exact_ntile` passes over
-    the CUSTOMER domain — each a distinct-metric-value collapse plus
-    a value-partitioned straddle rank, NEVER an unpartitioned ntile
-    window (billions of customers is exactly the 100× case where a
-    single-partition sort of the customer table dies) — then a
-    partial-agged groupBy to the ≤ n_tiles³ cell table.
+    Scale shape (round-11 optimization pass): one per-customer
+    partial-agged groupBy, a 1-row max-date broadcast, then ONE
+    stacked :func:`exact_ntile` pass — the three metrics explode into
+    (metric_id, value) rows (3 rows per customer; recency NEGATES so
+    its DESC order becomes the shared ASC order — strictly monotone,
+    so tie groups, N and the ntile arithmetic are bit-identical) and
+    ``partition_cols=["__m"]`` scores all three in one domain
+    collapse, one checkpoint barrier and one join-back, NEVER an
+    unpartitioned ntile window (billions of customers is exactly the
+    100× case where a single-partition sort of the customer table
+    dies).  One groupBy(cust) un-stacks the scores (replacing the two
+    customer-key re-joins of the per-metric form), then a partial-
+    agged groupBy to the ≤ n_tiles³ cell table.  vs the three-pass
+    form: 4 checkpoint barriers → 2, 22 exchanges → 8, and the
+    orders scan count is unchanged (1).
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     mx = orders.agg(F.max(F.to_date(date_col)).alias("max_d"))
@@ -1487,44 +1521,45 @@ def rfm_segments(
             "mon",
         )
     )
-    # three INDEPENDENT per-metric bucketings re-joined on the
-    # customer key — chaining exact_ntile calls would nest each
-    # call's aggregate side inside the next's lineage (exponential
-    # plan growth).  AQE does NOT dedupe the sibling subtrees (round
-    # 11, measured — this query planned 30 orders scans), so the
-    # customer-domain table materializes once and every ntile branch
-    # reads the blocks.
+    # ONE stacked bucketing instead of three independent per-metric
+    # machines: the customer-domain table materializes once (its only
+    # consumer below is the explode, but the STACKED frame feeds both
+    # the ntile domain collapse and the join-back — without the
+    # barrier each branch would re-run the orders groupBy; round 11
+    # measured this query at 30 orders scans pre-discipline), the
+    # metrics explode into (metric_id, value) rows, and one
+    # partitioned exact_ntile scores all three.  Recency negates so
+    # its DESCENDING rank order becomes the shared ascending one —
+    # strictly monotone, hence identical tie groups and buckets.
     from ._materialize import materialize_once
 
     per = materialize_once(per)
-    r_s = exact_ntile(
-        per.select("cust", "rec"),
-        n_tiles,
-        F.col("rec"),
-        F.col("cust"),
-        ascending=False,
-        out_col="r_score",
-    ).select("cust", "r_score")
-    f_s = exact_ntile(
-        per.select("cust", "freq"),
-        n_tiles,
-        F.col("freq"),
-        F.col("cust"),
-        ascending=True,
-        out_col="f_score",
-    ).select(F.col("cust").alias("f_cust"), "f_score")
-    m_s = exact_ntile(
-        per.select("cust", "mon"),
-        n_tiles,
-        F.col("mon"),
-        F.col("cust"),
-        ascending=True,
-        out_col="m_score",
-    ).select(F.col("cust").alias("m_cust"), "m_score", "mon")
-    scored = r_s.join(f_s, r_s["cust"] == f_s["f_cust"]).join(
-        m_s, r_s["cust"] == m_s["m_cust"]
+    stacked = per.select(
+        "cust",
+        F.posexplode(
+            F.array(
+                (-F.col("rec")).cast("long"),
+                F.col("freq").cast("long"),
+                F.col("mon").cast("long"),
+            )
+        ).alias("__m", "__mv"),
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    scored = exact_ntile(
+        stacked,
+        n_tiles,
+        F.col("__mv"),
+        F.col("cust"),
+        ascending=True,
+        out_col="score",
+        partition_cols=["__m"],
+    )
+    unstacked = scored.groupBy("cust").agg(
+        F.max(F.when(F.col("__m") == 0, F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("__m") == 1, F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("__m") == 2, F.col("score"))).alias("m_score"),
+        F.max(F.when(F.col("__m") == 2, F.col("__mv"))).alias("mon"),
+    )
+    return unstacked.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(
             F.try_divide(

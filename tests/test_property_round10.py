@@ -64,6 +64,49 @@ def test_exact_ntile_matches_sql_ntile(spark, vals, n_tiles, ascending):
 
 
 @given(
+    groups=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # partition id
+            st.integers(min_value=-5, max_value=5),  # value (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_tiles=st.integers(min_value=1, max_value=6),
+    ascending=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_exact_ntile_partitioned_matches_per_group_sql_ntile(
+    spark, groups, n_tiles, ascending
+):
+    """The stacked form (round-11 optimization: rfm_segments' one-pass
+    three-metric scoring): exact_ntile with ``partition_cols`` must be
+    bit-identical to ntile(n) OVER (PARTITION BY g ORDER BY v [DESC],
+    id) — each group's N, remainder arithmetic and straddle ranks are
+    independent."""
+    rows = [(g, v, i) for i, (g, v) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = rel.exact_ntile(
+        df,
+        n_tiles,
+        SF.col("v"),
+        SF.col("id"),
+        ascending=ascending,
+        partition_cols=["g"],
+    )
+    vo = SF.col("v").asc() if ascending else SF.col("v").desc()
+    want = df.select(
+        "id",
+        SF.ntile(n_tiles)
+        .over(Window.partitionBy("g").orderBy(vo, SF.col("id").asc()))
+        .alias("b"),
+    )
+    got_m = {r["id"]: r["bucket"] for r in got.collect()}
+    want_m = {r["id"]: r["b"] for r in want.collect()}
+    assert got_m == want_m
+
+
+@given(
     a_vals=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=20),
     b_vals=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=20),
 )
