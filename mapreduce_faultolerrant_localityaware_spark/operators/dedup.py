@@ -266,17 +266,30 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         # ch = [digits 0-7, 8-15, 16-23, 24-31] as 32-bit ints; digit i
         # occupies bits 4*(7 - i%8) .. +3 of chunk i//8.  Vote bit b<32
         # reads digit b's bit 3 (value 8); bit b>=32 reads digit
-        # (b-32)'s bit 2 (value 4).
-        out = []
+        # (b-32)'s bit 2 (value 4).  One zip_with over two literal
+        # 64-entry (chunk-index, shift) tables, not 64 unrolled
+        # branches (round-11 optimization pass: the unrolled tree cost
+        # ~0.4 s of py4j/analysis per construction; the per-bit
+        # shift/mask/±1 arithmetic is unchanged, so fingerprints are
+        # bit-identical).
+        from ..functions.vectors import lit_int_array
+
+        cs, shifts = [], []
         for b in range(64):
             i, bitpos = (b, 3) if b < 32 else (b - 32, 2)
             c, p = divmod(i, 8)
-            shift = 4 * (7 - p) + bitpos
-            out.append(
-                (F.shiftright(F.element_at(ch, c + 1), shift).bitwiseAND(F.lit(1)) * 2 - 1)
-                .cast("int")
-            )
-        return F.array(*out)
+            cs.append(c + 1)
+            shifts.append(4 * (7 - p) + bitpos)
+        return F.zip_with(
+            lit_int_array(cs),
+            lit_int_array(shifts),
+            lambda c, s: (
+                F.call_function("shiftright", F.element_at(ch, c), s)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).cast("int"),
+        )
 
     if bits == 64:
         base = ensure_parallelism(docs).select(
@@ -296,8 +309,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
             F.array_repeat(F.lit(0), bits),
             lambda acc, ch: F.zip_with(acc, chunk_votes(ch), lambda a, v: a + v),
         )
-        powers = F.array(
-            *[F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long") for b in range(bits)]
+        from ..functions.vectors import lit_long_array
+
+        powers = lit_long_array(
+            [-(1 << 63) if b == 63 else (1 << b) for b in range(bits)]
         )
         packed = F.aggregate(
             F.zip_with(
@@ -316,8 +331,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
     )
-    powers = F.array(
-        *[F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long") for b in range(bits)]
+    from ..functions.vectors import lit_long_array
+
+    powers = lit_long_array(
+        [-(1 << 63) if b == 63 else (1 << b) for b in range(bits)]
     )
     packed = F.aggregate(
         F.zip_with(counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),

@@ -3812,7 +3812,9 @@ def quantile_rollup(
     all-time row, ordered with the all-time row last.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
-    probs = F.array(*[F.lit((i + 0.5) / m_grid) for i in range(m_grid)])
+    from ..functions.vectors import lit_double_array
+
+    probs = lit_double_array([(i + 0.5) / m_grid for i in range(m_grid)])
     daily = events.groupBy(F.to_date(ts_col).alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("n_d"),
         F.percentile_approx(cents, probs, F.lit(accuracy)).alias("qs"),

@@ -252,7 +252,9 @@ def ndcg_at_k(
     )
     wr = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("i"))
     wi = Window.partitionBy("q").orderBy(F.desc("rel"), F.desc("s"), F.asc("i"))
-    disc = F.array(*[F.lit(x) for x in d])
+    from ..functions.vectors import lit_double_array
+
+    disc = lit_double_array(d)
     ranked = base.select(
         "q",
         "rel",

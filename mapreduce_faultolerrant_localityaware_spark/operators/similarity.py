@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import (
+    cosine_similarity,
+    lit_double_array,
+    lit_double_cube,
+    lit_double_matrix,
+    lit_long_array,
+)
 
 
 def _prep(emb: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
@@ -158,7 +164,7 @@ def kmeans_fit(
 
 def _sqdist_to(vec, centroid):
     c = (
-        F.array(*[F.lit(float(x)) for x in centroid])
+        lit_double_array(centroid)
         if isinstance(centroid, (list, tuple))
         else centroid
     )
@@ -171,10 +177,10 @@ def _sqdist_to(vec, centroid):
 
 def _centroid_matrix(centroids: list[list[float]]):
     """The k×d codebook as ONE literal array<array<double>> column —
-    built once per query and shared by every assign/probe expression."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    built once per query (a single py4j/expr call, see
+    :func:`..functions.vectors.lit_double_matrix`) and shared by every
+    assign/probe expression."""
+    return lit_double_matrix(centroids)
 
 
 def _cell_dists(vec, centroids):
@@ -480,8 +486,10 @@ def srp_fingerprint(
     reproduces it exactly."""
     planes = srp_planes(n_bits=n_bits, dim=dim)
     # transposed literal table: entry d = [P[0][d] .. P[n_bits-1][d]]
-    plane_cols = F.array(
-        *[F.array(*[F.lit(planes[b][d]) for b in range(n_bits)]) for d in range(dim)]
+    # (one expr call — the unrolled F.lit form cost ~3.9 s of py4j
+    # per construction at 64×16, round-11 optimization pass)
+    plane_cols = lit_double_matrix(
+        [[planes[b][d] for b in range(n_bits)] for d in range(dim)]
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     zipped = F.zip_with(v, plane_cols, lambda x, pc: F.struct(x.alias("x"), pc.alias("pc")))
@@ -490,7 +498,7 @@ def srp_fingerprint(
         F.array_repeat(F.lit(0.0), n_bits),
         lambda acc, s: F.zip_with(acc, s["pc"], lambda a, p: a + s["x"] * p),
     )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    powers = lit_long_array([1 << b for b in range(n_bits)])
     packed = F.aggregate(
         F.zip_with(dots, powers, lambda d, p: F.when(d > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -755,17 +763,18 @@ def pq_encode(
     """
     ds = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    codes = F.array(
-        *[
-            _nearest_cell(F.slice(v, j * ds + 1, ds), book)
-            for j, book in enumerate(codebooks)
-        ]
+    # one transform over the literal m×n_codes×ds cube, not m unrolled
+    # _nearest_cell branches (round-11 optimization pass: the unrolled
+    # form built the codebook literals through per-element py4j calls
+    # and made Catalyst analysis the dominant query cost; element
+    # arithmetic/ordering is unchanged, so codes are bit-identical)
+    cube = lit_double_cube(codebooks)
+    codes = F.transform(
+        cube,
+        lambda book, j: _nearest_cell(F.slice(v, j * ds + 1, ds), book),
     )
-    norms_lit = F.array(
-        *[
-            F.array(*[F.lit(float(sum(x * x for x in c))) for c in book])
-            for book in codebooks
-        ]
+    norms_lit = lit_double_matrix(
+        [[float(sum(x * x for x in c)) for c in book] for book in codebooks]
     )
     coded = emb.select(F.col(id_col), codes.alias("codes"))
     rnorm2 = F.aggregate(
@@ -824,24 +833,23 @@ def ann_pq(
     q = _prep(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("qv", j * ds + 1, ds),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in book
-                ]
-            )
-            for j, book in enumerate(books)
-        ]
+    # one nested transform over the literal sub-codebook cube, not
+    # m×n_codes unrolled aggregates (round-11 optimization pass; same
+    # zip_with/ordered-aggregate arithmetic per entry, bit-identical)
+    lut = F.transform(
+        lit_double_cube(books),
+        lambda book, j: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice("qv", j * ds + 1, ds),
+                    c,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
     )
     qside = q.select("query_id", "qv", lut.alias("lut"), l2_norm(F.col("qv")).alias("qnorm"))
     adc_dot = F.aggregate(
@@ -929,24 +937,23 @@ def ann_ivfpq(
     q = _prep(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("qv", j * ds + 1, ds),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in book
-                ]
-            )
-            for j, book in enumerate(books)
-        ]
+    # one nested transform over the literal sub-codebook cube, not
+    # m×n_codes unrolled aggregates (round-11 optimization pass; same
+    # zip_with/ordered-aggregate arithmetic per entry, bit-identical)
+    lut = F.transform(
+        lit_double_cube(books),
+        lambda book, j: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice("qv", j * ds + 1, ds),
+                    c,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
     )
     qside = q.select(
         "query_id",
@@ -1395,12 +1402,13 @@ def rp_project_audit(
         ]
         for j in range(k)
     ]
+    signs_mat = lit_double_matrix(signs)
     proj = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     F.col("v"),
-                    F.array(*[F.lit(s) for s in signs[j]]),
+                    F.element_at(signs_mat, j + 1),
                     lambda x, sgn: x * sgn,
                 ),
                 F.lit(0.0),
@@ -1731,12 +1739,12 @@ def pca_project(
 
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     centered = F.zip_with(
-        v, F.array(*[F.lit(mi) for mi in mean]), lambda x, mu: x - mu
+        v, lit_double_array(mean), lambda x, mu: x - mu
     )
     rows = []
     for p, u in enumerate(comps, start=1):
         score = F.aggregate(
-            F.zip_with(centered, F.array(*[F.lit(c) for c in u]), lambda x, c: x * c),
+            F.zip_with(centered, lit_double_array(u), lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
