@@ -4207,12 +4207,22 @@ def offpolicy_eval(
     sw = F.col("sw6").cast("double") / F.lit(1e6)
     swr = F.col("swr6").cast("double") / F.lit(1e6) / F.lit(100.0)
     sww = F.col("sww12").cast("double") / F.lit(1e12)
+    # n = 0 (empty log) must yield NULL rates, not an ANSI
+    # DIVIDE_BY_ZERO — the degenerate-surface contract every other
+    # rate in the engine honors (try_divide + nullif); values for
+    # n > 0 are unchanged (found by test_empty_surface after the
+    # interrupted build round; the oracle's SQL divides the same way).
     return agg.select(
         "n",
         "n_matched",
-        F.round(F.col("n_clip").cast("double") / nd, 6).alias("clip_frac"),
+        F.round(
+            F.try_divide(
+                F.col("n_clip").cast("double"), F.nullif(nd, F.lit(0.0))
+            ),
+            6,
+        ).alias("clip_frac"),
         F.round(sw, 6).alias("sum_w"),
-        F.round(swr / nd, 6).alias("ips"),
+        F.round(F.try_divide(swr, F.nullif(nd, F.lit(0.0))), 6).alias("ips"),
         F.round(F.when(F.col("sw6") > 0, swr / sw), 6).alias("snips"),
         F.round(F.when(F.col("sww12") > 0, sw * sw / sww), 6).alias("ess"),
     )
