@@ -22,8 +22,19 @@ def _sql_double(x: float) -> str:
     (Java ``Double.parseDouble``) is correctly rounded, so the
     round-trip is identity — verified for subnormals, ±0.0 and
     DBL_MAX.  The ``D`` suffix forces DoubleType (a bare decimal
-    literal is DECIMAL in Spark SQL)."""
-    return repr(float(x)) + "D"
+    literal is DECIMAL in Spark SQL).  Non-finite values need the
+    string-cast form — ``repr(nan)+'D'`` would parse as an unresolved
+    column ``nanD`` and die with a misleading analysis error (ADVICE
+    r11); ``CAST('NaN'/'Infinity' AS DOUBLE)`` is how Spark SQL spells
+    them, matching what ``F.lit`` accepted before the expr rewrite."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def lit_double_array(values) -> Column:
@@ -68,8 +79,14 @@ def lit_double_cube(cubes) -> Column:
 
 
 def lit_int_array(values) -> Column:
-    """Literal ``array<int>`` with one py4j call."""
-    return F.expr("array(" + ",".join(str(int(v)) for v in values) + ")")
+    """Literal ``array<int>`` with one py4j call.  Values are cast
+    from STRING like :func:`lit_long_array` — a bare ``-2147483648``
+    parses as unary-minus over a BIGINT literal and would silently
+    widen the whole array to ``array<bigint>`` (ADVICE r11); the
+    string cast keeps INT_MIN an INT."""
+    return F.expr(
+        "cast(array(" + ",".join(f"'{int(v)}'" for v in values) + ") as array<int>)"
+    )
 
 
 def lit_long_array(values) -> Column:
@@ -79,6 +96,23 @@ def lit_long_array(values) -> Column:
     as unary-minus of an overflowing positive — round-trips exactly."""
     return F.expr(
         "cast(array(" + ",".join(f"'{int(v)}'" for v in values) + ") as array<bigint>)"
+    )
+
+
+def agg_array_expr(per_term_sql: str, dim: int) -> Column:
+    """``array(f(1), …, f(dim))`` of per-dimension AGGREGATE terms,
+    parsed JVM-side in ONE ``F.expr`` call.  ``per_term_sql`` is a SQL
+    template with ``{i}`` the 1-based element index, e.g.
+    ``"sum(CAST(round(element_at(__v, {i}) * 1e6) AS BIGINT))"``.
+
+    Round-12 (guide §7.3 driver-cost class, the lit_* sibling for
+    aggregates): the embedding fits built their packed per-dimension
+    aggregate arrays with ``F.array(*[F.sum(expr(i)) …])`` — ~4·dim
+    py4j round-trips per fit (~0.2–0.4 s at d=64) before the query
+    ever ran.  The parsed tree is the same Round/Cast/Sum expression
+    the Column API builds, so plans and values are unchanged."""
+    return F.expr(
+        "array(" + ",".join(per_term_sql.format(i=i + 1) for i in range(dim)) + ")"
     )
 
 

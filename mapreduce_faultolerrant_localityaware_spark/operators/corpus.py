@@ -2202,10 +2202,41 @@ def token_dispersion(
     )
 
 
+#: js_divergence path dispatch: the pair-broadcast fan-out generates
+#: (S−1)·Σ_g V_g rows per side (2 ln() per union token — compute-lean,
+#: shuffle-heavy); above this bound the token-keyed decomposition
+#: (S·V rows shuffled once, ~3× the ln() per matched token) wins on
+#: shuffle bytes.  The exact fan-out is known driver-side from the
+#: stats rollup, so the choice is deterministic; both paths produce
+#: bit-identical output (hash-verified at sf0.001/0.01/0.1).
+JSD_FANOUT_LIMIT = 64_000_000
+
+
+def _jsd_finish(per_pair: DataFrame) -> DataFrame:
+    """Shared js_divergence tail: fold the analytic both-absent term
+    onto the per-pair exact sums and shape the output.  ``per_pair``
+    carries (ga, gb, na, nb, v, union_types, s_nano)."""
+    p0 = 1.0 / (F.col("na") + F.col("v"))
+    q0 = 1.0 / (F.col("nb") + F.col("v"))
+    m0 = (p0 + q0) / 2
+    tail = (F.col("v") - F.col("union_types")) * (
+        0.5 * p0 * F.log(p0 / m0) + 0.5 * q0 * F.log(q0 / m0)
+    )
+    return per_pair.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "union_types",
+        F.round(F.col("s_nano") / 1e9 + tail, 6).alias("jsd"),
+    ).orderBy("source_a", "source_b")
+
+
 def js_divergence(
     docs: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
+    fanout_limit: int = JSD_FANOUT_LIMIT,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between every two corpus
     slices' unigram token distributions — the SYMMETRIC, bounded
@@ -2287,46 +2318,156 @@ def js_divergence(
     pairs = docs.sparkSession.createDataFrame(
         pair_rows, "ga string, gb string, na long, nb long, v long"
     )
-    left = sc.join(
-        F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("ga")
-    ).select("ga", "gb", "t", F.col("cs").alias("csa"))
-    right = sc.join(
-        F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("gb")
-    ).select("ga", "gb", "t", F.col("cs").alias("csb"))
-    both = (
-        left.join(right, ["ga", "gb", "t"], "full_outer")
+    # Round-12 dual path.  The round-11 shape fans each slice's
+    # (token, count) rows out to every pair it belongs to — exactly
+    # (S−1)·Σ_g V_g rows per side — and merges the sides with one
+    # full-outer shuffle on (pair, token): 2 ln() per union token,
+    # cheap compute, S²-scale shuffle.  The decomposed shape (below)
+    # shuffles only the S·V-row token table once but pays ~3× the
+    # ln() per matched token.  At sf0.1 (S=20, fan-out ≈ 15M rows)
+    # the fan-out path is 1.7× faster warm (interleaved quiet-window
+    # A/B, round 12); at corpus scale the fan-out's shuffle bytes
+    # dominate and the decomposition wins.  Both operands of the
+    # dispatch are EXACT driver-side numbers from the stats rollup,
+    # so the choice is deterministic, and the two paths are
+    # bit-identical (per-term rounding to NANO longs happens before
+    # any summation; every piece is an exact BIGINT — hash-verified
+    # at all three SFs on both paths).
+    fanout_rows = max(0, len(tt_rows) - 1) * sum(int(r["v"]) for r in tt_rows)
+    if fanout_rows <= fanout_limit:
+        left = sc.join(
+            F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("ga")
+        ).select("ga", "gb", "t", F.col("cs").alias("csa"))
+        right = sc.join(
+            F.broadcast(pairs.select("ga", "gb")), sc["grp"] == F.col("gb")
+        ).select("ga", "gb", "t", F.col("cs").alias("csb"))
+        both = (
+            left.join(right, ["ga", "gb", "t"], "full_outer")
+            .select(
+                "ga",
+                "gb",
+                F.coalesce("csa", F.lit(0)).cast("long").alias("csa"),
+                F.coalesce("csb", F.lit(0)).cast("long").alias("csb"),
+            )
+            .join(F.broadcast(pairs), ["ga", "gb"])
+        )
+        pa = (F.col("csa") + 1.0) / (F.col("na") + F.col("v"))
+        pb = (F.col("csb") + 1.0) / (F.col("nb") + F.col("v"))
+        m = (pa + pb) / 2
+        term_nano = F.round(
+            (0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)) * 1e9
+        ).cast("long")
+        per_pair = both.groupBy("ga", "gb").agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.max("v").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("union_types"),
+            F.sum(term_nano).alias("s_nano"),
+        )
+        return _jsd_finish(per_pair)
+
+    # Decomposed token-keyed path (guide §2.3 "aggregate before you
+    # shuffle" / §2.4): the union-token sum splits so no S²-sized
+    # frame is ever shuffled:
+    #
+    #   Σ_{t∈a∪b} T(cₐ,c_b) = Σ_{t∈a∩b} [T(cₐ,c_b) − T(cₐ,0) − T(0,c_b)]
+    #                        + Σ_{t∈a}  T(cₐ,0)  +  Σ_{t∈b} T(0,c_b)
+    #
+    # The a∩b part needs ONE shuffle of the (grp, token, count) rows
+    # keyed by TOKEN: each token's ≤ S (slice, count) entries expand
+    # to ordered pairs IN-TASK (the _lsh_pairs nested-transform shape)
+    # and partial-agg straight back to P rows.  The one-side sums
+    # never touch tokens at all: Σ_{t∈a} T(cₐ,0) = Σ_c hist_a(c)·T(c,0)
+    # over the count-of-counts histogram (Zipf-tiny), joined to a
+    # broadcast (pair, role) table.  union_types = Vₐ + V_b − |a∩b|.
+    def _term_nano(csa, csb) -> Column:
+        pa = (csa + 1.0) / (F.col("na") + F.col("v"))
+        pb = (csb + 1.0) / (F.col("nb") + F.col("v"))
+        m = (pa + pb) / 2
+        return F.round(
+            (0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)) * 1e9
+        ).cast("long")
+
+    grouped = sc.groupBy("t").agg(
+        F.sort_array(F.collect_list(F.struct("grp", "cs"))).alias("gs")
+    )
+    mp = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                lambda b: F.struct(
+                    a["grp"].alias("ga"),
+                    b["grp"].alias("gb"),
+                    a["cs"].alias("csa"),
+                    b["cs"].alias("csb"),
+                ),
+            ),
+        )
+    )
+    matched = (
+        grouped.where(F.size("gs") > 1)
+        .select(F.explode(mp).alias("p"))
+        .select("p.ga", "p.gb", "p.csa", "p.csb")
+        .join(F.broadcast(pairs), ["ga", "gb"])
+    )
+    madj = matched.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match"),
+        F.sum(
+            _term_nano(F.col("csa"), F.col("csb"))
+            - _term_nano(F.col("csa"), F.lit(0))
+            - _term_nano(F.lit(0), F.col("csb"))
+        ).cast("long").alias("adj_nano"),
+    )
+    # count-of-counts histogram: ONE scan of the checkpointed blocks
+    # serves both pair roles via a driver-built (grp, pair, role) fan
+    # table (2P rows, broadcast)
+    hist = sc.groupBy("grp", "cs").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    role_rows = [
+        (r[0], r[0], r[1], r[2], r[3], r[4], True) for r in pair_rows
+    ] + [
+        (r[1], r[0], r[1], r[2], r[3], r[4], False) for r in pair_rows
+    ]
+    roles = docs.sparkSession.createDataFrame(
+        role_rows,
+        "grp string, ga string, gb string, na long, nb long, v long, is_a boolean",
+    )
+    zero = F.lit(0).cast("long")
+    side = (
+        hist.join(F.broadcast(roles), "grp")
+        .groupBy("ga", "gb")
+        .agg(
+            F.sum(
+                F.when(F.col("is_a"), F.col("nt") * _term_nano(F.col("cs"), F.lit(0))).otherwise(zero)
+            ).cast("long").alias("sa_nano"),
+            F.sum(
+                F.when(~F.col("is_a"), F.col("nt") * _term_nano(F.lit(0), F.col("cs"))).otherwise(zero)
+            ).cast("long").alias("sb_nano"),
+            F.sum(F.when(F.col("is_a"), F.col("nt")).otherwise(zero)).cast("long").alias("va"),
+            F.sum(F.when(~F.col("is_a"), F.col("nt")).otherwise(zero)).cast("long").alias("vb"),
+        )
+    )
+    per_pair = (
+        pairs.join(side, ["ga", "gb"], "left")
+        .join(madj, ["ga", "gb"], "left")
         .select(
             "ga",
             "gb",
-            F.coalesce("csa", F.lit(0)).cast("long").alias("csa"),
-            F.coalesce("csb", F.lit(0)).cast("long").alias("csb"),
+            "na",
+            "nb",
+            "v",
+            (
+                F.coalesce("va", zero)
+                + F.coalesce("vb", zero)
+                - F.coalesce("n_match", zero)
+            ).cast("long").alias("union_types"),
+            (
+                F.coalesce("sa_nano", zero)
+                + F.coalesce("sb_nano", zero)
+                + F.coalesce("adj_nano", zero)
+            ).cast("long").alias("s_nano"),
         )
-        .join(F.broadcast(pairs), ["ga", "gb"])
     )
-    pa = (F.col("csa") + 1.0) / (F.col("na") + F.col("v"))
-    pb = (F.col("csb") + 1.0) / (F.col("nb") + F.col("v"))
-    m = (pa + pb) / 2
-    term_nano = F.round(
-        (0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)) * 1e9
-    ).cast("long")
-    per_pair = both.groupBy("ga", "gb").agg(
-        F.max("na").alias("na"),
-        F.max("nb").alias("nb"),
-        F.max("v").alias("v"),
-        F.count(F.lit(1)).cast("long").alias("union_types"),
-        F.sum(term_nano).alias("s_nano"),
-    )
-    p0 = 1.0 / (F.col("na") + F.col("v"))
-    q0 = 1.0 / (F.col("nb") + F.col("v"))
-    m0 = (p0 + q0) / 2
-    tail = (F.col("v") - F.col("union_types")) * (
-        0.5 * p0 * F.log(p0 / m0) + 0.5 * q0 * F.log(q0 / m0)
-    )
-    return per_pair.select(
-        F.col("ga").alias("source_a"),
-        F.col("gb").alias("source_b"),
-        F.col("na").cast("long").alias("n_a"),
-        F.col("nb").cast("long").alias("n_b"),
-        "union_types",
-        F.round(F.col("s_nano") / 1e9 + tail, 6).alias("jsd"),
-    ).orderBy("source_a", "source_b")
+    return _jsd_finish(per_pair)

@@ -952,30 +952,47 @@ def assortativity(
     attachments are broadcast-or-shuffle equi-joins on the node id;
     the result is one row.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
+    # Round-12 shape (guide §2.3, shuffle/materialize fewer bytes):
+    # the symmetrized edge-end set is EXACTLY the undirected-unique
+    # edge list seen from both ends, and every Pearson term over it is
+    # a SYMMETRIC sum — n = 2|e|, Σx = Σy = Σ(dₐ+d_b), Σxy = 2Σdₐd_b,
+    # Σx² = Σy² = Σ(dₐ²+d_b²) — so the frame that must materialize
+    # once (it feeds the degree build and the degree-attach join) is
+    # the |e|-row normalized edge list, HALF the round-11 symmetrized
+    # set, and its lineage scans ``edges`` once instead of twice (the
+    # two orientation projections of the old unionByName).  Degrees
+    # come from one explode of both ends; all sums are exact BIGINTs,
+    # bit-identical to the symmetrized form in any order.
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # consumed by the degree build and both degree-attach joins —
-    # materialize once instead of re-deriving the symmetrized set
-    sym = materialize_once(sym)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    e = materialize_once(e)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
     pairs = (
-        sym.join(deg.select(F.col("u"), F.col("deg").alias("dx")), "u")
-        .join(
-            deg.select(F.col("u").alias("v"), F.col("deg").alias("dy")), "v"
-        )
-        .select("dx", "dy")
+        e.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b")
+        .select("da", "db")
     )
     s = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        (F.count(F.lit(1)) * 2).cast("long").alias("n"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sy"),
+        (F.sum(F.col("da") * F.col("db")) * 2).cast("long").alias("sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     cov = F.col("sxy") * n - sx * sy

@@ -65,7 +65,13 @@ def decode_image_stub(data: bytes) -> tuple[int, int, list[float]]:
     FEATURE_DIM floats in [0,1)).  Stands in for PIL/libjpeg — the
     real implementation swaps ONLY this function.
     """
-    digest = hashlib.sha256(data).digest()
+    return _stub_from_digest(hashlib.sha256(data).digest())
+
+
+def _stub_from_digest(digest: bytes) -> tuple[int, int, list[float]]:
+    """Stub decode from an already-computed sha256 digest — lets
+    :func:`decode_media` hash each payload ONCE for both the decode
+    and the sha256 metadata column (round 12)."""
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     # round k/65536 to 6 dp HALF-UP via exact integer arithmetic:
@@ -95,28 +101,38 @@ def decode_media(
     if use_real_codecs:
         raise NotImplementedError("real image/audio codecs not available in this environment; use the stub path")
 
+    cols = [f.name for f in DECODED_SCHEMA.fields]
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch assembly + ONE sha256 per blob (round 12,
+        # guide §4.2): the row-dict form hashed each payload twice —
+        # once inside decode_image_stub and once for the hex digest,
+        # the same digest — and paid pandas' list-of-dicts row
+        # materialization per batch.  decode_image_stub itself is
+        # unchanged (its digest-derived arithmetic is the oracle
+        # contract); only the duplicate hash and the per-row dict
+        # plumbing are gone.
         for pdf in batches:
-            rows = []
+            ids, types, lens, shas, ws, hs, fs = [], [], [], [], [], [], []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 if blob is None:
                     # NULL payload = missing media object: nothing to
                     # decode, emit nothing (degenerate-surface sweep, r9)
                     continue
                 data = bytes(blob)
-                w, h, feats = decode_image_stub(data)
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "media_type": media_type,
-                        "byte_len": len(data),
-                        "sha256": hashlib.sha256(data).hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+                digest = hashlib.sha256(data).digest()
+                w, h, feats = _stub_from_digest(digest)
+                ids.append(int(mid))
+                types.append(media_type)
+                lens.append(len(data))
+                shas.append(digest.hex())
+                ws.append(w)
+                hs.append(h)
+                fs.append(feats)
+            yield pd.DataFrame(
+                dict(zip(cols, (ids, types, lens, shas, ws, hs, fs))),
+                columns=cols,
+            )
 
     return df.select(id_col, blob_col).mapInPandas(_decode, DECODED_SCHEMA)
 

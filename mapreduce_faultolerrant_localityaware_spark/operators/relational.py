@@ -1214,10 +1214,22 @@ def bucketed_cum_counts(
     vo = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     vo += [F.col(c).asc() for c in tiebreak_cols]
     parts = list(partition_cols)
-    mn_mx = per.agg(
-        F.min(order_col).cast("double").alias("__mn"),
-        F.max(order_col).cast("double").alias("__mx"),
-    )
+    # (min, max) as LITERALS, collected once from the checkpointed
+    # blocks at construction (round 12, guide §2.4/§7.3): the
+    # broadcast-join form compiled the 1-row aggregate into EVERY
+    # consumer branch — the cell-totals branch and the join-back each
+    # carried their own partial+final aggregate stages plus a
+    # BroadcastExchange (AQE does not dedupe sibling subtrees), i.e.
+    # four extra stages and two broadcasts per call.  The scalar is
+    # the same bounded-collect class as the similarity codebook fits
+    # (2 doubles, never row-sized); the blocks it reads are already
+    # materialized by the eager checkpoint above, and the resulting
+    # cell expression is a pure literal function of the value — the
+    # exact shape the plan guard's grouping-key tracer proves bounded.
+    mn_val, mx_val = per.agg(
+        F.min(order_col).cast("double"),
+        F.max(order_col).cast("double"),
+    ).collect()[0]
     # monotone non-decreasing in v (floor of a positive-scaled exact
     # double difference), so equal values share a cell and cells
     # respect the order; the scale divides by the RAW range (a `+1`
@@ -1233,26 +1245,34 @@ def bucketed_cum_counts(
     # `v DESC` puts NULLs after (NULLS LAST).  Without the coalesce,
     # least() SKIPS the null floor() and silently sent NULLs to the
     # LAST cell — wrong side under ascending order (round-11 review).
-    rng = F.col("__mx") - F.col("__mn")
+    # scale computed driver-side with the SAME IEEE-double arithmetic
+    # the broadcast form ran in the JVM (one division, one subtract —
+    # bit-identical): rng > 0 must follow Spark's NaN ordering (NaN
+    # compares greater than any value, so a NaN range kept the raw
+    # K/rng = NaN scale rather than the degenerate-range 1.0 branch)
+    if mn_val is None or mx_val is None:
+        rng_val = None
+    else:
+        rng_val = mx_val - mn_val
+    if rng_val is not None and (rng_val > 0 or rng_val != rng_val):
+        scale_val = float(n_buckets) / rng_val
+    else:
+        scale_val = float(n_buckets) / 1.0
+    mn_lit = F.lit(mn_val).cast("double")
     cell = F.pmod(
         F.least(
             F.lit(n_buckets - 1),
             F.coalesce(
                 F.floor(
-                    (F.col(order_col).cast("double") - F.col("__mn"))
-                    * (
-                        F.lit(float(n_buckets))
-                        / F.when(rng > 0, rng).otherwise(F.lit(1.0))
-                    )
+                    (F.col(order_col).cast("double") - mn_lit)
+                    * F.lit(scale_val)
                 ).cast("long"),
                 F.lit(0),
             ),
         ),
         F.lit(n_buckets),
     ).cast("long")
-    bkt = per.join(F.broadcast(mn_mx)).withColumn("__bkt", cell).drop(
-        "__mn", "__mx"
-    )
+    bkt = per.withColumn("__bkt", cell)
     btot = bkt.groupBy(*parts, "__bkt").agg(
         *[F.sum(src).cast("long").alias(f"__bs_{i}") for i, (src, _) in enumerate(sums)]
     )
@@ -1285,7 +1305,25 @@ def bucketed_cum_counts(
         .orderBy(*vo)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = bkt.join(F.broadcast(offs), parts + ["__bkt"])
+    # NULL-SAFE join-back (ADVICE r11): a plain equi-join on parts
+    # would silently DROP every row whose partition key is NULL — the
+    # groupBy and the offset window both keep NULL groups, so the NULL
+    # group's offsets exist in ``offs`` but a `=` key never matches
+    # them.  The offset side's key columns are renamed so the
+    # condition references two distinct attributes (offs derives from
+    # bkt — same-name columns would resolve one side).  ``__bkt``
+    # itself is never NULL (the cell expression coalesces to 0).
+    offs = offs.select(
+        *[F.col(c).alias(f"__ok_{i}") for i, c in enumerate(parts)],
+        F.col("__bkt").alias("__okb"),
+        *[c for c in offs.columns if c not in set(parts) | {"__bkt"}],
+    )
+    cond = F.col("__bkt") == F.col("__okb")
+    for i, c in enumerate(parts):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ok_{i}"))
+    joined = bkt.join(F.broadcast(offs), cond).drop(
+        "__okb", *[f"__ok_{i}" for i in range(len(parts))]
+    )
     out_cols = [
         (F.col(f"__off_{i}") + F.sum(src).over(w_in)).cast("long").alias(dst)
         for i, (src, dst) in enumerate(sums)
@@ -1534,11 +1572,21 @@ def rfm_segments(
     from ._materialize import materialize_once
 
     per = materialize_once(per)
+    # NULL recency (a customer whose dates all parse to NULL): the
+    # pre-stacking form ordered rec DESC, which puts NULLs LAST; the
+    # negated ascending order would flip them FIRST (bucket 1 instead
+    # of n_tiles — ADVICE r11).  Coalesce to LONG_MAX: every real
+    # -rec is ≤ 0, so the sentinel sorts strictly after all values and
+    # NULL-rec customers form one tie group at the end — exactly the
+    # replaced NULLS LAST placement, bit-identical buckets.
     stacked = per.select(
         "cust",
         F.posexplode(
             F.array(
-                (-F.col("rec")).cast("long"),
+                F.coalesce(
+                    (-F.col("rec")).cast("long"),
+                    F.lit(9223372036854775807).cast("long"),
+                ),
                 F.col("freq").cast("long"),
                 F.col("mon").cast("long"),
             )

@@ -25,12 +25,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import (
+    agg_array_expr,
     cosine_similarity,
     lit_double_array,
     lit_double_cube,
     lit_double_matrix,
     lit_long_array,
 )
+
+
+def _xm_sql(vec_col: str, dim: int) -> str:
+    """SQL template (``{i}`` = 1-based index) for the integer-micro
+    component — the exact tree ``F.round(F.element_at(slice(cast(vc
+    as array<double>), 1, dim), i) * 1e6).cast("long")`` builds, for
+    :func:`~..functions.vectors.agg_array_expr` packing."""
+    return (
+        f"CAST(round(element_at(slice(cast(`{vec_col}` as array<double>),"
+        f" 1, {dim}), {{i}}) * 1e6) AS BIGINT)"
+    )
 
 
 def _prep(emb: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
@@ -614,10 +626,13 @@ def embedding_quantize(
     # truncates cleanly instead of null-poisoning qvec/mae (element_at
     # past the scales array returns NULL — round-5 advice)
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-    # per-dim scales: d independent max aggregates in ONE pass
+    # per-dim scales: d independent max aggregates in ONE pass, packed
+    # with one expr parse (round 12 — agg_array_expr)
     scales = emb.agg(
-        F.array(
-            *[F.max(F.abs(F.element_at(v, i + 1))) for i in range(dim)]
+        agg_array_expr(
+            f"max(abs(element_at(slice(cast(`{vec_col}` as array<double>),"
+            f" 1, {dim}), {{i}})))",
+            dim,
         ).alias("scales")
     )
     joined = emb.select(F.col(id_col), v.alias("v")).crossJoin(F.broadcast(scales))
@@ -1137,20 +1152,17 @@ def embedding_dim_stats(
     """
     if dim is None:
         dim = _infer_dim(emb, vec_col, "embedding_dim_stats")
-    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-    x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
+    # per-dim aggregate arrays built with ONE expr parse each instead
+    # of ~4·dim py4j Column calls (round 12 — functions.vectors.
+    # agg_array_expr; identical Round/Cast/Sum trees, identical values)
+    xm = _xm_sql(vec_col, dim)
     agg = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+        agg_array_expr(f"sum({xm})", dim).alias("s"),
         # micro^2 / 1000: keeps per-row magnitude <= ~1e9 for |x|<=~30
-        F.array(
-            *[
-                F.sum(F.floor(x_micro(i) * x_micro(i) / 1000)).alias(f"q{i}")
-                for i in range(dim)
-            ]
-        ).alias("q"),
-        F.array(*[F.min(x_micro(i)).alias(f"lo{i}") for i in range(dim)]).alias("lo"),
-        F.array(*[F.max(x_micro(i)).alias(f"hi{i}") for i in range(dim)]).alias("hi"),
+        agg_array_expr(f"sum(FLOOR({xm} * {xm} / 1000))", dim).alias("q"),
+        agg_array_expr(f"min({xm})", dim).alias("lo"),
+        agg_array_expr(f"max({xm})", dim).alias("hi"),
     )
     exploded = agg.select(
         "n", F.posexplode(F.arrays_zip("s", "q", "lo", "hi")).alias("i", "z")
@@ -1553,8 +1565,6 @@ def embedding_centroids(
     """
     if dim is None:
         dim = _infer_dim(emb, vec_col, "embedding_centroids")
-    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-    x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
     # n must count the rows the sums actually saw: a NULL/short vector
     # contributes nothing to Σxᵢ, and counting it would silently treat
     # it as the zero vector (biased centroid, oracle divergence)
@@ -1563,7 +1573,7 @@ def embedding_centroids(
         .groupBy(label_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.array(*[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+            agg_array_expr(f"sum({_xm_sql(vec_col, dim)})", dim).alias("s"),
         )
     )
     return agg.select(
@@ -1647,10 +1657,9 @@ def embedding_covariance(
         .groupBy("i", "j")
         .agg(F.sum("s").alias("sxy"))
     )
-    x_m = lambda i: F.element_at(F.col("xm"), i + 1)
     marg = milli.agg(
         F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(x_m(i)).alias(f"s{i}") for i in range(dim)]).alias("s"),
+        agg_array_expr("sum(element_at(xm, {i}))", dim).alias("s"),
     )
     # 1-row marginal attaches via broadcast.  The sᵢ·sⱼ cross product
     # is computed in DOUBLE over the exact integer sums: a LONG×LONG
@@ -1723,19 +1732,16 @@ def pca_project(
         comps.append([round(float(x), 9) for x in u])
 
     # centroid (for mean-centering) from the same exact integer sums
-    x_micro = lambda i: F.round(
-        F.element_at(F.slice(F.col(vec_col).cast("array<double>"), 1, dim), i + 1) * 1e6
-    ).cast("long")
     m = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(x_micro(i)).alias(f"s{i}") for i in range(dim)],
+        agg_array_expr(f"sum({_xm_sql(vec_col, dim)})", dim).alias("s"),
     ).collect()[0]
     # empty corpus: zero mean — the projection expressions shaped from
     # it never evaluate over zero rows (schema-stable empty output)
     if m["n"] == 0:
         mean = [0.0] * dim
     else:
-        mean = [m[f"s{i}"] / m["n"] / 1e6 for i in range(dim)]
+        mean = [m["s"][i] / m["n"] / 1e6 for i in range(dim)]
 
     v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
     centered = F.zip_with(
@@ -1786,14 +1792,12 @@ def centroid_cosine_matrix(
     """
     if dim is None:
         dim = _infer_dim(emb, vec_col, "centroid_cosine_matrix")
-    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-    x_micro = lambda i: F.round(F.element_at(v, i + 1) * 1e6).cast("long")
     per = (
         emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim))
         .groupBy(F.col(label_col).alias("lbl"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.array(*[F.sum(x_micro(i)) for i in range(dim)]).alias("s"),
+            agg_array_expr(f"sum({_xm_sql(vec_col, dim)})", dim).alias("s"),
         )
     )
     packed = per.groupBy().agg(
