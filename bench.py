@@ -309,13 +309,28 @@ def main() -> None:
             json.dump(full, fh, indent=1)
             fh.write("\n")
     # compact FINAL line — must fit the driver's ~2000-char stdout
-    # tail window with room to spare (this is the line it parses)
+    # tail window with room to spare (this is the line it parses).
+    # Round 12 (VERDICT r11 item 4, additions-only): the driver's
+    # per-query round-over-round comparison was empty because this
+    # line carried only totals; the steady-state map itself fits the
+    # window at the current headliner count (~1.7 KB), so include it
+    # behind a HARD size guard — if a future headliner set pushes the
+    # line past the budget, fall back to the totals-only shape plus a
+    # pointer to the full payload file rather than risk a truncated
+    # (unparseable) final line.
     compact = {k: full[k] for k in (
         "metric", "value", "unit", "warm_passes",
         "warm_slower_than_cold", "calibration_sec", "calibration_noisy", "sf",
     )}
     compact["n_queries"] = len(times)
-    print(json.dumps(compact))
+    with_queries = dict(compact)
+    with_queries["queries"] = times
+    line = json.dumps(with_queries, separators=(",", ":"))
+    if len(line) <= 1900:
+        compact = with_queries
+    elif out_path:
+        compact["per_query_file"] = out_path
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
