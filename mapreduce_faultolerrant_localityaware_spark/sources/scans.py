@@ -32,6 +32,34 @@ TABLES = (
     "embeddings",
 )
 
+#: schema catalog (round 12): ``spark.read.parquet`` re-infers the
+#: schema on EVERY call (~0.1 s of footer read + driver resolution,
+#: measured warm), and scan() runs inside every query construction —
+#: a production engine resolves table schemas from a catalog, not
+#: from the files per query.  Keyed by the (immutable, read-only)
+#: parquet path; caches ONLY the StructType — never a DataFrame, a
+#: plan, or any computed rows, so every action still reads the
+#: parquet inputs in full.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # the inferred schema can depend on session conf (nanosAsLong
+    # surfaces TIMESTAMP(NANOS) as BIGINT; inferTimestampNTZ picks the
+    # timestamp flavor), so those participate in the key — a foreign
+    # session with different flags never sees a mismatched catalog hit
+    key = (
+        path,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+    )
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def ensure_nanos_readable(spark: SparkSession, path: str) -> None:
     """Make a TIMESTAMP(NANOS) parquet file readable, touching session
@@ -88,7 +116,7 @@ def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # pinned to UTC.
         path = os.path.join(sf_dir, "events.parquet")
         ensure_nanos_readable(spark, path)
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         from pyspark.sql import functions as F
 
         ts_type = dict(df.dtypes).get("ts", "")
@@ -97,7 +125,7 @@ def scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return _read_parquet(spark, os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def scan_csv(spark: SparkSession, paths: str | list[str], schema=None, header: bool = True) -> DataFrame:

@@ -197,6 +197,22 @@ def test_assortativity_matches_symmetrized_reference(spark):
 # literal tables: non-finite doubles and INT_MIN (ADVICE r11)
 # ---------------------------------------------------------------------------
 
+def test_scan_schema_catalog_consistent(spark, sf_dir):
+    """The round-12 schema catalog caches ONLY the StructType per
+    (path, conf) key: repeated scans return identical schemas and
+    fresh plans, and the events ts normalization still lands on
+    TIMESTAMP regardless of the underlying parquet flavor."""
+    from mapreduce_faultolerrant_localityaware_spark.sources.scans import scan
+
+    a = scan(spark, sf_dir, "documents")
+    b = scan(spark, sf_dir, "documents")
+    assert a.schema == b.schema
+    assert a is not b  # fresh DataFrame per call — no plan reuse
+    ev = scan(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.limit(1).count() in (0, 1)
+
+
 def test_lit_double_array_non_finite(spark):
     vals = [float("nan"), float("inf"), float("-inf"), 0.5, -0.0]
     got = spark.range(1).select(lit_double_array(vals).alias("a")).collect()[0]["a"]
