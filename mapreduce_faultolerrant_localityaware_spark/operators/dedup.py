@@ -134,14 +134,12 @@ def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket_allpairs: int) -> DataFra
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
+    # ONE expr parse instead of the Column-API nested lambda (round 12:
+    # 62.7 ms -> 0.8 ms per construction, identical tree/values —
+    # this expression is rebuilt on every pass of every LSH consumer)
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> transform("
+        "slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
     )
     small_pairs = (
         buckets.filter(F.size("ids") <= max_bucket_allpairs)
@@ -1585,25 +1583,25 @@ def simjoin_cosine(
         .groupBy(id_col, "h")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # (doc, term, tf) is the collapsed numeric feature table every
-    # downstream branch (df counts, weights, norms, prefixes, verify
-    # maps) re-derives — materialize it once so the shingle tokenize
-    # runs once, not per branch (round-11 audit: 24 corpus scans)
     from ._materialize import materialize_once
 
-    counts = materialize_once(counts)
-    dfreq = (
-        counts.filter(F.col("tf") >= 1)
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df via a COUNT window over the term partition instead of a
+    # separate groupBy + join-back (round 12, guide §2.4): the rows of
+    # ``counts`` are unique per (doc, h), so count(*) over (partition
+    # by h) IS the document frequency — same integer, one exchange,
+    # and ``counts`` collapses to a single consumer, so its round-11
+    # checkpoint barrier (one of three) is no longer needed: the
+    # tokenize pipeline still runs exactly once, inside the
+    # ``weighted`` barrier below, which every downstream branch
+    # (norms, prefixes, verify maps) reads as blocks.
+    w_df = Window.partitionBy("h")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf_q = F.round(
         (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
         * F.lit(100.0)
     ).cast("long")
     weighted = (
-        counts.join(dfreq, "h")
+        counts.withColumn("df", F.count(F.lit(1)).over(w_df))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
