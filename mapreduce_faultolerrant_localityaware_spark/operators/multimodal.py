@@ -129,8 +129,17 @@ def decode_media(
                 ws.append(w)
                 hs.append(h)
                 fs.append(feats)
+            # object dtype throughout: an EMPTY python-list column
+            # would otherwise default to float64 and Arrow refuses the
+            # float64 → list<double> conversion for the features
+            # column on all-NULL (degenerate) batches; object-dtype
+            # columns are exactly what the old list-of-dicts frame
+            # produced, so the Arrow path is unchanged
             yield pd.DataFrame(
-                dict(zip(cols, (ids, types, lens, shas, ws, hs, fs))),
+                {
+                    c: pd.Series(v, dtype="object")
+                    for c, v in zip(cols, (ids, types, lens, shas, ws, hs, fs))
+                },
                 columns=cols,
             )
 
